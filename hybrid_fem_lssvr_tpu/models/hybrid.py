@@ -1,0 +1,234 @@
+"""Hybrid FEM + LSSVR orchestration: the framework's main entry point.
+
+TPU-native re-design of the reference's ``FEMLSSVRPrimalSolver``
+(``/root/reference/1D-Possion/Hybrid-FEM-LSSVR.py:107-211``):
+
+* ``solve_fem``            -> jit-compiled P1 assembly + tridiagonal solve
+                              (reference ``:117-145``).
+* ``solve_lssvr_subproblems`` (sequential SLSQP loop, ``:147-176``)
+                           -> one batched KKT solve over all elements, with
+                              the shared-operator two-matmul fast path when
+                              the mesh is uniform and coefficients constant.
+* ``evaluate_solution``    -> searchsorted + batched Legendre evaluation
+                              (reference ``:184-211``).
+
+The core is a pure, jittable function ``hybrid_solve``; ``HybridSolver`` is
+a thin stateful facade with the reference's API shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import assembly, eval as ops_eval, kkt, legendre, tridiag
+from .problem import Problem1D
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """All reference hard-coded literals as named fields (SURVEY.md 5:
+    config): 12 collocation points ``:40``, SLSQP options ``:91`` are
+    subsumed by the closed-form solve, defaults from ``__main__`` ``:220``."""
+
+    num_nodes: int = 25
+    M: int = 8  # Legendre coefficients per element (reference lssvr_M)
+    gamma: float = 1.0e4  # regularisation (reference lssvr_gamma)
+    n_colloc: int = 12  # PDE collocation points per element (ref ``:40``)
+    formulation: str = "primal"  # 'primal' | 'dual'
+    tridiag_method: str = "thomas"  # 'thomas' | 'pcr' | 'dense'
+    fem_quad_order: int = 3
+    refine_steps: int = 0  # iterative refinement on f32 paths
+    dtype: Optional[str] = None  # 'float32' | 'float64' | None (=x64 default)
+
+    def jnp_dtype(self):
+        if self.dtype is not None:
+            return jnp.dtype(self.dtype)
+        return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+class Solution(NamedTuple):
+    nodes: jnp.ndarray  # [N]
+    fem_values: jnp.ndarray  # [N] coarse P1 nodal values
+    coeffs: jnp.ndarray  # [E, M] per-element Legendre coefficients
+    max_slack: jnp.ndarray  # [E] (reference computed+discarded, ``:102``)
+    bc_violation: jnp.ndarray  # [E]
+    solve_ok: jnp.ndarray  # [E] bool fallback mask
+
+
+def uniform_nodes(problem: Problem1D, num_nodes: int, dtype) -> jnp.ndarray:
+    x0, x1 = problem.domain
+    return jnp.linspace(x0, x1, num_nodes, dtype=dtype)
+
+
+def fem_solve(problem: Problem1D, nodes: jnp.ndarray, cfg: SolverConfig):
+    """Coarse P1 FEM nodal values (reference ``solve_fem``, ``:117-145``).
+
+    P1 dofs ARE nodal values, so the reference's interpolator round-trip
+    (``:140-143``) is dropped (SURVEY.md section 2.1 #4).
+    """
+    sub, main, sup, rhs = assembly.assemble_p1(
+        nodes,
+        problem.a,
+        problem.b if problem.b is not None else None,
+        problem.c,
+        problem.f,
+        quad_order=cfg.fem_quad_order,
+    )
+    sub, main, sup, rhs = assembly.apply_dirichlet(
+        sub, main, sup, rhs, problem.g_left, problem.g_right
+    )
+    return tridiag.solve(sub, main, sup, rhs, method=cfg.tridiag_method)
+
+
+def _element_data(problem: Problem1D, nodes, fem_values, cfg: SolverConfig):
+    """Per-element collocation data: mapped points, rhs, endpoint bc values."""
+    dtype = nodes.dtype
+    xl, xr = nodes[:-1], nodes[1:]
+    h = xr - xl  # [E]
+    t = legendre.collocation_points(cfg.n_colloc, dtype=dtype)  # [C]
+    x_colloc = 0.5 * (xl + xr)[:, None] + 0.5 * h[:, None] * t[None, :]
+    f_colloc = problem.f(x_colloc) * jnp.ones_like(x_colloc)  # [E, C]
+
+    u_left = fem_values[:-1]
+    u_right = fem_values[1:]
+    # Boundary elements pin to the global Dirichlet data instead of the FEM
+    # value (reference ``:67-79``) — by construction these coincide after
+    # Dirichlet enforcement; the explicit override mirrors the reference's
+    # semantics with a static mask, not float equality (defect (b)).
+    g_l = jnp.asarray(problem.g_left, dtype)
+    g_r = jnp.asarray(problem.g_right, dtype)
+    u_left = u_left.at[0].set(g_l)
+    u_right = u_right.at[-1].set(g_r)
+    bc = jnp.stack([u_left, u_right], axis=-1)  # [E, 2]
+    return x_colloc, f_colloc, bc, h, u_left, u_right
+
+
+def lssvr_enhance(problem: Problem1D, nodes, fem_values, cfg: SolverConfig,
+                  shared: bool):
+    """Batched enhancement of all elements (replaces ``:147-176``)."""
+    dtype = nodes.dtype
+    x_colloc, f_colloc, bc, h, u_left, u_right = _element_data(
+        problem, nodes, fem_values, cfg
+    )
+    V0, V1, V2 = legendre.collocation_vandermonde(cfg.M, cfg.n_colloc, dtype)
+    B = kkt.boundary_rows(V0)
+
+    if shared:
+        # Uniform mesh + constant coefficients: one D for every element.
+        scale = 2.0 / h[0]
+        a2, a1, a0 = problem.colloc_coeffs(x_colloc[0])
+        D0 = kkt.operator_rows(V0, V1, V2, a2, a1, a0, scale)
+        if cfg.formulation == "primal":
+            ops = kkt.precompute_shared(D0, B, cfg.gamma)
+            w, diags = kkt.solve_primal_shared(ops, f_colloc, bc)
+        else:
+            D = jnp.broadcast_to(D0, (h.shape[0],) + D0.shape)
+            w, diags = kkt.solve_dual_batched(D, B, f_colloc, bc, cfg.gamma)
+    else:
+        a2, a1, a0 = problem.colloc_coeffs(x_colloc)  # each [E, C]
+        scale = (2.0 / h)[:, None, None]
+        D = (
+            a2[:, :, None] * scale**2 * V2[None]
+            + a1[:, :, None] * scale * V1[None]
+            + a0[:, :, None] * V0[None]
+        )
+        if cfg.formulation == "primal":
+            w, diags = kkt.solve_primal_batched(
+                D, B, f_colloc, bc, cfg.gamma, refine_steps=cfg.refine_steps
+            )
+        else:
+            w, diags = kkt.solve_dual_batched(D, B, f_colloc, bc, cfg.gamma)
+
+    w = kkt.apply_fallback(w, diags, u_left, u_right)
+    return w, diags
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def hybrid_solve(problem: Problem1D, cfg: SolverConfig,
+                 nodes: jnp.ndarray) -> Solution:
+    """Pure pipeline: coarse FEM then batched LSSVR enhancement
+    (reference ``solve``, ``:178-181``)."""
+    fem_values = fem_solve(problem, nodes, cfg)
+    shared = problem.constant_coeffs and cfg.formulation in ("primal", "dual")
+    # 'shared' requires a uniform mesh; callers using custom nodes go through
+    # HybridSolver which passes uniform=False -> hybrid_solve_general.
+    w, diags = lssvr_enhance(problem, nodes, fem_values, cfg, shared=shared)
+    return Solution(
+        nodes=nodes,
+        fem_values=fem_values,
+        coeffs=w,
+        max_slack=diags.max_slack,
+        bc_violation=diags.bc_violation,
+        solve_ok=diags.solve_ok,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def hybrid_solve_general(problem: Problem1D, cfg: SolverConfig,
+                         nodes: jnp.ndarray) -> Solution:
+    """Non-uniform-mesh path: always per-element batched KKT."""
+    fem_values = fem_solve(problem, nodes, cfg)
+    w, diags = lssvr_enhance(problem, nodes, fem_values, cfg, shared=False)
+    return Solution(nodes, fem_values, w, diags.max_slack,
+                    diags.bc_violation, diags.solve_ok)
+
+
+class HybridSolver:
+    """Stateful facade with the reference class's API shape (``:107-211``)."""
+
+    def __init__(self, problem: Problem1D, config: SolverConfig = SolverConfig(),
+                 nodes: Optional[jnp.ndarray] = None):
+        self.problem = problem
+        self.config = config
+        self._custom_nodes = nodes
+        self.solution: Optional[Solution] = None
+
+    @property
+    def nodes(self):
+        if self._custom_nodes is not None:
+            return self._custom_nodes
+        return uniform_nodes(self.problem, self.config.num_nodes,
+                             self.config.jnp_dtype())
+
+    def solve(self) -> Solution:
+        if self._custom_nodes is not None:
+            self.solution = hybrid_solve_general(
+                self.problem, self.config, self._custom_nodes
+            )
+        else:
+            self.solution = hybrid_solve(self.problem, self.config, self.nodes)
+        return self.solution
+
+    # Reference-API aliases -------------------------------------------------
+    @property
+    def fem_nodes(self):
+        return self.solution.nodes if self.solution else None
+
+    @property
+    def fem_values(self):
+        return self.solution.fem_values if self.solution else None
+
+    def evaluate_solution(self, x_points):
+        assert self.solution is not None, "call solve() first"
+        x = jnp.asarray(x_points, self.solution.nodes.dtype)
+        return ops_eval.evaluate(self.solution.nodes, self.solution.coeffs, x)
+
+    def evaluate_fem(self, x_points):
+        """Piecewise-linear coarse solution (for FEM-vs-hybrid comparisons)."""
+        assert self.solution is not None
+        x = jnp.asarray(x_points, self.solution.nodes.dtype)
+        return jnp.interp(x, self.solution.nodes, self.solution.fem_values)
+
+    def errors(self, x_points):
+        """(linf, l2) of the hybrid solution vs the problem's exact oracle."""
+        from ..utils import metrics
+
+        assert self.problem.exact is not None
+        u = self.evaluate_solution(x_points)
+        ue = self.problem.exact(jnp.asarray(x_points, u.dtype))
+        return metrics.linf_error(u, ue), metrics.l2_error(u, ue)

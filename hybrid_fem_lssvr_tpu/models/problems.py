@@ -1,0 +1,112 @@
+"""The workload library: every BASELINE.json config as a Problem instance.
+
+Config 1 (``poisson_1d``) is the reference's exact problem
+(``/root/reference/1D-Possion/Hybrid-FEM-LSSVR.py:8-18``, README.md:7-16).
+Configs 3-4 are manufactured-solution variants with the same u = sin(pi x)
+oracle so convergence floors are directly comparable.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .problem import Problem1D
+
+
+def poisson_1d() -> Problem1D:
+    """-u'' = pi^2 sin(pi x) on (-1, 1), u(+-1) = 0, exact u = sin(pi x)."""
+    return Problem1D(
+        name="poisson_1d",
+        f=lambda x: (jnp.pi**2) * jnp.sin(jnp.pi * x),
+        exact=lambda x: jnp.sin(jnp.pi * x),
+        exact_dx=lambda x: jnp.pi * jnp.cos(jnp.pi * x),
+        constant_coeffs=True,
+    )
+
+
+def variable_coeff_elliptic() -> Problem1D:
+    """-((1 + x^2) u')' + u = f, manufactured so that u = sin(pi x).
+
+    BASELINE.json config 3: nonconstant stiffness integrands exercise the
+    quadrature assembly and the per-element (non-shared) SPD KKT path.
+    """
+    pi = jnp.pi
+
+    def a(x):
+        return 1.0 + x**2
+
+    def da(x):
+        return 2.0 * x
+
+    def f(x):
+        s, c = jnp.sin(pi * x), jnp.cos(pi * x)
+        # -(a u')' + u = -a u'' - a' u' + u
+        return (1.0 + x**2) * pi**2 * s - 2.0 * x * pi * c + s
+
+    return Problem1D(
+        name="variable_coeff_elliptic",
+        f=f,
+        a=a,
+        da=da,
+        c=lambda x: jnp.ones_like(x),
+        exact=lambda x: jnp.sin(pi * x),
+        exact_dx=lambda x: pi * jnp.cos(pi * x),
+        constant_coeffs=False,
+    )
+
+
+def helmholtz_1d(k: float = 2.3) -> Problem1D:
+    """-u'' - k^2 u = f, manufactured u = sin(pi x) (k off-resonance).
+
+    BASELINE.json config 4a: the element operator is indefinite, but the
+    LSSVR normal-equations block I + gamma D^T D stays SPD (ops/kkt.py), so
+    no pivoted LU is needed — this problem exists to prove that claim.
+    """
+    pi = jnp.pi
+
+    def f(x):
+        return (pi**2 - k**2) * jnp.sin(pi * x)
+
+    return Problem1D(
+        name=f"helmholtz_1d_k{k:g}",
+        f=f,
+        c=lambda x: jnp.full_like(x, -(k**2)),
+        exact=lambda x: jnp.sin(pi * x),
+        exact_dx=lambda x: pi * jnp.cos(pi * x),
+        constant_coeffs=True,
+    )
+
+
+def advection_diffusion_1d(eps: float = 1.0, beta: float = 3.0) -> Problem1D:
+    """-eps u'' + beta u' = f, manufactured u = sin(pi x).
+
+    BASELINE.json config 4b: nonsymmetric FEM system (tridiagonal,
+    handled by the same Thomas/PCR solvers) and nonsymmetric collocation
+    rows in D.
+    """
+    pi = jnp.pi
+
+    def f(x):
+        return eps * pi**2 * jnp.sin(pi * x) + beta * pi * jnp.cos(pi * x)
+
+    return Problem1D(
+        name=f"advdiff_1d_eps{eps:g}_beta{beta:g}",
+        f=f,
+        a=lambda x: jnp.full_like(x, eps),
+        b=lambda x: jnp.full_like(x, beta),
+        exact=lambda x: jnp.sin(pi * x),
+        exact_dx=lambda x: pi * jnp.cos(pi * x),
+        constant_coeffs=True,
+    )
+
+
+REGISTRY = {
+    "poisson_1d": poisson_1d,
+    "variable_coeff_elliptic": variable_coeff_elliptic,
+    "helmholtz_1d": helmholtz_1d,
+    "advection_diffusion_1d": advection_diffusion_1d,
+}
+
+
+def get(name: str, **kwargs) -> Problem1D:
+    return REGISTRY[name](**kwargs)

@@ -1,0 +1,284 @@
+"""Batched LSSVR element solves: closed-form bordered KKT systems.
+
+This module deletes the reference's per-element ``scipy.optimize.minimize``
+SLSQP loop (``/root/reference/1D-Possion/Hybrid-FEM-LSSVR.py:90-91``,
+measured ~66 ms/element).  The per-element problem
+
+    min_w,e  0.5 ||w||^2 + gamma/2 ||e||^2
+    s.t.     (D w)_j + e_j = f_j   (C PDE collocation rows, ``:62``)
+             B w = bc              (2 endpoint-continuity rows, ``:64-79``)
+
+is an equality-constrained convex QP whose unique optimum satisfies, after
+eliminating e = f - D w, the bordered KKT system (SURVEY.md section 0.4,
+verified against the reference's SLSQP output to ~6e-12):
+
+    [ I + gamma D^T D   B^T ] [ w ]   [ gamma D^T f ]
+    [       B            0  ] [ l ] = [     bc      ]
+
+Three solve paths, all mathematically identical:
+
+* ``solve_primal_batched`` — per-element D (variable coefficients / graded
+  meshes): H = I + gamma D^T D is always SPD regardless of the PDE operator
+  (it is identity + a Gram matrix), so a vmapped, Jacobi-equilibrated
+  Cholesky + 2x2 Schur complement on the constraint block solves every
+  element — no pivoted LU of an indefinite system is ever needed.
+* ``solve_primal_shared`` — uniform mesh + x-independent operator
+  coefficients: D and B are the *same matrix for every element* (only the
+  collocated rhs f and the endpoint values differ), so the affine map
+  (f, bc) -> w collapses to two small precomputed operators and the entire
+  enhancement of E elements is two MXU matmuls:
+      w = f @ Wf^T + bc @ Wbc^T.
+* ``solve_dual_batched`` — the genuine dual formulation the reference's
+  "Dual" script does not contain (SURVEY.md section 0.2): with constraint
+  matrix A = [D; B] and Legendre kernel K = A A^T, solve
+  (K + diag(1/gamma .. 1/gamma, 0, 0)) mu = [f; bc], recover w = A^T mu.
+  System size (C + 2) independent of the basis size M; SPD (Gram + PSD
+  diagonal, nonsingular because B has full row rank).
+
+Precision: float32 factorisations can be wrapped with iterative refinement
+(``refine_steps``) — residuals accumulated at the solve dtype; pair with a
+float64 path (CPU x64 or TPU-emulated f64) for 1e-10 targets.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import legendre
+
+
+class KKTDiagnostics(NamedTuple):
+    """Per-element health signals the reference computed then discarded
+    (``Hybrid-FEM-LSSVR.py:102-103``) — here they are first-class outputs."""
+
+    max_slack: jnp.ndarray  # [E] max |e_j| = |f - D w|_inf per element
+    bc_violation: jnp.ndarray  # [E] max |B w - bc| per element
+    solve_ok: jnp.ndarray  # [E] bool: finite solution + sane constraints
+
+
+def operator_rows(V0, V1, V2, a2, a1, a0, scale):
+    """Collocation matrix D for L u = a2 u'' + a1 u' + a0 u on one element.
+
+    V0/V1/V2: [C, M] reference-coordinate Vandermonde + derivatives.
+    a2/a1/a0: [C] operator coefficients at the mapped collocation points.
+    scale: 2/h chain factor (scalar).  Returns D: [C, M].
+    """
+    return (
+        a2[:, None] * (scale**2) * V2
+        + a1[:, None] * scale * V1
+        + a0[:, None] * V0
+    )
+
+
+def boundary_rows(V0):
+    """B: [2, M] — endpoint value rows (collocation includes endpoints,
+    matching the reference's linspace incl. endpoints, ``:40``)."""
+    return jnp.stack([V0[0], V0[-1]])
+
+
+def _equilibrated_cholesky_factor(H):
+    """Jacobi-equilibrated Cholesky of SPD H: returns (L, s) with
+    S H S = L L^T, S = diag(s).  Equilibration tames the kappa ~ gamma * k^8
+    growth of I + gamma D^T D at high polynomial degree (SURVEY.md 7.4)."""
+    s = jax.lax.rsqrt(jnp.diagonal(H, axis1=-2, axis2=-1))
+    Hs = H * s[..., :, None] * s[..., None, :]
+    L = jnp.linalg.cholesky(Hs)
+    return L, s
+
+
+def _chol_solve(L, s, r):
+    """Solve H x = r given the equilibrated factor: x = S solve(LL^T, S r)."""
+    rs = r * s[..., :, None]
+    y = jax.scipy.linalg.solve_triangular(L, rs, lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), y, lower=False
+    )
+    return x * s[..., :, None]
+
+
+def _kkt_core(L, s, B, rw, rbc):
+    """Solve the bordered system [[H, B^T], [B, 0]] [w; lam] = [rw; rbc]
+    given the equilibrated Cholesky factor (L, s) of H.  Returns (w, lam)."""
+    rhs = jnp.concatenate([B.T, rw[:, None]], axis=1)  # [M, K+1]
+    X = _chol_solve(L, s, rhs)
+    HiBt, Hirw = X[:, :-1], X[:, -1]
+    S = B @ HiBt  # [K, K] Schur complement (SPD, tiny)
+    lam = jnp.linalg.solve(S, B @ Hirw - rbc)
+    w = Hirw - HiBt @ lam
+    return w, lam
+
+
+def solve_primal_batched(
+    D: jnp.ndarray,
+    B: jnp.ndarray,
+    f: jnp.ndarray,
+    bc: jnp.ndarray,
+    gamma,
+    refine_steps: int = 0,
+):
+    """Per-element-operator path. D: [E, C, M]; B: [2, M] or [E, 2, M];
+    f: [E, C]; bc: [E, 2].  Returns (w [E, M], KKTDiagnostics).
+
+    ``refine_steps`` > 0 adds classical iterative refinement on the full KKT
+    residual (factor once, re-solve with residual rhs) — recovers near-f64
+    accuracy from f32 factorisations when data are well-scaled.
+    """
+    gamma = jnp.asarray(gamma, D.dtype)
+    if B.ndim == 2:
+        B = jnp.broadcast_to(B, (D.shape[0],) + B.shape)
+
+    def one(De, Be, fe, bce):
+        M = De.shape[1]
+        H = jnp.eye(M, dtype=De.dtype) + gamma * (De.T @ De)
+        L, s = _equilibrated_cholesky_factor(H)
+        rw0 = gamma * (De.T @ fe)
+        w, lam = _kkt_core(L, s, Be, rw0, bce)
+        for _ in range(refine_steps):
+            res_w = rw0 - (H @ w + Be.T @ lam)
+            res_bc = bce - Be @ w
+            dw, dlam = _kkt_core(L, s, Be, res_w, res_bc)
+            w = w + dw
+            lam = lam + dlam
+        return w
+
+    w = jax.vmap(one)(D, B, f, bc)
+    return w, _diagnostics(D, B, f, bc, w)
+
+
+def _diagnostics(D, B, f, bc, w, tol: float = 1e-2):
+    e = f - jnp.einsum("ecm,em->ec", D, w)  # optimal slack (PDE residual)
+    max_slack = jnp.max(jnp.abs(e), axis=-1)
+    if B.ndim == 2:
+        bres = jnp.abs(jnp.einsum("km,em->ek", B, w) - bc)
+    else:
+        bres = jnp.abs(jnp.einsum("ekm,em->ek", B, w) - bc)
+    bc_violation = jnp.max(bres, axis=-1)
+    finite = jnp.all(jnp.isfinite(w), axis=-1)
+    scale = 1.0 + jnp.max(jnp.abs(bc), axis=-1)
+    solve_ok = finite & (bc_violation <= tol * scale)
+    return KKTDiagnostics(max_slack, bc_violation, solve_ok)
+
+
+class SharedOperators(NamedTuple):
+    """Precomputed affine map (f, bc) -> w for a shared element operator."""
+
+    Wf: jnp.ndarray  # [M, C]
+    Wbc: jnp.ndarray  # [M, 2]
+    D: jnp.ndarray  # [C, M] (kept for diagnostics)
+    B: jnp.ndarray  # [2, M]
+
+
+def precompute_shared(D: jnp.ndarray, B: jnp.ndarray, gamma) -> SharedOperators:
+    """Factor the shared KKT once: w = Wf @ f + Wbc @ bc.
+
+    With H = I + gamma D^T D (SPD), S = B H^-1 B^T:
+      Wbc = H^-1 B^T S^-1
+      Wf  = (I - Wbc B) H^-1 gamma D^T
+    """
+    M = D.shape[1]
+    gamma = jnp.asarray(gamma, D.dtype)
+    H = jnp.eye(M, dtype=D.dtype) + gamma * (D.T @ D)
+    L, s = _equilibrated_cholesky_factor(H)
+    HiBt = _chol_solve(L, s, B.T)  # [M, 2]
+    HiDt = _chol_solve(L, s, gamma * D.T)  # [M, C]
+    S = B @ HiBt  # [2, 2]
+    Wbc = HiBt @ jnp.linalg.inv(S)  # [M, 2]
+    Wf = HiDt - Wbc @ (B @ HiDt)  # [M, C]
+    return SharedOperators(Wf=Wf, Wbc=Wbc, D=D, B=B)
+
+
+def solve_primal_shared(ops: SharedOperators, f: jnp.ndarray, bc: jnp.ndarray):
+    """The MXU fast path: all E elements in two matmuls.
+
+    f: [E, C]; bc: [E, 2] -> (w [E, M], KKTDiagnostics).
+    """
+    w = jnp.dot(f, ops.Wf.T, preferred_element_type=f.dtype) + jnp.dot(
+        bc, ops.Wbc.T, preferred_element_type=f.dtype
+    )
+    return w, _diagnostics(
+        jnp.broadcast_to(ops.D, (f.shape[0],) + ops.D.shape), ops.B, f, bc, w
+    )
+
+
+def solve_dual_batched(
+    D: jnp.ndarray,
+    B: jnp.ndarray,
+    f: jnp.ndarray,
+    bc: jnp.ndarray,
+    gamma,
+):
+    """Genuine dual formulation (SURVEY.md section 7.3).
+
+    A = [D; B]: [C+2, M]; kernel K = A A^T (Legendre kernel Gram matrix with
+    operator applied to both arguments on the D block — K_LL, K_Lb, K_bb).
+    Solve (K + diag(1/gamma on PDE rows, 0 on BC rows)) mu = [f; bc];
+    recover w = A^T mu.  Cheaper than primal when M > C + 2; identical
+    solution (same QP) — asserted in tests.
+    """
+    gamma = jnp.asarray(gamma, D.dtype)
+    E, C, M = D.shape
+    if B.ndim == 2:
+        B = jnp.broadcast_to(B, (E,) + B.shape)
+    K_bc = B.shape[1]
+    n = C + K_bc
+
+    def one(De, Be, fe, bce):
+        # Two exact reformulations for numerical stability:
+        # 1. Row equilibration — scaling constraint row j by r_j and its
+        #    slack penalty by gamma/r_j^2 leaves the QP unchanged but keeps
+        #    the kernel Gram matrix (which squares D's row scaling) sane at
+        #    large 2/h chain factors (SURVEY.md 7.4).
+        # 2. Augmented quasi-definite form — solving
+        #        [ -I   A^T  ] [ w  ]   [  0  ]
+        #        [  A   Reg  ] [ mu ] = [ rhs ]
+        #    with pivoted LU keeps w = A^T mu as an *equation*, avoiding the
+        #    catastrophic forward-error amplification of the normal-equations
+        #    kernel system (K + Reg) mu = rhs when M < C + K and gamma is
+        #    large (measured 1e-5 coefficient error at E=320 vs 1e-13 here).
+        A = jnp.concatenate([De, Be], axis=0)  # [n, M]
+        r = jax.lax.rsqrt(jnp.sum(A * A, axis=1) + 1e-30)  # [n]
+        At = A * r[:, None]
+        reg = jnp.concatenate(
+            [r[:C] ** 2 / gamma, jnp.zeros((K_bc,), De.dtype)]
+        )
+        aug = jnp.zeros((M + n, M + n), De.dtype)
+        aug = aug.at[:M, :M].set(-jnp.eye(M, dtype=De.dtype))
+        aug = aug.at[:M, M:].set(At.T)
+        aug = aug.at[M:, :M].set(At)
+        aug = aug.at[M:, M:].set(jnp.diag(reg))
+        rhs = jnp.concatenate(
+            [jnp.zeros((M,), De.dtype), jnp.concatenate([fe, bce]) * r]
+        )
+        sol = jnp.linalg.solve(aug, rhs)  # batched LU with partial pivoting
+        return sol[:M]
+
+    w = jax.vmap(one)(D, B, f, bc)
+    return w, _diagnostics(D, B, f, bc, w)
+
+
+def linear_fallback_coeffs(u_left, u_right, M: int):
+    """Legendre coefficients of the linear interpolant through the element
+    endpoint values — the reference's per-element failure fallback
+    (``Hybrid-FEM-LSSVR.py:171-176``), without its late-binding-closure bug
+    (SURVEY.md section 2.1 defect (c)).  u(t) = (u_l+u_r)/2 + (u_r-u_l)/2 t.
+    """
+    c0 = 0.5 * (u_left + u_right)
+    c1 = 0.5 * (u_right - u_left)
+    zeros = jnp.zeros(u_left.shape + (max(M - 2, 0),), u_left.dtype)
+    cols = [c0[..., None]]
+    if M > 1:
+        cols.append(c1[..., None])
+    cols.append(zeros)
+    return jnp.concatenate(cols, axis=-1)[..., :M]
+
+
+def apply_fallback(w, diags: KKTDiagnostics, u_left, u_right):
+    """Mask failed elements to the linear interpolant (graceful per-element
+    degradation, same semantics as the reference's try/except)."""
+    M = w.shape[-1]
+    wf = linear_fallback_coeffs(u_left, u_right, M)
+    w_safe = jnp.where(jnp.isfinite(w), w, 0.0)
+    return jnp.where(diags.solve_ok[..., None], w_safe, wf)
