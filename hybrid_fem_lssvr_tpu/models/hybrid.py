@@ -40,6 +40,7 @@ class SolverConfig:
     gamma: float = 1.0e4  # regularisation (reference lssvr_gamma)
     n_colloc: int = 12  # PDE collocation points per element (ref ``:40``)
     formulation: str = "primal"  # 'primal' | 'dual'
+    kkt_method: str = "auto"  # 'auto' | 'cholesky' | 'qr' | 'dual_aug'
     tridiag_method: str = "thomas"  # 'thomas' | 'pcr' | 'dense'
     fem_quad_order: int = 3
     refine_steps: int = 0  # iterative refinement on f32 paths
@@ -108,28 +109,49 @@ def _element_data(problem: Problem1D, nodes, fem_values, cfg: SolverConfig):
     return x_colloc, f_colloc, bc, h, u_left, u_right
 
 
+def prepare_shared_host(problem: Problem1D, cfg: SolverConfig):
+    """Setup-time float64 precompute of the shared affine enhancement map.
+
+    Valid when the mesh is uniform and the operator coefficients are
+    x-independent: every element shares one collocation matrix D, so
+    (f, bc) -> w is one affine operator, factorised here in numpy f64 (host)
+    and applied on-chip as two matmuls — the factorisation precision problem
+    (SURVEY.md 7.4 hard part 1) never touches the accelerator.
+    """
+    if not problem.constant_coeffs:
+        return None
+    import numpy as np
+
+    x0, x1 = problem.domain
+    h = (x1 - x0) / (cfg.num_nodes - 1)
+    V0, V1, V2 = legendre.collocation_vandermonde_host(cfg.M, cfg.n_colloc)
+    t = np.linspace(-1.0, 1.0, cfg.n_colloc)
+    xc = x0 + (t + 1.0) * 0.5 * h  # element-0 collocation points
+    a2, a1, a0 = problem.colloc_coeffs(jnp.asarray(xc))
+    a2, a1, a0 = (np.asarray(v, np.float64) for v in (a2, a1, a0))
+    scale = 2.0 / h
+    D0 = (
+        a2[:, None] * scale**2 * V2
+        + a1[:, None] * scale * V1
+        + a0[:, None] * V0
+    )
+    B = np.stack([V0[0], V0[-1]])
+    return kkt.precompute_shared_host(D0, B, cfg.gamma, cfg.jnp_dtype())
+
+
 def lssvr_enhance(problem: Problem1D, nodes, fem_values, cfg: SolverConfig,
-                  shared: bool):
+                  shared_ops=None):
     """Batched enhancement of all elements (replaces ``:147-176``)."""
-    dtype = nodes.dtype
     x_colloc, f_colloc, bc, h, u_left, u_right = _element_data(
         problem, nodes, fem_values, cfg
     )
-    V0, V1, V2 = legendre.collocation_vandermonde(cfg.M, cfg.n_colloc, dtype)
-    B = kkt.boundary_rows(V0)
-
-    if shared:
-        # Uniform mesh + constant coefficients: one D for every element.
-        scale = 2.0 / h[0]
-        a2, a1, a0 = problem.colloc_coeffs(x_colloc[0])
-        D0 = kkt.operator_rows(V0, V1, V2, a2, a1, a0, scale)
-        if cfg.formulation == "primal":
-            ops = kkt.precompute_shared(D0, B, cfg.gamma)
-            w, diags = kkt.solve_primal_shared(ops, f_colloc, bc)
-        else:
-            D = jnp.broadcast_to(D0, (h.shape[0],) + D0.shape)
-            w, diags = kkt.solve_dual_batched(D, B, f_colloc, bc, cfg.gamma)
+    if shared_ops is not None:
+        w, diags = kkt.solve_primal_shared(shared_ops, f_colloc, bc)
     else:
+        dtype = nodes.dtype
+        V0, V1, V2 = legendre.collocation_vandermonde(cfg.M, cfg.n_colloc,
+                                                      dtype)
+        B = kkt.boundary_rows(V0)
         a2, a1, a0 = problem.colloc_coeffs(x_colloc)  # each [E, C]
         scale = (2.0 / h)[:, None, None]
         D = (
@@ -137,27 +159,25 @@ def lssvr_enhance(problem: Problem1D, nodes, fem_values, cfg: SolverConfig,
             + a1[:, :, None] * scale * V1[None]
             + a0[:, :, None] * V0[None]
         )
-        if cfg.formulation == "primal":
-            w, diags = kkt.solve_primal_batched(
-                D, B, f_colloc, bc, cfg.gamma, refine_steps=cfg.refine_steps
-            )
-        else:
-            w, diags = kkt.solve_dual_batched(D, B, f_colloc, bc, cfg.gamma)
+        w, diags = kkt.solve_batched(
+            D, B, f_colloc, bc, cfg.gamma,
+            formulation=cfg.formulation, method=cfg.kkt_method,
+            refine_steps=cfg.refine_steps,
+        )
 
     w = kkt.apply_fallback(w, diags, u_left, u_right)
     return w, diags
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def hybrid_solve(problem: Problem1D, cfg: SolverConfig,
-                 nodes: jnp.ndarray) -> Solution:
+def hybrid_solve(problem: Problem1D, cfg: SolverConfig, nodes: jnp.ndarray,
+                 shared_ops=None) -> Solution:
     """Pure pipeline: coarse FEM then batched LSSVR enhancement
-    (reference ``solve``, ``:178-181``)."""
+    (reference ``solve``, ``:178-181``).  ``shared_ops`` (from
+    ``prepare_shared_host``) requires a uniform mesh."""
     fem_values = fem_solve(problem, nodes, cfg)
-    shared = problem.constant_coeffs and cfg.formulation in ("primal", "dual")
-    # 'shared' requires a uniform mesh; callers using custom nodes go through
-    # HybridSolver which passes uniform=False -> hybrid_solve_general.
-    w, diags = lssvr_enhance(problem, nodes, fem_values, cfg, shared=shared)
+    w, diags = lssvr_enhance(problem, nodes, fem_values, cfg,
+                             shared_ops=shared_ops)
     return Solution(
         nodes=nodes,
         fem_values=fem_values,
@@ -168,14 +188,10 @@ def hybrid_solve(problem: Problem1D, cfg: SolverConfig,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
 def hybrid_solve_general(problem: Problem1D, cfg: SolverConfig,
                          nodes: jnp.ndarray) -> Solution:
     """Non-uniform-mesh path: always per-element batched KKT."""
-    fem_values = fem_solve(problem, nodes, cfg)
-    w, diags = lssvr_enhance(problem, nodes, fem_values, cfg, shared=False)
-    return Solution(nodes, fem_values, w, diags.max_slack,
-                    diags.bc_violation, diags.solve_ok)
+    return hybrid_solve(problem, cfg, nodes, shared_ops=None)
 
 
 class HybridSolver:
@@ -201,7 +217,17 @@ class HybridSolver:
                 self.problem, self.config, self._custom_nodes
             )
         else:
-            self.solution = hybrid_solve(self.problem, self.config, self.nodes)
+            # The shared fast path applies to the primal formulation on a
+            # uniform mesh with constant coefficients; the dual formulation
+            # keeps its own algebraic path so primal==dual stays a real test.
+            shared = (
+                prepare_shared_host(self.problem, self.config)
+                if self.config.formulation == "primal"
+                else None
+            )
+            self.solution = hybrid_solve(
+                self.problem, self.config, self.nodes, shared
+            )
         return self.solution
 
     # Reference-API aliases -------------------------------------------------

@@ -149,17 +149,96 @@ def solve_primal_batched(
 
 
 def _diagnostics(D, B, f, bc, w, tol: float = 1e-2):
-    e = f - jnp.einsum("ecm,em->ec", D, w)  # optimal slack (PDE residual)
+    hi = jax.lax.Precision.HIGHEST
+    e = f - jnp.einsum("ecm,em->ec", D, w, precision=hi)  # optimal slack
     max_slack = jnp.max(jnp.abs(e), axis=-1)
     if B.ndim == 2:
-        bres = jnp.abs(jnp.einsum("km,em->ek", B, w) - bc)
+        bres = jnp.abs(jnp.einsum("km,em->ek", B, w, precision=hi) - bc)
     else:
-        bres = jnp.abs(jnp.einsum("ekm,em->ek", B, w) - bc)
+        bres = jnp.abs(jnp.einsum("ekm,em->ek", B, w, precision=hi) - bc)
     bc_violation = jnp.max(bres, axis=-1)
     finite = jnp.all(jnp.isfinite(w), axis=-1)
     scale = 1.0 + jnp.max(jnp.abs(bc), axis=-1)
     solve_ok = finite & (bc_violation <= tol * scale)
     return KKTDiagnostics(max_slack, bc_violation, solve_ok)
+
+
+def solve_primal_lse(D: jnp.ndarray, B: jnp.ndarray, f: jnp.ndarray,
+                     bc: jnp.ndarray):
+    """Orthogonal-method path for float32 (the TPU hot dtype).
+
+    Forming H = I + gamma D^T D squares D's conditioning and drowns the
+    identity: at gamma=1e4 and fine meshes kappa(H) overflows f32 entirely
+    (measured: Cholesky path degrades to ~1e-3 errors on-chip).  But the
+    regularised QP is, to O(1/(gamma * ||D||_F^2)) — i.e. to ~1e-14 at the
+    reference's gamma (which SURVEY.md 0.3 shows is error-irrelevant over
+    gamma in [1e2, 1e8]) — the equality-constrained least-squares problem
+
+        min_w ||D w - f||_2   s.t.  B w = bc,
+
+    solved stably by the null-space method at kappa(D), not gamma*kappa(D)^2:
+      Z = orthonormal null basis of B (complete QR of B^T),
+      w_p = B^T (B B^T)^{-1} bc          (min-norm particular solution),
+      y   = argmin ||(D Z) y - (f - D w_p)||  via QR,
+      w   = w_p + Z y.
+    """
+    E = D.shape[0]
+    if B.ndim == 2:
+        B = jnp.broadcast_to(B, (E,) + B.shape)
+
+    def one(De, Be, fe, bce):
+        K = Be.shape[0]
+        Q, _ = jnp.linalg.qr(Be.T, mode="complete")  # [M, M]
+        Z = Q[:, K:]  # [M, M-K] orthonormal null(B)
+        wp = Be.T @ jnp.linalg.solve(Be @ Be.T, bce)
+        # Global per-element scale removal (all rows share the (2/h)^2
+        # chain factor): scale-invariant for the minimiser, keeps f32 sane.
+        s0 = jnp.sqrt(jnp.mean(De * De)) + 1e-30
+        G = (De @ Z) / s0
+        g = (fe - De @ wp) / s0
+        q, r = jnp.linalg.qr(G)
+        y = jax.scipy.linalg.solve_triangular(r, q.T @ g, lower=False)
+        return wp + Z @ y
+
+    w = jax.vmap(one)(D, B, f, bc)
+    return w, _diagnostics(D, B, f, bc, w)
+
+
+def _solve_batched_inner(D, B, f, bc, gamma, formulation="primal",
+                         method="auto", refine_steps: int = 0):
+    """Dtype-aware routing.
+
+    float64: primal -> Schur/Cholesky KKT; dual -> augmented LU.  These are
+    the two genuinely distinct algebraic formulations.
+    float32: both formulations route to the orthogonal LSE core — they solve
+    the same QP, and only the orthogonal method survives f32 at the
+    reference's gamma (see solve_primal_lse).  Override with ``method``.
+    """
+    if method == "auto":
+        method = "qr" if D.dtype == jnp.float32 else (
+            "dual_aug" if formulation == "dual" else "cholesky"
+        )
+    if method == "qr":
+        return solve_primal_lse(D, B, f, bc)
+    if method == "cholesky":
+        return solve_primal_batched(D, B, f, bc, gamma,
+                                    refine_steps=refine_steps)
+    if method == "dual_aug":
+        return solve_dual_batched(D, B, f, bc, gamma)
+    raise ValueError(f"unknown KKT method: {method}")
+
+
+def solve_batched(D, B, f, bc, gamma, formulation="primal",
+                  method="auto", refine_steps: int = 0):
+    """Dtype-aware routed solve; see _solve_batched_inner for the routing.
+
+    All linear algebra runs at HIGHEST matmul precision: the TPU MXU's
+    default f32 matmul uses bf16 passes (~4e-4 relative error — measured to
+    dominate the whole solver's error budget before this was forced)."""
+    with jax.default_matmul_precision("highest"):
+        return _solve_batched_inner(D, B, f, bc, gamma,
+                                    formulation=formulation, method=method,
+                                    refine_steps=refine_steps)
 
 
 class SharedOperators(NamedTuple):
@@ -190,13 +269,56 @@ def precompute_shared(D: jnp.ndarray, B: jnp.ndarray, gamma) -> SharedOperators:
     return SharedOperators(Wf=Wf, Wbc=Wbc, D=D, B=B)
 
 
+def precompute_shared_host(D0, B, gamma, dtype=jnp.float32) -> SharedOperators:
+    """Host-side float64 precompute of the shared affine map.
+
+    On TPU the factorisation precision problem disappears entirely for the
+    shared path: (Wf, Wbc) are computed once in numpy float64 at setup time
+    (tiny M x M work), and the on-chip hot loop is two well-conditioned
+    matmuls in the run dtype.  D0/B: numpy float64 [C, M]/[2, M].
+    """
+    import numpy as np
+
+    D0 = np.asarray(D0, np.float64)
+    B = np.asarray(B, np.float64)
+    M = D0.shape[1]
+    H = np.eye(M) + float(gamma) * D0.T @ D0
+    s = 1.0 / np.sqrt(np.diag(H))
+    Hs = H * s[:, None] * s[None, :]
+    cho = np.linalg.cholesky(Hs)
+
+    def hsolve(R):
+        Rs = R * s[:, None]
+        y = np.linalg.solve(cho, Rs)
+        x = np.linalg.solve(cho.T, y)
+        return x * s[:, None]
+
+    HiBt = hsolve(B.T)
+    HiDt = hsolve(float(gamma) * D0.T)
+    S = B @ HiBt
+    Wbc = HiBt @ np.linalg.inv(S)
+    Wf = HiDt - Wbc @ (B @ HiDt)
+    return SharedOperators(
+        Wf=jnp.asarray(Wf, dtype),
+        Wbc=jnp.asarray(Wbc, dtype),
+        D=jnp.asarray(D0, dtype),
+        B=jnp.asarray(B, dtype),
+    )
+
+
 def solve_primal_shared(ops: SharedOperators, f: jnp.ndarray, bc: jnp.ndarray):
     """The MXU fast path: all E elements in two matmuls.
 
     f: [E, C]; bc: [E, 2] -> (w [E, M], KKTDiagnostics).
     """
-    w = jnp.dot(f, ops.Wf.T, preferred_element_type=f.dtype) + jnp.dot(
-        bc, ops.Wbc.T, preferred_element_type=f.dtype
+    # HIGHEST precision: the MXU's default f32 matmul is bf16-based (~4e-4
+    # relative) — measured to swamp the entire error budget if left default.
+    w = jnp.dot(
+        f, ops.Wf.T, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=f.dtype,
+    ) + jnp.dot(
+        bc, ops.Wbc.T, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=f.dtype,
     )
     return w, _diagnostics(
         jnp.broadcast_to(ops.D, (f.shape[0],) + ops.D.shape), ops.B, f, bc, w
