@@ -149,8 +149,13 @@ def solve_primal_batched(
 
 
 def _diagnostics(D, B, f, bc, w, tol: float = 1e-2):
+    """D may be [E, C, M] (per-element) or [C, M] (shared — stays a plain
+    matmul, never materialising an [E, C, M] broadcast)."""
     hi = jax.lax.Precision.HIGHEST
-    e = f - jnp.einsum("ecm,em->ec", D, w, precision=hi)  # optimal slack
+    if D.ndim == 2:
+        e = f - jnp.einsum("em,cm->ec", w, D, precision=hi)
+    else:
+        e = f - jnp.einsum("ecm,em->ec", D, w, precision=hi)  # optimal slack
     max_slack = jnp.max(jnp.abs(e), axis=-1)
     if B.ndim == 2:
         bres = jnp.abs(jnp.einsum("km,em->ek", B, w, precision=hi) - bc)
@@ -321,7 +326,7 @@ def solve_primal_shared(ops: SharedOperators, f: jnp.ndarray, bc: jnp.ndarray):
         preferred_element_type=f.dtype,
     )
     return w, _diagnostics(
-        jnp.broadcast_to(ops.D, (f.shape[0],) + ops.D.shape), ops.B, f, bc, w
+        ops.D, ops.B, f, bc, w
     )
 
 
