@@ -86,8 +86,15 @@ def fem_solve(problem: Problem1D, nodes: jnp.ndarray, cfg: SolverConfig):
     return tridiag.solve(sub, main, sup, rhs, method=cfg.tridiag_method)
 
 
-def _element_data(problem: Problem1D, nodes, fem_values, cfg: SolverConfig):
-    """Per-element collocation data: mapped points, rhs, endpoint bc values."""
+def _element_data(problem: Problem1D, nodes, fem_values, cfg: SolverConfig,
+                  touches_left=True, touches_right=True):
+    """Per-element collocation data: mapped points, rhs, endpoint bc values.
+
+    ``touches_left``/``touches_right``: whether the first/last local element
+    touches the global domain boundary — static True on a single device,
+    traced booleans inside a sharded (shard_map) solve where only the edge
+    devices own boundary elements.
+    """
     dtype = nodes.dtype
     xl, xr = nodes[:-1], nodes[1:]
     h = xr - xl  # [E]
@@ -100,11 +107,11 @@ def _element_data(problem: Problem1D, nodes, fem_values, cfg: SolverConfig):
     # Boundary elements pin to the global Dirichlet data instead of the FEM
     # value (reference ``:67-79``) — by construction these coincide after
     # Dirichlet enforcement; the explicit override mirrors the reference's
-    # semantics with a static mask, not float equality (defect (b)).
+    # semantics with a mask, not float equality (defect (b)).
     g_l = jnp.asarray(problem.g_left, dtype)
     g_r = jnp.asarray(problem.g_right, dtype)
-    u_left = u_left.at[0].set(g_l)
-    u_right = u_right.at[-1].set(g_r)
+    u_left = u_left.at[0].set(jnp.where(touches_left, g_l, u_left[0]))
+    u_right = u_right.at[-1].set(jnp.where(touches_right, g_r, u_right[-1]))
     bc = jnp.stack([u_left, u_right], axis=-1)  # [E, 2]
     return x_colloc, f_colloc, bc, h, u_left, u_right
 
@@ -140,10 +147,11 @@ def prepare_shared_host(problem: Problem1D, cfg: SolverConfig):
 
 
 def lssvr_enhance(problem: Problem1D, nodes, fem_values, cfg: SolverConfig,
-                  shared_ops=None):
+                  shared_ops=None, touches_left=True, touches_right=True):
     """Batched enhancement of all elements (replaces ``:147-176``)."""
     x_colloc, f_colloc, bc, h, u_left, u_right = _element_data(
-        problem, nodes, fem_values, cfg
+        problem, nodes, fem_values, cfg,
+        touches_left=touches_left, touches_right=touches_right,
     )
     if shared_ops is not None:
         w, diags = kkt.solve_primal_shared(shared_ops, f_colloc, bc)

@@ -1,0 +1,36 @@
+"""Device-mesh helpers for element-axis sharding.
+
+The reference has no parallelism (sequential Python loop over elements,
+``/root/reference/1D-Possion/Hybrid-FEM-LSSVR.py:151``).  Here the element
+axis IS the data/sequence axis (SURVEY.md 2.3): a 1-D mesh
+``('elements',)`` shards contiguous element ranges across chips; collectives
+ride ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec
+
+ELEMENT_AXIS = "elements"
+
+
+def element_mesh(n_devices: Optional[int] = None,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh over the element axis (defaults to all visible devices)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), (ELEMENT_AXIS,))
+
+
+def element_spec() -> PartitionSpec:
+    return PartitionSpec(ELEMENT_AXIS)
+
+
+def replicated_spec() -> PartitionSpec:
+    return PartitionSpec()

@@ -1,0 +1,226 @@
+"""Multi-chip hybrid solve: distributed assembly, SPIKE tridiagonal solve,
+sharded LSSVR enhancement — all inside one ``shard_map``.
+
+The reference's analog of sequence length is the element count E, scaled as
+a sequential Python loop at ~15 elements/sec (SURVEY.md section 5,
+``Hybrid-FEM-LSSVR.py:151``).  Here E shards contiguously over a 1-D device
+mesh:
+
+* **Distributed assembly**: each device computes its local elements' 2x2
+  stiffness blocks; interface-node contributions arrive from the right
+  neighbour via one ``ppermute`` (halo width 1 — the ring pattern).
+* **Distributed tridiagonal solve (SPIKE)**: local Thomas elimination with 3
+  right-hand sides (rhs + the two coupling spikes), one ``all_gather`` of 6
+  scalars per device, a redundantly-solved reduced system of size
+  2*n_devices, local back-substitution.  Depth: one local O(E/D) scan + an
+  O(1)-sized collective, vs O(E) sequential.
+* **Sharded enhancement**: every device runs the batched KKT/matmul path on
+  its own element range; the only remote data it needs — the nodal value at
+  its left interface — is already in the gathered reduced solution, so the
+  enhancement needs NO extra communication.
+
+Dirichlet rows are eliminated before distribution: the global interior
+system has E-1 unknowns, padded with one dummy identity row to E so every
+device owns exactly E/D rows (static shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..models.hybrid import SolverConfig, lssvr_enhance, prepare_shared_host
+from ..models.problem import Problem1D
+from ..ops import assembly, kkt, tridiag
+from .mesh import ELEMENT_AXIS
+
+
+class ShardedSolution(NamedTuple):
+    coeffs: jnp.ndarray  # [E_total, M] sharded over elements
+    fem_local: jnp.ndarray  # [n_dev, E_loc + 1] per-device nodal values
+    max_slack: jnp.ndarray  # [E_total]
+    bc_violation: jnp.ndarray  # [E_total]
+    solve_ok: jnp.ndarray  # [E_total]
+
+
+def _local_nodes(problem, E_total, E_loc, d, dtype):
+    x0, x1 = problem.domain
+    h = (x1 - x0) / E_total
+    base = x0 + (d * E_loc).astype(dtype) * h
+    idx = jnp.arange(E_loc + 1, dtype=dtype)
+    return base + idx * h
+
+
+def _local_assembly(problem, cfg, nodes_loc, d, n_dev, axis):
+    """Local rows of the Dirichlet-eliminated interior tridiagonal system.
+
+    Device d owns interior rows [d*E_loc, (d+1)*E_loc) of the padded
+    E_total-row system (interior node j = row + 1); returns local diagonals
+    (a, b, c), rhs, and the SPIKE couplings (l to the left neighbour's last
+    unknown, u to the right neighbour's first unknown).
+    """
+    dtype = nodes_loc.dtype
+    E_loc = nodes_loc.shape[0] - 1
+    K, bvec = assembly.element_contributions(
+        nodes_loc, problem.a, problem.b, problem.c, problem.f,
+        quad_order=cfg.fem_quad_order,
+    )  # [E_loc, 2, 2], [E_loc, 2]
+
+    # Halo: row r needs element r+1's (K00, K01, b0); the last row needs the
+    # right neighbour's first element -> one ppermute shifting left.
+    first_elem = jnp.stack([K[0, 0, 0], K[0, 0, 1], bvec[0, 0]])
+    halo = jax.lax.ppermute(
+        first_elem, axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    )
+    K00_next = jnp.concatenate([K[1:, 0, 0], halo[0][None]])
+    K01_next = jnp.concatenate([K[1:, 0, 1], halo[1][None]])
+    b0_next = jnp.concatenate([bvec[1:, 0], halo[2][None]])
+
+    diag = K[:, 1, 1] + K00_next
+    sub = K[:, 1, 0]  # couples row r to interior unknown r-1
+    sup = K01_next  # couples row r to interior unknown r+1
+    rhs = bvec[:, 1] + b0_next
+
+    g_l = jnp.asarray(problem.g_left, dtype)
+    g_r = jnp.asarray(problem.g_right, dtype)
+    is_first = d == 0
+    is_last = d == n_dev - 1
+    r_idx = jnp.arange(E_loc)
+
+    # Dirichlet column elimination: first interior row's sub-coupling goes to
+    # the rhs on device 0; the LAST TRUE interior row (r = E_loc-2 on the
+    # last device) couples to the right boundary node.
+    rhs = rhs.at[0].add(jnp.where(is_first, -sub[0] * g_l, 0.0))
+    last_true = E_loc - 2
+    rhs = rhs + jnp.where(is_last & (r_idx == last_true), -sup * g_r, 0.0)
+    # Dummy padding row on the last device (global row E_total-1): identity.
+    dummy = is_last & (r_idx == E_loc - 1)
+    diag = jnp.where(dummy, 1.0, diag)
+    rhs = jnp.where(dummy, 0.0, rhs)
+    sub = jnp.where(dummy, 0.0, sub)
+    sup = jnp.where(is_last & (r_idx >= last_true), 0.0, sup)
+
+    # SPIKE couplings: strip the inter-device entries out of the local block.
+    l_coup = jnp.where(is_first, 0.0, sub[0])
+    u_coup = jnp.where(is_last, 0.0, sup[-1])
+    sub = sub.at[0].set(0.0)
+    sup = sup.at[-1].set(0.0)
+    return sub, diag, sup, rhs, l_coup, u_coup
+
+
+def _spike_solve(sub, diag, sup, rhs, l_coup, u_coup, d, n_dev, axis):
+    """Distributed tridiagonal solve; returns the local interior unknowns
+    plus the left-interface value (the left neighbour's last unknown)."""
+    E_loc = diag.shape[0]
+    dtype = diag.dtype
+    e0 = jnp.zeros(E_loc, dtype).at[0].set(1.0)
+    eR = jnp.zeros(E_loc, dtype).at[-1].set(1.0)
+    rhs3 = jnp.stack([rhs, l_coup * e0, u_coup * eR], axis=1)  # [E_loc, 3]
+    sol3 = tridiag.thomas(sub, diag, sup, rhs3)
+    g, v, w = sol3[:, 0], sol3[:, 1], sol3[:, 2]
+
+    # Reduced system over boundary unknowns (x_first, x_last) per device:
+    #   x_first + v[0] x_last(d-1)  + w[0] x_first(d+1)  = g[0]
+    #   x_last  + v[-1] x_last(d-1) + w[-1] x_first(d+1) = g[-1]
+    locals6 = jnp.stack([v[0], v[-1], w[0], w[-1], g[0], g[-1]])
+    allv = jax.lax.all_gather(locals6, axis)  # [n_dev, 6]
+    n2 = 2 * n_dev
+    R = jnp.eye(n2, dtype=dtype)
+    rr = jnp.zeros(n2, dtype)
+    for dd in range(n_dev):
+        v1, vR, w1, wR, g1, gR = (allv[dd, k] for k in range(6))
+        if dd > 0:
+            R = R.at[2 * dd, 2 * (dd - 1) + 1].set(v1)
+            R = R.at[2 * dd + 1, 2 * (dd - 1) + 1].set(vR)
+        if dd < n_dev - 1:
+            R = R.at[2 * dd, 2 * (dd + 1)].set(w1)
+            R = R.at[2 * dd + 1, 2 * (dd + 1)].set(wR)
+        rr = rr.at[2 * dd].set(g1).at[2 * dd + 1].set(gR)
+    y = jnp.linalg.solve(R, rr)  # 2*n_dev, solved redundantly per device
+
+    xl = jnp.where(d > 0, y[jnp.maximum(2 * (d - 1) + 1, 0)], 0.0)
+    xr = jnp.where(
+        d < n_dev - 1, y[jnp.minimum(2 * (d + 1), n2 - 1)], 0.0
+    )
+    x_loc = g - v * xl - w * xr
+    return x_loc, xl
+
+
+def make_sharded_solve(problem: Problem1D, cfg: SolverConfig, mesh,
+                       axis: str = ELEMENT_AXIS):
+    """Build the jitted multi-chip hybrid solve over ``mesh``.
+
+    Requires a uniform mesh with E_total = cfg.num_nodes - 1 divisible by
+    the device count.  Returns a zero-argument jitted callable producing a
+    ShardedSolution (coeffs sharded over the element axis).
+    """
+    n_dev = mesh.shape[axis]
+    E_total = cfg.num_nodes - 1
+    if E_total % n_dev:
+        raise ValueError(
+            f"element count {E_total} not divisible by {n_dev} devices"
+        )
+    E_loc = E_total // n_dev
+    if E_loc < 2:
+        raise ValueError("need at least 2 elements per device")
+    dtype = cfg.jnp_dtype()
+    shared = (
+        prepare_shared_host(problem, cfg)
+        if cfg.formulation == "primal"
+        else None
+    )
+    if shared is not None:
+        # Pin the replicated operators to THIS mesh's devices (the mesh may
+        # live on a non-default backend, e.g. virtual CPU devices in tests).
+        shared = jax.device_put(
+            shared, jax.sharding.NamedSharding(mesh, P())
+        )
+
+    def local_step(shared_ops):
+        d = jax.lax.axis_index(axis)
+        nodes_loc = _local_nodes(problem, E_total, E_loc, d, dtype)
+        sub, diag, sup, rhs, l_coup, u_coup = _local_assembly(
+            problem, cfg, nodes_loc, d, n_dev, axis
+        )
+        x_loc, xl = _spike_solve(
+            sub, diag, sup, rhs, l_coup, u_coup, d, n_dev, axis
+        )
+        # Local nodal values (E_loc + 1): left interface then local interior;
+        # edge devices overwrite their outermost value with Dirichlet data.
+        g_l = jnp.asarray(problem.g_left, dtype)
+        g_r = jnp.asarray(problem.g_right, dtype)
+        left_val = jnp.where(d == 0, g_l, xl)
+        fem_loc = jnp.concatenate([left_val[None], x_loc])
+        fem_loc = fem_loc.at[-1].set(
+            jnp.where(d == n_dev - 1, g_r, fem_loc[-1])
+        )
+        w, diags = lssvr_enhance(
+            problem, nodes_loc, fem_loc, cfg, shared_ops=shared_ops,
+            touches_left=(d == 0), touches_right=(d == n_dev - 1),
+        )
+        return (
+            w,
+            fem_loc[None],
+            diags.max_slack,
+            diags.bc_violation,
+            diags.solve_ok,
+        )
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run():
+        out = sharded(shared)
+        return ShardedSolution(*out)
+
+    return run

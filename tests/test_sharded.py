@@ -1,0 +1,89 @@
+"""Multi-chip tests on 8 virtual CPU devices (SURVEY.md section 4 #5).
+
+The same shard_map code runs unmodified on real TPU slices; here the
+collectives (ppermute halo, all_gather reduced system) execute against
+XLA's CPU backend with --xla_force_host_platform_device_count=8.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_fem_lssvr_tpu import HybridSolver, SolverConfig, problems
+from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
+from hybrid_fem_lssvr_tpu.parallel.sharded import make_sharded_solve
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_sharded_matches_single_device(n_dev):
+    """Grid-independence: sharded == single-device coefficients."""
+    problem = problems.poisson_1d()
+    cfg = SolverConfig(num_nodes=33, M=8, gamma=1e4)
+    single = HybridSolver(problem, cfg)
+    single.solve()
+
+    m = pmesh.element_mesh(n_dev)
+    run = make_sharded_solve(problem, cfg, m)
+    out = run()
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(single.solution.coeffs),
+        atol=1e-9,
+    )
+    assert bool(jnp.all(out.solve_ok))
+
+
+@pytest.mark.parametrize("prob_name", ["poisson_1d", "helmholtz_1d",
+                                       "advection_diffusion_1d",
+                                       "variable_coeff_elliptic"])
+def test_sharded_all_problems(prob_name):
+    """Every problem family solves correctly under sharding, including the
+    nonsymmetric and variable-coefficient paths."""
+    problem = problems.get(prob_name)
+    cfg = SolverConfig(num_nodes=41, M=8, gamma=1e4)
+    single = HybridSolver(problem, cfg)
+    single.solve()
+    run = make_sharded_solve(problem, cfg, pmesh.element_mesh(4))
+    out = run()
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(single.solution.coeffs),
+        atol=1e-8,
+    )
+
+
+def test_sharded_fem_values_match():
+    """Per-device nodal values agree with the global FEM solve."""
+    problem = problems.poisson_1d()
+    cfg = SolverConfig(num_nodes=33)
+    single = HybridSolver(problem, cfg)
+    single.solve()
+    fem = np.asarray(single.solution.fem_values)
+    run = make_sharded_solve(problem, cfg, pmesh.element_mesh(4))
+    out = run()
+    fl = np.asarray(out.fem_local)  # [4, E_loc+1]
+    E_loc = 32 // 4
+    for d in range(4):
+        np.testing.assert_allclose(
+            fl[d], fem[d * E_loc:(d + 1) * E_loc + 1], atol=1e-10
+        )
+
+
+def test_sharded_dual_formulation():
+    problem = problems.poisson_1d()
+    cfg = SolverConfig(num_nodes=33, formulation="dual")
+    single = HybridSolver(problem, cfg)
+    single.solve()
+    run = make_sharded_solve(problem, cfg, pmesh.element_mesh(4))
+    out = run()
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(single.solution.coeffs),
+        atol=1e-8,
+    )
+
+
+def test_indivisible_element_count_rejected():
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_solve(
+            problems.poisson_1d(), SolverConfig(num_nodes=32),
+            pmesh.element_mesh(8),
+        )
