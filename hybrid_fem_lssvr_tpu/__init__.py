@@ -11,6 +11,9 @@ formulations live behind one API; the element axis shards over a device mesh.
 """
 
 from .models.hybrid import HybridSolver, SolverConfig, Solution, hybrid_solve
+from .models.hybrid2d import (
+    HybridSolver2D, Problem2D, Solver2DConfig, poisson_2d,
+)
 from .models.problem import Problem1D
 from .models import problems
 
@@ -23,4 +26,8 @@ __all__ = [
     "hybrid_solve",
     "Problem1D",
     "problems",
+    "HybridSolver2D",
+    "Problem2D",
+    "Solver2DConfig",
+    "poisson_2d",
 ]

@@ -1,0 +1,109 @@
+"""Matrix-free Q1 FEM on structured quad meshes (BASELINE.json config 5).
+
+No sparse matrix is ever formed: the stiffness operator is applied
+gather -> per-element 4x4 -> scatter-add over the node grid, which XLA fuses
+into a stencil-like kernel — the idiomatic TPU formulation (contrast the
+reference's scipy sparse assembly, ``Hybrid-FEM-LSSVR.py:135-138``).
+
+Element/node layout: nodes u[ny+1, nx+1] on a uniform grid; element (j, i)
+spans x in [x_i, x_{i+1}], y in [y_j, y_{j+1}].  Corner order within an
+element: 00=(y_j,x_i), 10=(y_j,x_{i+1}), 01=(y_{j+1},x_i), 11=(y_{j+1},x_{i+1}).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from .assembly import gauss_rule
+
+
+@functools.lru_cache(maxsize=None)
+def q1_local_stiffness(hx: float, hy: float, quad_order: int = 2):
+    """4x4 local Poisson stiffness for a rectangular Q1 element (host-side
+    numpy float64, cached per element size)."""
+    t, w = gauss_rule(quad_order)
+    t, w = np.array(t), np.array(w)
+    K = np.zeros((4, 4))
+    for a, (xi, wx) in enumerate(zip(t, w)):
+        for b, (eta, wy) in enumerate(zip(t, w)):
+            # shape funcs: N = [ (1-xi)(1-eta), (1+xi)(1-eta),
+            #                    (1-xi)(1+eta), (1+xi)(1+eta) ] / 4
+            dN_dxi = 0.25 * np.array([-(1 - eta), (1 - eta),
+                                      -(1 + eta), (1 + eta)])
+            dN_deta = 0.25 * np.array([-(1 - xi), -(1 + xi),
+                                       (1 - xi), (1 + xi)])
+            dN_dx = dN_dxi * (2.0 / hx)
+            dN_dy = dN_deta * (2.0 / hy)
+            jac = (hx / 2) * (hy / 2)
+            K += wx * wy * jac * (np.outer(dN_dx, dN_dx)
+                                  + np.outer(dN_dy, dN_dy))
+    return K
+
+
+def _corners(u):
+    """Gather element corner values from the node grid: 4 x [ny, nx]."""
+    return (u[:-1, :-1], u[:-1, 1:], u[1:, :-1], u[1:, 1:])
+
+
+def apply_stiffness(u: jnp.ndarray, K_loc: jnp.ndarray) -> jnp.ndarray:
+    """y = A u with the shared 4x4 local stiffness (uniform mesh, constant
+    coefficients).  u: [ny+1, nx+1] node grid."""
+    c = _corners(u)  # each [ny, nx]
+    r = [sum(K_loc[a, b] * c[b] for b in range(4)) for a in range(4)]
+    y = jnp.zeros_like(u)
+    y = y.at[:-1, :-1].add(r[0])
+    y = y.at[:-1, 1:].add(r[1])
+    y = y.at[1:, :-1].add(r[2])
+    y = y.at[1:, 1:].add(r[3])
+    return y
+
+
+def stiffness_diag(shape, K_loc: jnp.ndarray, dtype) -> jnp.ndarray:
+    """diag(A) on the node grid (Jacobi preconditioner)."""
+    ny1, nx1 = shape
+    d = jnp.zeros((ny1, nx1), dtype)
+    ones = jnp.ones((ny1 - 1, nx1 - 1), dtype)
+    d = d.at[:-1, :-1].add(K_loc[0, 0] * ones)
+    d = d.at[:-1, 1:].add(K_loc[1, 1] * ones)
+    d = d.at[1:, :-1].add(K_loc[2, 2] * ones)
+    d = d.at[1:, 1:].add(K_loc[3, 3] * ones)
+    return d
+
+
+def assemble_load(xs: jnp.ndarray, ys: jnp.ndarray, f_fn,
+                  quad_order: int = 2) -> jnp.ndarray:
+    """Load vector on the node grid: b_i = int f N_i, 2x2 Gauss per element.
+
+    xs: [nx+1], ys: [ny+1] node coordinates (uniform spacing assumed for the
+    jacobian but computed per element for generality)."""
+    dtype = xs.dtype
+    t, w = gauss_rule(quad_order)
+    t = jnp.array(t, dtype)
+    w = jnp.array(w, dtype)
+    hx = xs[1:] - xs[:-1]  # [nx]
+    hy = ys[1:] - ys[:-1]  # [ny]
+    xm = 0.5 * (xs[1:] + xs[:-1])
+    ym = 0.5 * (ys[1:] + ys[:-1])
+    # quadrature coordinates: xq [nx, Qx], yq [ny, Qy]
+    xq = xm[:, None] + 0.5 * hx[:, None] * t[None, :]
+    yq = ym[:, None] + 0.5 * hy[:, None] * t[None, :]
+    # f on the tensor grid: [ny, Qy, nx, Qx]
+    F = f_fn(xq[None, None, :, :], yq[:, :, None, None])
+    F = F * jnp.ones((yq.shape[0], yq.shape[1], xq.shape[0], xq.shape[1]),
+                     dtype)
+    jac = (hy[:, None, None, None] / 2) * (hx[None, None, :, None] / 2)
+    W = w[None, :, None, None] * w[None, None, None, :] * jac
+    # 1D hat factors at quadrature points
+    lo = 0.5 * (1.0 - t)  # weight toward the lower corner
+    hi = 0.5 * (1.0 + t)
+    b = jnp.zeros((ys.shape[0], xs.shape[0]), dtype)
+    FW = F * W
+    ny, nx = hy.shape[0], hx.shape[0]
+    for (cy, gy) in ((0, lo), (1, hi)):
+        for (cx, gx) in ((0, lo), (1, hi)):
+            contrib = jnp.einsum("yqxp,q,p->yx", FW, gy, gx)
+            b = b.at[cy:cy + ny, cx:cx + nx].add(contrib)
+    return b

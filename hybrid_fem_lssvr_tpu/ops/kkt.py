@@ -311,6 +311,38 @@ def precompute_shared_host(D0, B, gamma, dtype=jnp.float32) -> SharedOperators:
     )
 
 
+def precompute_shared_lse_host(D0, B, dtype=jnp.float32) -> SharedOperators:
+    """Host float64 precompute of the shared affine map via the null-space
+    LSE formulation (the gamma -> infinity limit; deviation from the
+    gamma-regularised optimum is O(1/(gamma ||D||_F^2)), ~1e-16 at reference
+    settings).
+
+    Required when D has a large null space — e.g. the 2D Laplacian on
+    tensor-product Legendre bases, where the 11+ discrete-harmonic
+    directions make cond(I + gamma D^T D) overflow even float64 (measured
+    3e16 at a 32x32 mesh; the Cholesky/Schur path then fails on-mesh)."""
+    import numpy as np
+
+    D0 = np.asarray(D0, np.float64)
+    B = np.asarray(B, np.float64)
+    M = D0.shape[1]
+    K = B.shape[0]
+    Q, _ = np.linalg.qr(B.T, mode="complete")  # [M, M]
+    Z = Q[:, K:]  # orthonormal null(B)
+    Pbc = B.T @ np.linalg.inv(B @ B.T)  # min-norm particular map
+    G = D0 @ Z
+    qg, rg = np.linalg.qr(G)
+    T = Z @ np.linalg.solve(rg, qg.T)  # [M, C]: lsq correction map
+    Wf = T
+    Wbc = (np.eye(M) - T @ D0) @ Pbc
+    return SharedOperators(
+        Wf=jnp.asarray(Wf, dtype),
+        Wbc=jnp.asarray(Wbc, dtype),
+        D=jnp.asarray(D0, dtype),
+        B=jnp.asarray(B, dtype),
+    )
+
+
 def solve_primal_shared(ops: SharedOperators, f: jnp.ndarray, bc: jnp.ndarray):
     """The MXU fast path: all E elements in two matmuls.
 

@@ -92,14 +92,14 @@ def collocation_vandermonde(M: int, n_colloc: int, dtype=jnp.float32):
     return legendre_vandermonde(t, M, num_derivs=2)
 
 
-def collocation_vandermonde_host(M: int, n_colloc: int):
-    """numpy float64 (V0, V1, V2) at the standard collocation points —
-    the setup-time oracle used to precompute shared operators off-chip."""
+def vandermonde_host(t, M: int):
+    """numpy float64 (V0, V1, V2) at arbitrary points t — the setup-time
+    oracle used to precompute shared operators off-chip."""
     import numpy as np
     import numpy.polynomial.legendre as L
 
-    t = np.linspace(-1.0, 1.0, n_colloc)
-    V = np.zeros((3, n_colloc, M))
+    t = np.asarray(t, np.float64)
+    V = np.zeros((3, t.shape[0], M))
     for k in range(M):
         c = np.zeros(k + 1)
         c[k] = 1.0
@@ -107,6 +107,13 @@ def collocation_vandermonde_host(M: int, n_colloc: int):
         V[1, :, k] = L.legval(t, L.legder(c, 1)) if k >= 1 else 0.0
         V[2, :, k] = L.legval(t, L.legder(c, 2)) if k >= 2 else 0.0
     return V[0], V[1], V[2]
+
+
+def collocation_vandermonde_host(M: int, n_colloc: int):
+    """numpy float64 (V0, V1, V2) at the standard collocation points."""
+    import numpy as np
+
+    return vandermonde_host(np.linspace(-1.0, 1.0, n_colloc), M)
 
 
 def evaluate_series(coeffs: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,132 @@
+"""2D Poisson on structured quads (BASELINE.json config 5)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_fem_lssvr_tpu.models.hybrid2d import (
+    HybridSolver2D, Solver2DConfig, evaluate_2d, poisson_2d,
+)
+from hybrid_fem_lssvr_tpu.ops import assembly2d, cg
+from hybrid_fem_lssvr_tpu.utils import metrics
+
+
+def exact(x, y):
+    return np.sin(np.pi * x) * np.sin(np.pi * y)
+
+
+@pytest.fixture(scope="module")
+def query(rng=None):
+    r = np.random.default_rng(7)
+    return r.uniform(-1, 1, 3000), r.uniform(-1, 1, 3000)
+
+
+def test_q1_local_stiffness_properties():
+    K = assembly2d.q1_local_stiffness(0.5, 0.25)
+    np.testing.assert_allclose(K, K.T, atol=1e-14)  # symmetric
+    np.testing.assert_allclose(K.sum(axis=1), 0.0, atol=1e-14)  # constants
+    w = np.linalg.eigvalsh(K)
+    assert w[0] > -1e-12 and w[1] > 1e-12  # PSD, rank 3
+
+
+def test_apply_stiffness_matches_dense():
+    """Matrix-free apply == dense assembly on a small grid."""
+    ny1 = nx1 = 5
+    K_loc = jnp.asarray(assembly2d.q1_local_stiffness(0.5, 0.5))
+    rng = np.random.default_rng(0)
+    # build dense A by applying to unit vectors
+    A = np.zeros((ny1 * nx1, ny1 * nx1))
+    for j in range(ny1 * nx1):
+        e = np.zeros(ny1 * nx1)
+        e[j] = 1.0
+        A[:, j] = np.asarray(
+            assembly2d.apply_stiffness(jnp.asarray(e.reshape(ny1, nx1)),
+                                       K_loc)
+        ).ravel()
+    np.testing.assert_allclose(A, A.T, atol=1e-12)
+    d = np.asarray(assembly2d.stiffness_diag((ny1, nx1), K_loc, jnp.float64))
+    np.testing.assert_allclose(np.diag(A), d.ravel(), atol=1e-12)
+
+
+def test_cg_solves_spd_system():
+    rng = np.random.default_rng(3)
+    Q = np.linalg.qr(rng.normal(size=(40, 40)))[0]
+    A = Q @ np.diag(rng.uniform(1, 100, 40)) @ Q.T
+    b = rng.normal(size=40)
+    res = cg.cg(lambda v: jnp.asarray(A) @ v, jnp.asarray(b), tol=1e-13)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b),
+                               atol=1e-9)
+
+
+def test_fem_convergence_order2(query):
+    xq, yq = query
+    errs, hs = [], []
+    for n in (8, 16, 32):
+        s = HybridSolver2D(poisson_2d(), Solver2DConfig(nx=n, ny=n))
+        sol = s.solve()
+        nodal = np.abs(
+            np.asarray(sol.fem_values)
+            - exact(np.asarray(sol.xs)[None, :], np.asarray(sol.ys)[:, None])
+        ).max()
+        errs.append(nodal)
+        hs.append(2.0 / n)
+    order = metrics.convergence_order(hs, errs)
+    assert 1.8 < order < 2.4, (order, errs)
+
+
+def test_hybrid_2d_beats_nodal_floor(query):
+    xq, yq = query
+    s = HybridSolver2D(poisson_2d(), Solver2DConfig(nx=16, ny=16, M=6))
+    sol = s.solve()
+    linf, l2 = s.errors(xq, yq)
+    nodal = np.abs(
+        np.asarray(sol.fem_values)
+        - exact(np.asarray(sol.xs)[None, :], np.asarray(sol.ys)[:, None])
+    ).max()
+    assert float(linf) < nodal  # enhancement helps
+    assert float(sol.bc_violation.max()) < 1e-10  # trace pinned exactly
+    assert bool(sol.solve_ok.all())
+
+
+def test_hybrid_2d_convergence(query):
+    xq, yq = query
+    errs, hs = [], []
+    for n in (8, 16, 32):
+        s = HybridSolver2D(poisson_2d(), Solver2DConfig(nx=n, ny=n, M=6))
+        s.solve()
+        linf, _ = s.errors(xq, yq)
+        errs.append(float(linf))
+        hs.append(2.0 / n)
+    order = metrics.convergence_order(hs, errs)
+    assert order > 2.0, (order, errs)
+    assert errs[-1] < 2.5e-3
+
+
+def test_continuity_across_element_edges():
+    """The pinned trace makes the enhanced solution globally continuous:
+    evaluate on both sides of an interior element edge."""
+    s = HybridSolver2D(poisson_2d(), Solver2DConfig(nx=8, ny=8))
+    sol = s.solve()
+    x_edge = float(sol.xs[3])
+    ys_q = np.linspace(-0.9, 0.9, 17)
+    eps = 1e-9
+    ul = s.evaluate_solution(np.full_like(ys_q, x_edge - eps), ys_q)
+    ur = s.evaluate_solution(np.full_like(ys_q, x_edge + eps), ys_q)
+    np.testing.assert_allclose(np.asarray(ul), np.asarray(ur), atol=1e-6)
+
+
+def test_evaluation_clamps_outside_domain():
+    s = HybridSolver2D(poisson_2d(), Solver2DConfig(nx=4, ny=4))
+    s.solve()
+    u = s.evaluate_solution(np.array([-1.5, 1.5]), np.array([0.1, 0.1]))
+    assert np.isfinite(np.asarray(u)).all()
+
+
+def test_rectangular_anisotropic_mesh(query):
+    """nx != ny and hx != hy exercise the per-axis chain factors."""
+    xq, yq = query
+    s = HybridSolver2D(poisson_2d(), Solver2DConfig(nx=24, ny=12, M=6))
+    sol = s.solve()
+    linf, _ = s.errors(xq, yq)
+    assert float(linf) < 5e-2
+    assert bool(sol.solve_ok.all())

@@ -1,0 +1,100 @@
+"""Workload-library tests: BASELINE.json configs 3-4 (variable-coefficient
+elliptic, Helmholtz, advection-diffusion) with manufactured solutions.
+
+Theory encoded here: the enhancement is locally exact given nodal values, so
+the hybrid Linf error equals the coarse FEM *nodal* error for every operator
+family (for Poisson that floor is ~machine precision thanks to 1D nodal
+superconvergence; for the other families it is O(h^2))."""
+
+import numpy as np
+import pytest
+
+from hybrid_fem_lssvr_tpu import HybridSolver, SolverConfig, problems
+from hybrid_fem_lssvr_tpu.utils import metrics
+
+X = np.linspace(-1, 1, 401)
+
+FAMILIES = ["variable_coeff_elliptic", "helmholtz_1d",
+            "advection_diffusion_1d"]
+
+
+def run(name, E, **cfg_kw):
+    p = problems.get(name)
+    s = HybridSolver(p, SolverConfig(num_nodes=E + 1, **cfg_kw))
+    s.solve()
+    linf, _ = s.errors(X)
+    nodal = float(
+        np.abs(
+            np.asarray(s.solution.fem_values)
+            - np.sin(np.pi * np.asarray(s.solution.nodes))
+        ).max()
+    )
+    fem_linf = float(
+        np.abs(np.asarray(s.evaluate_fem(X)) - np.sin(np.pi * X)).max()
+    )
+    return float(linf), nodal, fem_linf, s
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+def test_hybrid_error_equals_nodal_floor(name):
+    linf, nodal, fem_linf, s = run(name, 64)
+    assert abs(linf - nodal) < 0.1 * nodal + 1e-12, (linf, nodal)
+    assert linf < fem_linf  # enhancement always beats the P1 interpolant
+    assert bool(np.asarray(s.solution.solve_ok).all())
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+def test_h_convergence_order2(name):
+    errs, hs = [], []
+    for E in (16, 32, 64, 128):
+        linf, _, _, _ = run(name, E)
+        errs.append(linf)
+        hs.append(2.0 / E)
+    order = metrics.convergence_order(hs, errs)
+    assert 1.8 < order < 2.6, (order, errs)
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+@pytest.mark.parametrize("formulation", ["primal", "dual"])
+def test_formulations_agree(name, formulation):
+    linf_p, _, _, sp = run(name, 32, formulation="primal")
+    linf_f, _, _, sf = run(name, 32, formulation=formulation)
+    np.testing.assert_allclose(
+        np.asarray(sp.solution.coeffs), np.asarray(sf.solution.coeffs),
+        atol=1e-7,
+    )
+
+
+def test_helmholtz_spd_claim():
+    """Helmholtz's indefinite operator still solves through the SPD
+    Cholesky path — the design claim of ops/kkt.py (I + gamma D^T D is a
+    Gram matrix regardless of operator signs)."""
+    p = problems.helmholtz_1d(k=4.7)
+    s = HybridSolver(p, SolverConfig(num_nodes=65, kkt_method="cholesky"))
+    s.solve()
+    assert bool(np.asarray(s.solution.solve_ok).all())
+    linf, _ = s.errors(X)
+    assert float(linf) < 5e-3
+
+
+def test_advection_dominated():
+    """Moderately advection-dominated regime stays stable (tridiagonal
+    nonsymmetric FEM + nonsymmetric collocation rows)."""
+    p = problems.advection_diffusion_1d(eps=0.05, beta=1.0)
+    s = HybridSolver(p, SolverConfig(num_nodes=257))
+    s.solve()
+    linf, _ = s.errors(X)
+    assert float(linf) < 2e-2
+    assert bool(np.asarray(s.solution.solve_ok).all())
+
+
+def test_kernel_degree_sweep():
+    """BASELINE.json config 2: kernel-degree sweep p=2..10 — error is
+    M-insensitive once past the nodal floor; low M degrades gracefully."""
+    errs = {}
+    for M in (2, 4, 6, 8, 10):
+        linf, _, _, _ = run("variable_coeff_elliptic", 32, M=M)
+        errs[M] = linf
+    # M>=6 saturates at the nodal floor
+    assert abs(errs[8] - errs[10]) < 0.2 * errs[8]
+    assert errs[2] > errs[8]  # M=2 cannot represent the interior solution
