@@ -1,0 +1,205 @@
+"""Command-line interface: run / sweep / 2D workloads with JSON-line metrics.
+
+The reference's only driver is an if-__main__ block that plots a figure and
+prints no error norm (``Hybrid-FEM-LSSVR.py:214-237``, SURVEY.md 3.5).  This
+CLI runs every BASELINE.json workload config and emits structured metrics.
+
+Examples:
+  python -m hybrid_fem_lssvr_tpu.cli run --problem poisson_1d \
+      --num-nodes 25 --M 8 --gamma 1e4
+  python -m hybrid_fem_lssvr_tpu.cli sweep --problem poisson_1d \
+      --elements 10 100 1000 10000 --formulation dual
+  python -m hybrid_fem_lssvr_tpu.cli psweep --M-values 2 3 4 6 8 10
+  python -m hybrid_fem_lssvr_tpu.cli run2d --nx 32 --ny 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import HybridSolver, SolverConfig, problems
+from .models.hybrid2d import HybridSolver2D, Solver2DConfig, poisson_2d
+from .utils import checkpoint as ckpt
+from .utils import metrics as M
+from .utils import profiling
+
+
+def _cfg_from_args(args) -> SolverConfig:
+    return SolverConfig(
+        num_nodes=args.num_nodes,
+        M=args.M,
+        gamma=args.gamma,
+        n_colloc=args.n_colloc,
+        formulation=args.formulation,
+        fem_quad_order=args.fem_quad_order,
+        tridiag_method=args.tridiag_method,
+        dtype=args.dtype,
+    )
+
+
+def _run_one(problem, cfg, em: M.MetricsEmitter, eval_points: int,
+             checkpoint_dir=None):
+    solver = HybridSolver(problem, cfg)
+    rec = {}
+    with profiling.timed(rec, "compile_sec"):
+        sol, resumed = ckpt.load_or_solve(checkpoint_dir, solver)
+        jax.block_until_ready(sol.coeffs)
+    # Steady-state timing (jit cache warm); resume path skips recompute.
+    with profiling.timed(rec, "solve_sec"):
+        if not resumed:
+            sol = solver.solve()
+        jax.block_until_ready(sol.coeffs)
+    E = sol.coeffs.shape[0]
+    fields = dict(
+        problem=problem.name,
+        formulation=cfg.formulation,
+        elements=E,
+        M=cfg.M,
+        gamma=cfg.gamma,
+        compile_sec=rec["compile_sec"],
+        solve_sec=rec["solve_sec"],
+        elements_per_sec=E / max(rec["solve_sec"], 1e-12),
+        resumed=resumed,
+        max_slack=float(jnp.max(sol.max_slack)),
+        bc_violation=float(jnp.max(sol.bc_violation)),
+        n_fallback=int(jnp.sum(~sol.solve_ok)),
+    )
+    if problem.exact is not None:
+        x = np.linspace(*problem.domain, eval_points)
+        linf, l2 = solver.errors(x)
+        fields["linf_error"] = float(linf)
+        fields["l2_error"] = float(l2)
+    em.emit("hybrid_solve", **fields)
+    return solver
+
+
+def cmd_run(args):
+    em = M.MetricsEmitter()
+    problem = problems.get(args.problem)
+    cfg = _cfg_from_args(args)
+    if args.profile:
+        with profiling.trace_to(args.profile):
+            _run_one(problem, cfg, em, args.eval_points, args.checkpoint)
+    else:
+        _run_one(problem, cfg, em, args.eval_points, args.checkpoint)
+
+
+def cmd_sweep(args):
+    """h-refinement sweep (BASELINE.json config 2: 10 -> 1e4 elements)."""
+    em = M.MetricsEmitter()
+    problem = problems.get(args.problem)
+    errs, hs = [], []
+    for E in args.elements:
+        cfg = dataclasses.replace(_cfg_from_args(args), num_nodes=E + 1)
+        s = _run_one(problem, cfg, em, args.eval_points)
+        if problem.exact is not None:
+            x = np.linspace(*problem.domain, args.eval_points)
+            linf, _ = s.errors(x)
+            errs.append(float(linf))
+            hs.append((problem.domain[1] - problem.domain[0]) / E)
+    if len(errs) >= 2:
+        em.emit("sweep_summary", problem=problem.name,
+                convergence_order=M.convergence_order(hs, errs),
+                errors=errs)
+
+
+def cmd_psweep(args):
+    """Kernel-degree sweep p = M-1 (BASELINE.json config 2)."""
+    em = M.MetricsEmitter()
+    problem = problems.get(args.problem)
+    for Mi in args.M_values:
+        cfg = dataclasses.replace(_cfg_from_args(args), M=Mi)
+        _run_one(problem, cfg, em, args.eval_points)
+
+
+def cmd_run2d(args):
+    em = M.MetricsEmitter()
+    problem = poisson_2d()
+    cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=args.M,
+                         gamma=args.gamma, dtype=args.dtype)
+    solver = HybridSolver2D(problem, cfg)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = solver.solve()
+        jax.block_until_ready(sol.coeffs)
+    rng = np.random.default_rng(0)
+    xq = rng.uniform(problem.domain[0], problem.domain[1], args.eval_points)
+    yq = rng.uniform(problem.domain[2], problem.domain[3], args.eval_points)
+    linf, l2 = solver.errors(xq, yq)
+    em.emit(
+        "hybrid_solve_2d",
+        problem=problem.name,
+        elements=cfg.nx * cfg.ny,
+        M=cfg.M,
+        solve_sec=rec["solve_sec"],
+        cg_iters=int(sol.cg_iters),
+        linf_error=float(linf),
+        l2_error=float(l2),
+        n_fallback=int(jnp.sum(~sol.solve_ok)),
+    )
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="hybrid_fem_lssvr_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--problem", default="poisson_1d",
+                        choices=sorted(problems.REGISTRY))
+        sp.add_argument("--num-nodes", type=int, default=25)
+        sp.add_argument("--M", type=int, default=8)
+        sp.add_argument("--gamma", type=float, default=1e4)
+        sp.add_argument("--n-colloc", type=int, default=12)
+        sp.add_argument("--formulation", default="primal",
+                        choices=["primal", "dual"])
+        sp.add_argument("--fem-quad-order", type=int, default=3)
+        sp.add_argument("--tridiag-method", default="thomas",
+                        choices=["thomas", "pcr", "dense"])
+        sp.add_argument("--dtype", default=None,
+                        choices=[None, "float32", "float64"])
+        sp.add_argument("--eval-points", type=int, default=201)
+
+    sp = sub.add_parser("run", help="single hybrid solve")
+    common(sp)
+    sp.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace to this directory")
+    sp.add_argument("--checkpoint", default=None,
+                    help="checkpoint dir (resume if fingerprint matches)")
+    sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("sweep", help="h-refinement sweep")
+    common(sp)
+    sp.add_argument("--elements", type=int, nargs="+",
+                    default=[10, 100, 1000, 10000])
+    sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("psweep", help="kernel-degree sweep")
+    common(sp)
+    sp.add_argument("--M-values", type=int, nargs="+",
+                    default=[2, 3, 4, 6, 8, 10])
+    sp.set_defaults(fn=cmd_psweep)
+
+    sp = sub.add_parser("run2d", help="2D Poisson on structured quads")
+    sp.add_argument("--nx", type=int, default=32)
+    sp.add_argument("--ny", type=int, default=32)
+    sp.add_argument("--M", type=int, default=6)
+    sp.add_argument("--gamma", type=float, default=1e4)
+    sp.add_argument("--dtype", default=None,
+                    choices=[None, "float32", "float64"])
+    sp.add_argument("--eval-points", type=int, default=2000)
+    sp.set_defaults(fn=cmd_run2d)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -183,9 +183,11 @@ def hybrid_solve(problem: Problem1D, cfg: SolverConfig, nodes: jnp.ndarray,
     """Pure pipeline: coarse FEM then batched LSSVR enhancement
     (reference ``solve``, ``:178-181``).  ``shared_ops`` (from
     ``prepare_shared_host``) requires a uniform mesh."""
-    fem_values = fem_solve(problem, nodes, cfg)
-    w, diags = lssvr_enhance(problem, nodes, fem_values, cfg,
-                             shared_ops=shared_ops)
+    with jax.named_scope("fem_coarse_solve"):
+        fem_values = fem_solve(problem, nodes, cfg)
+    with jax.named_scope("lssvr_enhancement"):
+        w, diags = lssvr_enhance(problem, nodes, fem_values, cfg,
+                                 shared_ops=shared_ops)
     return Solution(
         nodes=nodes,
         fem_values=fem_values,

@@ -59,7 +59,7 @@ class Solver2DConfig:
     M: int = 6  # Legendre basis size per dimension (M^2 coefficients)
     gamma: float = 1.0e4
     n_colloc: int = 6  # collocation grid per dimension (C^2 PDE rows)
-    cg_tol: float = 1e-12
+    cg_tol: Optional[float] = None  # None -> 100 * dtype eps (relative)
     cg_maxiter: int = 2000
     dtype: Optional[str] = None
 
@@ -151,7 +151,10 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
     )
     diag = assembly2d.stiffness_diag((ny1, nx1), K_loc, dtype)
     M_inv = jnp.where(interior, 1.0 / diag, 1.0)
-    res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=cfg.cg_tol,
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+    res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=tol,
                 maxiter=cfg.cg_maxiter)
     u = u_bc + jnp.where(interior, res.x, 0.0)
     return u, res
