@@ -41,6 +41,8 @@ class SolverConfig:
     n_colloc: int = 12  # PDE collocation points per element (ref ``:40``)
     formulation: str = "primal"  # 'primal' | 'dual'
     kkt_method: str = "auto"  # 'auto' | 'cholesky' | 'qr' | 'dual_aug'
+    backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (shared path on TPU)
+    diagnostics: bool = True  # slack/bc residual outputs (skip: ~32% faster)
     tridiag_method: str = "thomas"  # 'thomas' | 'pcr' | 'dense'
     fem_quad_order: int = 3
     refine_steps: int = 0  # iterative refinement on f32 paths
@@ -146,9 +148,55 @@ def prepare_shared_host(problem: Problem1D, cfg: SolverConfig):
     return kkt.precompute_shared_host(D0, B, cfg.gamma, cfg.jnp_dtype())
 
 
+def _resolve_backend(cfg: SolverConfig, E: int) -> str:
+    if cfg.backend != "auto":
+        return cfg.backend
+    from ..ops import pallas_kernels as pk
+
+    if jax.default_backend() == "tpu" and pk.pick_tile(E) >= 128:
+        return "pallas"
+    return "xla"
+
+
 def lssvr_enhance(problem: Problem1D, nodes, fem_values, cfg: SolverConfig,
-                  shared_ops=None, touches_left=True, touches_right=True):
-    """Batched enhancement of all elements (replaces ``:147-176``)."""
+                  shared_ops=None, touches_left=True, touches_right=True,
+                  uniform_geom=None):
+    """Batched enhancement of all elements (replaces ``:147-176``).
+
+    ``uniform_geom``: static (x0, h) Python floats when the mesh is uniform
+    — unlocks the fused Pallas kernel for the shared path on TPU.
+    """
+    E = nodes.shape[0] - 1
+    if (
+        shared_ops is not None
+        and uniform_geom is not None
+        and _resolve_backend(cfg, E) == "pallas"
+    ):
+        from ..ops import pallas_kernels as pk
+
+        x0, h = uniform_geom
+        tile = pk.pick_tile(E)
+        # Dirichlet-consistent nodal values: boundary nodes already hold g.
+        g_l = jnp.asarray(problem.g_left, fem_values.dtype)
+        g_r = jnp.asarray(problem.g_right, fem_values.dtype)
+        fv = fem_values.at[0].set(g_l).at[-1].set(g_r)
+        w, slack, bcv = pk.fused_enhance_shared(
+            fv, shared_ops, problem.f, x0, h, cfg.n_colloc, tile=tile,
+            with_diagnostics=cfg.diagnostics,
+        )
+        u_left, u_right = fv[:-1], fv[1:]
+        if cfg.diagnostics:
+            finite = jnp.isfinite(slack) & jnp.isfinite(bcv)
+            scale = 1.0 + jnp.maximum(jnp.abs(u_left), jnp.abs(u_right))
+            ok = finite & (bcv <= 1e-2 * scale)
+            diags = kkt.KKTDiagnostics(slack, bcv, ok)
+        else:
+            ok = jnp.all(jnp.isfinite(w), axis=-1)
+            z = jnp.zeros((E,), w.dtype)
+            diags = kkt.KKTDiagnostics(z, z, ok)
+        w = kkt.apply_fallback(w, diags, u_left, u_right)
+        return w, diags
+
     x_colloc, f_colloc, bc, h, u_left, u_right = _element_data(
         problem, nodes, fem_values, cfg,
         touches_left=touches_left, touches_right=touches_right,
@@ -185,9 +233,12 @@ def hybrid_solve(problem: Problem1D, cfg: SolverConfig, nodes: jnp.ndarray,
     ``prepare_shared_host``) requires a uniform mesh."""
     with jax.named_scope("fem_coarse_solve"):
         fem_values = fem_solve(problem, nodes, cfg)
+    x0, x1 = problem.domain
+    geom = (x0, (x1 - x0) / (cfg.num_nodes - 1)) if shared_ops is not None \
+        else None
     with jax.named_scope("lssvr_enhancement"):
         w, diags = lssvr_enhance(problem, nodes, fem_values, cfg,
-                                 shared_ops=shared_ops)
+                                 shared_ops=shared_ops, uniform_geom=geom)
     return Solution(
         nodes=nodes,
         fem_values=fem_values,

@@ -1,0 +1,86 @@
+"""Pallas fused-kernel tests (interpreter mode on CPU; the same kernel runs
+natively on TPU — validated there by bench.py's accuracy gate and the
+verify-skill drive)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_fem_lssvr_tpu import SolverConfig, problems
+from hybrid_fem_lssvr_tpu.models import hybrid as H
+from hybrid_fem_lssvr_tpu.ops import pallas_kernels as pk
+
+
+@pytest.fixture(scope="module")
+def setup():
+    problem = problems.poisson_1d()
+    E = 256
+    cfg = SolverConfig(num_nodes=E + 1, dtype="float32")
+    nodes = H.uniform_nodes(problem, cfg.num_nodes, jnp.float32)
+    fem = jnp.sin(jnp.pi * nodes).astype(jnp.float32)
+    shared = H.prepare_shared_host(problem, cfg)
+    return problem, cfg, nodes, fem, shared
+
+
+def test_fused_matches_jnp_path(setup):
+    problem, cfg, nodes, fem, shared = setup
+    E = nodes.shape[0] - 1
+    w, slack, bcv = pk.fused_enhance_shared(
+        fem, shared, problem.f, -1.0, 2.0 / E, cfg.n_colloc, tile=128,
+        interpret=True,
+    )
+    wj, diags = H.lssvr_enhance(problem, nodes, fem, cfg, shared)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(wj), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(slack), np.asarray(diags.max_slack), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(bcv), np.asarray(diags.bc_violation), atol=2e-6
+    )
+
+
+def test_fused_no_diagnostics(setup):
+    problem, cfg, nodes, fem, shared = setup
+    E = nodes.shape[0] - 1
+    w, slack, bcv = pk.fused_enhance_shared(
+        fem, shared, problem.f, -1.0, 2.0 / E, cfg.n_colloc, tile=128,
+        interpret=True, with_diagnostics=False,
+    )
+    assert slack is None and bcv is None
+    w_full, _, _ = pk.fused_enhance_shared(
+        fem, shared, problem.f, -1.0, 2.0 / E, cfg.n_colloc, tile=128,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(w_full))
+
+
+def test_pick_tile():
+    assert pk.pick_tile(1 << 20) == 8192
+    assert pk.pick_tile(3 * 256) == 256
+    assert pk.pick_tile(100) == 0  # not 128-aligned -> XLA fallback
+    assert pk.pick_tile(24) == 0
+
+
+def test_tile_validation(setup):
+    problem, cfg, nodes, fem, shared = setup
+    with pytest.raises(ValueError, match="not a multiple"):
+        pk.fused_enhance_shared(fem, shared, problem.f, -1.0, 2.0 / 256,
+                                cfg.n_colloc, tile=100 * 128)
+    with pytest.raises(ValueError, match="128 lanes"):
+        pk.fused_enhance_shared(fem[:65], shared, problem.f, -1.0,
+                                2.0 / 64, cfg.n_colloc, tile=64)
+
+
+def test_backend_routing():
+    """cfg.backend='auto' stays on XLA off-TPU; explicit 'xla' always works
+    and produces the solution through the facade."""
+    cfg = SolverConfig(num_nodes=129, dtype="float32", backend="xla")
+    s = H.HybridSolver(problems.poisson_1d(), cfg)
+    s.solve()
+    linf, _ = s.errors(np.linspace(-1, 1, 101))
+    assert float(linf) < 1e-4
+    assert H._resolve_backend(cfg, 128) == "xla"
+    auto = SolverConfig(num_nodes=129, dtype="float32")
+    expected = "pallas" if jax.default_backend() == "tpu" else "xla"
+    assert H._resolve_backend(auto, 128) == expected
