@@ -1,0 +1,114 @@
+"""ctypes bindings for the native C++ oracle library (native/oracle.cpp).
+
+Loads ``native/liboracle.so``, building it with ``make`` on first use if the
+toolchain is available.  All entry points are float64 and self-contained
+(no BLAS/LAPACK) — an implementation of the numerical core that shares no
+code with the JAX path, used as an independent cross-validation oracle and
+host-side reference runtime.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native"
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "liboracle.so")
+_lib = None
+
+
+def _dptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def load(build: bool = True) -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the oracle library; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and build:
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR],
+                           check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.thomas_f64.restype = ctypes.c_int
+    lib.kkt_solve_f64.restype = ctypes.c_int
+    lib.enhance_shared_f64.restype = ctypes.c_int
+    lib.legendre_vandermonde_f64.restype = None
+    lib.evaluate_f64.restype = None
+    _lib = lib
+    return lib
+
+
+def thomas(a, b, c, rhs) -> np.ndarray:
+    lib = load()
+    assert lib is not None, "native oracle unavailable"
+    a, b, c, rhs = (np.ascontiguousarray(v, np.float64)
+                    for v in (a, b, c, rhs))
+    n = b.shape[0]
+    x = np.empty(n)
+    ret = lib.thomas_f64(_dptr(a), _dptr(b), _dptr(c), _dptr(rhs),
+                         _dptr(x), n)
+    assert ret == 0, "native Thomas hit a zero pivot"
+    return x
+
+
+def legendre_vandermonde(t, M: int):
+    lib = load()
+    assert lib is not None
+    t = np.ascontiguousarray(t, np.float64)
+    nt = t.shape[0]
+    V0, V1, V2 = (np.empty((nt, M)) for _ in range(3))
+    lib.legendre_vandermonde_f64(_dptr(t), nt, M, _dptr(V0), _dptr(V1),
+                                 _dptr(V2))
+    return V0, V1, V2
+
+
+def kkt_solve(D, B, f, bc, gamma: float) -> np.ndarray:
+    lib = load()
+    assert lib is not None
+    D, B, f, bc = (np.ascontiguousarray(v, np.float64)
+                   for v in (D, B, f, bc))
+    C, M = D.shape
+    K = B.shape[0]
+    w = np.empty(M)
+    ret = lib.kkt_solve_f64(_dptr(D), _dptr(B), _dptr(f), _dptr(bc),
+                            ctypes.c_double(gamma), C, M, K, _dptr(w))
+    assert ret == 0, "native KKT solve reported a singular system"
+    return w
+
+
+def enhance_shared(D, B, f_all, bc_all, gamma: float) -> np.ndarray:
+    lib = load()
+    assert lib is not None
+    D, B, f_all, bc_all = (np.ascontiguousarray(v, np.float64)
+                           for v in (D, B, f_all, bc_all))
+    E, C = f_all.shape
+    M = D.shape[1]
+    w = np.empty((E, M))
+    fails = lib.enhance_shared_f64(_dptr(D), _dptr(B), _dptr(f_all),
+                                   _dptr(bc_all), ctypes.c_double(gamma),
+                                   E, C, M, _dptr(w))
+    assert fails == 0, f"{fails} native element solves failed"
+    return w
+
+
+def evaluate(nodes, coeffs, x) -> np.ndarray:
+    lib = load()
+    assert lib is not None
+    nodes, coeffs, x = (np.ascontiguousarray(v, np.float64)
+                        for v in (nodes, coeffs, x))
+    out = np.empty(x.shape[0])
+    lib.evaluate_f64(_dptr(nodes), nodes.shape[0], _dptr(coeffs),
+                     coeffs.shape[1], _dptr(x), x.shape[0], _dptr(out))
+    return out

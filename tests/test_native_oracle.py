@@ -1,0 +1,84 @@
+"""Native C++ oracle cross-validation (SURVEY.md 2.2: the reference's native
+substrate — BLAS/LAPACK/SLSQP inside scipy — replaced by a from-scratch,
+dependency-free C++ library sharing no code with the JAX path)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_fem_lssvr_tpu.ops import kkt, legendre, tridiag
+from hybrid_fem_lssvr_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(
+    native.load() is None, reason="native toolchain unavailable"
+)
+
+
+def test_native_thomas_matches_jax(rng):
+    n = 257
+    a = rng.normal(size=n); a[0] = 0
+    c = rng.normal(size=n); c[-1] = 0
+    b = np.abs(a) + np.abs(c) + 1.0 + np.abs(rng.normal(size=n))
+    rhs = rng.normal(size=n)
+    x_native = native.thomas(a, b, c, rhs)
+    x_jax = np.asarray(tridiag.thomas(*map(jnp.asarray, (a, b, c, rhs))))
+    np.testing.assert_allclose(x_native, x_jax, rtol=1e-12)
+
+
+def test_native_legendre_matches_jax(rng):
+    t = rng.uniform(-1, 1, 33)
+    V0n, V1n, V2n = native.legendre_vandermonde(t, 10)
+    V0, V1, V2 = legendre.legendre_vandermonde(jnp.asarray(t), 10)
+    np.testing.assert_allclose(V0n, np.asarray(V0), atol=1e-13)
+    np.testing.assert_allclose(V1n, np.asarray(V1), atol=1e-12)
+    np.testing.assert_allclose(V2n, np.asarray(V2), atol=1e-11)
+
+
+def test_native_kkt_matches_jax(rng):
+    C, M = 12, 8
+    V0, V1, V2 = legendre.collocation_vandermonde(M, C, dtype=jnp.float64)
+    D = -400.0 * np.asarray(V2)
+    B = np.stack([np.asarray(V0)[0], np.asarray(V0)[-1]])
+    f = rng.normal(size=C)
+    bc = rng.normal(size=2) * 0.1
+    w_native = native.kkt_solve(D, B, f, bc, 1e4)
+    w_jax, _ = kkt.solve_primal_batched(
+        jnp.asarray(D)[None], jnp.asarray(B), jnp.asarray(f)[None],
+        jnp.asarray(bc)[None], 1e4,
+    )
+    np.testing.assert_allclose(w_native, np.asarray(w_jax[0]), atol=1e-9)
+
+
+def test_native_end_to_end_oracle():
+    """Full-pipeline cross-check: the native batched enhancement + native
+    evaluation reproduce the JAX hybrid solution on the reference config."""
+    from hybrid_fem_lssvr_tpu import HybridSolver, SolverConfig, problems
+    from hybrid_fem_lssvr_tpu.models.hybrid import prepare_shared_host
+
+    p = problems.poisson_1d()
+    cfg = SolverConfig(num_nodes=25)
+    s = HybridSolver(p, cfg)
+    sol = s.solve()
+
+    shared = prepare_shared_host(p, cfg)
+    D = np.asarray(shared.D, np.float64)
+    B = np.asarray(shared.B, np.float64)
+    nodes = np.asarray(sol.nodes, np.float64)
+    h = nodes[1] - nodes[0]
+    t = np.linspace(-1, 1, cfg.n_colloc)
+    xc = nodes[:-1, None] + (t[None, :] + 1) * 0.5 * h
+    f_all = np.pi**2 * np.sin(np.pi * xc)
+    fv = np.asarray(sol.fem_values, np.float64)
+    bc_all = np.stack([fv[:-1], fv[1:]], axis=1)
+    bc_all[0, 0] = 0.0
+    bc_all[-1, 1] = 0.0
+    w_native = native.enhance_shared(D, B, f_all, bc_all, cfg.gamma)
+    np.testing.assert_allclose(
+        w_native, np.asarray(sol.coeffs), atol=1e-9
+    )
+    x = np.linspace(-1, 1, 201)
+    u_native = native.evaluate(nodes, w_native, x)
+    u_jax = np.asarray(s.evaluate_solution(x))
+    np.testing.assert_allclose(u_native, u_jax, atol=1e-9)
+    # and both hit the analytic solution
+    assert np.abs(u_native - np.sin(np.pi * x)).max() < 1e-6
