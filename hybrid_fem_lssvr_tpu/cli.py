@@ -158,8 +158,8 @@ def build_parser():
         sp.add_argument("--formulation", default="primal",
                         choices=["primal", "dual"])
         sp.add_argument("--fem-quad-order", type=int, default=3)
-        sp.add_argument("--tridiag-method", default="thomas",
-                        choices=["thomas", "pcr", "dense"])
+        sp.add_argument("--tridiag-method", default="auto",
+                        choices=["auto", "thomas", "pcr", "spike", "dense"])
         sp.add_argument("--dtype", default=None,
                         choices=[None, "float32", "float64"])
         sp.add_argument("--eval-points", type=int, default=201)

@@ -43,7 +43,7 @@ class SolverConfig:
     kkt_method: str = "auto"  # 'auto' | 'cholesky' | 'qr' | 'dual_aug'
     backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (shared path on TPU)
     diagnostics: bool = True  # slack/bc residual outputs (skip: ~32% faster)
-    tridiag_method: str = "thomas"  # 'thomas' | 'pcr' | 'dense'
+    tridiag_method: str = "auto"  # 'auto'|'thomas'|'pcr'|'spike'|'dense'
     fem_quad_order: int = 3
     refine_steps: int = 0  # iterative refinement on f32 paths
     dtype: Optional[str] = None  # 'float32' | 'float64' | None (=x64 default)

@@ -101,12 +101,135 @@ def pcr(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, rhs: jnp.ndarray):
     return x[:, 0] if squeeze else x
 
 
+def spike(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, rhs: jnp.ndarray,
+          block_size: int = 256):
+    """Blocked SPIKE solve — the on-chip analog of the distributed algorithm
+    in ``parallel/sharded.py``.
+
+    Partition the N rows into B blocks of ``block_size``: a vmapped Thomas
+    eliminates inside every block simultaneously (sequential depth =
+    block_size, parallel width = B), producing per-block spikes (v, w); the
+    2x2-block-tridiagonal reduced system over the block-boundary unknowns is
+    solved by block-PCR in log2(B) fully-vectorised sweeps; local back
+    substitution finishes.  ~100x faster than scalar PCR at N = 1e6 (scalar
+    PCR does log2(N) sweeps over the FULL system; here the expensive stage
+    is O(N / B)-deep and the swept system is 2B small).
+
+    Single right-hand side only (rhs: [N]).
+    """
+    N = b.shape[0]
+    n = block_size
+    B = -(-N // n)
+    pad = B * n - N
+    dtype = b.dtype
+    if pad:
+        a = jnp.pad(a, (0, pad))
+        c = jnp.pad(c, (0, pad))
+        b = jnp.pad(b, (0, pad), constant_values=1.0)
+        rhs = jnp.pad(rhs, (0, pad))
+    ab = a.reshape(B, n)
+    bb = b.reshape(B, n)
+    cb = c.reshape(B, n)
+    rb = rhs.reshape(B, n)
+    # Strip inter-block couplings into the spikes.
+    l_coup = ab[:, 0]  # a[d, 0] couples to block d-1's last row (0 for d=0)
+    u_coup = cb[:, -1]  # c[d, -1] couples to block d+1's first row
+    ab = ab.at[:, 0].set(0.0)
+    cb = cb.at[:, -1].set(0.0)
+
+    e0 = jnp.zeros((n,), dtype).at[0].set(1.0)
+    eN = jnp.zeros((n,), dtype).at[-1].set(1.0)
+    rhs3 = jnp.stack(
+        [rb, l_coup[:, None] * e0[None, :], u_coup[:, None] * eN[None, :]],
+        axis=-1,
+    )  # [B, n, 3]
+    sol3 = jax.vmap(thomas)(ab, bb, cb, rhs3)
+    g, v, w = sol3[..., 0], sol3[..., 1], sol3[..., 2]
+
+    # Reduced system: y_d = (x_first, x_last) of each block,
+    #   y_d + L_d y_{d-1} + U_d y_{d+1} = gb_d
+    # with L_d = [[0, v[d,0]], [0, v[d,-1]]], U_d = [[w[d,0], 0],
+    # [w[d,-1], 0]] — solved by 2x2-block parallel cyclic reduction.
+    L = jnp.zeros((B, 2, 2), dtype)
+    L = L.at[:, 0, 1].set(v[:, 0]).at[:, 1, 1].set(v[:, -1])
+    U = jnp.zeros((B, 2, 2), dtype)
+    U = U.at[:, 0, 0].set(w[:, 0]).at[:, 1, 0].set(w[:, -1])
+    Dg = jnp.broadcast_to(jnp.eye(2, dtype=dtype), (B, 2, 2))
+    r2 = jnp.stack([g[:, 0], g[:, -1]], axis=-1)  # [B, 2]
+
+    def inv2(Mm):
+        det = Mm[..., 0, 0] * Mm[..., 1, 1] - Mm[..., 0, 1] * Mm[..., 1, 0]
+        inv = jnp.stack(
+            [
+                jnp.stack([Mm[..., 1, 1], -Mm[..., 0, 1]], axis=-1),
+                jnp.stack([-Mm[..., 1, 0], Mm[..., 0, 0]], axis=-1),
+            ],
+            axis=-2,
+        )
+        return inv / det[..., None, None]
+
+    def shift_blocks(x, s, fill_eye):
+        padspec = [(0, 0)] * x.ndim
+        if s > 0:
+            padspec[0] = (s, 0)
+            out = jnp.pad(x, padspec)[:B]
+        else:
+            padspec[0] = (0, -s)
+            out = jnp.pad(x, padspec)[-s:]
+        if fill_eye:
+            idx = jnp.arange(B)
+            oob = idx < s if s > 0 else idx >= B + s
+            eye = jnp.broadcast_to(jnp.eye(2, dtype=dtype), (B, 2, 2))
+            out = jnp.where(oob[:, None, None], eye, out)
+        return out
+
+    n_steps = max(1, (B - 1).bit_length())
+    for step in range(n_steps):
+        s = 1 << step
+        D_m = shift_blocks(Dg, s, True)
+        L_m = shift_blocks(L, s, False)
+        U_m = shift_blocks(U, s, False)
+        r_m = shift_blocks(r2, s, False)
+        D_p = shift_blocks(Dg, -s, True)
+        L_p = shift_blocks(L, -s, False)
+        U_p = shift_blocks(U, -s, False)
+        r_p = shift_blocks(r2, -s, False)
+        alpha = -jnp.einsum("bij,bjk->bik", L, inv2(D_m))
+        beta = -jnp.einsum("bij,bjk->bik", U, inv2(D_p))
+        Dg = Dg + jnp.einsum("bij,bjk->bik", alpha, U_m) + jnp.einsum(
+            "bij,bjk->bik", beta, L_p
+        )
+        r2 = r2 + jnp.einsum("bij,bj->bi", alpha, r_m) + jnp.einsum(
+            "bij,bj->bi", beta, r_p
+        )
+        L = jnp.einsum("bij,bjk->bik", alpha, L_m)
+        U = jnp.einsum("bij,bjk->bik", beta, U_p)
+    y = jnp.einsum("bij,bj->bi", inv2(Dg), r2)  # [B, 2]
+
+    y_last_prev = jnp.pad(y[:-1, 1], (1, 0))  # x_last(d-1), 0 for d=0
+    y_first_next = jnp.pad(y[1:, 0], (0, 1))  # x_first(d+1), 0 for last
+    x = g - v * y_last_prev[:, None] - w * y_first_next[:, None]
+    return x.reshape(-1)[:N]
+
+
 def solve(a, b, c, rhs, method: str = "thomas"):
-    """Dispatch: 'thomas' | 'pcr' | 'dense' (dense is a small-N test oracle)."""
+    """Dispatch: 'auto' | 'thomas' | 'pcr' | 'spike' | 'dense'
+    ('dense' is a small-N test oracle; 'auto' picks thomas for small N and
+    the blocked SPIKE solver for large N, where a length-N sequential scan
+    would serialise the TPU)."""
+    if method == "auto":
+        method = "thomas" if b.shape[0] <= 8192 else "spike"
     if method == "thomas":
         return thomas(a, b, c, rhs)
     if method == "pcr":
         return pcr(a, b, c, rhs)
+    if method == "spike":
+        if rhs.ndim != 1:
+            return jnp.stack(
+                [spike(a, b, c, rhs[:, i]) for i in range(rhs.shape[1])],
+                axis=1,
+            )
+        return spike(a, b, c, rhs)
     if method == "dense":
         A = to_dense(a, b, c)
         return jnp.linalg.solve(A, rhs)

@@ -20,7 +20,7 @@ def make_system(rng, N, dominant=True):
 
 
 @pytest.mark.parametrize("N", [2, 3, 7, 16, 101, 257])
-@pytest.mark.parametrize("method", ["thomas", "pcr"])
+@pytest.mark.parametrize("method", ["thomas", "pcr", "spike"])
 def test_matches_dense(N, method, rng):
     a, b, c, rhs = make_system(rng, N)
     x = tridiag.solve(a, b, c, rhs, method=method)
@@ -37,6 +37,33 @@ def test_multiple_rhs(method, rng):
     A = tridiag.to_dense(a, b, c)
     np.testing.assert_allclose(
         np.asarray(X), np.asarray(jnp.linalg.solve(A, R)), rtol=1e-9
+    )
+
+
+@pytest.mark.parametrize("block_size", [16, 64, 300])
+def test_spike_blocked_matches_thomas(block_size, rng):
+    """Blocked SPIKE (vmapped block-Thomas + 2x2 block-PCR reduced system)
+    == Thomas, including non-divisible N (padding path)."""
+    N = 1000
+    a, b, c, rhs = make_system(rng, N)
+    x = tridiag.spike(a, b, c, rhs, block_size=block_size)
+    xt = tridiag.thomas(a, b, c, rhs)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xt), atol=1e-10)
+
+
+def test_auto_method_dispatch(rng):
+    a, b, c, rhs = make_system(rng, 100)
+    x_auto = tridiag.solve(a, b, c, rhs, method="auto")
+    np.testing.assert_allclose(
+        np.asarray(x_auto), np.asarray(tridiag.thomas(a, b, c, rhs)),
+        atol=1e-12,
+    )
+    N = 9000  # > 8192 -> spike
+    a, b, c, rhs = make_system(rng, N)
+    x_auto = tridiag.solve(a, b, c, rhs, method="auto")
+    np.testing.assert_allclose(
+        np.asarray(x_auto), np.asarray(tridiag.thomas(a, b, c, rhs)),
+        atol=1e-9,
     )
 
 
