@@ -1,0 +1,37 @@
+"""2D sharded solve on virtual CPU devices (BASELINE config 5 multi-chip)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_fem_lssvr_tpu.models.hybrid2d import (
+    HybridSolver2D, Solver2DConfig, poisson_2d,
+)
+from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
+from hybrid_fem_lssvr_tpu.parallel.sharded2d import make_sharded_solve_2d
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_sharded_2d_matches_single_device(n_dev):
+    problem = poisson_2d()
+    cfg = Solver2DConfig(nx=8, ny=16, M=5, n_colloc=5)
+    single = HybridSolver2D(problem, cfg)
+    sol = single.solve()
+
+    run = make_sharded_solve_2d(problem, cfg, pmesh.element_mesh(n_dev))
+    out = run()
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.fem_values), np.asarray(sol.fem_values), atol=1e-12
+    )
+    assert bool(jnp.all(out.solve_ok))
+
+
+def test_sharded_2d_indivisible_rejected():
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_solve_2d(
+            poisson_2d(), Solver2DConfig(nx=8, ny=9),
+            pmesh.element_mesh(4),
+        )
