@@ -143,6 +143,26 @@ def test_evaluation_clamps_outside_domain():
     np.testing.assert_allclose(u, [w0, wE], atol=1e-12)
 
 
+def test_eval_derivative():
+    """First/second derivative evaluation against the analytic oracle."""
+    from hybrid_fem_lssvr_tpu.ops import eval as ops_eval
+
+    _, _, s = solve_errors(33)
+    x = np.linspace(-0.95, 0.95, 101)
+    du = ops_eval.evaluate_derivative(
+        s.solution.nodes, s.solution.coeffs, jnp.asarray(x), order=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(du), np.pi * np.cos(np.pi * x), atol=5e-5
+    )
+    d2u = ops_eval.evaluate_derivative(
+        s.solution.nodes, s.solution.coeffs, jnp.asarray(x), order=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(d2u), -np.pi**2 * np.sin(np.pi * x), atol=5e-3
+    )
+
+
 def test_custom_nonuniform_mesh():
     """Graded meshes go through the general batched-KKT path."""
     x = np.concatenate([np.linspace(-1, 0, 17), np.geomspace(0.02, 1, 15)])
