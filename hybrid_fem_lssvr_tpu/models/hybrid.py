@@ -145,6 +145,17 @@ def prepare_shared_host(problem: Problem1D, cfg: SolverConfig):
         + a0[:, None] * V0
     )
     B = np.stack([V0[0], V0[-1]])
+    if cfg.formulation == "dual":
+        # Extracting the dual affine operator from the augmented inverse is
+        # limited to ~1e-3 relative operator accuracy (the system's
+        # conditioning hits the unit-vector columns even in f64, though
+        # physical data stays accurate).  That is dtype noise in f32 — use
+        # the fast path there — but would cap f64 dual accuracy at ~1e-7,
+        # so f64 keeps the per-element augmented LU (full 1e-13 parity).
+        if cfg.jnp_dtype() == jnp.float32:
+            return kkt.precompute_shared_dual_host(D0, B, cfg.gamma,
+                                                   cfg.jnp_dtype())
+        return None
     return kkt.precompute_shared_host(D0, B, cfg.gamma, cfg.jnp_dtype())
 
 
@@ -278,14 +289,11 @@ class HybridSolver:
                 self.problem, self.config, self._custom_nodes
             )
         else:
-            # The shared fast path applies to the primal formulation on a
-            # uniform mesh with constant coefficients; the dual formulation
-            # keeps its own algebraic path so primal==dual stays a real test.
-            shared = (
-                prepare_shared_host(self.problem, self.config)
-                if self.config.formulation == "primal"
-                else None
-            )
+            # The shared fast path covers both formulations on a uniform
+            # mesh with constant coefficients: the primal precompute goes
+            # through Schur/Cholesky, the dual through the augmented
+            # quasi-definite inverse — distinct algebra, identical hot path.
+            shared = prepare_shared_host(self.problem, self.config)
             self.solution = hybrid_solve(
                 self.problem, self.config, self.nodes, shared
             )

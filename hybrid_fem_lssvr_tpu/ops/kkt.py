@@ -311,6 +311,42 @@ def precompute_shared_host(D0, B, gamma, dtype=jnp.float32) -> SharedOperators:
     )
 
 
+def precompute_shared_dual_host(D0, B, gamma,
+                                dtype=jnp.float32) -> SharedOperators:
+    """Host float64 precompute of the shared affine map THROUGH THE DUAL
+    ALGEBRA: the row-equilibrated augmented quasi-definite system of
+    ``solve_dual_batched`` is factorised once and its (f, bc) -> w block
+    extracted, so the dual formulation enjoys the same two-matmul
+    (and fused-Pallas) hot path as the primal.  Same solution, genuinely
+    dual derivation — kept distinct so primal==dual stays a real test."""
+    import numpy as np
+
+    D0 = np.asarray(D0, np.float64)
+    B = np.asarray(B, np.float64)
+    C, M = D0.shape
+    K = B.shape[0]
+    n = C + K
+    A = np.vstack([D0, B])
+    r = 1.0 / np.linalg.norm(A, axis=1)
+    At = A * r[:, None]
+    reg = np.concatenate([r[:C] ** 2 / float(gamma), np.zeros(K)])
+    aug = np.zeros((M + n, M + n))
+    aug[:M, :M] = -np.eye(M)
+    aug[:M, M:] = At.T
+    aug[M:, :M] = At
+    aug[M:, M:] = np.diag(reg)
+    # Columns of the inverse give the map rhs -> (w, mu); rhs rows M: are
+    # the equilibrated data rows, so w = T @ diag(r) @ [f; bc].
+    T = np.linalg.solve(aug, np.vstack([np.zeros((M, n)), np.eye(n)]))[:M]
+    T = T * r[None, :]
+    return SharedOperators(
+        Wf=jnp.asarray(T[:, :C], dtype),
+        Wbc=jnp.asarray(T[:, C:], dtype),
+        D=jnp.asarray(D0, dtype),
+        B=jnp.asarray(B, dtype),
+    )
+
+
 def precompute_shared_lse_host(D0, B, dtype=jnp.float32) -> SharedOperators:
     """Host float64 precompute of the shared affine map via the null-space
     LSE formulation (the gamma -> infinity limit; deviation from the

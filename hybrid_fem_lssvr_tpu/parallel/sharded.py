@@ -168,11 +168,7 @@ def make_sharded_solve(problem: Problem1D, cfg: SolverConfig, mesh,
     if E_loc < 2:
         raise ValueError("need at least 2 elements per device")
     dtype = cfg.jnp_dtype()
-    shared = (
-        prepare_shared_host(problem, cfg)
-        if cfg.formulation == "primal"
-        else None
-    )
+    shared = prepare_shared_host(problem, cfg)
     if shared is not None:
         # Pin the replicated operators to THIS mesh's devices (the mesh may
         # live on a non-default backend, e.g. virtual CPU devices in tests).

@@ -78,6 +78,22 @@ def test_dual_equals_primal(rng):
     )
 
 
+def test_dual_shared_precompute_equals_primal(rng):
+    """The dual-algebra shared precompute (augmented-inverse map) yields the
+    same affine operator as the primal Schur/Cholesky precompute."""
+    D, B, f, bc = random_elements(rng, E=4)
+    ops_p = kkt.precompute_shared_host(D[0], B, 1e4, jnp.float64)
+    ops_d = kkt.precompute_shared_dual_host(D[0], B, 1e4, jnp.float64)
+    wp, _ = kkt.solve_primal_shared(ops_p, jnp.asarray(f), jnp.asarray(bc))
+    wd, _ = kkt.solve_primal_shared(ops_d, jnp.asarray(f), jnp.asarray(bc))
+    scale = float(jnp.max(jnp.abs(wp)))
+    # operator extraction is conditioning-limited to ~1e-3 relative on
+    # adversarial data (why the f64 dual keeps the batched path; the shared
+    # dual map serves the f32 hot path where this is dtype noise)
+    np.testing.assert_allclose(np.asarray(wp), np.asarray(wd),
+                               atol=1e-3 * scale)
+
+
 def test_shared_equals_batched(rng):
     """The two-matmul shared path must agree with the general path."""
     D, B, f, bc = random_elements(rng, E=6)
