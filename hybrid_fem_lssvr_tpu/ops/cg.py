@@ -20,9 +20,14 @@ class CGResult(NamedTuple):
 
 
 def cg(apply_A: Callable, b: jnp.ndarray, x0=None, M_inv=None,
-       tol: float = 1e-12, maxiter: int = 1000) -> CGResult:
+       tol: float = 1e-12, maxiter: int = 1000,
+       dot_fn: Callable = None) -> CGResult:
     """Solve A x = b; A SPD via ``apply_A``; optional diagonal preconditioner
-    ``M_inv`` (elementwise inverse-diagonal array or callable)."""
+    ``M_inv`` (elementwise inverse-diagonal array or callable).
+
+    ``dot_fn`` overrides the inner product — the distributed slab solve
+    passes an ownership-masked, ``psum``-reduced dot so duplicated interface
+    rows are counted once across devices."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if M_inv is None:
@@ -32,8 +37,7 @@ def cg(apply_A: Callable, b: jnp.ndarray, x0=None, M_inv=None,
     else:
         precond = lambda r: M_inv * r
 
-    def dot(u, v):
-        return jnp.sum(u * v)
+    dot = dot_fn if dot_fn is not None else (lambda u, v: jnp.sum(u * v))
 
     r0 = b - apply_A(x0)
     z0 = precond(r0)

@@ -31,13 +31,103 @@ from .mesh import ELEMENT_AXIS
 
 class ShardedSolution2D(NamedTuple):
     coeffs: jnp.ndarray  # [ny, nx, M, M] sharded over element rows
-    fem_values: jnp.ndarray  # [ny+1, nx+1] replicated
+    fem_local: jnp.ndarray  # [n_dev, ny_loc+1, nx+1] per-device slabs
     solve_ok: jnp.ndarray  # [ny, nx]
+
+    def assemble_fem_grid(self):
+        """Stitch the overlapping slabs back into the [ny+1, nx+1] grid."""
+        import numpy as np
+
+        n_dev, nloc1, nx1 = self.fem_local.shape
+        ny_loc = nloc1 - 1
+        grid = np.zeros((n_dev * ny_loc + 1, nx1))
+        fl = np.asarray(self.fem_local)
+        for dd in range(n_dev):
+            grid[dd * ny_loc:(dd + 1) * ny_loc + 1] = fl[dd]
+        return grid
+
+
+def _halo_add(y_loc, d, n_dev, axis):
+    """Sum duplicated-interface contributions across neighbouring slabs.
+
+    Each device's first/last node row is shared with a neighbour; after a
+    local stiffness/load computation both owners hold PARTIAL sums.  Two
+    ``ppermute``s exchange the partial rows and both copies become the full
+    sum — the duplicated-consistent slab representation.
+    """
+    up_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    dn_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    from_next = jax.lax.ppermute(y_loc[0], axis, up_perm)  # next dev's row 0
+    from_prev = jax.lax.ppermute(y_loc[-1], axis, dn_perm)
+    y_loc = y_loc.at[-1].add(
+        jnp.where(d < n_dev - 1, from_next, jnp.zeros_like(from_next))
+    )
+    y_loc = y_loc.at[0].add(
+        jnp.where(d > 0, from_prev, jnp.zeros_like(from_prev))
+    )
+    return y_loc
+
+
+def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
+                       axis, xs, ys_loc, row0):
+    """Distributed Q1 coarse solve on y-slabs: local matrix-free stiffness
+    apply + one halo exchange per CG iteration; ownership-masked psum inner
+    products.  Returns the slab's nodal values [ny_loc+1, nx+1]."""
+    from ..ops import assembly2d, cg
+
+    dtype = xs.dtype
+    ny_loc = ys_loc.shape[0] - 1
+    nx1 = xs.shape[0]
+    hx = float((problem.domain[1] - problem.domain[0]) / cfg.nx)
+    hy = float((problem.domain[3] - problem.domain[2]) / cfg.ny)
+    K_loc = jnp.asarray(assembly2d.q1_local_stiffness(hx, hy), dtype)
+
+    # Global interior mask for this slab's node rows.
+    g_row = row0 + jnp.arange(ny_loc + 1)
+    row_int = (g_row > 0) & (g_row < cfg.ny)
+    col_int = jnp.zeros(nx1, bool).at[1:-1].set(True)
+    interior = row_int[:, None] & col_int[None, :]
+    own = jnp.where((jnp.arange(ny_loc + 1) > 0) | (d == 0), 1.0, 0.0)
+    own = own.astype(dtype)[:, None]
+
+    b = _halo_add(assembly2d.assemble_load(xs, ys_loc, problem.f),
+                  d, n_dev, axis)
+    X, Y = jnp.meshgrid(xs, ys_loc)
+    u_bc = jnp.where(interior, 0.0, problem.g(X, Y) * jnp.ones_like(X))
+
+    def apply_full(v):
+        return _halo_add(assembly2d.apply_stiffness(v, K_loc), d, n_dev,
+                         axis)
+
+    def apply_free(v):
+        return jnp.where(interior, apply_full(v * interior), 0.0)
+
+    def dist_dot(u, v):
+        return jax.lax.psum(jnp.sum(u * v * own), axis)
+
+    rhs = jnp.where(interior, b - apply_full(u_bc), 0.0)
+    diag = _halo_add(
+        assembly2d.stiffness_diag((ny_loc + 1, nx1), K_loc, dtype),
+        d, n_dev, axis,
+    )
+    M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+    res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=tol,
+                maxiter=cfg.cg_maxiter, dot_fn=dist_dot)
+    return u_bc + jnp.where(interior, res.x, 0.0)
 
 
 def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
-                          axis: str = ELEMENT_AXIS):
-    """Jitted multi-chip 2D solve; cfg.ny must divide by the device count."""
+                          axis: str = ELEMENT_AXIS,
+                          distributed_fem: bool = True):
+    """Jitted multi-chip 2D solve; cfg.ny must divide by the device count.
+
+    ``distributed_fem=True`` runs the coarse Q1-CG stage distributed over
+    the same y-slabs (halo exchange per stiffness apply, psum inner
+    products); ``False`` replicates the coarse stage on every device (no
+    communication — fine while the coarse grid is small)."""
     n_dev = mesh.shape[axis]
     if cfg.ny % n_dev:
         raise ValueError(f"ny={cfg.ny} not divisible by {n_dev} devices")
@@ -56,14 +146,18 @@ def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
         d = jax.lax.axis_index(axis)
         xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
         ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
-        # Replicated coarse stage: every device computes the same nodal grid.
-        fem_values, _ = fem_solve_2d(problem, cfg, xs, ys)
         row0 = d * ny_loc
         ys_loc = jax.lax.dynamic_slice(ys, (row0,), (ny_loc + 1,))
-        fem_loc = jax.lax.dynamic_slice(
-            fem_values, (row0, jnp.zeros_like(row0)),
-            (ny_loc + 1, cfg.nx + 1),
-        )
+        if distributed_fem:
+            fem_loc = _dist_fem_solve_2d(
+                problem, cfg, d, n_dev, axis, xs, ys_loc, row0
+            )
+        else:
+            fem_values, _ = fem_solve_2d(problem, cfg, xs, ys)
+            fem_loc = jax.lax.dynamic_slice(
+                fem_values, (row0, jnp.zeros_like(row0)),
+                (ny_loc + 1, cfg.nx + 1),
+            )
         f_rows, bc_rows, corners = _element_data_2d(
             problem, cfg, xs, ys_loc, fem_loc, t_int, bpts,
             row_offset=row0,
@@ -77,19 +171,19 @@ def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
             ok[..., None, None],
             jnp.where(jnp.isfinite(coeffs), coeffs, 0.0), fb,
         )
-        return coeffs, fem_values[None], ok
+        return coeffs, fem_loc[None], ok
 
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(axis), P(), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False,
     )
 
     @jax.jit
     def run():
-        coeffs, fem_rep, ok = sharded(shared, t_int, bpts)
-        return ShardedSolution2D(coeffs, fem_rep[0], ok)
+        coeffs, fem_local, ok = sharded(shared, t_int, bpts)
+        return ShardedSolution2D(coeffs, fem_local, ok)
 
     return run

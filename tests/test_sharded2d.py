@@ -11,20 +11,22 @@ from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
 from hybrid_fem_lssvr_tpu.parallel.sharded2d import make_sharded_solve_2d
 
 
+@pytest.mark.parametrize("distributed_fem", [False, True])
 @pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
-def test_sharded_2d_matches_single_device(n_dev):
+def test_sharded_2d_matches_single_device(n_dev, distributed_fem):
     problem = poisson_2d()
     cfg = Solver2DConfig(nx=8, ny=16, M=5, n_colloc=5)
     single = HybridSolver2D(problem, cfg)
     sol = single.solve()
 
-    run = make_sharded_solve_2d(problem, cfg, pmesh.element_mesh(n_dev))
+    run = make_sharded_solve_2d(problem, cfg, pmesh.element_mesh(n_dev),
+                                distributed_fem=distributed_fem)
     out = run()
     np.testing.assert_allclose(
-        np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=1e-10
+        np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=1e-9
     )
     np.testing.assert_allclose(
-        np.asarray(out.fem_values), np.asarray(sol.fem_values), atol=1e-12
+        out.assemble_fem_grid(), np.asarray(sol.fem_values), atol=1e-10
     )
     assert bool(jnp.all(out.solve_ok))
 
