@@ -30,6 +30,8 @@ from .utils import profiling
 
 
 def _cfg_from_args(args) -> SolverConfig:
+    if getattr(args, "x64", False):
+        jax.config.update("jax_enable_x64", True)
     return SolverConfig(
         num_nodes=args.num_nodes,
         M=args.M,
@@ -39,6 +41,7 @@ def _cfg_from_args(args) -> SolverConfig:
         fem_quad_order=args.fem_quad_order,
         tridiag_method=args.tridiag_method,
         dtype=args.dtype,
+        fem_dtype=args.fem_dtype,
     )
 
 
@@ -162,6 +165,10 @@ def build_parser():
                         choices=["auto", "thomas", "pcr", "spike", "dense"])
         sp.add_argument("--dtype", default=None,
                         choices=[None, "float32", "float64"])
+        sp.add_argument("--fem-dtype", default=None,
+                        choices=[None, "float32", "float64"])
+        sp.add_argument("--x64", action="store_true",
+                        help="enable jax_enable_x64 (needed for f64 on TPU)")
         sp.add_argument("--eval-points", type=int, default=201)
 
     sp = sub.add_parser("run", help="single hybrid solve")

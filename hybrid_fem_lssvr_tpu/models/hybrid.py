@@ -47,6 +47,12 @@ class SolverConfig:
     fem_quad_order: int = 3
     refine_steps: int = 0  # iterative refinement on f32 paths
     dtype: Optional[str] = None  # 'float32' | 'float64' | None (=x64 default)
+    # Coarse-stage dtype override: the FEM system's conditioning grows like
+    # N^2, so beyond ~1e3 elements an f32 coarse solve returns garbage
+    # (measured 0.23 Linf at E=1e4).  'float64' runs the FEM stage in
+    # (TPU-emulated) f64 — requires jax_enable_x64 — and casts nodal values
+    # back to the run dtype; the enhancement stays on the f32 fast path.
+    fem_dtype: Optional[str] = None
 
     def jnp_dtype(self):
         if self.dtype is not None:
@@ -243,7 +249,13 @@ def hybrid_solve(problem: Problem1D, cfg: SolverConfig, nodes: jnp.ndarray,
     (reference ``solve``, ``:178-181``).  ``shared_ops`` (from
     ``prepare_shared_host``) requires a uniform mesh."""
     with jax.named_scope("fem_coarse_solve"):
-        fem_values = fem_solve(problem, nodes, cfg)
+        if cfg.fem_dtype is not None:
+            fd = jnp.dtype(cfg.fem_dtype)
+            fem_values = fem_solve(
+                problem, nodes.astype(fd), cfg
+            ).astype(nodes.dtype)
+        else:
+            fem_values = fem_solve(problem, nodes, cfg)
     x0, x1 = problem.domain
     geom = (x0, (x1 - x0) / (cfg.num_nodes - 1)) if shared_ops is not None \
         else None

@@ -157,6 +157,10 @@ def spike(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, rhs: jnp.ndarray,
     Dg = jnp.broadcast_to(jnp.eye(2, dtype=dtype), (B, 2, 2))
     r2 = jnp.stack([g[:, 0], g[:, -1]], axis=-1)  # [B, 2]
 
+    # All 2x2 block algebra is written elementwise (no dot_general): tiny
+    # matrices gain nothing from the MXU, and elementwise ops keep the f64
+    # (TPU-emulated) path available — f64 linalg primitives are not
+    # implemented on TPU.
     def inv2(Mm):
         det = Mm[..., 0, 0] * Mm[..., 1, 1] - Mm[..., 0, 1] * Mm[..., 1, 0]
         inv = jnp.stack(
@@ -167,6 +171,40 @@ def spike(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, rhs: jnp.ndarray,
             axis=-2,
         )
         return inv / det[..., None, None]
+
+    def mm2(A2, B2):  # [B,2,2] @ [B,2,2] elementwise
+        return jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        A2[..., 0, 0] * B2[..., 0, 0]
+                        + A2[..., 0, 1] * B2[..., 1, 0],
+                        A2[..., 0, 0] * B2[..., 0, 1]
+                        + A2[..., 0, 1] * B2[..., 1, 1],
+                    ],
+                    axis=-1,
+                ),
+                jnp.stack(
+                    [
+                        A2[..., 1, 0] * B2[..., 0, 0]
+                        + A2[..., 1, 1] * B2[..., 1, 0],
+                        A2[..., 1, 0] * B2[..., 0, 1]
+                        + A2[..., 1, 1] * B2[..., 1, 1],
+                    ],
+                    axis=-1,
+                ),
+            ],
+            axis=-2,
+        )
+
+    def mv2(A2, v2):  # [B,2,2] @ [B,2]
+        return jnp.stack(
+            [
+                A2[..., 0, 0] * v2[..., 0] + A2[..., 0, 1] * v2[..., 1],
+                A2[..., 1, 0] * v2[..., 0] + A2[..., 1, 1] * v2[..., 1],
+            ],
+            axis=-1,
+        )
 
     def shift_blocks(x, s, fill_eye):
         padspec = [(0, 0)] * x.ndim
@@ -194,17 +232,13 @@ def spike(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, rhs: jnp.ndarray,
         L_p = shift_blocks(L, -s, False)
         U_p = shift_blocks(U, -s, False)
         r_p = shift_blocks(r2, -s, False)
-        alpha = -jnp.einsum("bij,bjk->bik", L, inv2(D_m))
-        beta = -jnp.einsum("bij,bjk->bik", U, inv2(D_p))
-        Dg = Dg + jnp.einsum("bij,bjk->bik", alpha, U_m) + jnp.einsum(
-            "bij,bjk->bik", beta, L_p
-        )
-        r2 = r2 + jnp.einsum("bij,bj->bi", alpha, r_m) + jnp.einsum(
-            "bij,bj->bi", beta, r_p
-        )
-        L = jnp.einsum("bij,bjk->bik", alpha, L_m)
-        U = jnp.einsum("bij,bjk->bik", beta, U_p)
-    y = jnp.einsum("bij,bj->bi", inv2(Dg), r2)  # [B, 2]
+        alpha = -mm2(L, inv2(D_m))
+        beta = -mm2(U, inv2(D_p))
+        Dg = Dg + mm2(alpha, U_m) + mm2(beta, L_p)
+        r2 = r2 + mv2(alpha, r_m) + mv2(beta, r_p)
+        L = mm2(alpha, L_m)
+        U = mm2(beta, U_p)
+    y = mv2(inv2(Dg), r2)  # [B, 2]
 
     y_last_prev = jnp.pad(y[:-1, 1], (1, 0))  # x_last(d-1), 0 for d=0
     y_first_next = jnp.pad(y[1:, 0], (0, 1))  # x_first(d+1), 0 for last
