@@ -100,11 +100,29 @@ def advection_diffusion_1d(eps: float = 1.0, beta: float = 3.0) -> Problem1D:
     )
 
 
+def poisson_inhomogeneous() -> Problem1D:
+    """-u'' = pi^2 sin(pi x) with u = sin(pi x) + x + 2: exercises the
+    inhomogeneous-Dirichlet path (u(-1) = 1, u(1) = 3) — column elimination
+    in the assembler and the boundary-element overrides, which the
+    reference's homogeneous-only ``enforce`` (``:137``) never hits."""
+    pi = jnp.pi
+    return Problem1D(
+        name="poisson_inhomogeneous",
+        f=lambda x: (pi**2) * jnp.sin(pi * x),
+        g_left=1.0,
+        g_right=3.0,
+        exact=lambda x: jnp.sin(pi * x) + x + 2.0,
+        exact_dx=lambda x: pi * jnp.cos(pi * x) + 1.0,
+        constant_coeffs=True,
+    )
+
+
 REGISTRY = {
     "poisson_1d": poisson_1d,
     "variable_coeff_elliptic": variable_coeff_elliptic,
     "helmholtz_1d": helmholtz_1d,
     "advection_diffusion_1d": advection_diffusion_1d,
+    "poisson_inhomogeneous": poisson_inhomogeneous,
 }
 
 

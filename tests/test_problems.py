@@ -88,6 +88,36 @@ def test_advection_dominated():
     assert bool(np.asarray(s.solution.solve_ok).all())
 
 
+def test_inhomogeneous_dirichlet():
+    """Nonzero boundary data: assembler column elimination + boundary
+    overrides (paths the reference's homogeneous-only enforce never hits),
+    in both formulations and under sharding."""
+    import jax.numpy as jnp
+
+    from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
+    from hybrid_fem_lssvr_tpu.parallel.sharded import make_sharded_solve
+
+    p = problems.poisson_inhomogeneous()
+    for form in ("primal", "dual"):
+        s = HybridSolver(p, SolverConfig(num_nodes=25, formulation=form))
+        sol = s.solve()
+        linf, _ = s.errors(X)
+        assert float(linf) < 2e-9, (form, float(linf))
+        assert bool(np.asarray(sol.solve_ok).all())
+        # boundary values honoured exactly
+        u_b = np.asarray(s.evaluate_solution(np.array([-1.0, 1.0])))
+        np.testing.assert_allclose(u_b, [1.0, 3.0], atol=1e-10)
+    single = HybridSolver(p, SolverConfig(num_nodes=33))
+    single.solve()
+    run = make_sharded_solve(p, SolverConfig(num_nodes=33),
+                             pmesh.element_mesh(4))
+    out = run()
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(single.solution.coeffs),
+        atol=1e-12,
+    )
+
+
 def test_kernel_degree_sweep():
     """BASELINE.json config 2: kernel-degree sweep p=2..10 — error is
     M-insensitive once past the nodal floor; low M degrades gracefully."""
