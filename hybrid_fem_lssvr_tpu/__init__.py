@@ -16,6 +16,8 @@ from .models.hybrid2d import (
 )
 from .models.problem import Problem1D
 from .models import problems
+from .models.adaptive import adaptive_solve
+from .models.batched import ParametricFamily1D, solve_family, solve_groups
 
 __version__ = "0.1.0"
 
@@ -30,4 +32,8 @@ __all__ = [
     "Problem2D",
     "Solver2DConfig",
     "poisson_2d",
+    "adaptive_solve",
+    "ParametricFamily1D",
+    "solve_family",
+    "solve_groups",
 ]

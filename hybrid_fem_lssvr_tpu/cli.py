@@ -42,6 +42,8 @@ def _cfg_from_args(args) -> SolverConfig:
         tridiag_method=args.tridiag_method,
         dtype=args.dtype,
         fem_dtype=args.fem_dtype,
+        backend=getattr(args, "backend", "auto"),
+        diagnostics=not getattr(args, "no_diagnostics", False),
     )
 
 
@@ -120,6 +122,20 @@ def cmd_psweep(args):
         _run_one(problem, cfg, em, args.eval_points)
 
 
+def cmd_adaptive(args):
+    from .models.adaptive import adaptive_solve
+
+    em = M.MetricsEmitter()
+    problem = problems.get(args.problem)
+    cfg = _cfg_from_args(args)
+    xq = np.linspace(*problem.domain, args.eval_points) \
+        if problem.exact is not None else None
+    res = adaptive_solve(problem, cfg, rounds=args.rounds,
+                         refine_frac=args.refine_frac, eval_points=xq)
+    for rec in res.history:
+        em.emit("adaptive_round", problem=problem.name, **rec)
+
+
 def cmd_run2d(args):
     em = M.MetricsEmitter()
     problem = poisson_2d()
@@ -170,6 +186,10 @@ def build_parser():
         sp.add_argument("--x64", action="store_true",
                         help="enable jax_enable_x64 (needed for f64 on TPU)")
         sp.add_argument("--eval-points", type=int, default=201)
+        sp.add_argument("--backend", default="auto",
+                        choices=["auto", "xla", "pallas"])
+        sp.add_argument("--no-diagnostics", action="store_true",
+                        help="skip slack/bc residual outputs (~32% faster)")
 
     sp = sub.add_parser("run", help="single hybrid solve")
     common(sp)
@@ -190,6 +210,12 @@ def build_parser():
     sp.add_argument("--M-values", type=int, nargs="+",
                     default=[2, 3, 4, 6, 8, 10])
     sp.set_defaults(fn=cmd_psweep)
+
+    sp = sub.add_parser("adaptive", help="slack-driven adaptive refinement")
+    common(sp)
+    sp.add_argument("--rounds", type=int, default=4)
+    sp.add_argument("--refine-frac", type=float, default=0.3)
+    sp.set_defaults(fn=cmd_adaptive)
 
     sp = sub.add_parser("run2d", help="2D Poisson on structured quads")
     sp.add_argument("--nx", type=int, default=32)
