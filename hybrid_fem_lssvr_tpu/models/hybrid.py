@@ -323,6 +323,12 @@ class HybridSolver:
     def evaluate_solution(self, x_points):
         assert self.solution is not None, "call solve() first"
         x = jnp.asarray(x_points, self.solution.nodes.dtype)
+        if self._custom_nodes is None:
+            x0, x1 = self.problem.domain
+            h = (x1 - x0) / (self.config.num_nodes - 1)
+            return ops_eval.evaluate_uniform(
+                x0, h, self.solution.coeffs, x
+            )
         return ops_eval.evaluate(self.solution.nodes, self.solution.coeffs, x)
 
     def evaluate_fem(self, x_points):

@@ -36,6 +36,17 @@ def evaluate(nodes: jnp.ndarray, coeffs: jnp.ndarray, x: jnp.ndarray):
     return legendre.evaluate_series(ce, t)
 
 
+def evaluate_uniform(x0, h, coeffs: jnp.ndarray, x: jnp.ndarray):
+    """Uniform-mesh fast path: element lookup by index arithmetic instead of
+    searchsorted (binary search is hostile to the TPU — measured 34x slower
+    at 8.4M points over 1M elements: 1.45 s vs 43 ms)."""
+    E = coeffs.shape[0]
+    e = jnp.clip(((x - x0) / h).astype(jnp.int32), 0, E - 1)
+    xl = x0 + e.astype(x.dtype) * h
+    t = (2.0 * (x - xl)) / h - 1.0
+    return legendre.evaluate_series(coeffs[e], t)
+
+
 def evaluate_derivative(nodes, coeffs, x, order: int = 1):
     """d^order u/dx^order at x (order in {1, 2}); same conventions as above."""
     e = locate_elements(nodes, x)

@@ -143,6 +143,18 @@ def test_evaluation_clamps_outside_domain():
     np.testing.assert_allclose(u, [w0, wE], atol=1e-12)
 
 
+def test_uniform_eval_fast_path_matches_searchsorted():
+    from hybrid_fem_lssvr_tpu.ops import eval as ops_eval
+
+    _, _, s = solve_errors(25)
+    sol = s.solution
+    x = jnp.asarray(np.linspace(-1.3, 1.3, 1001))
+    u_ss = ops_eval.evaluate(sol.nodes, sol.coeffs, x)
+    u_fast = ops_eval.evaluate_uniform(-1.0, 2.0 / 24, sol.coeffs, x)
+    np.testing.assert_allclose(np.asarray(u_ss), np.asarray(u_fast),
+                               atol=1e-12)
+
+
 def test_eval_derivative():
     """First/second derivative evaluation against the analytic oracle."""
     from hybrid_fem_lssvr_tpu.ops import eval as ops_eval
