@@ -66,12 +66,17 @@ def load_solution(path: str, problem_name: str, cfg, solution_cls):
 
 
 def load_or_solve(path: Optional[str], solver):
-    """Resume from ``path`` if compatible, else solve and checkpoint."""
-    from ..models.hybrid import Solution
+    """Resume from ``path`` if compatible, else solve and checkpoint.
 
+    Works for both the 1D ``HybridSolver`` (Solution) and the 2D
+    ``HybridSolver2D`` (Solution2D) facades."""
+    from ..models.hybrid import HybridSolver, Solution
+    from ..models.hybrid2d import Solution2D
+
+    cls = Solution if isinstance(solver, HybridSolver) else Solution2D
     name = solver.problem.name
     if path:
-        sol = load_solution(path, name, solver.config, Solution)
+        sol = load_solution(path, name, solver.config, cls)
         if sol is not None:
             solver.solution = sol
             return sol, True

@@ -42,6 +42,24 @@ def test_checkpoint_fingerprint_mismatch(tmp_path):
     assert sol2.coeffs.shape[0] == 32
 
 
+def test_checkpoint_roundtrip_2d(tmp_path):
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import (
+        HybridSolver2D, Solver2DConfig, poisson_2d,
+    )
+
+    cfg = Solver2DConfig(nx=6, ny=6, M=4, n_colloc=4)
+    s = HybridSolver2D(poisson_2d(), cfg)
+    sol, resumed = ckpt.load_or_solve(str(tmp_path / "ck2d"), s)
+    assert not resumed
+    s2 = HybridSolver2D(poisson_2d(), cfg)
+    sol2, resumed2 = ckpt.load_or_solve(str(tmp_path / "ck2d"), s2)
+    assert resumed2
+    np.testing.assert_array_equal(np.asarray(sol.coeffs),
+                                  np.asarray(sol2.coeffs))
+    u = s2.evaluate_solution(np.array([0.1]), np.array([-0.2]))
+    assert np.isfinite(np.asarray(u)).all()
+
+
 def test_metrics_emitter_json_lines():
     buf = io.StringIO()
     em = M.MetricsEmitter(stream=buf, run_id="r1")

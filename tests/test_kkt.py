@@ -166,6 +166,21 @@ def test_fallback_mask(rng):
     assert np.isfinite(np.asarray(w_final)).all()
 
 
+def test_element_permutation_invariance(rng):
+    """SURVEY.md section 4 #6: permuting the element batch permutes the
+    outputs exactly (no cross-element coupling in the batched solver)."""
+    D, B, f, bc = random_elements(rng, E=6)
+    perm = np.array([3, 0, 5, 1, 4, 2])
+    w, _ = kkt.solve_primal_batched(
+        jnp.asarray(D), jnp.asarray(B), jnp.asarray(f), jnp.asarray(bc), 1e4
+    )
+    wp, _ = kkt.solve_primal_batched(
+        jnp.asarray(D[perm]), jnp.asarray(B), jnp.asarray(f[perm]),
+        jnp.asarray(bc[perm]), 1e4,
+    )
+    np.testing.assert_array_equal(np.asarray(w)[perm], np.asarray(wp))
+
+
 def test_refinement_in_float32(rng):
     """f32 + iterative refinement approaches the f64 answer."""
     D, B, f, bc = random_elements(rng, E=3)
