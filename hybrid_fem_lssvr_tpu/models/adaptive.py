@@ -13,7 +13,6 @@ meshes), enabled by diagnostics being first-class outputs.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, NamedTuple, Optional
 
 import jax.numpy as jnp

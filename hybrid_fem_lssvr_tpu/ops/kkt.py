@@ -42,12 +42,10 @@ float64 path (CPU x64 or TPU-emulated f64) for 1e-10 targets.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-
-from . import legendre
 
 
 class KKTDiagnostics(NamedTuple):

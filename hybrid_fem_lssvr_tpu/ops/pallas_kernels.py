@@ -20,9 +20,6 @@ runs the kernel in interpreter mode on CPU and natively on TPU).
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

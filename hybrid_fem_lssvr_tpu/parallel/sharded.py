@@ -26,7 +26,6 @@ device owns exactly E/D rows (static shapes).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -35,7 +34,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..models.hybrid import SolverConfig, lssvr_enhance, prepare_shared_host
 from ..models.problem import Problem1D
-from ..ops import assembly, kkt, tridiag
+from ..ops import assembly, tridiag
 from .mesh import ELEMENT_AXIS
 
 
