@@ -54,7 +54,7 @@ def _local_nodes(problem, E_total, E_loc, d, dtype):
     return base + idx * h
 
 
-def _local_assembly(problem, cfg, nodes_loc, d, n_dev, axis):
+def _local_assembly(problem, cfg, nodes_loc, d, n_dev, axis, E_total):
     """Local rows of the Dirichlet-eliminated interior tridiagonal system.
 
     Device d owns interior rows [d*E_loc, (d+1)*E_loc) of the padded
@@ -87,25 +87,25 @@ def _local_assembly(problem, cfg, nodes_loc, d, n_dev, axis):
     g_l = jnp.asarray(problem.g_left, dtype)
     g_r = jnp.asarray(problem.g_right, dtype)
     is_first = d == 0
-    is_last = d == n_dev - 1
-    r_idx = jnp.arange(E_loc)
+    # Global padded interior index of each local row (interior unknowns are
+    # nodes 1..E_total-1, i.e. indices 0..E_total-2; everything at or past
+    # E_total-1 is a dummy padding row).  E_total need not divide evenly:
+    # dummies fill the tail slabs (SURVEY.md section 4 #6 pad-mask).
+    i_glob = d * E_loc + jnp.arange(E_loc)
+    dummy = i_glob >= E_total - 1
+    last_true = i_glob == E_total - 2  # couples to the right boundary node
 
-    # Dirichlet column elimination: first interior row's sub-coupling goes to
-    # the rhs on device 0; the LAST TRUE interior row (r = E_loc-2 on the
-    # last device) couples to the right boundary node.
+    # Dirichlet column elimination.
     rhs = rhs.at[0].add(jnp.where(is_first, -sub[0] * g_l, 0.0))
-    last_true = E_loc - 2
-    rhs = rhs + jnp.where(is_last & (r_idx == last_true), -sup * g_r, 0.0)
-    # Dummy padding row on the last device (global row E_total-1): identity.
-    dummy = is_last & (r_idx == E_loc - 1)
+    rhs = rhs + jnp.where(last_true, -sup * g_r, 0.0)
     diag = jnp.where(dummy, 1.0, diag)
     rhs = jnp.where(dummy, 0.0, rhs)
     sub = jnp.where(dummy, 0.0, sub)
-    sup = jnp.where(is_last & (r_idx >= last_true), 0.0, sup)
+    sup = jnp.where(dummy | last_true, 0.0, sup)
 
     # SPIKE couplings: strip the inter-device entries out of the local block.
-    l_coup = jnp.where(is_first, 0.0, sub[0])
-    u_coup = jnp.where(is_last, 0.0, sup[-1])
+    l_coup = jnp.where(is_first | dummy[0], 0.0, sub[0])
+    u_coup = jnp.where(dummy[-1] | last_true[-1], 0.0, sup[-1])
     sub = sub.at[0].set(0.0)
     sup = sup.at[-1].set(0.0)
     return sub, diag, sup, rhs, l_coup, u_coup
@@ -153,17 +153,14 @@ def make_sharded_solve(problem: Problem1D, cfg: SolverConfig, mesh,
                        axis: str = ELEMENT_AXIS):
     """Build the jitted multi-chip hybrid solve over ``mesh``.
 
-    Requires a uniform mesh with E_total = cfg.num_nodes - 1 divisible by
-    the device count.  Returns a zero-argument jitted callable producing a
+    Uniform mesh; any element count (tail slabs carry masked dummy padding
+    when E_total does not divide by the device count — outputs are sliced
+    back to E_total).  Returns a zero-argument jitted callable producing a
     ShardedSolution (coeffs sharded over the element axis).
     """
     n_dev = mesh.shape[axis]
     E_total = cfg.num_nodes - 1
-    if E_total % n_dev:
-        raise ValueError(
-            f"element count {E_total} not divisible by {n_dev} devices"
-        )
-    E_loc = E_total // n_dev
+    E_loc = -(-E_total // n_dev)  # ceil: tail slabs carry dummy padding
     if E_loc < 2:
         raise ValueError("need at least 2 elements per device")
     dtype = cfg.jnp_dtype()
@@ -179,7 +176,7 @@ def make_sharded_solve(problem: Problem1D, cfg: SolverConfig, mesh,
         d = jax.lax.axis_index(axis)
         nodes_loc = _local_nodes(problem, E_total, E_loc, d, dtype)
         sub, diag, sup, rhs, l_coup, u_coup = _local_assembly(
-            problem, cfg, nodes_loc, d, n_dev, axis
+            problem, cfg, nodes_loc, d, n_dev, axis, E_total
         )
         x_loc, xl = _spike_solve(
             sub, diag, sup, rhs, l_coup, u_coup, d, n_dev, axis
@@ -190,12 +187,16 @@ def make_sharded_solve(problem: Problem1D, cfg: SolverConfig, mesh,
         g_r = jnp.asarray(problem.g_right, dtype)
         left_val = jnp.where(d == 0, g_l, xl)
         fem_loc = jnp.concatenate([left_val[None], x_loc])
-        fem_loc = fem_loc.at[-1].set(
-            jnp.where(d == n_dev - 1, g_r, fem_loc[-1])
-        )
+        # The global right-boundary node (index E_total) may sit mid-slab
+        # when E_total does not divide evenly; mask by global node id.
+        node_ids = d * E_loc + jnp.arange(E_loc + 1)
+        fem_loc = jnp.where(node_ids == E_total, g_r, fem_loc)
+        # Boundary-element bc overrides are no-ops here because fem_loc holds
+        # the exact Dirichlet data at the boundary nodes (masked above);
+        # touches_right=False avoids overriding a padded tail element.
         w, diags = lssvr_enhance(
             problem, nodes_loc, fem_loc, cfg, shared_ops=shared_ops,
-            touches_left=(d == 0), touches_right=(d == n_dev - 1),
+            touches_left=(d == 0), touches_right=False,
         )
         return (
             w,
@@ -215,7 +216,11 @@ def make_sharded_solve(problem: Problem1D, cfg: SolverConfig, mesh,
 
     @jax.jit
     def run():
-        out = sharded(shared)
-        return ShardedSolution(*out)
+        w, fem_loc, slack, bcv, ok = sharded(shared)
+        # Strip padded tail elements (present when E_total % n_dev != 0).
+        return ShardedSolution(
+            w[:E_total], fem_loc, slack[:E_total], bcv[:E_total],
+            ok[:E_total],
+        )
 
     return run

@@ -81,9 +81,20 @@ def test_sharded_dual_formulation():
     )
 
 
-def test_indivisible_element_count_rejected():
-    with pytest.raises(ValueError, match="not divisible"):
-        make_sharded_solve(
-            problems.poisson_1d(), SolverConfig(num_nodes=32),
-            pmesh.element_mesh(8),
-        )
+@pytest.mark.parametrize("E", [31, 29, 9])
+def test_indivisible_element_count_padded(E):
+    """Non-divisible element counts run with masked dummy padding (SURVEY.md
+    section 4 #6) — including E=9 on 8 devices where whole tail slabs are
+    dummy — and match the single-device solve exactly after slicing."""
+    problem = problems.poisson_1d()
+    cfg = SolverConfig(num_nodes=E + 1)
+    single = HybridSolver(problem, cfg)
+    single.solve()
+    run = make_sharded_solve(problem, cfg, pmesh.element_mesh(8))
+    out = run()
+    assert out.coeffs.shape[0] == E
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(single.solution.coeffs),
+        atol=1e-9,
+    )
+    assert bool(jnp.all(out.solve_ok))
