@@ -34,8 +34,9 @@ class ShardedSolution2D(NamedTuple):
     fem_local: jnp.ndarray  # [n_dev, ny_loc+1, nx+1] per-device slabs
     solve_ok: jnp.ndarray  # [ny, nx]
 
-    def assemble_fem_grid(self):
-        """Stitch the overlapping slabs back into the [ny+1, nx+1] grid."""
+    def assemble_fem_grid(self, total_ny=None):
+        """Stitch the overlapping slabs back into the [ny+1, nx+1] grid
+        (pass ``total_ny`` to strip padded tail rows)."""
         import numpy as np
 
         n_dev, nloc1, nx1 = self.fem_local.shape
@@ -44,6 +45,8 @@ class ShardedSolution2D(NamedTuple):
         fl = np.asarray(self.fem_local)
         for dd in range(n_dev):
             grid[dd * ny_loc:(dd + 1) * ny_loc + 1] = fl[dd]
+        if total_ny is not None:
+            grid = grid[: total_ny + 1]
         return grid
 
 
@@ -129,9 +132,8 @@ def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
     products); ``False`` replicates the coarse stage on every device (no
     communication — fine while the coarse grid is small)."""
     n_dev = mesh.shape[axis]
-    if cfg.ny % n_dev:
-        raise ValueError(f"ny={cfg.ny} not divisible by {n_dev} devices")
-    ny_loc = cfg.ny // n_dev
+    ny_loc = -(-cfg.ny // n_dev)  # ceil: tail slabs carry masked padding
+    ny_pad = n_dev * ny_loc
     dtype = cfg.jnp_dtype()
     shared_bundle = prepare_shared_2d(problem, cfg)
     shared, (t_int, bpts) = shared_bundle
@@ -145,7 +147,10 @@ def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
     def local_step(shared, t_int, bpts):
         d = jax.lax.axis_index(axis)
         xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
-        ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+        hy = (y1 - y0) / cfg.ny
+        # Padded node rows so every slab slice is in bounds; rows past
+        # cfg.ny are masked out by the global-row interior/boundary masks.
+        ys = y0 + hy * jnp.arange(ny_pad + 1, dtype=dtype)
         row0 = d * ny_loc
         ys_loc = jax.lax.dynamic_slice(ys, (row0,), (ny_loc + 1,))
         if distributed_fem:
@@ -153,9 +158,12 @@ def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
                 problem, cfg, d, n_dev, axis, xs, ys_loc, row0
             )
         else:
-            fem_values, _ = fem_solve_2d(problem, cfg, xs, ys)
+            fem_values, _ = fem_solve_2d(
+                problem, cfg, xs, ys[: cfg.ny + 1]
+            )
+            fem_pad = jnp.pad(fem_values, ((0, ny_pad - cfg.ny), (0, 0)))
             fem_loc = jax.lax.dynamic_slice(
-                fem_values, (row0, jnp.zeros_like(row0)),
+                fem_pad, (row0, jnp.zeros_like(row0)),
                 (ny_loc + 1, cfg.nx + 1),
             )
         f_rows, bc_rows, corners = _element_data_2d(
@@ -184,6 +192,7 @@ def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
     @jax.jit
     def run():
         coeffs, fem_local, ok = sharded(shared, t_int, bpts)
-        return ShardedSolution2D(coeffs, fem_local, ok)
+        # Strip padded tail element rows (ny not divisible by devices).
+        return ShardedSolution2D(coeffs[: cfg.ny], fem_local, ok[: cfg.ny])
 
     return run

@@ -26,14 +26,24 @@ def test_sharded_2d_matches_single_device(n_dev, distributed_fem):
         np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=1e-9
     )
     np.testing.assert_allclose(
-        out.assemble_fem_grid(), np.asarray(sol.fem_values), atol=1e-10
+        out.assemble_fem_grid(total_ny=cfg.ny), np.asarray(sol.fem_values),
+        atol=1e-10,
     )
     assert bool(jnp.all(out.solve_ok))
 
 
-def test_sharded_2d_indivisible_rejected():
-    with pytest.raises(ValueError, match="not divisible"):
-        make_sharded_solve_2d(
-            poisson_2d(), Solver2DConfig(nx=8, ny=9),
-            pmesh.element_mesh(4),
-        )
+@pytest.mark.parametrize("distributed_fem", [False, True])
+def test_sharded_2d_indivisible_padded(distributed_fem):
+    """ny=9 on 4 devices: masked tail padding, results match single-device
+    after slicing (SURVEY.md section 4 #6)."""
+    problem = poisson_2d()
+    cfg = Solver2DConfig(nx=8, ny=9, M=4, n_colloc=4)
+    single = HybridSolver2D(problem, cfg)
+    sol = single.solve()
+    run = make_sharded_solve_2d(problem, cfg, pmesh.element_mesh(4),
+                                distributed_fem=distributed_fem)
+    out = run()
+    assert out.coeffs.shape[0] == 9
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=1e-9
+    )
