@@ -200,6 +200,7 @@ def lssvr_enhance(problem: Problem1D, nodes, fem_values, cfg: SolverConfig,
         w, slack, bcv = pk.fused_enhance_shared(
             fv, shared_ops, problem.f, x0, h, cfg.n_colloc, tile=tile,
             with_diagnostics=cfg.diagnostics,
+            f_shifted_fn=problem.f_shifted,
         )
         u_left, u_right = fv[:-1], fv[1:]
         if cfg.diagnostics:

@@ -51,6 +51,12 @@ class Problem1D:
     exact: Optional[Callable] = None
     exact_dx: Optional[Callable] = None
     constant_coeffs: bool = False  # a, b, c independent of x
+    # Optional structured rhs evaluation for the fused kernel:
+    # f_shifted(xl, dloc) == f(xl + dloc) computed with per-element work
+    # factored out (e.g. trig angle addition: 2 transcendentals per element
+    # instead of n_colloc).  xl: [1, T] element left edges; dloc: [C, 1]
+    # static in-element offsets; returns [C, T].
+    f_shifted: Optional[Callable] = None
 
     def colloc_coeffs(self, x):
         """(a2, a1, a0) of the non-divergence collocation operator at x."""

@@ -15,12 +15,24 @@ from .problem import Problem1D
 
 def poisson_1d() -> Problem1D:
     """-u'' = pi^2 sin(pi x) on (-1, 1), u(+-1) = 0, exact u = sin(pi x)."""
+    pi = jnp.pi
+
+    def f_shifted(xl, dloc):
+        # sin(pi(xl+d)) = sin(pi xl)cos(pi d) + cos(pi xl)sin(pi d):
+        # the cos(pi d)/sin(pi d) factors are static per collocation offset,
+        # so the fused kernel pays 2 transcendentals per element, not C.
+        return (pi**2) * (
+            jnp.sin(pi * xl) * jnp.cos(pi * dloc)
+            + jnp.cos(pi * xl) * jnp.sin(pi * dloc)
+        )
+
     return Problem1D(
         name="poisson_1d",
-        f=lambda x: (jnp.pi**2) * jnp.sin(jnp.pi * x),
-        exact=lambda x: jnp.sin(jnp.pi * x),
-        exact_dx=lambda x: jnp.pi * jnp.cos(jnp.pi * x),
+        f=lambda x: (pi**2) * jnp.sin(pi * x),
+        exact=lambda x: jnp.sin(pi * x),
+        exact_dx=lambda x: pi * jnp.cos(pi * x),
         constant_coeffs=True,
+        f_shifted=f_shifted,
     )
 
 

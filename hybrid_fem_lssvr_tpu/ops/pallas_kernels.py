@@ -42,6 +42,7 @@ def fused_enhance_shared(
     tile: int = 8192,
     interpret: bool = False,
     with_diagnostics: bool = True,
+    f_shifted_fn=None,  # optional structured f(xl + d) (Problem1D.f_shifted)
 ):
     """Fused shared-operator enhancement: (w, max_slack, bc_violation).
 
@@ -83,8 +84,13 @@ def fused_enhance_shared(
             h, dtype
         )  # [1, tile]
         tloc = (t_colloc_ref[:, 0:1] + 1.0) * jnp.asarray(0.5 * h, dtype)
-        xq = xl + tloc  # [C, tile]
-        f = f_fn(xq)  # VPU transcendentals, fused in VMEM
+        if f_shifted_fn is not None:
+            # Structured rhs: per-element transcendental count is O(1), the
+            # per-offset factors are static [C, 1] vectors.
+            f = f_shifted_fn(xl, tloc)
+        else:
+            xq = xl + tloc  # [C, tile]
+            f = f_fn(xq)  # VPU transcendentals, fused in VMEM
         bc = jnp.concatenate([fl_ref[:], fr_ref[:]], axis=0)  # [2, tile]
         w = jnp.dot(wf_ref[:], f, precision=hi,
                     preferred_element_type=dtype)

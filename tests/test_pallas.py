@@ -55,6 +55,23 @@ def test_fused_no_diagnostics(setup):
     np.testing.assert_array_equal(np.asarray(w), np.asarray(w_full))
 
 
+def test_f_shifted_structured_rhs_matches_direct(setup):
+    """The angle-addition structured rhs (Problem1D.f_shifted) equals the
+    direct f(xl + d) evaluation inside the fused kernel."""
+    problem, cfg, nodes, fem, shared = setup
+    E = nodes.shape[0] - 1
+    w_direct, _, _ = pk.fused_enhance_shared(
+        fem, shared, problem.f, -1.0, 2.0 / E, cfg.n_colloc, tile=128,
+        interpret=True,
+    )
+    w_struct, _, _ = pk.fused_enhance_shared(
+        fem, shared, problem.f, -1.0, 2.0 / E, cfg.n_colloc, tile=128,
+        interpret=True, f_shifted_fn=problem.f_shifted,
+    )
+    np.testing.assert_allclose(np.asarray(w_struct), np.asarray(w_direct),
+                               atol=1e-6)
+
+
 def test_pick_tile():
     assert pk.pick_tile(1 << 20) == 8192
     assert pk.pick_tile(3 * 256) == 256
