@@ -233,10 +233,19 @@ def lssvr_enhance(problem: Problem1D, nodes, fem_values, cfg: SolverConfig,
             + a1[:, :, None] * scale * V1[None]
             + a0[:, :, None] * V0[None]
         )
+        # Null-space/particular operators for the f32 LSE path are pure
+        # functions of (M, n_colloc): precompute host-side f64 (B may be a
+        # tracer here; the host Vandermonde is trace-independent).
+        import numpy as np
+
+        V0h, _, _ = legendre.collocation_vandermonde_host(cfg.M,
+                                                          cfg.n_colloc)
+        Z_np, Pbc_np = kkt.nullspace_host(np.stack([V0h[0], V0h[-1]]))
+        ZP = (jnp.asarray(Z_np, dtype), jnp.asarray(Pbc_np, dtype))
         w, diags = kkt.solve_batched(
             D, B, f_colloc, bc, cfg.gamma,
             formulation=cfg.formulation, method=cfg.kkt_method,
-            refine_steps=cfg.refine_steps,
+            refine_steps=cfg.refine_steps, ZP=ZP,
         )
 
     w = kkt.apply_fallback(w, diags, u_left, u_right)

@@ -166,8 +166,56 @@ def _diagnostics(D, B, f, bc, w, tol: float = 1e-2):
     return KKTDiagnostics(max_slack, bc_violation, solve_ok)
 
 
+def nullspace_host(B):
+    """Host float64 (Z, Pbc): orthonormal null-space basis of B [K, M] and
+    the min-norm particular map Pbc = B^T (B B^T)^{-1} [M, K].  B is shared
+    by every element (its rows depend only on the reference-coordinate
+    basis values), so this is setup-time work."""
+    import numpy as np
+
+    B = np.asarray(B, np.float64)
+    K, M = B.shape
+    Q, _ = np.linalg.qr(B.T, mode="complete")
+    Z = Q[:, K:]
+    Pbc = B.T @ np.linalg.inv(B @ B.T)
+    return Z, Pbc
+
+
+def _batched_mgs_qr_solve(G, g):
+    """Least squares min ||G y - g|| for a batch of SMALL thin systems:
+    G [E, C, K] (K static, <= ~12), g [E, C] -> y [E, K].
+
+    Modified Gram-Schmidt with one reorthogonalisation pass, written as
+    static Python loops of batched elementwise/reduction ops — TPU's
+    ``lax.linalg.qr`` is unusable here (batched Householder compiles for
+    minutes and runs worse; measured 43 s compile at E=64)."""
+    E, C, K = G.shape
+    cols = [G[:, :, j] for j in range(K)]
+    Qc = []
+    R = jnp.zeros((E, K, K), G.dtype)
+    for j in range(K):
+        v = cols[j]
+        for _pass in range(2):  # MGS + reorthogonalisation (CGS2 stability)
+            for i in range(j):
+                rij = jnp.sum(Qc[i] * v, axis=-1)
+                R = R.at[:, i, j].add(rij)
+                v = v - rij[:, None] * Qc[i]
+        rjj = jnp.sqrt(jnp.sum(v * v, axis=-1))
+        R = R.at[:, j, j].set(rjj)
+        Qc.append(v / (rjj[:, None] + 1e-30))
+    # y = R^{-1} Q^T g by static back-substitution.
+    qtg = [jnp.sum(Qc[j] * g, axis=-1) for j in range(K)]
+    y = [None] * K
+    for j in reversed(range(K)):
+        acc = qtg[j]
+        for i in range(j + 1, K):
+            acc = acc - R[:, j, i] * y[i]
+        y[j] = acc / (R[:, j, j] + 1e-30)
+    return jnp.stack(y, axis=-1)
+
+
 def solve_primal_lse(D: jnp.ndarray, B: jnp.ndarray, f: jnp.ndarray,
-                     bc: jnp.ndarray):
+                     bc: jnp.ndarray, ZP=None):
     """Orthogonal-method path for float32 (the TPU hot dtype).
 
     Forming H = I + gamma D^T D squares D's conditioning and drowns the
@@ -180,35 +228,36 @@ def solve_primal_lse(D: jnp.ndarray, B: jnp.ndarray, f: jnp.ndarray,
         min_w ||D w - f||_2   s.t.  B w = bc,
 
     solved stably by the null-space method at kappa(D), not gamma*kappa(D)^2:
-      Z = orthonormal null basis of B (complete QR of B^T),
-      w_p = B^T (B B^T)^{-1} bc          (min-norm particular solution),
-      y   = argmin ||(D Z) y - (f - D w_p)||  via QR,
-      w   = w_p + Z y.
+      Z = orthonormal null basis of B, w_p = particular solution (both
+      host-precomputed when B is shared; pass as ``ZP=(Z, Pbc)``),
+      y = argmin ||(D Z) y - (f - D w_p)|| via the batched MGS QR,
+      w = w_p + Z y.
     """
     E = D.shape[0]
-    if B.ndim == 2:
-        B = jnp.broadcast_to(B, (E,) + B.shape)
-
-    def one(De, Be, fe, bce):
-        K = Be.shape[0]
-        Q, _ = jnp.linalg.qr(Be.T, mode="complete")  # [M, M]
-        Z = Q[:, K:]  # [M, M-K] orthonormal null(B)
-        wp = Be.T @ jnp.linalg.solve(Be @ Be.T, bce)
-        # Global per-element scale removal (all rows share the (2/h)^2
-        # chain factor): scale-invariant for the minimiser, keeps f32 sane.
-        s0 = jnp.sqrt(jnp.mean(De * De)) + 1e-30
-        G = (De @ Z) / s0
-        g = (fe - De @ wp) / s0
-        q, r = jnp.linalg.qr(G)
-        y = jax.scipy.linalg.solve_triangular(r, q.T @ g, lower=False)
-        return wp + Z @ y
-
-    w = jax.vmap(one)(D, B, f, bc)
+    hi = jax.lax.Precision.HIGHEST
+    if ZP is None:
+        if B.ndim != 2:
+            raise ValueError(
+                "per-element B requires precomputed ZP per element"
+            )
+        Z_np, Pbc_np = nullspace_host(B)
+        Z = jnp.asarray(Z_np, D.dtype)
+        Pbc = jnp.asarray(Pbc_np, D.dtype)
+    else:
+        Z, Pbc = ZP
+    wp = jnp.einsum("mk,ek->em", Pbc, bc, precision=hi)  # [E, M]
+    # Global per-element scale removal (all rows share the (2/h)^2 chain
+    # factor): scale-invariant for the minimiser, keeps f32 sane.
+    s0 = jnp.sqrt(jnp.mean(D * D, axis=(1, 2))) + 1e-30  # [E]
+    G = jnp.einsum("ecm,mk->eck", D, Z, precision=hi) / s0[:, None, None]
+    g = (f - jnp.einsum("ecm,em->ec", D, wp, precision=hi)) / s0[:, None]
+    y = _batched_mgs_qr_solve(G, g)
+    w = wp + jnp.einsum("mk,ek->em", Z, y, precision=hi)
     return w, _diagnostics(D, B, f, bc, w)
 
 
 def _solve_batched_inner(D, B, f, bc, gamma, formulation="primal",
-                         method="auto", refine_steps: int = 0):
+                         method="auto", refine_steps: int = 0, ZP=None):
     """Dtype-aware routing.
 
     float64: primal -> Schur/Cholesky KKT; dual -> augmented LU.  These are
@@ -222,7 +271,7 @@ def _solve_batched_inner(D, B, f, bc, gamma, formulation="primal",
             "dual_aug" if formulation == "dual" else "cholesky"
         )
     if method == "qr":
-        return solve_primal_lse(D, B, f, bc)
+        return solve_primal_lse(D, B, f, bc, ZP=ZP)
     if method == "cholesky":
         return solve_primal_batched(D, B, f, bc, gamma,
                                     refine_steps=refine_steps)
@@ -232,7 +281,7 @@ def _solve_batched_inner(D, B, f, bc, gamma, formulation="primal",
 
 
 def solve_batched(D, B, f, bc, gamma, formulation="primal",
-                  method="auto", refine_steps: int = 0):
+                  method="auto", refine_steps: int = 0, ZP=None):
     """Dtype-aware routed solve; see _solve_batched_inner for the routing.
 
     All linear algebra runs at HIGHEST matmul precision: the TPU MXU's
@@ -241,7 +290,7 @@ def solve_batched(D, B, f, bc, gamma, formulation="primal",
     with jax.default_matmul_precision("highest"):
         return _solve_batched_inner(D, B, f, bc, gamma,
                                     formulation=formulation, method=method,
-                                    refine_steps=refine_steps)
+                                    refine_steps=refine_steps, ZP=ZP)
 
 
 class SharedOperators(NamedTuple):
