@@ -39,16 +39,30 @@ class Problem2D:
     g: Callable  # Dirichlet data g(x, y)
     domain: Tuple[float, float, float, float] = (-1.0, 1.0, -1.0, 1.0)
     exact: Optional[Callable] = None
+    # Optional structured rhs for the fused kernel: f_shifted(xl, dx, yl, dy)
+    # == f(xl+dx, yl+dy) with per-quad transcendental work factored out.
+    f_shifted: Optional[Callable] = None
 
 
 def poisson_2d() -> Problem2D:
     """-Lap u = 2 pi^2 sin(pi x) sin(pi y), exact u = sin(pi x) sin(pi y)."""
     pi = jnp.pi
+
+    def f_shifted(xl, dx, yl, dy):
+        # Separable trig rhs via angle addition: 4 transcendental vectors of
+        # the tile width instead of C^2 per quad.
+        sx = jnp.sin(pi * xl) * jnp.cos(pi * dx) \
+            + jnp.cos(pi * xl) * jnp.sin(pi * dx)
+        sy = jnp.sin(pi * yl) * jnp.cos(pi * dy) \
+            + jnp.cos(pi * yl) * jnp.sin(pi * dy)
+        return 2.0 * pi**2 * sx * sy
+
     return Problem2D(
         name="poisson_2d",
         f=lambda x, y: 2.0 * pi**2 * jnp.sin(pi * x) * jnp.sin(pi * y),
         g=lambda x, y: jnp.zeros_like(x + y),
         exact=lambda x, y: jnp.sin(pi * x) * jnp.sin(pi * y),
+        f_shifted=f_shifted,
     )
 
 
@@ -61,6 +75,8 @@ class Solver2DConfig:
     n_colloc: int = 6  # collocation grid per dimension (C^2 PDE rows)
     cg_tol: Optional[float] = None  # None -> 100 * dtype eps (relative)
     cg_maxiter: int = 2000
+    backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (enhancement stage)
+    diagnostics: bool = True
     dtype: Optional[str] = None
 
     def jnp_dtype(self):
@@ -244,10 +260,47 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
     ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
 
     fem_values, cg_res = fem_solve_2d(problem, cfg, xs, ys)
-    f_rows, bc_rows, corners = _element_data_2d(
-        problem, cfg, xs, ys, fem_values, t_int, bpts
-    )
-    w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+    E = cfg.nx * cfg.ny
+    backend = cfg.backend
+    if backend == "auto":
+        from ..ops import pallas_kernels as pk
+
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and pk.pick_tile(E, 4096) >= 128
+            else "xla"
+        )
+    if backend == "pallas":
+        from ..ops import pallas_kernels as pk
+
+        hx = (x1 - x0) / cfg.nx
+        hy = (y1 - y0) / cfg.ny
+        w, slack, bcv = pk.fused_enhance_shared_2d(
+            fem_values, shared, problem.f, problem.g,
+            (x0, hx, y0, hy), cfg.nx, cfg.ny, t_int, bpts,
+            tile=pk.pick_tile(E, 4096),
+            with_diagnostics=cfg.diagnostics,
+            f_shifted_fn=problem.f_shifted,
+        )
+        if cfg.diagnostics:
+            finite = jnp.isfinite(slack) & jnp.isfinite(bcv)
+            ok_flat = finite & (bcv <= 1e-2 * (1.0 + jnp.abs(bcv)))
+            diags = kkt.KKTDiagnostics(slack, bcv, ok_flat)
+        else:
+            z = jnp.zeros((E,), w.dtype)
+            diags = kkt.KKTDiagnostics(
+                z, z, jnp.all(jnp.isfinite(w), axis=-1)
+            )
+        u00 = fem_values[:-1, :-1]
+        u10 = fem_values[:-1, 1:]
+        u01 = fem_values[1:, :-1]
+        u11 = fem_values[1:, 1:]
+        corners = (u00, u10, u01, u11)
+    else:
+        f_rows, bc_rows, corners = _element_data_2d(
+            problem, cfg, xs, ys, fem_values, t_int, bpts
+        )
+        w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
     M = cfg.M
     coeffs = w.reshape(cfg.ny, cfg.nx, M, M)
     fb = _bilinear_fallback_coeffs(*corners, M)

@@ -72,6 +72,32 @@ def test_f_shifted_structured_rhs_matches_direct(setup):
                                atol=1e-6)
 
 
+def test_fused_2d_matches_xla_path():
+    from hybrid_fem_lssvr_tpu.models import hybrid2d as h2
+    from hybrid_fem_lssvr_tpu.ops import kkt
+
+    p = h2.poisson_2d()
+    cfg = h2.Solver2DConfig(nx=16, ny=16, M=5, n_colloc=5, dtype="float32")
+    shared, (t_int, bpts) = h2.prepare_shared_2d(p, cfg)
+    xs = jnp.linspace(-1, 1, 17, dtype=jnp.float32)
+    ys = jnp.linspace(-1, 1, 17, dtype=jnp.float32)
+    fem, _ = h2.fem_solve_2d(p, cfg, xs, ys)
+    f_rows, bc_rows, _ = h2._element_data_2d(p, cfg, xs, ys, fem, t_int,
+                                             bpts)
+    w_ref, d_ref = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+    geom = (-1.0, 2 / 16, -1.0, 2 / 16)
+    for fs in (None, p.f_shifted):
+        w, slack, bcv = pk.fused_enhance_shared_2d(
+            fem, shared, p.f, p.g, geom, 16, 16, t_int, bpts, tile=256,
+            interpret=True, f_shifted_fn=fs,
+        )
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(bcv), np.asarray(d_ref.bc_violation), atol=1e-5
+        )
+
+
 def test_pick_tile():
     assert pk.pick_tile(1 << 20) == 8192
     assert pk.pick_tile(3 * 256) == 256
