@@ -451,6 +451,7 @@ def solve_dual_batched(
     f: jnp.ndarray,
     bc: jnp.ndarray,
     gamma,
+    return_multipliers: bool = False,
 ):
     """Genuine dual formulation (SURVEY.md section 7.3).
 
@@ -459,6 +460,10 @@ def solve_dual_batched(
     Solve (K + diag(1/gamma on PDE rows, 0 on BC rows)) mu = [f; bc];
     recover w = A^T mu.  Cheaper than primal when M > C + 2; identical
     solution (same QP) — asserted in tests.
+
+    ``return_multipliers=True`` additionally returns the dual variables
+    (alpha [E, C] — the LSSVR support values, alpha = gamma * slack — and
+    beta [E, K]) as a third output.
     """
     gamma = jnp.asarray(gamma, D.dtype)
     E, C, M = D.shape
@@ -495,9 +500,12 @@ def solve_dual_batched(
             [jnp.zeros((M,), De.dtype), jnp.concatenate([fe, bce]) * r]
         )
         sol = jnp.linalg.solve(aug, rhs)  # batched LU with partial pivoting
-        return sol[:M]
+        # Unscale: the equilibrated multipliers are mu_tilde = mu / r.
+        return sol[:M], sol[M:] * r
 
-    w = jax.vmap(one)(D, B, f, bc)
+    w, mu = jax.vmap(one)(D, B, f, bc)
+    if return_multipliers:
+        return w, _diagnostics(D, B, f, bc, w), (mu[:, :C], mu[:, C:])
     return w, _diagnostics(D, B, f, bc, w)
 
 

@@ -166,6 +166,32 @@ def test_fallback_mask(rng):
     assert np.isfinite(np.asarray(w_final)).all()
 
 
+def test_dual_multipliers_satisfy_kkt_identities(rng):
+    """Exposed dual variables: stationarity w = D^T alpha + B^T beta holds
+    tightly; alpha tracks gamma * slack (exact at the optimum; ~1e-3
+    relative here because the multiplier components living in the kernel
+    system's ill-conditioned directions are less determined than w)."""
+    from hybrid_fem_lssvr_tpu.ops import legendre
+
+    V0, V1, V2 = legendre.collocation_vandermonde(8, 12, dtype=jnp.float64)
+    D = np.broadcast_to(-100.0 * np.asarray(V2), (3, 12, 8))
+    B = np.stack([np.asarray(V0)[0], np.asarray(V0)[-1]])
+    f = rng.normal(size=(3, 12))
+    bc = rng.normal(size=(3, 2)) * 0.1
+    w, diags, (alpha, beta) = kkt.solve_dual_batched(
+        jnp.asarray(D), jnp.asarray(B), jnp.asarray(f), jnp.asarray(bc),
+        1e4, return_multipliers=True,
+    )
+    w_rec = np.einsum("ecm,ec->em", D, np.asarray(alpha)) \
+        + np.asarray(beta) @ B
+    scale = np.abs(np.asarray(w)).max()
+    np.testing.assert_allclose(w_rec, np.asarray(w), atol=1e-6 * scale)
+    slack = f - np.einsum("ecm,em->ec", D, np.asarray(w))
+    rel = np.abs(np.asarray(alpha) - 1e4 * slack).max() \
+        / np.abs(np.asarray(alpha)).max()
+    assert rel < 5e-3, rel
+
+
 def test_element_permutation_invariance(rng):
     """SURVEY.md section 4 #6: permuting the element batch permutes the
     outputs exactly (no cross-element coupling in the batched solver)."""
