@@ -54,6 +54,35 @@ class SolverConfig:
     # back to the run dtype; the enhancement stays on the f32 fast path.
     fem_dtype: Optional[str] = None
 
+    def __post_init__(self):
+        if self.num_nodes < 2:
+            raise ValueError(f"num_nodes must be >= 2, got {self.num_nodes}")
+        if self.M < 1:
+            raise ValueError(f"M must be >= 1, got {self.M}")
+        if self.n_colloc < 2:
+            raise ValueError(
+                f"n_colloc must be >= 2, got {self.n_colloc}"
+            )
+        if self.n_colloc + 2 < self.M:
+            raise ValueError(
+                f"n_colloc={self.n_colloc} under-determines M={self.M} "
+                f"coefficients (need n_colloc + 2 >= M: the 2 boundary rows "
+                f"plus the PDE rows must reach the basis size)"
+            )
+        if self.gamma <= 0:
+            raise ValueError(f"gamma must be positive, got {self.gamma}")
+        if self.formulation not in ("primal", "dual"):
+            raise ValueError(f"unknown formulation: {self.formulation!r}")
+        if self.kkt_method not in ("auto", "cholesky", "qr", "dual_aug"):
+            raise ValueError(f"unknown kkt_method: {self.kkt_method!r}")
+        if self.backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown backend: {self.backend!r}")
+        if self.tridiag_method not in ("auto", "thomas", "pcr", "spike",
+                                       "dense"):
+            raise ValueError(
+                f"unknown tridiag_method: {self.tridiag_method!r}"
+            )
+
     def jnp_dtype(self):
         if self.dtype is not None:
             return jnp.dtype(self.dtype)

@@ -60,6 +60,20 @@ def test_checkpoint_roundtrip_2d(tmp_path):
     assert np.isfinite(np.asarray(u)).all()
 
 
+def test_config_validation():
+    with pytest.raises(ValueError, match="num_nodes"):
+        SolverConfig(num_nodes=1)
+    with pytest.raises(ValueError, match="under-determines"):
+        SolverConfig(M=10, n_colloc=4)
+    with pytest.raises(ValueError, match="formulation"):
+        SolverConfig(formulation="primel")
+    with pytest.raises(ValueError, match="gamma"):
+        SolverConfig(gamma=0.0)
+    with pytest.raises(ValueError, match="tridiag_method"):
+        SolverConfig(tridiag_method="thomaz")
+    SolverConfig()  # defaults valid
+
+
 def test_metrics_emitter_json_lines():
     buf = io.StringIO()
     em = M.MetricsEmitter(stream=buf, run_id="r1")
