@@ -136,6 +136,42 @@ def cmd_adaptive(args):
         em.emit("adaptive_round", problem=problem.name, **rec)
 
 
+def cmd_campaign(args):
+    """Run every BASELINE.json workload config and emit one JSON line each:
+    1) 1D Poisson primal (reference __main__ config),
+    2) dual + h-sweep + kernel-degree points,
+    3) variable-coefficient elliptic,
+    4) Helmholtz and advection-diffusion,
+    5) 2D Poisson on structured quads."""
+    em = M.MetricsEmitter()
+    base = dict(n_colloc=args.n_colloc, fem_quad_order=args.fem_quad_order,
+                tridiag_method=args.tridiag_method, dtype=args.dtype,
+                fem_dtype=args.fem_dtype)
+    # config 1: reference __main__
+    _run_one(problems.poisson_1d(),
+             SolverConfig(num_nodes=25, M=8, gamma=1e4, **base),
+             em, args.eval_points)
+    # config 2: dual + sweeps
+    for E in (10, 100, 1000):
+        _run_one(problems.poisson_1d(),
+                 SolverConfig(num_nodes=E + 1, M=8, formulation="dual",
+                              **base),
+                 em, args.eval_points)
+    for Mi in (4, 8, 10):
+        _run_one(problems.poisson_1d(),
+                 SolverConfig(num_nodes=101, M=Mi, **base),
+                 em, args.eval_points)
+    # configs 3-4
+    for name in ("variable_coeff_elliptic", "helmholtz_1d",
+                 "advection_diffusion_1d"):
+        _run_one(problems.get(name), SolverConfig(num_nodes=65, **base),
+                 em, args.eval_points)
+    # config 5: 2D
+    ns = argparse.Namespace(nx=32, ny=32, M=6, gamma=1e4, dtype=args.dtype,
+                            eval_points=2000)
+    cmd_run2d(ns)
+
+
 def cmd_run2d(args):
     em = M.MetricsEmitter()
     problem = poisson_2d()
@@ -210,6 +246,11 @@ def build_parser():
     sp.add_argument("--M-values", type=int, nargs="+",
                     default=[2, 3, 4, 6, 8, 10])
     sp.set_defaults(fn=cmd_psweep)
+
+    sp = sub.add_parser("campaign",
+                        help="run every BASELINE workload config")
+    common(sp)
+    sp.set_defaults(fn=cmd_campaign)
 
     sp = sub.add_parser("adaptive", help="slack-driven adaptive refinement")
     common(sp)
