@@ -75,6 +75,7 @@ class Solver2DConfig:
     n_colloc: int = 6  # collocation grid per dimension (C^2 PDE rows)
     cg_tol: Optional[float] = None  # None -> 100 * dtype eps (relative)
     cg_maxiter: int = 2000
+    precond: str = "auto"  # 'auto' | 'jacobi' | 'mg' (geometric V-cycle)
     backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (enhancement stage)
     diagnostics: bool = True
     dtype: Optional[str] = None
@@ -165,8 +166,21 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
     rhs = jnp.where(
         interior, b - assembly2d.apply_stiffness(u_bc, K_loc), 0.0
     )
-    diag = assembly2d.stiffness_diag((ny1, nx1), K_loc, dtype)
-    M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+    precond = cfg.precond
+    if precond == "auto":
+        # V-cycle needs 2-divisible grids; Jacobi-CG iterations grow O(N)
+        # (measured 88/177/357 at n=32/64/128) so prefer multigrid.
+        precond = (
+            "mg" if cfg.nx % 2 == 0 and cfg.ny % 2 == 0
+            and min(cfg.nx, cfg.ny) >= 8 else "jacobi"
+        )
+    if precond == "mg":
+        from ..ops import multigrid
+
+        M_inv = multigrid.make_vcycle(ny1, nx1, K_loc, dtype)
+    else:
+        diag = assembly2d.stiffness_diag((ny1, nx1), K_loc, dtype)
+        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
     tol = cfg.cg_tol
     if tol is None:
         tol = 100.0 * float(jnp.finfo(dtype).eps)

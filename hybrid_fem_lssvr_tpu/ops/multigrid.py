@@ -1,0 +1,108 @@
+"""Geometric multigrid V-cycle preconditioner for the 2D Q1 coarse solve.
+
+Jacobi-CG iteration counts grow like O(N) with mesh refinement (measured
+88/177/357 at n = 32/64/128 on a generic rhs) — at production grid sizes the
+coarse stage would dominate the whole pipeline.  A standard geometric
+V-cycle (weighted-Jacobi smoothing, full-weighting restriction, bilinear
+prolongation, rediscretised coarse operators — scale-invariant for the 2D
+Laplacian on square-ish cells) bounds the preconditioned iteration count
+independently of N.
+
+Everything is expressed as static slicing/stencil ops on the node grid —
+no gathers, no sparse formats; XLA fuses each level into a few stencil
+kernels.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import assembly2d
+
+
+def restrict_full_weighting(r: jnp.ndarray) -> jnp.ndarray:
+    """[nf+1, nf+1] fine-grid residual -> [nf/2+1, nf/2+1] via R = P^T
+    (stencil [1 2 1; 2 4 2; 1 2 1]/4).  For Q1 elements with bilinear P the
+    coarse Q1 space is nested in the fine one and P^T A P IS the coarse Q1
+    stiffness (square cells), so R must be P^T exactly — the classical
+    FW/16 scaling under-weights the coarse correction by 4x (measured: CG
+    iteration counts kept growing ~O(N^0.8) instead of staying flat)."""
+    rp = jnp.pad(r, 1)
+    c = rp[1:-1:2, 1:-1:2]
+    n = rp[0:-2:2, 1:-1:2] + rp[2::2, 1:-1:2] \
+        + rp[1:-1:2, 0:-2:2] + rp[1:-1:2, 2::2]
+    d = rp[0:-2:2, 0:-2:2] + rp[0:-2:2, 2::2] \
+        + rp[2::2, 0:-2:2] + rp[2::2, 2::2]
+    return (4.0 * c + 2.0 * n + d) / 4.0
+
+
+def prolong_bilinear(c: jnp.ndarray, fine_shape) -> jnp.ndarray:
+    """[nc+1, nc+1] coarse field -> [2nc+1, 2nc+1] bilinear interpolation."""
+    nyf, nxf = fine_shape
+    u = jnp.zeros(fine_shape, c.dtype)
+    u = u.at[::2, ::2].set(c)
+    u = u.at[1::2, ::2].set(0.5 * (c[:-1, :] + c[1:, :]))
+    u = u.at[::2, 1::2].set(0.5 * (c[:, :-1] + c[:, 1:]))
+    u = u.at[1::2, 1::2].set(
+        0.25 * (c[:-1, :-1] + c[1:, :-1] + c[:-1, 1:] + c[1:, 1:])
+    )
+    return u
+
+
+def _interior(shape):
+    m = jnp.zeros(shape, bool)
+    return m.at[1:-1, 1:-1].set(True)
+
+
+def make_vcycle(ny1: int, nx1: int, K_loc, dtype, nu: int = 2,
+                omega: float = 0.8, coarsest: int = 5,
+                coarse_sweeps: int = 60):
+    """Build M_inv(r): one V(nu, nu) cycle on the Dirichlet-interior system.
+
+    Requires (ny1-1, nx1-1) divisible by 2 down to the coarsest level; the
+    2D Laplacian's Q1 stiffness is scale-invariant for fixed aspect ratio,
+    so K_loc is reused on every level."""
+    shapes = [(ny1, nx1)]
+    while (
+        (shapes[-1][0] - 1) % 2 == 0
+        and (shapes[-1][1] - 1) % 2 == 0
+        and min(shapes[-1]) - 1 > coarsest
+    ):
+        shapes.append(((shapes[-1][0] - 1) // 2 + 1,
+                       (shapes[-1][1] - 1) // 2 + 1))
+    masks = [_interior(s) for s in shapes]
+    diags = [
+        jnp.where(
+            masks[i], assembly2d.stiffness_diag(shapes[i], K_loc, dtype),
+            1.0,
+        )
+        for i in range(len(shapes))
+    ]
+
+    def apply_A(u, lvl):
+        return jnp.where(
+            masks[lvl],
+            assembly2d.apply_stiffness(u * masks[lvl], K_loc),
+            0.0,
+        )
+
+    def smooth(u, r, lvl, sweeps):
+        for _ in range(sweeps):
+            u = u + omega * jnp.where(
+                masks[lvl], (r - apply_A(u, lvl)) / diags[lvl], 0.0
+            )
+        return u
+
+    def vcycle(r, lvl=0):
+        u = smooth(jnp.zeros_like(r), r, lvl, nu)
+        if lvl == len(shapes) - 1:
+            return smooth(u, r, lvl, coarse_sweeps - nu)
+        res = jnp.where(masks[lvl], r - apply_A(u, lvl), 0.0)
+        rc = jnp.where(masks[lvl + 1], restrict_full_weighting(res), 0.0)
+        ec = vcycle(rc, lvl + 1)
+        u = u + jnp.where(
+            masks[lvl], prolong_bilinear(ec, shapes[lvl]), 0.0
+        )
+        return smooth(u, r, lvl, nu)
+
+    return vcycle

@@ -1,0 +1,67 @@
+"""Geometric multigrid preconditioner for the 2D coarse solve."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_fem_lssvr_tpu.models import hybrid2d as h2
+from hybrid_fem_lssvr_tpu.ops import multigrid
+
+
+def generic_problem():
+    return h2.Problem2D(
+        name="gauss2d",
+        f=lambda x, y: jnp.exp(-8 * ((x - 0.3) ** 2 + (y + 0.2) ** 2)),
+        g=lambda x, y: jnp.zeros_like(x + y),
+    )
+
+
+def test_transfer_operators_are_adjoint():
+    """R = P^T (Galerkin consistency for nested Q1 spaces): <P c, f> ==
+    <c, R f> for random fields."""
+    rng = np.random.default_rng(0)
+    nc, nf = 9, 17
+    c = jnp.asarray(rng.normal(size=(nc, nc)))
+    f = jnp.asarray(rng.normal(size=(nf, nf)))
+    Pc = multigrid.prolong_bilinear(c, (nf, nf))
+    Rf = multigrid.restrict_full_weighting(f)
+    lhs = float(jnp.sum(Pc * f))
+    rhs = float(jnp.sum(c * Rf))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+@pytest.mark.parametrize("n", [16, 32, 64])
+def test_mg_iteration_count_mesh_independent(n):
+    """V-cycle-preconditioned CG converges in O(1) iterations (measured 9
+    up to n=256 on hardware) regardless of mesh size — Jacobi grows O(N)
+    (357 at n=128)."""
+    cfg = h2.Solver2DConfig(nx=n, ny=n, precond="mg")
+    xs = jnp.linspace(-1, 1, n + 1)
+    ys = jnp.linspace(-1, 1, n + 1)
+    u, res = h2.fem_solve_2d(generic_problem(), cfg, xs, ys)
+    assert int(res.iters) <= 12, int(res.iters)
+
+
+def test_mg_matches_jacobi_solution():
+    n = 32
+    xs = jnp.linspace(-1, 1, n + 1)
+    ys = jnp.linspace(-1, 1, n + 1)
+    u_mg, _ = h2.fem_solve_2d(
+        generic_problem(), h2.Solver2DConfig(nx=n, ny=n, precond="mg"),
+        xs, ys,
+    )
+    u_j, _ = h2.fem_solve_2d(
+        generic_problem(), h2.Solver2DConfig(nx=n, ny=n, precond="jacobi"),
+        xs, ys,
+    )
+    np.testing.assert_allclose(np.asarray(u_mg), np.asarray(u_j), atol=1e-12)
+
+
+def test_auto_precond_odd_grid_falls_back():
+    """Odd grids can't coarsen: 'auto' uses Jacobi and still solves."""
+    n = 31
+    cfg = h2.Solver2DConfig(nx=n, ny=n)
+    xs = jnp.linspace(-1, 1, n + 1)
+    ys = jnp.linspace(-1, 1, n + 1)
+    u, res = h2.fem_solve_2d(generic_problem(), cfg, xs, ys)
+    assert np.isfinite(np.asarray(u)).all()
