@@ -199,7 +199,11 @@ def _resolve_backend(cfg: SolverConfig, E: int) -> str:
         return cfg.backend
     from ..ops import pallas_kernels as pk
 
-    if jax.default_backend() == "tpu" and pk.pick_tile(E) >= 128:
+    if (
+        jax.default_backend() == "tpu"
+        and pk.pick_tile(E) >= 128
+        and not jax.config.jax_enable_x64  # Mosaic x64 lowering issues
+    ):
         return "pallas"
     return "xla"
 

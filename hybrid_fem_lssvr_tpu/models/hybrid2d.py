@@ -79,6 +79,9 @@ class Solver2DConfig:
     backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (enhancement stage)
     diagnostics: bool = True
     dtype: Optional[str] = None
+    fem_dtype: Optional[str] = None  # 'float64' runs the coarse CG stage in
+    # (TPU-emulated) f64 — all MG/CG ops are elementwise so this works on
+    # TPU (requires jax_enable_x64); same kappa-growth rationale as 1D
 
     def jnp_dtype(self):
         if self.dtype is not None:
@@ -273,7 +276,14 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
     xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
     ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
 
-    fem_values, cg_res = fem_solve_2d(problem, cfg, xs, ys)
+    if cfg.fem_dtype is not None:
+        fd = jnp.dtype(cfg.fem_dtype)
+        fem_values, cg_res = fem_solve_2d(
+            problem, cfg, xs.astype(fd), ys.astype(fd)
+        )
+        fem_values = fem_values.astype(dtype)
+    else:
+        fem_values, cg_res = fem_solve_2d(problem, cfg, xs, ys)
     E = cfg.nx * cfg.ny
     backend = cfg.backend
     if backend == "auto":
@@ -281,7 +291,9 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
 
         backend = (
             "pallas"
-            if jax.default_backend() == "tpu" and pk.pick_tile(E, 4096) >= 128
+            if jax.default_backend() == "tpu"
+            and pk.pick_tile(E, 4096) >= 128
+            and not jax.config.jax_enable_x64  # Mosaic x64 lowering issues
             else "xla"
         )
     if backend == "pallas":

@@ -208,8 +208,9 @@ def fused_enhance_shared_2d(
                wf_r, wbc_r, d_r, b_r, w_ref, *diag_refs):
         i = pl.program_id(0)
         e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + i * tile
-        ex = (e_idx % nx).astype(dtype)
-        ey = (e_idx // nx).astype(dtype)
+        nx32 = jnp.int32(nx)  # keep int32 under jax_enable_x64
+        ex = (e_idx % nx32).astype(dtype)
+        ey = (e_idx // nx32).astype(dtype)
         xl = jnp.asarray(x0, dtype) + ex * jnp.asarray(hx, dtype)
         yl = jnp.asarray(y0, dtype) + ey * jnp.asarray(hy, dtype)
         # PDE rows: f at the C^2 interior points.  A naive f(x, y) on the
@@ -229,10 +230,10 @@ def fused_enhance_shared_2d(
         xb = xl + bxy_r[0:K]
         yb = yl + bxy_r[K:2 * K]
         gv = g_fn(xb, yb) * jnp.ones_like(trace)
-        is_l = (e_idx % nx) == 0
-        is_r = (e_idx % nx) == nx - 1
-        is_b = (e_idx // nx) == 0
-        is_t = (e_idx // nx) == ny - 1
+        is_l = (e_idx % nx32) == 0
+        is_r = (e_idx % nx32) == nx32 - 1
+        is_b = (e_idx // nx32) == 0
+        is_t = (e_idx // nx32) == jnp.int32(ny) - 1
         # masks packed as floats in bxy_r rows 2K..6K: l, r, b, t
         mask = (
             ((bxy_r[2 * K:3 * K] > 0.5) & is_l)
