@@ -62,7 +62,8 @@ def test_fem_convergence_order2(query):
     xq, yq = query
     errs, hs = [], []
     for n in (8, 16, 32):
-        s = HybridSolver2D(poisson_2d(), Solver2DConfig(nx=n, ny=n))
+        s = HybridSolver2D(poisson_2d(),
+                           Solver2DConfig(nx=n, ny=n, precond='jacobi'))
         sol = s.solve()
         nodal = np.abs(
             np.asarray(sol.fem_values)
@@ -92,7 +93,10 @@ def test_hybrid_2d_convergence(query):
     xq, yq = query
     errs, hs = [], []
     for n in (8, 16, 32):
-        s = HybridSolver2D(poisson_2d(), Solver2DConfig(nx=n, ny=n, M=6))
+        s = HybridSolver2D(
+            poisson_2d(),
+            Solver2DConfig(nx=n, ny=n, M=6, precond='jacobi'),
+        )
         s.solve()
         linf, _ = s.errors(xq, yq)
         errs.append(float(linf))

@@ -15,7 +15,7 @@ from hybrid_fem_lssvr_tpu.parallel.sharded2d import make_sharded_solve_2d
 @pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
 def test_sharded_2d_matches_single_device(n_dev, distributed_fem):
     problem = poisson_2d()
-    cfg = Solver2DConfig(nx=8, ny=16, M=5, n_colloc=5)
+    cfg = Solver2DConfig(nx=8, ny=16, M=5, n_colloc=5, precond='jacobi')
     single = HybridSolver2D(problem, cfg)
     sol = single.solve()
 
@@ -37,7 +37,7 @@ def test_sharded_2d_indivisible_padded(distributed_fem):
     """ny=9 on 4 devices: masked tail padding, results match single-device
     after slicing (SURVEY.md section 4 #6)."""
     problem = poisson_2d()
-    cfg = Solver2DConfig(nx=8, ny=9, M=4, n_colloc=4)
+    cfg = Solver2DConfig(nx=8, ny=9, M=4, n_colloc=4, precond='jacobi')
     single = HybridSolver2D(problem, cfg)
     sol = single.solve()
     run = make_sharded_solve_2d(problem, cfg, pmesh.element_mesh(4),
