@@ -173,14 +173,20 @@ def cmd_campaign(args):
 
 
 def cmd_run2d(args):
+    if getattr(args, "x64", False):
+        jax.config.update("jax_enable_x64", True)
     em = M.MetricsEmitter()
     problem = poisson_2d()
     cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=args.M,
-                         gamma=args.gamma, dtype=args.dtype)
+                         gamma=args.gamma, dtype=args.dtype,
+                         precond=getattr(args, "precond", "auto"),
+                         fem_dtype=getattr(args, "fem_dtype", None))
     solver = HybridSolver2D(problem, cfg)
     rec = {}
     with profiling.timed(rec, "solve_sec"):
-        sol = solver.solve()
+        sol, resumed = ckpt.load_or_solve(
+            getattr(args, "checkpoint", None), solver
+        )
         jax.block_until_ready(sol.coeffs)
     rng = np.random.default_rng(0)
     xq = rng.uniform(problem.domain[0], problem.domain[1], args.eval_points)
@@ -265,6 +271,12 @@ def build_parser():
     sp.add_argument("--gamma", type=float, default=1e4)
     sp.add_argument("--dtype", default=None,
                     choices=[None, "float32", "float64"])
+    sp.add_argument("--fem-dtype", default=None,
+                    choices=[None, "float32", "float64"])
+    sp.add_argument("--x64", action="store_true")
+    sp.add_argument("--precond", default="auto",
+                    choices=["auto", "jacobi", "mg"])
+    sp.add_argument("--checkpoint", default=None)
     sp.add_argument("--eval-points", type=int, default=2000)
     sp.set_defaults(fn=cmd_run2d)
     return p
