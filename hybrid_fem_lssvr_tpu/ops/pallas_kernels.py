@@ -29,10 +29,6 @@ from jax.experimental.pallas import tpu as pltpu
 from . import kkt, legendre
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def fused_enhance_shared(
     fem_values: jnp.ndarray,  # [E+1] nodal values (Dirichlet-consistent)
     ops: kkt.SharedOperators,
