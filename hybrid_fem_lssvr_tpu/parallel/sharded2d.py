@@ -71,6 +71,45 @@ def _halo_add(y_loc, d, n_dev, axis):
     return y_loc
 
 
+def _restrict_slab(res, d, n_dev, axis):
+    """Full-weighting restriction of a y-slab residual [nyl+1, nx+1] ->
+    [nyl/2+1, nx/2+1], with the two 1-row halos needed by the interface
+    coarse nodes fetched via ppermute (R = P^T scaling, see ops/multigrid).
+    """
+    up_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    dn_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    # row below slab start = previous device's second-to-last row
+    from_prev = jax.lax.ppermute(res[-2], axis, up_perm)
+    # row above slab end = next device's second row
+    from_next = jax.lax.ppermute(res[1], axis, dn_perm)
+    from_prev = jnp.where(d > 0, from_prev, jnp.zeros_like(from_prev))
+    from_next = jnp.where(d < n_dev - 1, from_next,
+                          jnp.zeros_like(from_next))
+    r_ext = jnp.concatenate([from_prev[None], res, from_next[None]])
+    below = r_ext[0:-2:2]  # fine rows 2i-1
+    center = r_ext[1:-1:2]  # fine rows 2i
+    above = r_ext[2::2]  # fine rows 2i+1
+
+    def colfw(A):
+        Ap = jnp.pad(A, ((0, 0), (1, 1)))
+        return Ap[:, 0:-2:2], Ap[:, 1:-1:2], Ap[:, 2::2]
+
+    bl, bc_, br = colfw(below)
+    cl, cc, cr = colfw(center)
+    al, ac, ar = colfw(above)
+    return (4.0 * cc + 2.0 * (bc_ + ac + cl + cr)
+            + (bl + br + al + ar)) / 4.0
+
+
+def _gather_grid(c_slab, n_dev, axis):
+    """all_gather overlapping coarse slabs [nc_loc+1, nxc+1] into the full
+    replicated coarse grid [n_dev*nc_loc+1, nxc+1]."""
+    slabs = jax.lax.all_gather(c_slab, axis)  # [n_dev, nc_loc+1, nxc+1]
+    parts = [slabs[dd, :-1] for dd in range(n_dev)]
+    parts.append(slabs[n_dev - 1, -1:])
+    return jnp.concatenate(parts, axis=0)
+
+
 def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
                        axis, xs, ys_loc, row0):
     """Distributed Q1 coarse solve on y-slabs: local matrix-free stiffness
@@ -113,7 +152,54 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
         assembly2d.stiffness_diag((ny_loc + 1, nx1), K_loc, dtype),
         d, n_dev, axis,
     )
-    M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+
+    precond = cfg.precond
+    if precond == "auto":
+        precond = (
+            "mg" if cfg.ny % (2 * n_dev) == 0 and cfg.nx % 2 == 0
+            and min(cfg.nx, cfg.ny) >= 8 else "jacobi"
+        )
+    if precond == "mg":
+        # Distributed V-cycle: fine-level smoothing + residual restriction
+        # run on the slabs (one 2-row halo exchange); all coarser levels run
+        # the serial V-cycle redundantly on the gathered (replicated) coarse
+        # grid — the fine level carries ~all the work, the gather is one
+        # all_gather of the half-resolution grid.
+        from ..ops import multigrid
+
+        nyc, nxc = cfg.ny // 2, cfg.nx // 2
+        nyc_loc = ny_loc // 2
+        # Q1 Laplacian stiffness is scale-invariant for fixed aspect ratio.
+        serial_vcycle = multigrid.make_vcycle(nyc + 1, nxc + 1, K_loc,
+                                              dtype)
+        omega, nu = 0.8, 2
+        row0c = row0 // 2
+
+        def smooth(u, r):
+            for _ in range(nu):
+                u = u + omega * jnp.where(
+                    interior, (r - apply_free(u)) / diag, 0.0
+                )
+            return u
+
+        def M_inv(r):
+            u = smooth(jnp.zeros_like(r), r)
+            res_f = jnp.where(interior, r - apply_free(u), 0.0)
+            rc_slab = _restrict_slab(res_f, d, n_dev, axis)
+            rc_full = _gather_grid(rc_slab, n_dev, axis)
+            ec_full = serial_vcycle(rc_full)
+            ec_slab = jax.lax.dynamic_slice(
+                ec_full, (row0c, jnp.zeros_like(row0c)),
+                (nyc_loc + 1, nxc + 1),
+            )
+            u = u + jnp.where(
+                interior,
+                multigrid.prolong_bilinear(ec_slab, (ny_loc + 1, nx1)),
+                0.0,
+            )
+            return smooth(u, r)
+    else:
+        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
     tol = cfg.cg_tol
     if tol is None:
         tol = 100.0 * float(jnp.finfo(dtype).eps)

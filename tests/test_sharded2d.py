@@ -32,6 +32,26 @@ def test_sharded_2d_matches_single_device(n_dev, distributed_fem):
     assert bool(jnp.all(out.solve_ok))
 
 
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_distributed_multigrid_matches_single_device(n_dev):
+    """Distributed V-cycle (slab smoothing + 2-row-halo restriction +
+    gathered coarse levels) == the single-device MG solve."""
+    problem = poisson_2d()
+    cfg = Solver2DConfig(nx=16, ny=16, M=4, n_colloc=4, precond="mg")
+    single = HybridSolver2D(problem, cfg)
+    sol = single.solve()
+    run = make_sharded_solve_2d(problem, cfg, pmesh.element_mesh(n_dev),
+                                distributed_fem=True)
+    out = run()
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        out.assemble_fem_grid(total_ny=cfg.ny), np.asarray(sol.fem_values),
+        atol=1e-11,
+    )
+
+
 @pytest.mark.parametrize("distributed_fem", [False, True])
 def test_sharded_2d_indivisible_padded(distributed_fem):
     """ny=9 on 4 devices: masked tail padding, results match single-device
