@@ -224,3 +224,52 @@ def make_sharded_solve(problem: Problem1D, cfg: SolverConfig, mesh,
         )
 
     return run
+
+
+def make_sharded_evaluate(problem: Problem1D, cfg: SolverConfig, mesh,
+                          axis: str = ELEMENT_AXIS):
+    """Distributed read path: query points stay replicated; every device
+    evaluates only the points inside its element range against its LOCAL
+    coefficient shard; one psum assembles the full result (reference clamp
+    semantics preserved via the global element clip).
+
+    Returns a jitted fn(coeffs_sharded [E_total_padded_or_not, M], x [P])
+    -> u [P] (replicated).  Pass the coeffs from make_sharded_solve's
+    output padded back to n_dev * E_loc if E_total was indivisible."""
+    import numpy as np
+
+    from ..ops import legendre as lg
+
+    n_dev = mesh.shape[axis]
+    E_total = cfg.num_nodes - 1
+    E_loc = -(-E_total // n_dev)
+    dtype = cfg.jnp_dtype()
+    x0, x1 = problem.domain
+    h = (x1 - x0) / E_total
+
+    def local_eval(coeffs_loc, x):
+        d = jax.lax.axis_index(axis)
+        e = jnp.clip(((x - x0) / h).astype(jnp.int32), 0, E_total - 1)
+        lo = d * E_loc
+        mine = (e >= lo) & (e < lo + E_loc)
+        e_loc = jnp.clip(e - lo, 0, E_loc - 1)
+        xl = jnp.asarray(x0, dtype) + e.astype(dtype) * jnp.asarray(h,
+                                                                    dtype)
+        t = (2.0 * (x - xl)) / h - 1.0
+        val = lg.evaluate_series(coeffs_loc[e_loc], t)
+        return jax.lax.psum(jnp.where(mine, val, 0.0), axis)
+
+    sharded = jax.shard_map(
+        local_eval, mesh=mesh,
+        in_specs=(P(axis), P()), out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def evaluate(coeffs, x):
+        pad = n_dev * E_loc - coeffs.shape[0]
+        if pad:
+            coeffs = jnp.pad(coeffs, ((0, pad), (0, 0)))
+        return sharded(coeffs, jnp.asarray(x, dtype))
+
+    return evaluate

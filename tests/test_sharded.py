@@ -81,6 +81,27 @@ def test_sharded_dual_formulation():
     )
 
 
+@pytest.mark.parametrize("E", [32, 31])
+def test_sharded_evaluate_matches_single_device(E):
+    """Distributed read path (local shard eval + psum) == single-device
+    evaluation, including out-of-domain clamped points and padded shards."""
+    from hybrid_fem_lssvr_tpu.parallel.sharded import make_sharded_evaluate
+
+    problem = problems.poisson_1d()
+    cfg = SolverConfig(num_nodes=E + 1)
+    single = HybridSolver(problem, cfg)
+    single.solve()
+    x = np.linspace(-1.2, 1.2, 301)
+    u_ref = np.asarray(single.evaluate_solution(x))
+
+    m = pmesh.element_mesh(4)
+    run = make_sharded_solve(problem, cfg, m)
+    out = run()
+    ev = make_sharded_evaluate(problem, cfg, m)
+    u = np.asarray(ev(out.coeffs, x))
+    np.testing.assert_allclose(u, u_ref, atol=1e-11)
+
+
 @pytest.mark.parametrize("E", [31, 29, 9])
 def test_indivisible_element_count_padded(E):
     """Non-divisible element counts run with masked dummy padding (SURVEY.md
