@@ -68,11 +68,13 @@ def main():
     for K in Ks:
         jax.block_until_ready(loops[K](fem_base + 0.01, alpha))  # compile
         ts = []
-        for _ in range(4):
+        for _ in range(7):
             seq += 1e-3
             t0 = time.perf_counter()
             jax.block_until_ready(loops[K](fem_base + seq, alpha))
             ts.append(time.perf_counter() - t0)
+        # median over 7 fresh-input runs: the tunnel adds tens-of-ms jitter
+        # per dispatch which the K-slope cancels only in expectation
         times[K] = float(np.median(ts))
     dt = (times[Ks[1]] - times[Ks[0]]) / (Ks[1] - Ks[0])
     eps = NUM_ELEMENTS / dt
