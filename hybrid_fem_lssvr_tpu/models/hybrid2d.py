@@ -66,6 +66,32 @@ def poisson_2d() -> Problem2D:
     )
 
 
+def poisson_2d_inhomogeneous() -> Problem2D:
+    """-Lap u = 2 pi^2 cos(pi x) cos(pi y), exact u = cos(pi x) cos(pi y).
+
+    Nonzero Dirichlet trace (g = -cos(pi y) on x = +/-1 etc.) — the 2D
+    analog of ``poisson_inhomogeneous``; exercises the domain-boundary
+    g-override masks (reference ``Hybrid-FEM-LSSVR.py:67-79`` semantics)
+    and the boundary-magnitude solve_ok gate end-to-end.
+    """
+    pi = jnp.pi
+
+    def f_shifted(xl, dx, yl, dy):
+        cx = jnp.cos(pi * xl) * jnp.cos(pi * dx) \
+            - jnp.sin(pi * xl) * jnp.sin(pi * dx)
+        cy = jnp.cos(pi * yl) * jnp.cos(pi * dy) \
+            - jnp.sin(pi * yl) * jnp.sin(pi * dy)
+        return 2.0 * pi**2 * cx * cy
+
+    return Problem2D(
+        name="poisson_2d_inhomogeneous",
+        f=lambda x, y: 2.0 * pi**2 * jnp.cos(pi * x) * jnp.cos(pi * y),
+        g=lambda x, y: jnp.cos(pi * x) * jnp.cos(pi * y),
+        exact=lambda x, y: jnp.cos(pi * x) * jnp.cos(pi * y),
+        f_shifted=f_shifted,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class Solver2DConfig:
     nx: int = 16  # elements per dimension
@@ -267,6 +293,25 @@ def _bilinear_fallback_coeffs(u00, u10, u01, u11, M):
     return c
 
 
+def _pallas_solve_ok(slack, bcv, corners):
+    """Per-element acceptance gate for the fused-kernel path.
+
+    The tolerance scales with the boundary-data magnitude (the corner
+    values bound the bilinear trace, and boundary nodes hold g exactly) —
+    the same semantics as the 1D gate in ``hybrid.py`` and
+    ``kkt._diagnostics``.  It must NOT scale with the violation itself
+    (a self-referential gate lets a broken element inflate its own
+    threshold and skip the bilinear fallback).
+    """
+    u00, u10, u01, u11 = corners
+    finite = jnp.isfinite(slack) & jnp.isfinite(bcv)
+    scale = 1.0 + jnp.maximum(
+        jnp.maximum(jnp.abs(u00), jnp.abs(u10)),
+        jnp.maximum(jnp.abs(u01), jnp.abs(u11)),
+    ).reshape(bcv.shape)
+    return finite & (bcv <= 1e-2 * scale)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
                     shared_bundle) -> Solution2D:
@@ -308,20 +353,19 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
             with_diagnostics=cfg.diagnostics,
             f_shifted_fn=problem.f_shifted,
         )
+        u00 = fem_values[:-1, :-1]
+        u10 = fem_values[:-1, 1:]
+        u01 = fem_values[1:, :-1]
+        u11 = fem_values[1:, 1:]
+        corners = (u00, u10, u01, u11)
         if cfg.diagnostics:
-            finite = jnp.isfinite(slack) & jnp.isfinite(bcv)
-            ok_flat = finite & (bcv <= 1e-2 * (1.0 + jnp.abs(bcv)))
+            ok_flat = _pallas_solve_ok(slack, bcv, corners)
             diags = kkt.KKTDiagnostics(slack, bcv, ok_flat)
         else:
             z = jnp.zeros((E,), w.dtype)
             diags = kkt.KKTDiagnostics(
                 z, z, jnp.all(jnp.isfinite(w), axis=-1)
             )
-        u00 = fem_values[:-1, :-1]
-        u10 = fem_values[:-1, 1:]
-        u01 = fem_values[1:, :-1]
-        u11 = fem_values[1:, 1:]
-        corners = (u00, u10, u01, u11)
     else:
         f_rows, bc_rows, corners = _element_data_2d(
             problem, cfg, xs, ys, fem_values, t_int, bpts

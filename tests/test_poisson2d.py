@@ -6,6 +6,7 @@ import pytest
 
 from hybrid_fem_lssvr_tpu.models.hybrid2d import (
     HybridSolver2D, Solver2DConfig, evaluate_2d, poisson_2d,
+    poisson_2d_inhomogeneous,
 )
 from hybrid_fem_lssvr_tpu.ops import assembly2d, cg
 from hybrid_fem_lssvr_tpu.utils import metrics
@@ -124,6 +125,49 @@ def test_evaluation_clamps_outside_domain():
     s.solve()
     u = s.evaluate_solution(np.array([-1.5, 1.5]), np.array([0.1, 0.1]))
     assert np.isfinite(np.asarray(u)).all()
+
+
+def test_inhomogeneous_dirichlet_2d(query):
+    """Nonzero g exercises the domain-boundary override masks end-to-end:
+    the enhanced trace must match g exactly on boundary edges and the
+    boundary-magnitude solve_ok gate must keep accurate elements."""
+    xq, yq = query
+    prob = poisson_2d_inhomogeneous()
+    s = HybridSolver2D(prob, Solver2DConfig(nx=16, ny=16, M=6))
+    sol = s.solve()
+    linf, _ = s.errors(xq, yq)
+    nodal = np.abs(
+        np.asarray(sol.fem_values)
+        - np.cos(np.pi * np.asarray(sol.xs))[None, :]
+        * np.cos(np.pi * np.asarray(sol.ys))[:, None]
+    ).max()
+    assert float(linf) < nodal, (float(linf), nodal)
+    assert bool(sol.solve_ok.all())
+    # Enhanced solution reproduces g on the domain boundary.
+    yb = np.linspace(-1.0, 1.0, 33)
+    ub = s.evaluate_solution(np.full_like(yb, 1.0), yb)
+    np.testing.assert_allclose(
+        np.asarray(ub), np.cos(np.pi) * np.cos(np.pi * yb), atol=1e-8
+    )
+
+
+def test_pallas_solve_ok_gate_scales_with_boundary_data():
+    """Regression for the self-referential gate (round-1 bug: the threshold
+    scaled with the violation itself, so bcv=1e3 passed against its own
+    inflated tolerance).  The gate must reject large violations at O(1)
+    boundary data, accept small ones, scale with corner magnitude, and
+    reject non-finite diagnostics."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import _pallas_solve_ok
+
+    corners = tuple(jnp.full((1, 3), c) for c in (0.5, -1.0, 0.25, 0.75))
+    slack = jnp.zeros(3)
+    bcv = jnp.array([1e-6, 1e3, np.nan])
+    ok = np.asarray(_pallas_solve_ok(slack, bcv, corners))
+    assert ok.tolist() == [True, False, False]
+    # scale = 1 + max|corner|: bcv just under 1e-2 * 2 passes, above fails
+    bcv2 = jnp.array([0.019, 0.021, 0.019])
+    ok2 = np.asarray(_pallas_solve_ok(slack, bcv2, corners))
+    assert ok2.tolist() == [True, False, True]
 
 
 def test_rectangular_anisotropic_mesh(query):
