@@ -60,6 +60,92 @@ def test_checkpoint_roundtrip_2d(tmp_path):
     assert np.isfinite(np.asarray(u)).all()
 
 
+def test_async_checkpoint_nonblocking_and_durable(tmp_path):
+    """The async save must return without doing the IO (so the next
+    dispatch is never blocked on checkpoint writes at >= 1M-element sizes)
+    and the written checkpoint must be bitwise-identical to a sync save."""
+    import time
+
+    import jax.numpy as jnp
+
+    E = 1 << 20
+    rng = np.random.default_rng(0)
+    sol = Solution(
+        nodes=jnp.asarray(rng.normal(size=E + 1), jnp.float32),
+        fem_values=jnp.asarray(rng.normal(size=E + 1), jnp.float32),
+        coeffs=jnp.asarray(rng.normal(size=(E, 8)), jnp.float32),
+        max_slack=jnp.zeros(E, jnp.float32),
+        bc_violation=jnp.zeros(E, jnp.float32),
+        solve_ok=jnp.ones(E, bool),
+    )
+    p = problems.poisson_1d()
+    cfg = SolverConfig(num_nodes=E + 1)
+
+    t0 = time.perf_counter()
+    ckpt.save_solution(str(tmp_path / "sync"), p.name, cfg, sol)
+    sync_s = time.perf_counter() - t0
+
+    with ckpt.AsyncCheckpointer() as cp:
+        t0 = time.perf_counter()
+        cp.save(str(tmp_path / "async"), p.name, cfg, sol)
+        enqueue_s = time.perf_counter() - t0
+        cp.wait()
+    # Enqueue must be far cheaper than the actual write (generous margin
+    # for CI jitter; typical ratio is ~1000x).
+    assert enqueue_s < max(0.25 * sync_s, 0.02), (enqueue_s, sync_s)
+
+    restored = ckpt.load_solution(str(tmp_path / "async"), p.name, cfg,
+                                  Solution)
+    assert restored is not None
+    for a, b in zip(sol, restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpointer_surfaces_writer_errors(tmp_path):
+    p = problems.poisson_1d()
+    cfg = SolverConfig(num_nodes=5)
+    s = HybridSolver(p, cfg)
+    sol = s.solve()
+    cp = ckpt.AsyncCheckpointer()
+    target = tmp_path / "blocked"
+    target.write_text("a file where the checkpoint dir should go")
+    cp.save(str(target), p.name, cfg, sol)
+    with pytest.raises(Exception):
+        cp.wait()
+    cp.close()
+
+
+def test_load_or_run_sharded(tmp_path):
+    """Sharded (multi-chip) solves checkpoint through the facade-free
+    ``load_or_run`` helper."""
+    import jax
+
+    from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
+    from hybrid_fem_lssvr_tpu.parallel.sharded import (
+        ShardedSolution, make_sharded_solve,
+    )
+
+    p = problems.poisson_1d()
+    cfg = SolverConfig(num_nodes=17, M=6, dtype="float32")
+    mesh = pmesh.element_mesh(devices=jax.devices("cpu")[:4])
+    run = make_sharded_solve(p, cfg, mesh)
+    calls = []
+
+    def counted_run():
+        calls.append(1)
+        return run()
+
+    path = str(tmp_path / "ck_sharded")
+    sol, resumed = ckpt.load_or_run(path, p.name, cfg, counted_run,
+                                    ShardedSolution)
+    assert not resumed and len(calls) == 1
+    sol2, resumed2 = ckpt.load_or_run(path, p.name, cfg, counted_run,
+                                      ShardedSolution)
+    assert resumed2 and len(calls) == 1
+    np.testing.assert_array_equal(np.asarray(sol.coeffs),
+                                  np.asarray(sol2.coeffs))
+
+
 def test_config_validation():
     with pytest.raises(ValueError, match="num_nodes"):
         SolverConfig(num_nodes=1)
