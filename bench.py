@@ -66,12 +66,14 @@ def main():
     times = {}
     seq = 0.0
     for K in Ks:
-        jax.block_until_ready(loops[K](fem_base + 0.01, alpha))  # compile
+        # Force completion via a scalar fetch: the tunnel's
+        # block_until_ready has been observed returning early (CLAUDE.md).
+        float(jnp.sum(loops[K](fem_base + 0.01, alpha)))  # compile
         ts = []
         for _ in range(7):
             seq += 1e-3
             t0 = time.perf_counter()
-            jax.block_until_ready(loops[K](fem_base + seq, alpha))
+            float(jnp.sum(loops[K](fem_base + seq, alpha)))
             ts.append(time.perf_counter() - t0)
         # median over 7 fresh-input runs: the tunnel adds tens-of-ms jitter
         # per dispatch which the K-slope cancels only in expectation

@@ -74,6 +74,8 @@ def _run_one(problem, cfg, em: M.MetricsEmitter, eval_points: int,
         bc_violation=float(jnp.max(sol.bc_violation)),
         n_fallback=int(jnp.sum(~sol.solve_ok)),
     )
+    if sol.cond_estimate is not None:
+        fields["cond_estimate"] = float(jnp.max(sol.cond_estimate))
     if problem.exact is not None:
         x = np.linspace(*problem.domain, eval_points)
         linf, l2 = solver.errors(x)
@@ -94,23 +96,69 @@ def cmd_run(args):
         _run_one(problem, cfg, em, args.eval_points, args.checkpoint)
 
 
+def _force(sols):
+    """Block on every in-flight solution via a tiny scalar fetch (the
+    tunnel's block_until_ready has been observed returning early)."""
+    return [float(jnp.max(s.bc_violation)) for s in sols]
+
+
 def cmd_sweep(args):
-    """h-refinement sweep (BASELINE.json config 2: 10 -> 1e4 elements)."""
+    """h-refinement sweep (BASELINE.json config 2: 10 -> 1e4 elements),
+    pipelined: all configs are dispatched without blocking in between
+    (SURVEY.md section 2.3 PP row — JAX async dispatch + buffer donation),
+    so config k+1's host-side assembly/dispatch overlaps config k's device
+    execution.  A sequential (block-between-configs) pass is timed for
+    comparison and the overlap is emitted in the summary."""
+    from .models import hybrid as H
+
     em = M.MetricsEmitter()
     problem = problems.get(args.problem)
+    cfgs = [dataclasses.replace(_cfg_from_args(args), num_nodes=E + 1)
+            for E in args.elements]
+    rec = {}
+    with profiling.timed(rec, "compile_sec"):
+        _force(H.sweep_solve(problem, cfgs))
+    with profiling.timed(rec, "pipelined_sec"):
+        sols = H.sweep_solve(problem, cfgs)
+        _force(sols)
+    with profiling.timed(rec, "sequential_sec"):
+        for cfg in cfgs:
+            shared = H.prepare_shared_host(problem, cfg)
+            nodes = H.uniform_nodes(problem, cfg.num_nodes, cfg.jnp_dtype())
+            _force([H.hybrid_solve_donating(problem, cfg, nodes, shared,
+                                            uniform=True)])
     errs, hs = [], []
-    for E in args.elements:
-        cfg = dataclasses.replace(_cfg_from_args(args), num_nodes=E + 1)
-        s = _run_one(problem, cfg, em, args.eval_points)
+    for cfg, sol in zip(cfgs, sols):
+        E = sol.coeffs.shape[0]
+        fields = dict(problem=problem.name, formulation=cfg.formulation,
+                      elements=E, M=cfg.M, gamma=cfg.gamma,
+                      max_slack=float(jnp.max(sol.max_slack)),
+                      bc_violation=float(jnp.max(sol.bc_violation)),
+                      n_fallback=int(jnp.sum(~sol.solve_ok)))
         if problem.exact is not None:
-            x = np.linspace(*problem.domain, args.eval_points)
-            linf, _ = s.errors(x)
-            errs.append(float(linf))
-            hs.append((problem.domain[1] - problem.domain[0]) / E)
+            from .ops import eval as ops_eval
+            from .utils import metrics as _m
+
+            x = jnp.asarray(np.linspace(*problem.domain, args.eval_points),
+                            sol.nodes.dtype)
+            x0, x1 = problem.domain
+            u = ops_eval.evaluate_uniform(x0, (x1 - x0) / E, sol.coeffs, x)
+            ue = problem.exact(x)
+            linf = float(_m.linf_error(u, ue))
+            fields["linf_error"] = linf
+            fields["l2_error"] = float(_m.l2_error(u, ue))
+            errs.append(linf)
+            hs.append((x1 - x0) / E)
+        em.emit("hybrid_solve", **fields)
+    summary = dict(problem=problem.name, compile_sec=rec["compile_sec"],
+                   pipelined_sec=rec["pipelined_sec"],
+                   sequential_sec=rec["sequential_sec"],
+                   pipeline_speedup=rec["sequential_sec"]
+                   / max(rec["pipelined_sec"], 1e-12))
     if len(errs) >= 2:
-        em.emit("sweep_summary", problem=problem.name,
-                convergence_order=M.convergence_order(hs, errs),
-                errors=errs)
+        summary["convergence_order"] = M.convergence_order(hs, errs)
+        summary["errors"] = errs
+    em.emit("sweep_summary", **summary)
 
 
 def cmd_psweep(args):

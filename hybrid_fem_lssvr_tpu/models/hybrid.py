@@ -96,6 +96,10 @@ class Solution(NamedTuple):
     max_slack: jnp.ndarray  # [E] (reference computed+discarded, ``:102``)
     bc_violation: jnp.ndarray  # [E]
     solve_ok: jnp.ndarray  # [E] bool fallback mask
+    # Condition monitor on the enhancement factorisation (SURVEY.md
+    # section 5 failure detection; see kkt.KKTDiagnostics.cond_estimate).
+    # None on the fused variable-coefficient Pallas path.
+    cond_estimate: jnp.ndarray = None
 
 
 def uniform_nodes(problem: Problem1D, num_nodes: int, dtype) -> jnp.ndarray:
@@ -180,6 +184,10 @@ def prepare_shared_host(problem: Problem1D, cfg: SolverConfig):
         + a0[:, None] * V0
     )
     B = np.stack([V0[0], V0[-1]])
+    rhs_factors = None
+    if problem.f_colloc_factors is not None:
+        # Static in-element offsets (f64) matching the fused kernel's dloc.
+        rhs_factors = problem.f_colloc_factors((t + 1.0) * 0.5 * h)
     if cfg.formulation == "dual":
         # Extracting the dual affine operator from the augmented inverse is
         # limited to ~1e-3 relative operator accuracy (the system's
@@ -188,10 +196,13 @@ def prepare_shared_host(problem: Problem1D, cfg: SolverConfig):
         # the fast path there — but would cap f64 dual accuracy at ~1e-7,
         # so f64 keeps the per-element augmented LU (full 1e-13 parity).
         if cfg.jnp_dtype() == jnp.float32:
-            return kkt.precompute_shared_dual_host(D0, B, cfg.gamma,
-                                                   cfg.jnp_dtype())
+            return kkt.precompute_shared_dual_host(
+                D0, B, cfg.gamma, cfg.jnp_dtype(),
+                rhs_colloc_factors=rhs_factors,
+            )
         return None
-    return kkt.precompute_shared_host(D0, B, cfg.gamma, cfg.jnp_dtype())
+    return kkt.precompute_shared_host(D0, B, cfg.gamma, cfg.jnp_dtype(),
+                                      rhs_colloc_factors=rhs_factors)
 
 
 def _resolve_backend(cfg: SolverConfig, E: int) -> str:
@@ -208,13 +219,41 @@ def _resolve_backend(cfg: SolverConfig, E: int) -> str:
     return "xla"
 
 
+def _dirichlet_consistent(problem, fem_values):
+    """Nodal values with boundary nodes pinned to the Dirichlet data."""
+    g_l = jnp.asarray(problem.g_left, fem_values.dtype)
+    g_r = jnp.asarray(problem.g_right, fem_values.dtype)
+    return fem_values.at[0].set(g_l).at[-1].set(g_r)
+
+
+def _pallas_finalize(w, slack, bcv, u_left, u_right, cfg, cond=None):
+    """Diagnostics gate + fallback for the fused-kernel paths (tolerance
+    scales with boundary-data magnitude, as in ``kkt._diagnostics``)."""
+    E = w.shape[0]
+    if cond is not None:
+        cond = jnp.broadcast_to(cond, (E,))
+    if cfg.diagnostics:
+        finite = jnp.isfinite(slack) & jnp.isfinite(bcv)
+        scale = 1.0 + jnp.maximum(jnp.abs(u_left), jnp.abs(u_right))
+        ok = finite & (bcv <= 1e-2 * scale)
+        diags = kkt.KKTDiagnostics(slack, bcv, ok, cond)
+    else:
+        ok = jnp.all(jnp.isfinite(w), axis=-1)
+        z = jnp.zeros((E,), w.dtype)
+        diags = kkt.KKTDiagnostics(z, z, ok, cond)
+    w = kkt.apply_fallback(w, diags, u_left, u_right)
+    return w, diags
+
+
 def lssvr_enhance(problem: Problem1D, nodes, fem_values, cfg: SolverConfig,
                   shared_ops=None, touches_left=True, touches_right=True,
                   uniform_geom=None):
     """Batched enhancement of all elements (replaces ``:147-176``).
 
     ``uniform_geom``: static (x0, h) Python floats when the mesh is uniform
-    — unlocks the fused Pallas kernel for the shared path on TPU.
+    — unlocks the fused Pallas kernels on TPU (shared-operator two-matmul
+    kernel for constant coefficients, fused CGS2-QR kernel for
+    variable-coefficient operators).
     """
     E = nodes.shape[0] - 1
     if (
@@ -226,27 +265,54 @@ def lssvr_enhance(problem: Problem1D, nodes, fem_values, cfg: SolverConfig,
 
         x0, h = uniform_geom
         tile = pk.pick_tile(E)
-        # Dirichlet-consistent nodal values: boundary nodes already hold g.
-        g_l = jnp.asarray(problem.g_left, fem_values.dtype)
-        g_r = jnp.asarray(problem.g_right, fem_values.dtype)
-        fv = fem_values.at[0].set(g_l).at[-1].set(g_r)
-        w, slack, bcv = pk.fused_enhance_shared(
-            fv, shared_ops, problem.f, x0, h, cfg.n_colloc, tile=tile,
+        fv = _dirichlet_consistent(problem, fem_values)
+        if (shared_ops.WfF is not None
+                and problem.f_elem_factors is not None):
+            if cfg.diagnostics:
+                # Gate + fallback fused in-kernel (saves the [E, M]
+                # re-read/re-write of apply_fallback).
+                w, slack, bcv, okf = pk.fused_enhance_separable(
+                    fv, shared_ops, problem.f_elem_factors, x0, h,
+                    tile=tile, with_fallback=True,
+                    f_translation=problem.f_translation,
+                )
+                cond = None if shared_ops.cond is None else \
+                    jnp.broadcast_to(shared_ops.cond, (E,))
+                return w, kkt.KKTDiagnostics(slack, bcv, okf > 0.5, cond)
+            w, slack, bcv = pk.fused_enhance_separable(
+                fv, shared_ops, problem.f_elem_factors, x0, h, tile=tile,
+                with_diagnostics=False,
+                f_translation=problem.f_translation,
+            )
+        else:
+            w, slack, bcv = pk.fused_enhance_shared(
+                fv, shared_ops, problem.f, x0, h, cfg.n_colloc, tile=tile,
+                with_diagnostics=cfg.diagnostics,
+                f_shifted_fn=problem.f_shifted,
+            )
+        return _pallas_finalize(w, slack, bcv, fv[:-1], fv[1:], cfg,
+                                cond=shared_ops.cond)
+    if (
+        shared_ops is None
+        and uniform_geom is not None
+        and cfg.kkt_method in ("auto", "qr")
+        and cfg.M >= 3
+        and _resolve_backend(cfg, E) == "pallas"
+    ):
+        # Variable-coefficient fused path: same null-space CGS2-QR algebra
+        # as the XLA route below, entirely in VMEM (SURVEY.md 7.1 L7).
+        from ..ops import pallas_kernels as pk
+
+        x0, h = uniform_geom
+        tile = pk.pick_tile(E)
+        fv = _dirichlet_consistent(problem, fem_values)
+        host = pk.VarCoeffOperators(cfg.M, cfg.n_colloc, h, fv.dtype)
+        w, slack, bcv = pk.fused_enhance_varcoeff(
+            fv, problem, host, x0, h, cfg.n_colloc, tile=tile,
             with_diagnostics=cfg.diagnostics,
             f_shifted_fn=problem.f_shifted,
         )
-        u_left, u_right = fv[:-1], fv[1:]
-        if cfg.diagnostics:
-            finite = jnp.isfinite(slack) & jnp.isfinite(bcv)
-            scale = 1.0 + jnp.maximum(jnp.abs(u_left), jnp.abs(u_right))
-            ok = finite & (bcv <= 1e-2 * scale)
-            diags = kkt.KKTDiagnostics(slack, bcv, ok)
-        else:
-            ok = jnp.all(jnp.isfinite(w), axis=-1)
-            z = jnp.zeros((E,), w.dtype)
-            diags = kkt.KKTDiagnostics(z, z, ok)
-        w = kkt.apply_fallback(w, diags, u_left, u_right)
-        return w, diags
+        return _pallas_finalize(w, slack, bcv, fv[:-1], fv[1:], cfg)
 
     x_colloc, f_colloc, bc, h, u_left, u_right = _element_data(
         problem, nodes, fem_values, cfg,
@@ -285,12 +351,14 @@ def lssvr_enhance(problem: Problem1D, nodes, fem_values, cfg: SolverConfig,
     return w, diags
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def hybrid_solve(problem: Problem1D, cfg: SolverConfig, nodes: jnp.ndarray,
-                 shared_ops=None) -> Solution:
+def _hybrid_solve_impl(problem: Problem1D, cfg: SolverConfig,
+                       nodes: jnp.ndarray, shared_ops=None,
+                       uniform: bool = False) -> Solution:
     """Pure pipeline: coarse FEM then batched LSSVR enhancement
     (reference ``solve``, ``:178-181``).  ``shared_ops`` (from
-    ``prepare_shared_host``) requires a uniform mesh."""
+    ``prepare_shared_host``) requires a uniform mesh; ``uniform=True``
+    asserts uniformity for variable-coefficient problems too (no shared
+    operator exists, but the fused per-element kernel still applies)."""
     with jax.named_scope("fem_coarse_solve"):
         if cfg.fem_dtype is not None:
             fd = jnp.dtype(cfg.fem_dtype)
@@ -300,8 +368,8 @@ def hybrid_solve(problem: Problem1D, cfg: SolverConfig, nodes: jnp.ndarray,
         else:
             fem_values = fem_solve(problem, nodes, cfg)
     x0, x1 = problem.domain
-    geom = (x0, (x1 - x0) / (cfg.num_nodes - 1)) if shared_ops is not None \
-        else None
+    geom = (x0, (x1 - x0) / (cfg.num_nodes - 1)) \
+        if (shared_ops is not None or uniform) else None
     with jax.named_scope("lssvr_enhancement"):
         w, diags = lssvr_enhance(problem, nodes, fem_values, cfg,
                                  shared_ops=shared_ops, uniform_geom=geom)
@@ -312,13 +380,49 @@ def hybrid_solve(problem: Problem1D, cfg: SolverConfig, nodes: jnp.ndarray,
         max_slack=diags.max_slack,
         bc_violation=diags.bc_violation,
         solve_ok=diags.solve_ok,
+        cond_estimate=diags.cond_estimate,
     )
+
+
+hybrid_solve = functools.partial(
+    jax.jit, static_argnums=(0, 1), static_argnames=("uniform",)
+)(_hybrid_solve_impl)
+
+# Sweep/pipeline variant: the caller's nodes buffer is DONATED (it is
+# rebuilt per config anyway), so XLA can alias it into the Solution and the
+# next config's dispatch never waits on a copy.  Kept separate from
+# ``hybrid_solve`` because donation poisons repeated calls on the same
+# array (e.g. the driver's compile-check entry).
+hybrid_solve_donating = functools.partial(
+    jax.jit, static_argnums=(0, 1), static_argnames=("uniform",),
+    donate_argnums=(2,),
+)(_hybrid_solve_impl)
 
 
 def hybrid_solve_general(problem: Problem1D, cfg: SolverConfig,
                          nodes: jnp.ndarray) -> Solution:
     """Non-uniform-mesh path: always per-element batched KKT."""
     return hybrid_solve(problem, cfg, nodes, shared_ops=None)
+
+
+def sweep_solve(problem: Problem1D, cfgs) -> list:
+    """Pipelined multi-config solve (SURVEY.md section 2.3 PP row).
+
+    Dispatches every config's full solve WITHOUT blocking between configs:
+    JAX async dispatch lets config k+1's host-side work (shared-operator
+    precompute, nodes build, dispatch) overlap config k's device execution,
+    and each config's fresh nodes buffer is donated.  Returns the list of
+    in-flight Solutions — block/read when needed; fetching results in order
+    overlaps each fetch's round trip with later configs' device work.
+    """
+    sols = []
+    for cfg in cfgs:
+        shared = prepare_shared_host(problem, cfg)
+        nodes = uniform_nodes(problem, cfg.num_nodes, cfg.jnp_dtype())
+        sols.append(
+            hybrid_solve_donating(problem, cfg, nodes, shared, uniform=True)
+        )
+    return sols
 
 
 class HybridSolver:
@@ -350,7 +454,7 @@ class HybridSolver:
             # quasi-definite inverse — distinct algebra, identical hot path.
             shared = prepare_shared_host(self.problem, self.config)
             self.solution = hybrid_solve(
-                self.problem, self.config, self.nodes, shared
+                self.problem, self.config, self.nodes, shared, uniform=True
             )
         return self.solution
 

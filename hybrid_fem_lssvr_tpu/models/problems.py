@@ -13,6 +13,15 @@ import jax.numpy as jnp
 from .problem import Problem1D
 
 
+def _trig_translation(c):
+    """Rotation matrix of the (sin(pi x), cos(pi x))-proportional factor
+    pair under translation: a(x + c) = T(c) a(x)."""
+    import numpy as np
+
+    cc, sc = np.cos(np.pi * c), np.sin(np.pi * c)
+    return np.array([[cc, sc], [-sc, cc]])
+
+
 def poisson_1d() -> Problem1D:
     """-u'' = pi^2 sin(pi x) on (-1, 1), u(+-1) = 0, exact u = sin(pi x)."""
     pi = jnp.pi
@@ -26,6 +35,16 @@ def poisson_1d() -> Problem1D:
             + jnp.cos(pi * xl) * jnp.sin(pi * dloc)
         )
 
+    def f_elem_factors(xl):
+        # f(xl+d) = pi^2 [sin(pi xl) cos(pi d) + cos(pi xl) sin(pi d)]:
+        # rank-2 separable over (element, offset).
+        return [(pi**2) * jnp.sin(pi * xl), (pi**2) * jnp.cos(pi * xl)]
+
+    def f_colloc_factors(d):
+        import numpy as np
+
+        return [np.cos(np.pi * d), np.sin(np.pi * d)]
+
     return Problem1D(
         name="poisson_1d",
         f=lambda x: (pi**2) * jnp.sin(pi * x),
@@ -33,6 +52,9 @@ def poisson_1d() -> Problem1D:
         exact_dx=lambda x: pi * jnp.cos(pi * x),
         constant_coeffs=True,
         f_shifted=f_shifted,
+        f_elem_factors=f_elem_factors,
+        f_colloc_factors=f_colloc_factors,
+        f_translation=_trig_translation,
     )
 
 
@@ -55,6 +77,16 @@ def variable_coeff_elliptic() -> Problem1D:
         # -(a u')' + u = -a u'' - a' u' + u
         return (1.0 + x**2) * pi**2 * s - 2.0 * x * pi * c + s
 
+    def f_shifted(xl, dloc):
+        # Angle addition: 2 transcendentals per element, static [C, 1]
+        # factors; the polynomial coefficient parts are cheap VPU work.
+        sl, cl = jnp.sin(pi * xl), jnp.cos(pi * xl)
+        sd, cd = jnp.sin(pi * dloc), jnp.cos(pi * dloc)
+        s = sl * cd + cl * sd
+        c = cl * cd - sl * sd
+        x = xl + dloc
+        return (1.0 + x**2) * pi**2 * s - 2.0 * x * pi * c + s
+
     return Problem1D(
         name="variable_coeff_elliptic",
         f=f,
@@ -64,6 +96,7 @@ def variable_coeff_elliptic() -> Problem1D:
         exact=lambda x: jnp.sin(pi * x),
         exact_dx=lambda x: pi * jnp.cos(pi * x),
         constant_coeffs=False,
+        f_shifted=f_shifted,
     )
 
 
@@ -79,6 +112,16 @@ def helmholtz_1d(k: float = 2.3) -> Problem1D:
     def f(x):
         return (pi**2 - k**2) * jnp.sin(pi * x)
 
+    amp = pi**2 - k**2
+
+    def f_elem_factors(xl):
+        return [amp * jnp.sin(pi * xl), amp * jnp.cos(pi * xl)]
+
+    def f_colloc_factors(d):
+        import numpy as np
+
+        return [np.cos(np.pi * d), np.sin(np.pi * d)]
+
     return Problem1D(
         name=f"helmholtz_1d_k{k:g}",
         f=f,
@@ -86,6 +129,9 @@ def helmholtz_1d(k: float = 2.3) -> Problem1D:
         exact=lambda x: jnp.sin(pi * x),
         exact_dx=lambda x: pi * jnp.cos(pi * x),
         constant_coeffs=True,
+        f_elem_factors=f_elem_factors,
+        f_colloc_factors=f_colloc_factors,
+        f_translation=_trig_translation,
     )
 
 
@@ -101,6 +147,18 @@ def advection_diffusion_1d(eps: float = 1.0, beta: float = 3.0) -> Problem1D:
     def f(x):
         return eps * pi**2 * jnp.sin(pi * x) + beta * pi * jnp.cos(pi * x)
 
+    def f_elem_factors(xl):
+        # f(xl+d) = sin(pi xl) [eps pi^2 cos(pi d) - beta pi sin(pi d)]
+        #         + cos(pi xl) [eps pi^2 sin(pi d) + beta pi cos(pi d)]
+        return [jnp.sin(pi * xl), jnp.cos(pi * xl)]
+
+    def f_colloc_factors(d):
+        import numpy as np
+
+        cd, sd = np.cos(np.pi * d), np.sin(np.pi * d)
+        return [eps * np.pi**2 * cd - beta * np.pi * sd,
+                eps * np.pi**2 * sd + beta * np.pi * cd]
+
     return Problem1D(
         name=f"advdiff_1d_eps{eps:g}_beta{beta:g}",
         f=f,
@@ -109,6 +167,9 @@ def advection_diffusion_1d(eps: float = 1.0, beta: float = 3.0) -> Problem1D:
         exact=lambda x: jnp.sin(pi * x),
         exact_dx=lambda x: pi * jnp.cos(pi * x),
         constant_coeffs=True,
+        f_elem_factors=f_elem_factors,
+        f_colloc_factors=f_colloc_factors,
+        f_translation=_trig_translation,
     )
 
 
@@ -118,6 +179,15 @@ def poisson_inhomogeneous() -> Problem1D:
     in the assembler and the boundary-element overrides, which the
     reference's homogeneous-only ``enforce`` (``:137``) never hits."""
     pi = jnp.pi
+
+    def f_elem_factors(xl):
+        return [(pi**2) * jnp.sin(pi * xl), (pi**2) * jnp.cos(pi * xl)]
+
+    def f_colloc_factors(d):
+        import numpy as np
+
+        return [np.cos(np.pi * d), np.sin(np.pi * d)]
+
     return Problem1D(
         name="poisson_inhomogeneous",
         f=lambda x: (pi**2) * jnp.sin(pi * x),
@@ -126,6 +196,9 @@ def poisson_inhomogeneous() -> Problem1D:
         exact=lambda x: jnp.sin(pi * x) + x + 2.0,
         exact_dx=lambda x: pi * jnp.cos(pi * x) + 1.0,
         constant_coeffs=True,
+        f_elem_factors=f_elem_factors,
+        f_colloc_factors=f_colloc_factors,
+        f_translation=_trig_translation,
     )
 
 

@@ -55,6 +55,14 @@ class KKTDiagnostics(NamedTuple):
     max_slack: jnp.ndarray  # [E] max |e_j| = |f - D w|_inf per element
     bc_violation: jnp.ndarray  # [E] max |B w - bc| per element
     solve_ok: jnp.ndarray  # [E] bool: finite solution + sane constraints
+    # Cheap per-element condition monitor on the factorisation actually
+    # performed (SURVEY.md section 5 failure detection): Cholesky path —
+    # (max_j L_jj / min_j L_jj)^2 of the equilibrated factor (lower bound
+    # on kappa(Hs)); QR/LSE path — max|R_jj| / min|R_jj| (lower bound on
+    # kappa of the projected operator); shared paths — the host-exact
+    # kappa_2 of the factored operator, broadcast.  None where no cheap
+    # estimate exists (per-element dual LU).
+    cond_estimate: jnp.ndarray = None
 
 
 def operator_rows(V0, V1, V2, a2, a1, a0, scale):
@@ -140,13 +148,15 @@ def solve_primal_batched(
             dw, dlam = _kkt_core(L, s, Be, res_w, res_bc)
             w = w + dw
             lam = lam + dlam
-        return w
+        dL = jnp.abs(jnp.diagonal(L))
+        cond = (jnp.max(dL) / jnp.maximum(jnp.min(dL), 1e-30)) ** 2
+        return w, cond
 
-    w = jax.vmap(one)(D, B, f, bc)
-    return w, _diagnostics(D, B, f, bc, w)
+    w, cond = jax.vmap(one)(D, B, f, bc)
+    return w, _diagnostics(D, B, f, bc, w, cond=cond)
 
 
-def _diagnostics(D, B, f, bc, w, tol: float = 1e-2):
+def _diagnostics(D, B, f, bc, w, tol: float = 1e-2, cond=None):
     """D may be [E, C, M] (per-element) or [C, M] (shared — stays a plain
     matmul, never materialising an [E, C, M] broadcast)."""
     hi = jax.lax.Precision.HIGHEST
@@ -163,7 +173,7 @@ def _diagnostics(D, B, f, bc, w, tol: float = 1e-2):
     finite = jnp.all(jnp.isfinite(w), axis=-1)
     scale = 1.0 + jnp.max(jnp.abs(bc), axis=-1)
     solve_ok = finite & (bc_violation <= tol * scale)
-    return KKTDiagnostics(max_slack, bc_violation, solve_ok)
+    return KKTDiagnostics(max_slack, bc_violation, solve_ok, cond)
 
 
 def nullspace_host(B):
@@ -211,7 +221,9 @@ def _batched_mgs_qr_solve(G, g):
         for i in range(j + 1, K):
             acc = acc - R[:, j, i] * y[i]
         y[j] = acc / (R[:, j, j] + 1e-30)
-    return jnp.stack(y, axis=-1)
+    dR = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))  # [E, K]
+    cond = jnp.max(dR, axis=-1) / jnp.maximum(jnp.min(dR, axis=-1), 1e-30)
+    return jnp.stack(y, axis=-1), cond
 
 
 def solve_primal_lse(D: jnp.ndarray, B: jnp.ndarray, f: jnp.ndarray,
@@ -251,9 +263,9 @@ def solve_primal_lse(D: jnp.ndarray, B: jnp.ndarray, f: jnp.ndarray,
     s0 = jnp.sqrt(jnp.mean(D * D, axis=(1, 2))) + 1e-30  # [E]
     G = jnp.einsum("ecm,mk->eck", D, Z, precision=hi) / s0[:, None, None]
     g = (f - jnp.einsum("ecm,em->ec", D, wp, precision=hi)) / s0[:, None]
-    y = _batched_mgs_qr_solve(G, g)
+    y, cond = _batched_mgs_qr_solve(G, g)
     w = wp + jnp.einsum("mk,ek->em", Z, y, precision=hi)
-    return w, _diagnostics(D, B, f, bc, w)
+    return w, _diagnostics(D, B, f, bc, w, cond=cond)
 
 
 def _solve_batched_inner(D, B, f, bc, gamma, formulation="primal",
@@ -294,12 +306,27 @@ def solve_batched(D, B, f, bc, gamma, formulation="primal",
 
 
 class SharedOperators(NamedTuple):
-    """Precomputed affine map (f, bc) -> w for a shared element operator."""
+    """Precomputed affine map (f, bc) -> w for a shared element operator.
+
+    The optional rank-factored fields exist when the problem's rhs is
+    separable over (element, collocation-offset): f(xl + d) =
+    sum_r a_r(xl) b_r(d) with the b_r static.  Then the hot path needs no
+    [C, tile] rhs materialisation at all:
+      w     = sum_r a_r * WfF[r]  + Wbc @ bc        (WfF[r] = Wf b_r)
+      slack = max | sum_r a_r * PF[r] + Qres @ bc |  (PF[r] = (I - D Wf) b_r)
+    with WfF / PF contracted on the host in float64 — the slack floor drops
+    from the f32 cancellation of f - D w (~1e-6 |f|) to ~eps * |residual|.
+    """
 
     Wf: jnp.ndarray  # [M, C]
     Wbc: jnp.ndarray  # [M, 2]
     D: jnp.ndarray  # [C, M] (kept for diagnostics)
     B: jnp.ndarray  # [2, M]
+    WfF: jnp.ndarray = None  # [R, M] host-f64 Wf @ b_r
+    PF: jnp.ndarray = None  # [R, C] host-f64 (I - D Wf) @ b_r
+    Qres: jnp.ndarray = None  # [C, 2] host-f64 -(D @ Wbc)
+    cond: jnp.ndarray = None  # scalar: host-exact kappa_2 of the matrix
+    # actually factored (equilibrated H / projected G / augmented dual)
 
 
 def precompute_shared(D: jnp.ndarray, B: jnp.ndarray, gamma) -> SharedOperators:
@@ -321,7 +348,28 @@ def precompute_shared(D: jnp.ndarray, B: jnp.ndarray, gamma) -> SharedOperators:
     return SharedOperators(Wf=Wf, Wbc=Wbc, D=D, B=B)
 
 
-def precompute_shared_host(D0, B, gamma, dtype=jnp.float32) -> SharedOperators:
+def _rhs_factor_fields(Wf64, Wbc64, D64, rhs_colloc_factors, dtype):
+    """Host-f64 contraction of the static rhs collocation factors with the
+    shared affine map (see SharedOperators docstring).  Returns the kwargs
+    for the rank-factored fields ({} when no factors are given)."""
+    if rhs_colloc_factors is None:
+        return {}
+    import numpy as np
+
+    bs = np.stack(
+        [np.asarray(b, np.float64) for b in rhs_colloc_factors]
+    )  # [R, C]
+    C = D64.shape[0]
+    P = np.eye(C) - D64 @ Wf64  # residual projector [C, C]
+    return dict(
+        WfF=jnp.asarray(bs @ Wf64.T, dtype),  # [R, M]
+        PF=jnp.asarray(bs @ P.T, dtype),  # [R, C]
+        Qres=jnp.asarray(-(D64 @ Wbc64), dtype),  # [C, 2]
+    )
+
+
+def precompute_shared_host(D0, B, gamma, dtype=jnp.float32,
+                           rhs_colloc_factors=None) -> SharedOperators:
     """Host-side float64 precompute of the shared affine map.
 
     On TPU the factorisation precision problem disappears entirely for the
@@ -355,11 +403,13 @@ def precompute_shared_host(D0, B, gamma, dtype=jnp.float32) -> SharedOperators:
         Wbc=jnp.asarray(Wbc, dtype),
         D=jnp.asarray(D0, dtype),
         B=jnp.asarray(B, dtype),
+        cond=jnp.asarray(np.linalg.cond(Hs), dtype),
+        **_rhs_factor_fields(Wf, Wbc, D0, rhs_colloc_factors, dtype),
     )
 
 
-def precompute_shared_dual_host(D0, B, gamma,
-                                dtype=jnp.float32) -> SharedOperators:
+def precompute_shared_dual_host(D0, B, gamma, dtype=jnp.float32,
+                                rhs_colloc_factors=None) -> SharedOperators:
     """Host float64 precompute of the shared affine map THROUGH THE DUAL
     ALGEBRA: the row-equilibrated augmented quasi-definite system of
     ``solve_dual_batched`` is factorised once and its (f, bc) -> w block
@@ -391,10 +441,14 @@ def precompute_shared_dual_host(D0, B, gamma,
         Wbc=jnp.asarray(T[:, C:], dtype),
         D=jnp.asarray(D0, dtype),
         B=jnp.asarray(B, dtype),
+        cond=jnp.asarray(np.linalg.cond(aug), dtype),
+        **_rhs_factor_fields(T[:, :C], T[:, C:], D0, rhs_colloc_factors,
+                             dtype),
     )
 
 
-def precompute_shared_lse_host(D0, B, dtype=jnp.float32) -> SharedOperators:
+def precompute_shared_lse_host(D0, B, dtype=jnp.float32,
+                               rhs_colloc_factors=None) -> SharedOperators:
     """Host float64 precompute of the shared affine map via the null-space
     LSE formulation (the gamma -> infinity limit; deviation from the
     gamma-regularised optimum is O(1/(gamma ||D||_F^2)), ~1e-16 at reference
@@ -423,6 +477,8 @@ def precompute_shared_lse_host(D0, B, dtype=jnp.float32) -> SharedOperators:
         Wbc=jnp.asarray(Wbc, dtype),
         D=jnp.asarray(D0, dtype),
         B=jnp.asarray(B, dtype),
+        cond=jnp.asarray(np.linalg.cond(G), dtype),
+        **_rhs_factor_fields(Wf, Wbc, D0, rhs_colloc_factors, dtype),
     )
 
 
@@ -440,9 +496,10 @@ def solve_primal_shared(ops: SharedOperators, f: jnp.ndarray, bc: jnp.ndarray):
         bc, ops.Wbc.T, precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=f.dtype,
     )
-    return w, _diagnostics(
-        ops.D, ops.B, f, bc, w
-    )
+    cond = None
+    if ops.cond is not None:
+        cond = jnp.broadcast_to(ops.cond, (f.shape[0],))
+    return w, _diagnostics(ops.D, ops.B, f, bc, w, cond=cond)
 
 
 def solve_dual_batched(

@@ -139,6 +139,180 @@ def fused_enhance_shared(
     return outs[0].T, None, None
 
 
+def fused_enhance_separable(
+    fem_values: jnp.ndarray,  # [E+1] nodal values (Dirichlet-consistent)
+    ops: kkt.SharedOperators,  # must carry WfF / PF / Qres
+    f_elem_factors_fn,  # xl [1, T] -> list of R traced [1, T] factors
+    x0: float,
+    h: float,
+    tile: int = 8192,
+    interpret: bool = False,
+    with_diagnostics: bool = True,
+    with_fallback: bool = False,
+    f_translation=None,  # Problem1D.f_translation (static mixing matrix)
+):
+    """Fused shared-operator enhancement for SEPARABLE rhs — the fastest
+    1D hot path.
+
+    With ``f_translation`` (factor family closed under translation, e.g.
+    trig), the R element factors are evaluated at ONE base point per grid
+    step and spanned across the tile by static mixing vectors: the
+    per-element transcendental count drops to zero (R scalar sin/cos per
+    step).  Measured: transcendentals on [1, tile] rows cost 0.22 ms of the
+    0.50 ms kernel at E = 2^20 — this removes them.
+
+    ``with_fallback=True`` additionally fuses the solve_ok gate (tolerance
+    scaled by boundary-data magnitude, see ``kkt._diagnostics``) and the
+    linear-interpolant fallback masking (reference ``:171-176``) into the
+    kernel — the XLA ``apply_fallback`` otherwise re-reads and re-writes
+    the full [E, M] coefficient array (~64 MB at E = 2^20).  Returns
+    (w, max_slack, bc_violation, ok) with ok a float 0/1 row.
+
+    With f(xl + d) = sum_r a_r(xl) b_r(d) and the static b_r contracted
+    against the affine map on the host in f64 (``kkt._rhs_factor_fields``),
+    no [C, tile] rhs is ever materialised:
+
+        w     = WfF^T a + Wbc bc               (a: [R, tile], R ~ 2)
+        slack = max_c | PF^T a + Qres bc |      (f64-exact residual algebra)
+        bcv   = max | B w - bc |                (REAL computed w: this is
+                                                 the fault-detection signal)
+
+    Per element: ~R (M + C) multiply-adds + 2 transcendentals, vs the
+    generic kernel's C-point rhs build + [M, C] matmul.  The slack floor
+    also improves: the generic path's f - D w cancels in f32 (~1e-6 |f|);
+    here the residual comes out of host-f64 operators multiplicatively.
+    """
+    E = fem_values.shape[0] - 1
+    if E % tile:
+        raise ValueError(f"E={E} not a multiple of tile={tile}")
+    if tile % 128:
+        raise ValueError(f"tile={tile} must be a multiple of 128 lanes")
+    if ops.WfF is None:
+        raise ValueError("ops has no rank-factored rhs fields; precompute "
+                         "with rhs_colloc_factors")
+    dtype = fem_values.dtype
+    M = ops.Wf.shape[0]
+    fem_l = fem_values[:-1][None, :]
+    fem_r = fem_values[1:][None, :]
+    WfFT = ops.WfF.T  # [M, R]
+    PFT = ops.PF.T  # [C, R]
+    R = WfFT.shape[1]
+    if f_translation is not None:
+        import numpy as np
+
+        offs = np.arange(tile, dtype=np.float64) * float(h)
+        Tm = np.asarray(f_translation(offs), np.float64)  # [R, R, tile]
+        if Tm.shape != (R, R, tile):
+            raise ValueError(f"f_translation returned {Tm.shape}, "
+                             f"expected {(R, R, tile)}")
+        tpack = jnp.asarray(Tm.reshape(R * R, tile), dtype)
+    else:
+        tpack = jnp.zeros((1, tile), dtype)  # unused placeholder
+
+    # ALL contractions below are unrolled VPU broadcast-FMAs, never MXU
+    # dots: at these shapes (K = R or 2 or M, padded to 128) a HIGHEST-
+    # precision MXU dot costs like a full K=128 matmul x6 bf16 passes —
+    # measured 0.36 ms for the slack dots alone at E = 2^20, vs ~0.01 ms
+    # as FMAs.  The FMAs are also true-f32, i.e. MORE accurate than the
+    # MXU's bf16x6 HIGHEST emulation.
+    def kernel(fl_ref, fr_ref, wfft_ref, wbc_ref, pft_ref, qres_ref,
+               b_ref, tp_ref, w_ref, *diag_refs):
+        i = pl.program_id(0)
+        if f_translation is not None:
+            # One base point per grid step; static mixing spans the tile.
+            xb = jnp.full((1, 1), x0, dtype) \
+                + (i * tile).astype(dtype) * jnp.asarray(h, dtype)
+            base = f_elem_factors_fn(xb)  # R x [1, 1]
+            a = [
+                sum(tp_ref[r * R + s:r * R + s + 1, :] * base[s]
+                    for s in range(R))
+                for r in range(R)
+            ]
+        else:
+            e_idx = jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile), 1
+            ) + i * tile
+            xl = jnp.asarray(x0, dtype) + e_idx.astype(dtype) * jnp.asarray(
+                h, dtype
+            )
+            a = f_elem_factors_fn(xl)  # list of R [1, tile] factors
+        bcs = (fl_ref[:], fr_ref[:])  # 2 x [1, tile]
+        w = wfft_ref[:, 0:1] * a[0]  # [M, 1] x [1, tile] outer
+        for r in range(1, R):
+            w = w + wfft_ref[:, r:r + 1] * a[r]
+        for j in range(2):
+            w = w + wbc_ref[:, j:j + 1] * bcs[j]
+        if not with_diagnostics:
+            w_ref[:] = w  # [M, tile]
+            return
+        slack_ref, bcv_ref = diag_refs[0], diag_refs[1]
+        e_res = pft_ref[:, 0:1] * a[0]  # [C, tile]
+        for r in range(1, R):
+            e_res = e_res + pft_ref[:, r:r + 1] * a[r]
+        for j in range(2):
+            e_res = e_res + qres_ref[:, j:j + 1] * bcs[j]
+        slack = jnp.max(jnp.abs(e_res), axis=0, keepdims=True)
+        slack_ref[:] = slack
+        # bc violation from the REAL computed w (fault detection):
+        # row k of B w = sum_m B[k, m] w[m] — a lane-broadcast multiply
+        # plus a sublane reduction per boundary row.
+        b0 = jnp.sum(b_ref[:, 0:1] * w, axis=0, keepdims=True)
+        b1 = jnp.sum(b_ref[:, 1:2] * w, axis=0, keepdims=True)
+        bcv = jnp.maximum(jnp.abs(bcs[0] - b0), jnp.abs(bcs[1] - b1))
+        bcv_ref[:] = bcv
+        if with_fallback:
+            ok_ref = diag_refs[2]
+            finite = jnp.isfinite(slack) & jnp.isfinite(bcv)
+            scale = 1.0 + jnp.maximum(jnp.abs(bcs[0]), jnp.abs(bcs[1]))
+            ok = finite & (bcv <= 0.01 * scale)
+            ok_ref[:] = ok.astype(dtype)
+            # Linear-interpolant fallback (reference ``:171-176``): Legendre
+            # coeffs [ (ul+ur)/2, (ur-ul)/2, 0, ... ] via static masks.
+            m_idx = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+            half = jnp.asarray(0.5, dtype)
+            wf = (m_idx == 0) * half * (bcs[0] + bcs[1]) \
+                + (m_idx == 1) * half * (bcs[1] - bcs[0])
+            w_safe = jnp.where(jnp.isfinite(w), w, 0.0)
+            w = jnp.where(ok, w_safe, wf)
+        w_ref[:] = w  # [M, tile]
+
+    if with_fallback and not with_diagnostics:
+        raise ValueError("with_fallback requires with_diagnostics")
+    grid = (E // tile,)
+    col = lambda i: (0, i)
+    n_rows = (2 if with_diagnostics else 0) + (1 if with_fallback else 0)
+    out_shape = [jax.ShapeDtypeStruct((M, E), dtype)]
+    out_specs = [pl.BlockSpec((M, tile), col, memory_space=pltpu.VMEM)]
+    out_shape += [jax.ShapeDtypeStruct((1, E), dtype)] * n_rows
+    out_specs += [
+        pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+    ] * n_rows
+    repl = pl.BlockSpec(memory_space=pltpu.VMEM)
+    row_block = pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+    C = PFT.shape[0]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_block, row_block, repl, repl, repl, repl, repl, repl],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E * (R * (M + C) + 2 * M + 2 * C + 2 * M),
+            bytes_accessed=4 * (2 * E + E * M + 2 * E),
+            transcendentals=(R * (E // tile) if f_translation is not None
+                             else R * E),
+        ),
+    )(fem_l, fem_r, WfFT, ops.Wbc, PFT, ops.Qres, ops.B.T, tpack)
+    if with_fallback:
+        wT, slack, bcv, ok = outs
+        return wT.T, slack[0], bcv[0], ok[0]
+    if with_diagnostics:
+        wT, slack, bcv = outs
+        return wT.T, slack[0], bcv[0]
+    return outs[0].T, None, None
+
+
 def fused_enhance_shared_2d(
     fem_values: jnp.ndarray,  # [ny+1, nx+1] nodal grid
     ops: kkt.SharedOperators,
@@ -281,6 +455,183 @@ def fused_enhance_shared_2d(
         interpret=interpret,
     )(dX, dY, n_pack, bxy_pack, u00, u10, u01, u11,
       ops.Wf, ops.Wbc, ops.D, ops.B)
+    if with_diagnostics:
+        wT, slack, bcv = outs
+        return wT.T, slack[0], bcv[0]
+    return outs[0].T, None, None
+
+
+class VarCoeffOperators:
+    """Static host-precomputed operators for the fused variable-coefficient
+    kernel (plain attributes, not a pytree — everything is trace-constant).
+
+    All operator rows are globally scaled by 1/s^2 (s = 2/h): the LSE
+    minimiser is scale-invariant, and the static scaling keeps every f32
+    intermediate O(1)-conditioned at any element count (the per-element
+    RMS normalisation of ``kkt.solve_primal_lse`` serves the same purpose).
+    """
+
+    def __init__(self, M, n_colloc, h, dtype):
+        import numpy as np
+
+        from . import kkt as _kkt
+
+        V0, V1, V2 = legendre.collocation_vandermonde_host(M, n_colloc)
+        B = np.stack([V0[0], V0[-1]])
+        Z, Pbc = _kkt.nullspace_host(B)
+        s = 2.0 / float(h)
+        Ws = (V2, V1 / s, V0 / s**2)  # D/s^2 = a2 W2 + a1 W1 + a0 W0
+        self.AZ = jnp.asarray(np.stack([w @ Z for w in Ws]), dtype)  # [3,C,K]
+        self.AP = jnp.asarray(np.stack([w @ Pbc for w in Ws]), dtype)
+        self.Z = jnp.asarray(Z, dtype)  # [M, K]
+        self.Pbc = jnp.asarray(Pbc, dtype)  # [M, 2]
+        self.B = jnp.asarray(B, dtype)  # [2, M]
+        self.K = Z.shape[1]
+        self.s2 = s * s
+
+
+def fused_enhance_varcoeff(
+    fem_values: jnp.ndarray,  # [E+1] nodal values (Dirichlet-consistent)
+    problem,  # Problem1D: colloc_coeffs / f / f_shifted, jnp-traceable
+    host: VarCoeffOperators,
+    x0: float,
+    h: float,
+    n_colloc: int,
+    tile: int = 8192,
+    interpret: bool = False,
+    with_diagnostics: bool = True,
+    f_shifted_fn=None,
+):
+    """Fused per-element-operator (variable-coefficient) enhancement.
+
+    Closes the 33x gap of the unfused XLA MGS-QR path (``kkt.
+    solve_primal_lse`` + ``_batched_mgs_qr_solve``): that path's ~60 small
+    batched elementwise ops each round-trip [E, C] arrays through HBM
+    (~9 GB at E = 2^20).  Here the whole per-element pipeline — coefficient
+    evaluation a(x), b(x), c(x), rhs f(x), D-row build from three static
+    ``Vq @ Z`` operators, CGS2 QR, back-substitution, null-space recovery,
+    diagnostics — lives in VMEM per element tile, elements on lanes.
+
+    Same algebra as the XLA path (null-space LSE, CGS2), so accuracy is
+    identical by construction; replaces the reference's per-element SLSQP
+    (``Hybrid-FEM-LSSVR.py:90``) for non-shared operators (SURVEY.md
+    section 7.1 L7, section 2.2).
+    Returns (w [E, M], max_slack [E], bc_violation [E]).
+    """
+    E = fem_values.shape[0] - 1
+    if E % tile:
+        raise ValueError(f"E={E} not a multiple of tile={tile}")
+    if tile % 128:
+        raise ValueError(f"tile={tile} must be a multiple of 128 lanes")
+    dtype = fem_values.dtype
+    C = n_colloc
+    K = host.K
+    M = host.Z.shape[0]
+    if K < 1:
+        raise ValueError("fused varcoeff kernel needs M >= 3 (K = M-2 >= 1)")
+
+    t_colloc = legendre.collocation_points(C, dtype=dtype)
+    dloc = ((t_colloc + 1.0) * jnp.asarray(0.5 * h, dtype))[:, None]  # [C,1]
+    fem_l = fem_values[:-1][None, :]
+    fem_r = fem_values[1:][None, :]
+    AZ2, AZ1, AZ0 = host.AZ[0], host.AZ[1], host.AZ[2]
+    AP = host.AP.reshape(3 * C, 2)  # stacked [W2 Pbc; W1 Pbc; W0 Pbc]
+    inv_s2_f = float(1.0 / host.s2)  # Python floats: compile-time constants
+    s2_f = float(host.s2)
+    eps_f = 1e-30
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def kernel(dloc_ref, fl_ref, fr_ref, az2_ref, az1_ref, az0_ref,
+               ap_ref, z_ref, pbc_ref, b_ref, w_ref, *diag_refs):
+        i = pl.program_id(0)
+        e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + i * tile
+        xl = jnp.asarray(x0, dtype) + e_idx.astype(dtype) * jnp.asarray(
+            h, dtype
+        )  # [1, tile]
+        d = dloc_ref[:]  # [C, 1]
+        xq = xl + d  # [C, tile] mapped collocation points
+        a2, a1, a0 = problem.colloc_coeffs(xq)  # each [C, tile] (VPU)
+        if f_shifted_fn is not None:
+            f = f_shifted_fn(xl, d)
+        else:
+            f = problem.f(xq) * jnp.ones_like(xq)
+        bc = jnp.concatenate([fl_ref[:], fr_ref[:]], axis=0)  # [2, tile]
+        wp = jnp.dot(pbc_ref[:], bc, precision=hi,
+                     preferred_element_type=dtype)  # [M, tile]
+        # D~ wp via the three static Wq Pbc blocks: [3C, 2] @ [2, tile].
+        apbc = jnp.dot(ap_ref[:], bc, precision=hi,
+                       preferred_element_type=dtype)  # [3C, tile]
+        Dwp = a2 * apbc[0:C] + a1 * apbc[C:2 * C] + a0 * apbc[2 * C:3 * C]
+        g = f * jnp.asarray(inv_s2_f, dtype) - Dwp  # [C, tile] scaled residual rhs
+        # G~ columns: G_k = a2 (W2 Z)_k + a1 (W1 Z)_k + a0 (W0 Z)_k.
+        G = [
+            a2 * az2_ref[:, k:k + 1] + a1 * az1_ref[:, k:k + 1]
+            + a0 * az0_ref[:, k:k + 1]
+            for k in range(K)
+        ]
+        # CGS2 QR over the K columns — identical algebra to
+        # kkt._batched_mgs_qr_solve, but every intermediate stays in VMEM.
+        Qc = []
+        R = [[None] * K for _ in range(K)]
+        for j in range(K):
+            v = G[j]
+            for _pass in range(2):
+                for i2 in range(j):
+                    rij = jnp.sum(Qc[i2] * v, axis=0, keepdims=True)
+                    R[i2][j] = rij if R[i2][j] is None else R[i2][j] + rij
+                    v = v - rij * Qc[i2]
+            rjj = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+            R[j][j] = rjj
+            Qc.append(v / (rjj + jnp.asarray(eps_f, dtype)))
+        qtg = [jnp.sum(Qc[j] * g, axis=0, keepdims=True) for j in range(K)]
+        y = [None] * K
+        for j in reversed(range(K)):
+            acc = qtg[j]
+            for i2 in range(j + 1, K):
+                acc = acc - R[j][i2] * y[i2]
+            y[j] = acc / (R[j][j] + jnp.asarray(eps_f, dtype))
+        ystack = jnp.concatenate(y, axis=0)  # [K, tile]
+        w = wp + jnp.dot(z_ref[:], ystack, precision=hi,
+                         preferred_element_type=dtype)  # [M, tile]
+        w_ref[:] = w
+        if with_diagnostics:
+            slack_ref, bcv_ref = diag_refs
+            e_res = g
+            for k in range(K):
+                e_res = e_res - G[k] * y[k]
+            # Back to the original row scale: f - D w = s^2 (g~ - G~ y).
+            slack_ref[:] = jnp.asarray(s2_f, dtype) * jnp.max(
+                jnp.abs(e_res), axis=0, keepdims=True)
+            b_res = bc - jnp.dot(b_ref[:], w, precision=hi,
+                                 preferred_element_type=dtype)
+            bcv_ref[:] = jnp.max(jnp.abs(b_res), axis=0, keepdims=True)
+
+    grid = (E // tile,)
+    col = lambda i: (0, i)
+    out_shape = [jax.ShapeDtypeStruct((M, E), dtype)]
+    out_specs = [pl.BlockSpec((M, tile), col, memory_space=pltpu.VMEM)]
+    if with_diagnostics:
+        out_shape += [jax.ShapeDtypeStruct((1, E), dtype)] * 2
+        out_specs += [
+            pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+        ] * 2
+    repl = pl.BlockSpec(memory_space=pltpu.VMEM)
+    row_block = pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[repl, row_block, row_block,
+                  repl, repl, repl, repl, repl, repl, repl],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E * C * (3 * K + 2 * K * K + 12),
+            bytes_accessed=4 * (2 * E + E * M + 2 * E),
+            transcendentals=2 * E if f_shifted_fn is not None else E * C,
+        ),
+    )(dloc, fem_l, fem_r, AZ2, AZ1, AZ0, AP, host.Z, host.Pbc, host.B)
     if with_diagnostics:
         wT, slack, bcv = outs
         return wT.T, slack[0], bcv[0]

@@ -247,10 +247,15 @@ def spike(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, rhs: jnp.ndarray,
 
 
 def solve(a, b, c, rhs, method: str = "thomas"):
-    """Dispatch: 'auto' | 'thomas' | 'pcr' | 'spike' | 'dense'
-    ('dense' is a small-N test oracle; 'auto' picks thomas for small N and
-    the blocked SPIKE solver for large N, where a length-N sequential scan
-    would serialise the TPU)."""
+    """Dispatch: 'auto' | 'thomas' | 'pcr' | 'spike' | 'dense'.
+
+    'auto' picks thomas for small N and the blocked SPIKE solver for large
+    N (a length-N sequential scan would serialise the TPU).  'pcr' and
+    'dense' are deliberately NOT in the auto path: they are retained as
+    independent TEST ORACLES only — PCR validates SPIKE through a
+    structurally different parallel algorithm (it is ~60x slower than SPIKE
+    at N = 1e6 on TPU, RESULTS.md), and 'dense' is the small-N ground
+    truth."""
     if method == "auto":
         method = "thomas" if b.shape[0] <= 8192 else "spike"
     if method == "thomas":

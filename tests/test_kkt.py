@@ -226,3 +226,61 @@ def test_refinement_in_float32(rng):
     scale = np.abs(np.asarray(w64)).max()
     assert err2 <= err0 * 1.5  # refinement never hurts materially
     assert err2 / scale < 5e-5
+
+
+def test_condition_monitors_surface_kappa():
+    """SURVEY section 5 failure detection: every factorisation path surfaces
+    a cheap condition estimate that moves with the true conditioning."""
+    import numpy as np
+
+    from hybrid_fem_lssvr_tpu.ops import legendre
+
+    rng = np.random.default_rng(0)
+    E, C = 16, 12
+
+    def build(M, scale=10.0):
+        V0, V1, V2 = legendre.collocation_vandermonde_host(M, C)
+        D = jnp.asarray(
+            np.stack([scale**2 * V2 + rng.normal(0, 0.1) * V0
+                      for _ in range(E)])
+        )
+        B = jnp.asarray(np.stack([V0[0], V0[-1]]))
+        f = jnp.asarray(rng.normal(size=(E, C)))
+        bc = jnp.asarray(rng.normal(size=(E, 2)))
+        return D, B, f, bc
+
+    # Cholesky path: estimate present, positive, and grows with gamma
+    # (kappa(I + gamma D^T D) ~ gamma ||D||^2).
+    D, B, f, bc = build(M=6)
+    _, d_lo = kkt.solve_primal_batched(D, B, f, bc, gamma=1e0)
+    _, d_hi = kkt.solve_primal_batched(D, B, f, bc, gamma=1e6)
+    assert d_lo.cond_estimate is not None
+    assert bool(jnp.all(d_lo.cond_estimate > 0))
+    assert float(jnp.median(d_hi.cond_estimate)) > \
+        1e3 * float(jnp.median(d_lo.cond_estimate))
+
+    # QR/LSE path: R-diagonal ratio grows with the basis degree (P_k''
+    # endpoint growth ~ k^4 drives kappa of the projected operator).
+    D4, B4, f4, bc4 = build(M=4)
+    _, d4 = kkt.solve_primal_lse(D4, B4, f4, bc4)
+    D12, B12, f12, bc12 = build(M=12)
+    _, d12 = kkt.solve_primal_lse(D12, B12, f12, bc12)
+    assert d4.cond_estimate is not None
+    assert float(jnp.median(d12.cond_estimate)) > \
+        5.0 * float(jnp.median(d4.cond_estimate))
+
+    # Shared paths: host-exact kappa_2 broadcast per element.
+    V0, V1, V2 = legendre.collocation_vandermonde_host(8, C)
+    D0 = 100.0 * V2 + V0
+    Bs = np.stack([V0[0], V0[-1]])
+    for ops in (kkt.precompute_shared_host(D0, Bs, 1e4),
+                kkt.precompute_shared_lse_host(D0, Bs),
+                kkt.precompute_shared_dual_host(D0, Bs, 1e4)):
+        assert ops.cond is not None and float(ops.cond) > 1.0
+        _, ds = kkt.solve_primal_shared(
+            ops, jnp.asarray(rng.normal(size=(E, C))),
+            jnp.asarray(rng.normal(size=(E, 2))),
+        )
+        assert ds.cond_estimate.shape == (E,)
+        np.testing.assert_allclose(np.asarray(ds.cond_estimate),
+                                   float(ops.cond), rtol=1e-6)
