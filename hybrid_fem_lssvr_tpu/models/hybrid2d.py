@@ -99,6 +99,9 @@ class Solver2DConfig:
     M: int = 6  # Legendre basis size per dimension (M^2 coefficients)
     gamma: float = 1.0e4
     n_colloc: int = 6  # collocation grid per dimension (C^2 PDE rows)
+    formulation: str = "primal"  # 'primal' | 'dual' (same QP; primal goes
+    # through the null-space LSE algebra, dual through the augmented
+    # quasi-definite kernel system — 2D analog of SolverConfig.formulation)
     cg_tol: Optional[float] = None  # None -> 100 * dtype eps (relative)
     cg_maxiter: int = 2000
     precond: str = "auto"  # 'auto' | 'jacobi' | 'mg' (geometric V-cycle)
@@ -108,6 +111,10 @@ class Solver2DConfig:
     fem_dtype: Optional[str] = None  # 'float64' runs the coarse CG stage in
     # (TPU-emulated) f64 — all MG/CG ops are elementwise so this works on
     # TPU (requires jax_enable_x64); same kappa-growth rationale as 1D
+
+    def __post_init__(self):
+        if self.formulation not in ("primal", "dual"):
+            raise ValueError(f"unknown formulation: {self.formulation!r}")
 
     def jnp_dtype(self):
         if self.dtype is not None:
@@ -125,6 +132,7 @@ class Solution2D(NamedTuple):
     max_slack: jnp.ndarray  # [ny, nx]
     bc_violation: jnp.ndarray  # [ny, nx]
     solve_ok: jnp.ndarray  # [ny, nx]
+    cond_estimate: jnp.ndarray = None  # scalar monitor (see kkt)
 
 
 def _boundary_coords(M: int):
@@ -166,10 +174,21 @@ def prepare_shared_2d(problem: Problem2D, cfg: Solver2DConfig):
     V0y_b = legendre.vandermonde_host(bpts[:, 0], M)[0]  # [K, M]
     V0x_b = legendre.vandermonde_host(bpts[:, 1], M)[0]
     B = np.einsum("pk,pl->pkl", V0y_b, V0x_b).reshape(-1, M * M)
-    # LSE precompute: the 2D Laplacian's discrete-harmonic null space makes
-    # the gamma-form normal equations unsolvable even in f64 (see
-    # kkt.precompute_shared_lse_host).
-    shared = kkt.precompute_shared_lse_host(D, B, cfg.jnp_dtype())
+    if cfg.formulation == "dual":
+        # Genuine dual algebra: the augmented quasi-definite kernel system
+        # (kkt.solve_dual_batched's factorisation, extracted once in host
+        # f64).  The -I block regularises the discrete-harmonic directions
+        # that break the gamma-form normal equations, so this is stable
+        # where Cholesky/Schur is not; finite gamma makes it differ from
+        # the LSE (gamma -> inf) primal by O(1/gamma) — primal==dual is
+        # asserted to solver tolerance in tests.
+        shared = kkt.precompute_shared_dual_host(D, B, cfg.gamma,
+                                                 cfg.jnp_dtype())
+    else:
+        # LSE precompute: the 2D Laplacian's discrete-harmonic null space
+        # makes the gamma-form normal equations unsolvable even in f64
+        # (see kkt.precompute_shared_lse_host).
+        shared = kkt.precompute_shared_lse_host(D, B, cfg.jnp_dtype())
     return shared, (jnp.asarray(t_int), jnp.asarray(bpts))
 
 
@@ -384,6 +403,7 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
         max_slack=diags.max_slack.reshape(cfg.ny, cfg.nx),
         bc_violation=diags.bc_violation.reshape(cfg.ny, cfg.nx),
         solve_ok=ok,
+        cond_estimate=shared.cond,
     )
 
 
@@ -409,6 +429,29 @@ def evaluate_2d(sol: Solution2D, x: jnp.ndarray, y: jnp.ndarray):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def evaluate_2d_gradient(sol: Solution2D, x: jnp.ndarray, y: jnp.ndarray):
+    """(du/dx, du/dy) at query points [P] — 2D analog of
+    ``ops.eval.evaluate_derivative``: tensor-Legendre derivative
+    Vandermonde with the per-axis chain factors 2/hx, 2/hy."""
+    xs, ys = sol.xs, sol.ys
+    nx = xs.shape[0] - 1
+    ny = ys.shape[0] - 1
+    hx = xs[1] - xs[0]
+    hy = ys[1] - ys[0]
+    ix = jnp.clip(jnp.floor((x - xs[0]) / hx).astype(jnp.int32), 0, nx - 1)
+    iy = jnp.clip(jnp.floor((y - ys[0]) / hy).astype(jnp.int32), 0, ny - 1)
+    tx = (2.0 * x - xs[ix] - xs[ix + 1]) / hx
+    ty = (2.0 * y - ys[iy] - ys[iy + 1]) / hy
+    M = sol.coeffs.shape[-1]
+    Vx, Vx1 = legendre.legendre_vandermonde(tx, M, num_derivs=1)
+    Vy, Vy1 = legendre.legendre_vandermonde(ty, M, num_derivs=1)
+    W = sol.coeffs[iy, ix]  # [P, M(ky), M(kx)]
+    hi = jax.lax.Precision.HIGHEST
+    ux = (2.0 / hx) * jnp.einsum("pk,pkl,pl->p", Vy, W, Vx1, precision=hi)
+    uy = (2.0 / hy) * jnp.einsum("pk,pkl,pl->p", Vy1, W, Vx, precision=hi)
+    return ux, uy
+
+
 class HybridSolver2D:
     """Facade mirroring the 1D API for structured-quad 2D problems."""
 
@@ -428,6 +471,13 @@ class HybridSolver2D:
         dtype = self.solution.xs.dtype
         return evaluate_2d(self.solution,
                            jnp.asarray(x, dtype), jnp.asarray(y, dtype))
+
+    def evaluate_gradient(self, x, y):
+        assert self.solution is not None
+        dtype = self.solution.xs.dtype
+        return evaluate_2d_gradient(self.solution,
+                                    jnp.asarray(x, dtype),
+                                    jnp.asarray(y, dtype))
 
     def errors(self, x, y):
         from ..utils import metrics

@@ -282,3 +282,59 @@ def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
         return ShardedSolution2D(coeffs[: cfg.ny], fem_local, ok[: cfg.ny])
 
     return run
+
+
+def make_sharded_evaluate_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
+                             axis: str = ELEMENT_AXIS):
+    """Distributed 2D read path (mirrors ``sharded.make_sharded_evaluate``):
+    query points stay replicated; each device evaluates only the points
+    whose element row falls in its y-slab against its LOCAL coefficient
+    shard; one psum assembles the replicated result.  Clamp semantics match
+    ``hybrid2d.evaluate_2d``.
+
+    Returns a jitted fn(coeffs [ny, nx, M, M] (sharded over rows), x [P],
+    y [P]) -> u [P] replicated."""
+    from ..ops import legendre
+
+    n_dev = mesh.shape[axis]
+    ny_loc = -(-cfg.ny // n_dev)
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1 = problem.domain
+    hx = (x1 - x0) / cfg.nx
+    hy = (y1 - y0) / cfg.ny
+    M = cfg.M
+
+    def local_eval(coeffs_loc, x, y):
+        d = jax.lax.axis_index(axis)
+        ix = jnp.clip(((x - x0) / hx).astype(jnp.int32), 0, cfg.nx - 1)
+        iy = jnp.clip(((y - y0) / hy).astype(jnp.int32), 0, cfg.ny - 1)
+        lo = d * ny_loc
+        mine = (iy >= lo) & (iy < lo + ny_loc)
+        iy_loc = jnp.clip(iy - lo, 0, ny_loc - 1)
+        tx = (2.0 * (x - (jnp.asarray(x0, dtype)
+                          + ix.astype(dtype) * jnp.asarray(hx, dtype)))
+              / hx - 1.0)
+        ty = (2.0 * (y - (jnp.asarray(y0, dtype)
+                          + iy.astype(dtype) * jnp.asarray(hy, dtype)))
+              / hy - 1.0)
+        (Vx,) = legendre.legendre_vandermonde(tx, M, num_derivs=0)
+        (Vy,) = legendre.legendre_vandermonde(ty, M, num_derivs=0)
+        W = coeffs_loc[iy_loc, ix]  # [P, M, M]
+        val = jnp.einsum("pk,pkl,pl->p", Vy, W, Vx,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.psum(jnp.where(mine, val, 0.0), axis)
+
+    sharded = jax.shard_map(
+        local_eval, mesh=mesh,
+        in_specs=(P(axis), P(), P()), out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def evaluate(coeffs, x, y):
+        pad = n_dev * ny_loc - coeffs.shape[0]
+        if pad:
+            coeffs = jnp.pad(coeffs, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        return sharded(coeffs, jnp.asarray(x, dtype), jnp.asarray(y, dtype))
+
+    return evaluate

@@ -170,6 +170,55 @@ def test_pallas_solve_ok_gate_scales_with_boundary_data():
     assert ok2.tolist() == [True, False, True]
 
 
+def test_dual_formulation_2d_matches_primal(query):
+    """2D dual (augmented quasi-definite kernel algebra) solves the same QP
+    as the primal LSE path: solutions agree to solver tolerance (finite
+    gamma makes them differ by O(1/gamma)) — BASELINE config 2's 'both
+    formulations behind one API' applied to 2D."""
+    xq, yq = query
+    for prob in (poisson_2d(), poisson_2d_inhomogeneous()):
+        base = dict(nx=12, ny=12, M=5, n_colloc=5)
+        sp = HybridSolver2D(prob, Solver2DConfig(**base))
+        sd = HybridSolver2D(prob, Solver2DConfig(formulation="dual",
+                                                 **base))
+        solp, sold = sp.solve(), sd.solve()
+        assert bool(sold.solve_ok.all())
+        up = np.asarray(sp.evaluate_solution(xq, yq))
+        ud = np.asarray(sd.evaluate_solution(xq, yq))
+        # Two effects bound the gap: finite gamma vs the LSE (gamma -> inf)
+        # limit, O(1/gamma); and the augmented-inverse extraction accuracy
+        # (~1e-3 relative on the operator, same cap as the 1D dual map —
+        # see prepare_shared_host's dual note).  Both are far below the
+        # coarse-stage discretisation error (~1e-3 here).
+        np.testing.assert_allclose(ud, up, atol=2e-5)
+    with pytest.raises(ValueError, match="formulation"):
+        Solver2DConfig(formulation="primel")
+
+
+def test_evaluate_2d_gradient(query):
+    """Gradient evaluation vs exact grad(u) = pi (cos sin, sin cos)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import evaluate_2d_gradient
+
+    xq, yq = np.asarray(query[0])[:500], np.asarray(query[1])[:500]
+    s = HybridSolver2D(poisson_2d(), Solver2DConfig(nx=16, ny=16, M=6))
+    s.solve()
+    ux, uy = s.evaluate_gradient(xq, yq)
+    ux_e = np.pi * np.cos(np.pi * xq) * np.sin(np.pi * yq)
+    uy_e = np.pi * np.sin(np.pi * xq) * np.cos(np.pi * yq)
+    # The trace is pinned to the BILINEAR FEM trace, so the tangential
+    # derivative near element edges carries an O(h) max-norm error
+    # (measured 0.76/0.41/0.17 at n=8/16/32) — the gradient is consistent,
+    # first-order in max norm, much better in the element interiors.
+    e16 = np.max(np.abs(np.asarray(ux) - ux_e))
+    assert e16 < 0.6, e16
+    assert np.max(np.abs(np.asarray(uy) - uy_e)) < 0.6
+    s2 = HybridSolver2D(poisson_2d(), Solver2DConfig(nx=32, ny=32, M=6,
+                                                     precond='jacobi'))
+    s2.solve()
+    ux2, _ = s2.evaluate_gradient(xq, yq)
+    assert np.max(np.abs(np.asarray(ux2) - ux_e)) < 0.65 * e16
+
+
 def test_rectangular_anisotropic_mesh(query):
     """nx != ny and hx != hy exercise the per-axis chain factors."""
     xq, yq = query

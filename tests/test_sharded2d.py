@@ -67,3 +67,31 @@ def test_sharded_2d_indivisible_padded(distributed_fem):
     np.testing.assert_allclose(
         np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=1e-9
     )
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_evaluate_2d_matches_single_device(n_dev):
+    """Distributed 2D read path == single-device evaluate_2d (mirrors the
+    1D make_sharded_evaluate contract), including clamped outside points."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import evaluate_2d
+    from hybrid_fem_lssvr_tpu.parallel.sharded2d import (
+        make_sharded_evaluate_2d,
+    )
+
+    problem = poisson_2d()
+    cfg = Solver2DConfig(nx=8, ny=12, M=5, n_colloc=5, precond='jacobi')
+    single = HybridSolver2D(problem, cfg)
+    sol = single.solve()
+
+    mesh = pmesh.element_mesh(n_dev)
+    run = make_sharded_solve_2d(problem, cfg, mesh)
+    out = run()
+    evaluate = make_sharded_evaluate_2d(problem, cfg, mesh)
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1.3, 1.3, 701)  # includes out-of-domain (clamped)
+    y = rng.uniform(-1.3, 1.3, 701)
+    u_dist = evaluate(out.coeffs, x, y)
+    dtype = sol.xs.dtype
+    u_single = evaluate_2d(sol, jnp.asarray(x, dtype), jnp.asarray(y, dtype))
+    np.testing.assert_allclose(np.asarray(u_dist), np.asarray(u_single),
+                               atol=1e-9)
