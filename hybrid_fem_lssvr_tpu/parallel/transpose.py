@@ -1,0 +1,113 @@
+"""Ulysses-pattern all-to-all layout transpose + distributed ADI sweeps.
+
+SURVEY.md section 2.3 (Ulysses row): for 2D structured grids, an
+``all_to_all`` transpose between row-sharded (y-slab) and column-sharded
+(x-slab) layouts supports the two sweep directions of ADI-style / banded
+solvers — the same communication pattern Ulysses uses to move sequence
+sharding between the token and head axes.
+
+Two layers:
+
+* ``make_sharded_transpose`` — the bare layout move: a [rows, cols] array
+  sharded over rows becomes its transpose [cols, rows] sharded over rows,
+  in ONE ``all_to_all`` (each device exchanges a [rows/D, cols/D] block
+  with every other device; total bytes moved = the array once over ICI).
+* ``adi_poisson_sweeps`` — Peaceman–Rachford ADI iterations for the 2D
+  Dirichlet Poisson problem: each half-step solves independent tridiagonal
+  line systems along one axis (batched Thomas — lines are the batch axis,
+  so under GSPMD a line-sharded batch solves with zero communication), and
+  the transpose switches the line direction between half-steps.  Pass the
+  distributed transpose to run multi-chip; the math is identical.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..ops import tridiag
+from .mesh import ELEMENT_AXIS
+
+
+def _local_transpose_block(x_loc, axis, n_dev):
+    """Local shard [r_loc, Ctot] -> transposed shard [Ctot/n_dev,
+    r_loc*n_dev] via one all_to_all."""
+    r_loc, Ctot = x_loc.shape
+    c_loc = Ctot // n_dev
+    # [r_loc, n_dev, c_loc] -> [n_dev, r_loc, c_loc]: chunk e goes to dev e.
+    blocks = jnp.swapaxes(x_loc.reshape(r_loc, n_dev, c_loc), 0, 1)
+    recv = jax.lax.all_to_all(blocks, axis, split_axis=0, concat_axis=0)
+    # recv[e, j, i] = x[e * r_loc + j, d * c_loc + i]  (d = this device)
+    # -> out[i, e * r_loc + j]: exactly x.T rows [d*c_loc, (d+1)*c_loc).
+    return jnp.transpose(recv, (2, 0, 1)).reshape(c_loc, n_dev * r_loc)
+
+
+def make_sharded_transpose(mesh, rows: int, cols: int,
+                           axis: str = ELEMENT_AXIS):
+    """Jitted distributed transpose: x [rows, cols] sharded over rows ->
+    x.T [cols, rows] sharded over rows.  rows and cols must divide by the
+    device count (pad upstream otherwise)."""
+    n_dev = mesh.shape[axis]
+    if rows % n_dev or cols % n_dev:
+        raise ValueError(
+            f"rows={rows} and cols={cols} must divide by n_dev={n_dev}"
+        )
+
+    def local(x_loc):
+        return _local_transpose_block(x_loc, axis, n_dev)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _line_solve(rhs_rows, h, tau):
+    """Solve (tau I + A) u = rhs along axis 1 for a batch of interior
+    Dirichlet lines [L, n]: A = (1/h^2) tridiag(-1, 2, -1).  Batched
+    Thomas over lines (the scan runs along the unsharded axis, so a
+    line-sharded batch needs no communication)."""
+    n = rhs_rows.shape[1]
+    inv2 = 1.0 / (h * h)
+    dt = rhs_rows.dtype
+    a = jnp.full((n,), -inv2, dt).at[0].set(0.0)
+    b = jnp.full((n,), jnp.asarray(tau, dt) + 2.0 * inv2, dt)
+    c = jnp.full((n,), -inv2, dt).at[-1].set(0.0)
+    return tridiag.thomas(a, b, c, rhs_rows.T).T
+
+
+def _apply_line_laplacian(u_rows, h):
+    """A u along axis 1 (zero-Dirichlet line Laplacian)."""
+    pad = jnp.pad(u_rows, ((0, 0), (1, 1)))
+    return (2.0 * u_rows - pad[:, :-2] - pad[:, 2:]) / (h * h)
+
+
+def adi_poisson_sweeps(f_int, hx, hy, tau, n_sweeps: int,
+                       transpose_fn=None, transpose_fn_T=None):
+    """Peaceman–Rachford ADI for -Lap u = f, u = 0 on the boundary of a
+    uniform grid; ``f_int``: interior rhs [ny-1, nx-1] (y-major).
+
+    Each sweep:  (tau I + A_x) u*  = (tau I - A_y) u  + f
+                 (tau I + A_y) u'  = (tau I - A_x) u* + f
+
+    ``transpose_fn`` maps the y-major interior grid to x-major (and
+    ``transpose_fn_T`` back); pass the pair from
+    ``make_sharded_transpose`` for the distributed all-to-all version, or
+    leave None for the local ``.T``.  Returns the interior solution
+    [ny-1, nx-1].
+    """
+    tp = (lambda a: a.T) if transpose_fn is None else transpose_fn
+    tpT = (lambda a: a.T) if transpose_fn_T is None else transpose_fn_T
+
+    u = jnp.zeros_like(f_int)
+    fT = tp(f_int)
+    for _ in range(n_sweeps):
+        uT = tp(u)  # x-major: y-lines along axis 1
+        rhs1 = tpT(tau * uT - _apply_line_laplacian(uT, hy)) + f_int
+        u_star = _line_solve(rhs1, hx, tau)  # x-direction half-step
+        rhs2 = tp(tau * u_star - _apply_line_laplacian(u_star, hx)) + fT
+        uT = _line_solve(rhs2, hy, tau)  # y-direction half-step
+        u = tpT(uT)
+    return u
