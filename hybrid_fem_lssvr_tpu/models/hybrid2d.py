@@ -42,6 +42,15 @@ class Problem2D:
     # Optional structured rhs for the fused kernel: f_shifted(xl, dx, yl, dy)
     # == f(xl+dx, yl+dy) with per-quad transcendental work factored out.
     f_shifted: Optional[Callable] = None
+    # Optional SEPARABLE rhs (strongest structure; see the 1D analog in
+    # models/problem.py): f((xl, yl) + (dx, dy)) ==
+    # sum_r f_elem_factors(xl, yl)[r] * colloc_r(dx, dy), with
+    # f_colloc_factors(dx, dy) STATIC (numpy f64 [C^2] in, list of [C^2]
+    # out).  The static factors are contracted with the shared affine map
+    # host-side in f64, so the fused kernel never materialises a
+    # [C^2, tile] rhs and every contraction unrolls to VPU FMAs.
+    f_elem_factors: Optional[Callable] = None
+    f_colloc_factors: Optional[Callable] = None
 
 
 def poisson_2d() -> Problem2D:
@@ -57,12 +66,27 @@ def poisson_2d() -> Problem2D:
             + jnp.cos(pi * yl) * jnp.sin(pi * dy)
         return 2.0 * pi**2 * sx * sy
 
+    def f_elem_factors(xl, yl):
+        amp = 2.0 * pi**2
+        sx, cx = jnp.sin(pi * xl), jnp.cos(pi * xl)
+        sy, cy = jnp.sin(pi * yl), jnp.cos(pi * yl)
+        return [amp * sx * sy, amp * sx * cy, amp * cx * sy, amp * cx * cy]
+
+    def f_colloc_factors(dx, dy):
+        import numpy as np
+
+        cdx, sdx = np.cos(np.pi * dx), np.sin(np.pi * dx)
+        cdy, sdy = np.cos(np.pi * dy), np.sin(np.pi * dy)
+        return [cdx * cdy, cdx * sdy, sdx * cdy, sdx * sdy]
+
     return Problem2D(
         name="poisson_2d",
         f=lambda x, y: 2.0 * pi**2 * jnp.sin(pi * x) * jnp.sin(pi * y),
         g=lambda x, y: jnp.zeros_like(x + y),
         exact=lambda x, y: jnp.sin(pi * x) * jnp.sin(pi * y),
         f_shifted=f_shifted,
+        f_elem_factors=f_elem_factors,
+        f_colloc_factors=f_colloc_factors,
     )
 
 
@@ -83,12 +107,29 @@ def poisson_2d_inhomogeneous() -> Problem2D:
             - jnp.sin(pi * yl) * jnp.sin(pi * dy)
         return 2.0 * pi**2 * cx * cy
 
+    def f_elem_factors(xl, yl):
+        amp = 2.0 * pi**2
+        sx, cx = jnp.sin(pi * xl), jnp.cos(pi * xl)
+        sy, cy = jnp.sin(pi * yl), jnp.cos(pi * yl)
+        return [amp * cx * cy, -amp * cx * sy, -amp * sx * cy,
+                amp * sx * sy]
+
+    def f_colloc_factors(dx, dy):
+        import numpy as np
+
+        cdx, sdx = np.cos(np.pi * dx), np.sin(np.pi * dx)
+        cdy, sdy = np.cos(np.pi * dy), np.sin(np.pi * dy)
+        # cos(a+dx)cos(b+dy) expansion against the four element factors
+        return [cdx * cdy, cdx * sdy, sdx * cdy, sdx * sdy]
+
     return Problem2D(
         name="poisson_2d_inhomogeneous",
         f=lambda x, y: 2.0 * pi**2 * jnp.cos(pi * x) * jnp.cos(pi * y),
         g=lambda x, y: jnp.cos(pi * x) * jnp.cos(pi * y),
         exact=lambda x, y: jnp.cos(pi * x) * jnp.cos(pi * y),
         f_shifted=f_shifted,
+        f_elem_factors=f_elem_factors,
+        f_colloc_factors=f_colloc_factors,
     )
 
 
@@ -174,6 +215,12 @@ def prepare_shared_2d(problem: Problem2D, cfg: Solver2DConfig):
     V0y_b = legendre.vandermonde_host(bpts[:, 0], M)[0]  # [K, M]
     V0x_b = legendre.vandermonde_host(bpts[:, 1], M)[0]
     B = np.einsum("pk,pl->pkl", V0y_b, V0x_b).reshape(-1, M * M)
+    rhs_factors = None
+    if problem.f_colloc_factors is not None:
+        # Static in-element offsets matching D's row-major (iy, ix) rows.
+        dx = (np.tile(t_int, C) + 1.0) * 0.5 * hx
+        dy = (np.repeat(t_int, C) + 1.0) * 0.5 * hy
+        rhs_factors = problem.f_colloc_factors(dx, dy)
     if cfg.formulation == "dual":
         # Genuine dual algebra: the augmented quasi-definite kernel system
         # (kkt.solve_dual_batched's factorisation, extracted once in host
@@ -182,13 +229,17 @@ def prepare_shared_2d(problem: Problem2D, cfg: Solver2DConfig):
         # where Cholesky/Schur is not; finite gamma makes it differ from
         # the LSE (gamma -> inf) primal by O(1/gamma) — primal==dual is
         # asserted to solver tolerance in tests.
-        shared = kkt.precompute_shared_dual_host(D, B, cfg.gamma,
-                                                 cfg.jnp_dtype())
+        shared = kkt.precompute_shared_dual_host(
+            D, B, cfg.gamma, cfg.jnp_dtype(),
+            rhs_colloc_factors=rhs_factors,
+        )
     else:
         # LSE precompute: the 2D Laplacian's discrete-harmonic null space
         # makes the gamma-form normal equations unsolvable even in f64
         # (see kkt.precompute_shared_lse_host).
-        shared = kkt.precompute_shared_lse_host(D, B, cfg.jnp_dtype())
+        shared = kkt.precompute_shared_lse_host(
+            D, B, cfg.jnp_dtype(), rhs_colloc_factors=rhs_factors,
+        )
     return shared, (jnp.asarray(t_int), jnp.asarray(bpts))
 
 
@@ -365,13 +416,25 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
 
         hx = (x1 - x0) / cfg.nx
         hy = (y1 - y0) / cfg.ny
-        w, slack, bcv = pk.fused_enhance_shared_2d(
-            fem_values, shared, problem.f, problem.g,
-            (x0, hx, y0, hy), cfg.nx, cfg.ny, t_int, bpts,
-            tile=pk.pick_tile(E, 4096),
-            with_diagnostics=cfg.diagnostics,
-            f_shifted_fn=problem.f_shifted,
-        )
+        if shared.Pres is not None:
+            # Stacked-operator kernel: [w; e] in ONE MXU dot (the generic
+            # kernel's 3-4 separately K-padded HIGHEST dots dominated its
+            # cost — see the kernel docstring and NUMERICS.md 13).
+            w, slack, bcv = pk.fused_enhance_stacked_2d(
+                fem_values, shared, problem.f, problem.g,
+                (x0, hx, y0, hy), cfg.nx, cfg.ny, t_int, bpts,
+                tile=pk.pick_tile(E, 4096),
+                with_diagnostics=cfg.diagnostics,
+                f_shifted_fn=problem.f_shifted,
+            )
+        else:
+            w, slack, bcv = pk.fused_enhance_shared_2d(
+                fem_values, shared, problem.f, problem.g,
+                (x0, hx, y0, hy), cfg.nx, cfg.ny, t_int, bpts,
+                tile=pk.pick_tile(E, 4096),
+                with_diagnostics=cfg.diagnostics,
+                f_shifted_fn=problem.f_shifted,
+            )
         u00 = fem_values[:-1, :-1]
         u10 = fem_values[:-1, 1:]
         u01 = fem_values[1:, :-1]

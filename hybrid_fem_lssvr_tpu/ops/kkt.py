@@ -324,7 +324,8 @@ class SharedOperators(NamedTuple):
     B: jnp.ndarray  # [2, M]
     WfF: jnp.ndarray = None  # [R, M] host-f64 Wf @ b_r
     PF: jnp.ndarray = None  # [R, C] host-f64 (I - D Wf) @ b_r
-    Qres: jnp.ndarray = None  # [C, 2] host-f64 -(D @ Wbc)
+    Qres: jnp.ndarray = None  # [C, K] host-f64 -(D @ Wbc)
+    Pres: jnp.ndarray = None  # [C, C] host-f64 residual projector I - D Wf
     cond: jnp.ndarray = None  # scalar: host-exact kappa_2 of the matrix
     # actually factored (equilibrated H / projected G / augmented dual)
 
@@ -349,23 +350,30 @@ def precompute_shared(D: jnp.ndarray, B: jnp.ndarray, gamma) -> SharedOperators:
 
 
 def _rhs_factor_fields(Wf64, Wbc64, D64, rhs_colloc_factors, dtype):
-    """Host-f64 contraction of the static rhs collocation factors with the
-    shared affine map (see SharedOperators docstring).  Returns the kwargs
-    for the rank-factored fields ({} when no factors are given)."""
-    if rhs_colloc_factors is None:
-        return {}
+    """Host-f64 residual operators + optional static-factor contractions.
+
+    Always returns the residual projector Pres = I - D Wf and
+    Qres = -(D Wbc) (they define the exact-algebra slack e = Pres f +
+    Qres bc for ANY rhs); when static rhs collocation factors are given,
+    additionally contracts them (see SharedOperators docstring)."""
     import numpy as np
 
+    C = D64.shape[0]
+    P = np.eye(C) - D64 @ Wf64  # residual projector [C, C]
+    fields = dict(
+        Qres=jnp.asarray(-(D64 @ Wbc64), dtype),  # [C, K]
+        Pres=jnp.asarray(P, dtype),
+    )
+    if rhs_colloc_factors is None:
+        return fields
     bs = np.stack(
         [np.asarray(b, np.float64) for b in rhs_colloc_factors]
     )  # [R, C]
-    C = D64.shape[0]
-    P = np.eye(C) - D64 @ Wf64  # residual projector [C, C]
-    return dict(
+    fields.update(
         WfF=jnp.asarray(bs @ Wf64.T, dtype),  # [R, M]
         PF=jnp.asarray(bs @ P.T, dtype),  # [R, C]
-        Qres=jnp.asarray(-(D64 @ Wbc64), dtype),  # [C, 2]
     )
+    return fields
 
 
 def precompute_shared_host(D0, B, gamma, dtype=jnp.float32,

@@ -461,6 +461,165 @@ def fused_enhance_shared_2d(
     return outs[0].T, None, None
 
 
+def fused_enhance_stacked_2d(
+    fem_values: jnp.ndarray,  # [ny+1, nx+1] nodal grid
+    ops: kkt.SharedOperators,  # must carry Pres / Qres
+    f_fn,  # rhs f(x, y)
+    g_fn,  # Dirichlet data g(x, y)
+    geom,  # (x0, hx, y0, hy) Python floats
+    nx: int,
+    ny: int,
+    t_int,  # [C] interior collocation offsets (reference coords)
+    bpts,  # [K, 2] (ty, tx) boundary-trace points
+    tile: int = 4096,
+    interpret: bool = False,
+    with_diagnostics: bool = True,
+    f_shifted_fn=None,
+    precision=None,  # None -> HIGHEST; pass jax.lax.Precision.HIGH to halve
+    # the MXU pass count (bf16x3, ~1.5e-7 rel) where the error budget allows
+):
+    """Fused 2D enhancement with ONE stacked MXU contraction.
+
+    The generic kernel pays 4 separately K-padded HIGHEST dots (w = Wf f +
+    Wbc bc, then D w and B w for diagnostics) — each pads its tiny K to the
+    MXU's 128 systolic depth, measured ~1.4 ms of 1.73 ms at 1M quads.
+    Here the affine map and the exact-algebra residual stack into one
+    operator applied to one stacked operand:
+
+        [ w ]   [ Wf    Wbc  ] [ f  ]
+        [ e ] = [ Pres  Qres ] [ bc ]     (Pres = I - D Wf, Qres = -D Wbc,
+                                           both host-f64 -> exact slack)
+
+    — [M2+C2, C2+K] @ [C2+K, tile]: one padded dot instead of three.  The
+    bc violation keeps a REAL-computed-w dot (B w — the fault-detection
+    signal).  An FMA-unrolled variant was measured 2x SLOWER here (K = 20,
+    M2 = 36 is past the VPU/MXU crossover; contrast the 1D kernel where
+    K <= 2).  Returns (w [E, M2], max_slack [E], bc_violation [E]).
+    """
+    E = nx * ny
+    if E % tile:
+        raise ValueError(f"E={E} not a multiple of tile={tile}")
+    if tile % 128:
+        raise ValueError(f"tile={tile} must be a multiple of 128 lanes")
+    if ops.Pres is None:
+        raise ValueError("ops has no residual operators; use a host "
+                         "precompute (precompute_shared_*_host)")
+    dtype = fem_values.dtype
+    x0, hx, y0, hy = geom
+    M2 = ops.Wf.shape[0]
+    C2 = ops.Pres.shape[0]
+    C = int(np.sqrt(C2) + 0.5)
+    K = ops.Wbc.shape[1]
+
+    u00 = fem_values[:-1, :-1].reshape(1, E)
+    u10 = fem_values[:-1, 1:].reshape(1, E)
+    u01 = fem_values[1:, :-1].reshape(1, E)
+    u11 = fem_values[1:, 1:].reshape(1, E)
+
+    t = jnp.asarray(t_int, dtype)
+    dX = (jnp.tile(t, C)[:, None] + 1.0) * jnp.asarray(0.5 * hx, dtype)
+    dY = (jnp.repeat(t, C)[:, None] + 1.0) * jnp.asarray(0.5 * hy, dtype)
+    ty = jnp.asarray(bpts[:, 0], dtype)[:, None]
+    tx = jnp.asarray(bpts[:, 1], dtype)[:, None]
+    N00 = 0.25 * (1 - tx) * (1 - ty)
+    N10 = 0.25 * (1 + tx) * (1 - ty)
+    N01 = 0.25 * (1 - tx) * (1 + ty)
+    N11 = 0.25 * (1 + tx) * (1 + ty)
+    bX = (tx + 1.0) * jnp.asarray(0.5 * hx, dtype)
+    bY = (ty + 1.0) * jnp.asarray(0.5 * hy, dtype)
+    n_pack = jnp.concatenate([N00, N10, N01, N11], axis=0)  # [4K, 1]
+    bxy_pack = jnp.concatenate(
+        [bX, bY,
+         (tx == -1.0).astype(dtype), (tx == 1.0).astype(dtype),
+         (ty == -1.0).astype(dtype), (ty == 1.0).astype(dtype)],
+        axis=0,
+    )  # [6K, 1]
+    # The stacked operator (operators are host-f64, cast to run dtype).
+    top = jnp.concatenate([ops.Wf, ops.Wbc], axis=1)  # [M2, C2+K]
+    if with_diagnostics:
+        bottom = jnp.concatenate([ops.Pres, ops.Qres], axis=1)
+        O = jnp.concatenate([top, bottom], axis=0)  # [M2+C2, C2+K]
+    else:
+        O = top
+
+    hi = jax.lax.Precision.HIGHEST if precision is None else precision
+
+    def kernel(dX_r, dY_r, n_r, bxy_r, u00_r, u10_r, u01_r, u11_r,
+               o_ref, b_ref, w_ref, *diag_refs):
+        i = pl.program_id(0)
+        e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + i * tile
+        nx32 = jnp.int32(nx)
+        ex = (e_idx % nx32).astype(dtype)
+        ey = (e_idx // nx32).astype(dtype)
+        xl = jnp.asarray(x0, dtype) + ex * jnp.asarray(hx, dtype)
+        yl = jnp.asarray(y0, dtype) + ey * jnp.asarray(hy, dtype)
+        if f_shifted_fn is not None:
+            f = f_shifted_fn(xl, dX_r[:], yl, dY_r[:])
+        else:
+            f = f_fn(xl + dX_r[:], yl + dY_r[:])  # [C2, tile]
+        n00, n10, n01, n11 = (n_r[0:K], n_r[K:2 * K], n_r[2 * K:3 * K],
+                              n_r[3 * K:4 * K])
+        trace = (n00 * u00_r[:] + n10 * u10_r[:] + n01 * u01_r[:]
+                 + n11 * u11_r[:])  # [K, tile]
+        xb = xl + bxy_r[0:K]
+        yb = yl + bxy_r[K:2 * K]
+        gv = g_fn(xb, yb) * jnp.ones_like(trace)
+        is_l = (e_idx % nx32) == 0
+        is_r = (e_idx % nx32) == nx32 - 1
+        is_b = (e_idx // nx32) == 0
+        is_t = (e_idx // nx32) == jnp.int32(ny) - 1
+        mask = (
+            ((bxy_r[2 * K:3 * K] > 0.5) & is_l)
+            | ((bxy_r[3 * K:4 * K] > 0.5) & is_r)
+            | ((bxy_r[4 * K:5 * K] > 0.5) & is_b)
+            | ((bxy_r[5 * K:6 * K] > 0.5) & is_t)
+        )
+        bc = jnp.where(mask, gv, trace)
+        z = jnp.concatenate([f, bc], axis=0)  # [C2+K, tile]
+        out = jnp.dot(o_ref[:], z, precision=hi,
+                      preferred_element_type=dtype)
+        w = out[:M2]
+        w_ref[:] = w
+        if with_diagnostics:
+            slack_ref, bcv_ref = diag_refs
+            slack_ref[:] = jnp.max(jnp.abs(out[M2:]), axis=0,
+                                   keepdims=True)
+            b_res = bc - jnp.dot(b_ref[:], w, precision=hi,
+                                 preferred_element_type=dtype)
+            bcv_ref[:] = jnp.max(jnp.abs(b_res), axis=0, keepdims=True)
+
+    grid = (E // tile,)
+    col = lambda i: (0, i)
+    out_shape = [jax.ShapeDtypeStruct((M2, E), dtype)]
+    out_specs = [pl.BlockSpec((M2, tile), col, memory_space=pltpu.VMEM)]
+    if with_diagnostics:
+        out_shape += [jax.ShapeDtypeStruct((1, E), dtype)] * 2
+        out_specs += [
+            pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+        ] * 2
+    repl = pl.BlockSpec(memory_space=pltpu.VMEM)
+    row_block = pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[repl, repl, repl, repl,
+                  row_block, row_block, row_block, row_block,
+                  repl, repl],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E * (M2 + C2) * (C2 + K),
+            bytes_accessed=4 * (4 * E + E * M2 + 2 * E),
+            transcendentals=4 * E if f_shifted_fn is not None else E * C2,
+        ),
+    )(dX, dY, n_pack, bxy_pack, u00, u10, u01, u11, O, ops.B)
+    if with_diagnostics:
+        wT, slack, bcv = outs
+        return wT.T, slack[0], bcv[0]
+    return outs[0].T, None, None
+
+
 class VarCoeffOperators:
     """Static host-precomputed operators for the fused variable-coefficient
     kernel (plain attributes, not a pytree — everything is trace-constant).

@@ -228,3 +228,38 @@ def test_backend_routing():
     auto = SolverConfig(num_nodes=129, dtype="float32")
     expected = "pallas" if jax.default_backend() == "tpu" else "xla"
     assert H._resolve_backend(auto, 128) == expected
+
+
+def test_fused_stacked_2d_matches_xla_path():
+    """The 2D stacked-operator kernel ([w; e] in one MXU dot, exact-algebra
+    slack) equals the XLA shared path on both homogeneous and
+    inhomogeneous (g-override) problems, with and without structured rhs."""
+    from hybrid_fem_lssvr_tpu.models import hybrid2d as h2
+    from hybrid_fem_lssvr_tpu.ops import kkt
+
+    for p in (h2.poisson_2d(), h2.poisson_2d_inhomogeneous()):
+        cfg = h2.Solver2DConfig(nx=16, ny=16, M=5, n_colloc=5,
+                                dtype="float32")
+        shared, (t_int, bpts) = h2.prepare_shared_2d(p, cfg)
+        assert shared.Pres is not None
+        xs = jnp.linspace(-1, 1, 17, dtype=jnp.float32)
+        ys = jnp.linspace(-1, 1, 17, dtype=jnp.float32)
+        fem, _ = h2.fem_solve_2d(p, cfg, xs, ys)
+        f_rows, bc_rows, _ = h2._element_data_2d(p, cfg, xs, ys, fem,
+                                                 t_int, bpts)
+        w_ref, d_ref = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+        geom = (-1.0, 2 / 16, -1.0, 2 / 16)
+        for fs in (None, p.f_shifted):
+            w, slack, bcv = pk.fused_enhance_stacked_2d(
+                fem, shared, p.f, p.g, geom, 16, 16, t_int, bpts,
+                tile=256, interpret=True, f_shifted_fn=fs,
+            )
+            np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                                       atol=2e-5)
+            np.testing.assert_allclose(
+                np.asarray(bcv), np.asarray(d_ref.bc_violation), atol=1e-5
+            )
+            # slack is the exact-algebra residual — same order as XLA's
+            r = float(jnp.max(slack)) / max(
+                float(jnp.max(d_ref.max_slack)), 1e-30)
+            assert 0.05 < r < 20.0, r
