@@ -112,3 +112,72 @@ def evaluate(nodes, coeffs, x) -> np.ndarray:
     lib.evaluate_f64(_dptr(nodes), nodes.shape[0], _dptr(coeffs),
                      coeffs.shape[1], _dptr(x), x.shape[0], _dptr(out))
     return out
+
+
+def _register_2d(lib):
+    lib.q1_apply_f64.restype = None
+    lib.q1_cg_solve_f64.restype = ctypes.c_int
+    lib.enhance_lse2d_f64.restype = ctypes.c_int
+    lib.evaluate2d_f64.restype = None
+
+
+def q1_apply(u, K_loc) -> np.ndarray:
+    """Matrix-free Q1 stiffness apply on a [ny1, nx1] nodal grid."""
+    lib = load()
+    assert lib is not None
+    _register_2d(lib)
+    u, K_loc = (np.ascontiguousarray(v, np.float64) for v in (u, K_loc))
+    ny1, nx1 = u.shape
+    out = np.empty((ny1, nx1))
+    lib.q1_apply_f64(_dptr(u), _dptr(K_loc), ny1, nx1, _dptr(out))
+    return out
+
+
+def q1_cg_solve(b, K_loc, u_bc, tol: float = 1e-12,
+                maxiter: int = 10000) -> np.ndarray:
+    """Interior Dirichlet Q1 solve via Jacobi-CG; u_bc carries the boundary
+    values (interior entries ignored)."""
+    lib = load()
+    assert lib is not None
+    _register_2d(lib)
+    b, K_loc = (np.ascontiguousarray(v, np.float64) for v in (b, K_loc))
+    u = np.ascontiguousarray(u_bc, np.float64).copy()
+    ny1, nx1 = u.shape
+    it = lib.q1_cg_solve_f64(_dptr(b), _dptr(K_loc), ny1, nx1,
+                             ctypes.c_double(tol), maxiter, _dptr(u))
+    assert it >= 0, "native Q1 CG did not converge"
+    return u
+
+
+def enhance_lse2d(D, B, f_all, bc_all) -> np.ndarray:
+    """2D LSE element enhancement (min ||D w - f|| s.t. B w = bc) via the
+    bordered normal-equation KKT — the gamma-form is unusable in 2D
+    (docs/NUMERICS.md 3)."""
+    lib = load()
+    assert lib is not None
+    _register_2d(lib)
+    D, B, f_all, bc_all = (np.ascontiguousarray(v, np.float64)
+                           for v in (D, B, f_all, bc_all))
+    E, C2 = f_all.shape
+    M2 = D.shape[1]
+    K = B.shape[0]
+    w = np.empty((E, M2))
+    fails = lib.enhance_lse2d_f64(_dptr(D), _dptr(B), _dptr(f_all),
+                                  _dptr(bc_all), E, C2, M2, K, _dptr(w))
+    assert fails == 0, f"{fails} native 2D element solves failed"
+    return w
+
+
+def evaluate2d(x0, hx, nx, y0, hy, ny, coeffs, x, y) -> np.ndarray:
+    """Tensor-Legendre evaluation on the uniform quad grid (clamped)."""
+    lib = load()
+    assert lib is not None
+    _register_2d(lib)
+    coeffs, x, y = (np.ascontiguousarray(v, np.float64)
+                    for v in (coeffs, x, y))
+    out = np.empty(x.shape[0])
+    lib.evaluate2d_f64(ctypes.c_double(x0), ctypes.c_double(hx), nx,
+                       ctypes.c_double(y0), ctypes.c_double(hy), ny,
+                       _dptr(coeffs), coeffs.shape[-1], _dptr(x), _dptr(y),
+                       x.shape[0], _dptr(out))
+    return out

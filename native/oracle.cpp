@@ -162,4 +162,171 @@ void evaluate_f64(const double* nodes, int n_nodes, const double* coeffs,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// 2D oracle kernels (round 2): independent reference for the structured-quad
+// pipeline (models/hybrid2d.py).
+// ---------------------------------------------------------------------------
+
+// Matrix-free Q1 stiffness apply on a uniform [ny1, nx1] nodal grid
+// (row-major, y-major like the JAX side).  K_loc: [4, 4] local stiffness
+// with corner order (00, 10, 01, 11) = (SW, SE, NW, NE).
+void q1_apply_f64(const double* u, const double* K_loc, int ny1, int nx1,
+                  double* out) {
+  std::memset(out, 0, (size_t)ny1 * nx1 * sizeof(double));
+  for (int ey = 0; ey + 1 < ny1; ++ey) {
+    for (int ex = 0; ex + 1 < nx1; ++ex) {
+      const int n00 = ey * nx1 + ex, n10 = n00 + 1;
+      const int n01 = n00 + nx1, n11 = n01 + 1;
+      const int idx[4] = {n00, n10, n01, n11};
+      for (int a = 0; a < 4; ++a) {
+        double s = 0.0;
+        for (int b = 0; b < 4; ++b) s += K_loc[a * 4 + b] * u[idx[b]];
+        out[idx[a]] += s;
+      }
+    }
+  }
+}
+
+// Jacobi-preconditioned CG for the interior Dirichlet system
+// K u = b - K u_bc restricted to interior nodes.  u holds the boundary
+// values on entry (interior entries ignored) and the full solution on exit.
+// Returns iterations used, or -1 if not converged.
+int q1_cg_solve_f64(const double* b, const double* K_loc, int ny1, int nx1,
+                    double tol, int maxiter, double* u) {
+  const size_t N = (size_t)ny1 * nx1;
+  std::vector<double> ubc(N, 0.0), rhs(N, 0.0), Ku(N), x(N, 0.0), r(N),
+      z(N), pvec(N), Ap(N), diag(N, 0.0);
+  std::vector<char> interior(N, 0);
+  for (int j = 1; j + 1 < ny1; ++j)
+    for (int i = 1; i + 1 < nx1; ++i) interior[(size_t)j * nx1 + i] = 1;
+  for (size_t n = 0; n < N; ++n) ubc[n] = interior[n] ? 0.0 : u[n];
+  q1_apply_f64(ubc.data(), K_loc, ny1, nx1, Ku.data());
+  for (size_t n = 0; n < N; ++n)
+    rhs[n] = interior[n] ? b[n] - Ku[n] : 0.0;
+  // diag of K
+  {
+    std::vector<double> e(N, 0.0);
+    for (int ey = 0; ey + 1 < ny1; ++ey)
+      for (int ex = 0; ex + 1 < nx1; ++ex) {
+        const int n00 = ey * nx1 + ex;
+        const int idx[4] = {n00, n00 + 1, n00 + nx1, n00 + nx1 + 1};
+        for (int a = 0; a < 4; ++a) diag[idx[a]] += K_loc[a * 4 + a];
+      }
+  }
+  auto apply_free = [&](const std::vector<double>& v,
+                        std::vector<double>& outv) {
+    std::vector<double> vm(N);
+    for (size_t n = 0; n < N; ++n) vm[n] = interior[n] ? v[n] : 0.0;
+    q1_apply_f64(vm.data(), K_loc, ny1, nx1, outv.data());
+    for (size_t n = 0; n < N; ++n) if (!interior[n]) outv[n] = 0.0;
+  };
+  double b2 = 0.0;
+  for (size_t n = 0; n < N; ++n) b2 += rhs[n] * rhs[n];
+  const double stop = tol * tol * (b2 > 0 ? b2 : 1.0);
+  for (size_t n = 0; n < N; ++n) r[n] = rhs[n];
+  for (size_t n = 0; n < N; ++n)
+    z[n] = interior[n] ? r[n] / diag[n] : 0.0;
+  pvec = z;
+  double rz = 0.0;
+  for (size_t n = 0; n < N; ++n) rz += r[n] * z[n];
+  int it = 0;
+  for (; it < maxiter; ++it) {
+    double r2 = 0.0;
+    for (size_t n = 0; n < N; ++n) r2 += r[n] * r[n];
+    if (r2 <= stop) break;
+    apply_free(pvec, Ap);
+    double pAp = 0.0;
+    for (size_t n = 0; n < N; ++n) pAp += pvec[n] * Ap[n];
+    const double alpha = rz / pAp;
+    for (size_t n = 0; n < N; ++n) { x[n] += alpha * pvec[n];
+                                     r[n] -= alpha * Ap[n]; }
+    for (size_t n = 0; n < N; ++n)
+      z[n] = interior[n] ? r[n] / diag[n] : 0.0;
+    double rz_new = 0.0;
+    for (size_t n = 0; n < N; ++n) rz_new += r[n] * z[n];
+    const double beta = rz_new / rz;
+    rz = rz_new;
+    for (size_t n = 0; n < N; ++n) pvec[n] = z[n] + beta * pvec[n];
+  }
+  for (size_t n = 0; n < N; ++n)
+    u[n] = interior[n] ? x[n] : ubc[n];
+  return it >= maxiter ? -1 : it;
+}
+
+// 2D LSE element solve: min ||D w - f|| s.t. B w = bc via the bordered
+// normal-equation KKT [[D^T D, B^T], [B, 0]] (rows of D equilibrated by
+// 1/||D||_F; nonsingular because null(D) ^ null(B) = {0} — the gamma-form
+// I + gamma D^T D is NOT usable here, see docs/NUMERICS.md 3).
+// D: [C2, M2]; B: [K, M2]; f_all: [E, C2]; bc_all: [E, K]; w_all: [E, M2].
+// Returns number of failed elements.
+int enhance_lse2d_f64(const double* D, const double* B,
+                      const double* f_all, const double* bc_all,
+                      int E, int C2, int M2, int K, double* w_all) {
+  // Global Frobenius scale of D (scale-invariant minimiser).
+  double fro = 0.0;
+  for (int i = 0; i < C2 * M2; ++i) fro += D[i] * D[i];
+  const double s = 1.0 / std::sqrt(fro / C2 + 1e-300);
+  const int n = M2 + K;
+  std::vector<double> DtD(M2 * M2, 0.0);
+  for (int i = 0; i < M2; ++i)
+    for (int j = 0; j < M2; ++j) {
+      double acc = 0.0;
+      for (int c = 0; c < C2; ++c)
+        acc += (s * D[c * M2 + i]) * (s * D[c * M2 + j]);
+      DtD[i * M2 + j] = acc;
+    }
+  int fails = 0;
+  for (int e = 0; e < E; ++e) {
+    std::vector<double> A(n * n, 0.0), rhs(n, 0.0);
+    for (int i = 0; i < M2; ++i) {
+      for (int j = 0; j < M2; ++j) A[i * n + j] = DtD[i * M2 + j];
+      for (int k = 0; k < K; ++k) {
+        A[i * n + (M2 + k)] = B[k * M2 + i];
+        A[(M2 + k) * n + i] = B[k * M2 + i];
+      }
+      double r = 0.0;
+      for (int c = 0; c < C2; ++c)
+        r += (s * D[c * M2 + i]) * (s * f_all[(size_t)e * C2 + c]);
+      rhs[i] = r;
+    }
+    for (int k = 0; k < K; ++k) rhs[M2 + k] = bc_all[(size_t)e * K + k];
+    if (ge_solve(A, rhs, n) != 0) { ++fails; continue; }
+    std::memcpy(w_all + (size_t)e * M2, rhs.data(), M2 * sizeof(double));
+  }
+  return fails;
+}
+
+// Tensor-Legendre evaluation on a uniform [ny, nx] quad grid (clamped).
+// coeffs: [ny, nx, M, M] (ky, kx ordering); points (x, y)[np_] -> out[np_].
+void evaluate2d_f64(double x0, double hx, int nx, double y0, double hy,
+                    int ny, const double* coeffs, int M, const double* x,
+                    const double* y, int np_, double* out) {
+  std::vector<double> Px(M), Py(M);
+  for (int i = 0; i < np_; ++i) {
+    int ix = (int)std::floor((x[i] - x0) / hx);
+    int iy = (int)std::floor((y[i] - y0) / hy);
+    if (ix < 0) ix = 0;
+    if (ix > nx - 1) ix = nx - 1;
+    if (iy < 0) iy = 0;
+    if (iy > ny - 1) iy = ny - 1;
+    const double tx = 2.0 * (x[i] - (x0 + ix * hx)) / hx - 1.0;
+    const double ty = 2.0 * (y[i] - (y0 + iy * hy)) / hy - 1.0;
+    Px[0] = 1.0; if (M > 1) Px[1] = tx;
+    Py[0] = 1.0; if (M > 1) Py[1] = ty;
+    for (int k = 1; k + 1 < M; ++k) {
+      Px[k + 1] = ((2 * k + 1) * tx * Px[k] - k * Px[k - 1]) / (k + 1);
+      Py[k + 1] = ((2 * k + 1) * ty * Py[k] - k * Py[k - 1]) / (k + 1);
+    }
+    const double* w = coeffs + (((size_t)iy * nx) + ix) * M * M;
+    double acc = 0.0;
+    for (int ky = 0; ky < M; ++ky) {
+      double rowacc = 0.0;
+      for (int kx = 0; kx < M; ++kx) rowacc += w[ky * M + kx] * Px[kx];
+      acc += Py[ky] * rowacc;
+    }
+    out[i] = acc;
+  }
+}
+
 }  // extern "C"

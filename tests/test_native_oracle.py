@@ -86,3 +86,74 @@ def test_native_end_to_end_oracle():
     np.testing.assert_allclose(u_native, u_jax, atol=1e-9)
     # and both hit the analytic solution
     assert np.abs(u_native - np.sin(np.pi * x)).max() < 1e-6
+
+
+def test_native_q1_apply_matches_jax():
+    """Native matrix-free Q1 stiffness apply == ops.assembly2d."""
+    import jax.numpy as jnp
+
+    from hybrid_fem_lssvr_tpu.ops import assembly2d
+
+    rng = np.random.default_rng(3)
+    K_loc = assembly2d.q1_local_stiffness(0.25, 0.5)
+    u = rng.normal(size=(9, 13))
+    ref = np.asarray(assembly2d.apply_stiffness(jnp.asarray(u),
+                                                jnp.asarray(K_loc)))
+    got = native.q1_apply(u, K_loc)
+    np.testing.assert_allclose(got, ref, atol=1e-13)
+
+
+def test_native_2d_pipeline_cross_validates_jax():
+    """Full independent 2D pipeline: native Q1-CG coarse solve + native
+    LSE enhancement + native evaluation == the JAX hybrid2d path (both
+    f64), cross-validating coarse stage, enhancement algebra and read
+    path at once."""
+    import jax.numpy as jnp
+
+    from hybrid_fem_lssvr_tpu.models import hybrid2d as h2
+    from hybrid_fem_lssvr_tpu.ops import assembly2d
+
+    p = h2.poisson_2d_inhomogeneous()
+    n = 12
+    cfg = h2.Solver2DConfig(nx=n, ny=n, M=5, n_colloc=5, dtype="float64",
+                            precond="jacobi", cg_tol=1e-13)
+    s = h2.HybridSolver2D(p, cfg)
+    sol = s.solve()
+
+    # Native coarse stage
+    xs = np.linspace(-1, 1, n + 1)
+    ys = np.linspace(-1, 1, n + 1)
+    hx = hy = 2.0 / n
+    K_loc = assembly2d.q1_local_stiffness(hx, hy)
+    b = np.asarray(assembly2d.assemble_load(jnp.asarray(xs),
+                                            jnp.asarray(ys), p.f))
+    X, Y = np.meshgrid(xs, ys)
+    u_bc = np.where(
+        (X > -1 + 1e-12) & (X < 1 - 1e-12)
+        & (Y > -1 + 1e-12) & (Y < 1 - 1e-12),
+        0.0, np.asarray(p.g(jnp.asarray(X), jnp.asarray(Y))))
+    fem_native = native.q1_cg_solve(b, K_loc, u_bc, tol=1e-13)
+    np.testing.assert_allclose(fem_native, np.asarray(sol.fem_values),
+                               atol=1e-9)
+
+    # Native enhancement on the same data
+    shared, (t_int, bpts) = h2.prepare_shared_2d(p, cfg)
+    f_rows, bc_rows, _ = h2._element_data_2d(
+        p, cfg, jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray(fem_native), t_int, bpts)
+    w_native = native.enhance_lse2d(np.asarray(shared.D),
+                                    np.asarray(shared.B),
+                                    np.asarray(f_rows),
+                                    np.asarray(bc_rows))
+    w_jax = np.asarray(sol.coeffs).reshape(n * n, -1)
+    np.testing.assert_allclose(w_native, w_jax, atol=1e-8)
+
+    # Native evaluation
+    rng = np.random.default_rng(11)
+    xq = rng.uniform(-1.1, 1.1, 500)
+    yq = rng.uniform(-1.1, 1.1, 500)
+    u_native = native.evaluate2d(-1.0, hx, n, -1.0, hy, n,
+                                 w_native.reshape(n, n, cfg.M, cfg.M),
+                                 xq, yq)
+    u_jax = np.asarray(s.evaluate_solution(xq, yq))
+    np.testing.assert_allclose(u_native, u_jax, atol=1e-8)
