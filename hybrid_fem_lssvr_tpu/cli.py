@@ -323,7 +323,7 @@ def build_parser():
                     choices=[None, "float32", "float64"])
     sp.add_argument("--x64", action="store_true")
     sp.add_argument("--precond", default="auto",
-                    choices=["auto", "jacobi", "mg"])
+                    choices=["auto", "jacobi", "mg", "adi"])
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument("--eval-points", type=int, default=2000)
     sp.set_defaults(fn=cmd_run2d)

@@ -146,6 +146,9 @@ class Solver2DConfig:
     cg_tol: Optional[float] = None  # None -> 100 * dtype eps (relative)
     cg_maxiter: int = 2000
     precond: str = "auto"  # 'auto' | 'jacobi' | 'mg' (geometric V-cycle)
+    # | 'adi' (Peaceman-Rachford line sweeps — exact line solves per
+    # direction, the right tool for strongly anisotropic hx/hy where
+    # point-smoothing degrades; parallel/transpose.py)
     backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (enhancement stage)
     diagnostics: bool = True
     dtype: Optional[str] = None
@@ -277,6 +280,10 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
         from ..ops import multigrid
 
         M_inv = multigrid.make_vcycle(ny1, nx1, K_loc, dtype)
+    elif precond == "adi":
+        from ..parallel.transpose import make_adi_preconditioner
+
+        M_inv = make_adi_preconditioner(ny1, nx1, hx, hy, dtype)
     else:
         diag = assembly2d.stiffness_diag((ny1, nx1), K_loc, dtype)
         M_inv = jnp.where(interior, 1.0 / diag, 1.0)

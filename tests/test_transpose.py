@@ -69,3 +69,64 @@ def test_adi_distributed_matches_local(n_dev):
                                 transpose_fn=tp, transpose_fn_T=tp)
     np.testing.assert_allclose(np.asarray(u_dist), np.asarray(u_local),
                                atol=1e-12)
+
+
+def test_adi_preconditioner_beats_jacobi_on_anisotropy():
+    """ADI-preconditioned CG on a strongly anisotropic grid (hx/hy = 16)
+    converges in far fewer iterations than Jacobi-CG on a broad-spectrum
+    (random) rhs — the line solves are exact per direction, which is
+    exactly where point-preconditioning degrades.  (The smooth sin*sin
+    load is nearly a stiffness eigenvector and converges in ~1 CG step
+    under ANY preconditioner — a degenerate comparison.)"""
+    from hybrid_fem_lssvr_tpu.ops import assembly2d, cg
+    from hybrid_fem_lssvr_tpu.parallel.transpose import (
+        make_adi_preconditioner,
+    )
+
+    nx, ny = 8, 128
+    hx, hy = 2.0 / nx, 2.0 / ny
+    ny1, nx1 = ny + 1, nx + 1
+    K_loc = jnp.asarray(assembly2d.q1_local_stiffness(hx, hy))
+    interior = jnp.zeros((ny1, nx1), bool).at[1:-1, 1:-1].set(True)
+
+    def apply_free(v):
+        return jnp.where(
+            interior, assembly2d.apply_stiffness(v * interior, K_loc), 0.0
+        )
+
+    rhs = jnp.where(
+        interior,
+        jnp.asarray(np.random.default_rng(0).normal(size=(ny1, nx1))), 0.0,
+    )
+    diag = assembly2d.stiffness_diag((ny1, nx1), K_loc, jnp.float64)
+    M_jac = jnp.where(interior, 1.0 / diag, 1.0)
+    M_adi = make_adi_preconditioner(ny1, nx1, hx, hy, jnp.float64)
+    res_j = cg.cg(apply_free, rhs, M_inv=M_jac, tol=1e-10, maxiter=2000)
+    res_a = cg.cg(apply_free, rhs, M_inv=M_adi, tol=1e-10, maxiter=2000)
+    # Both solve the same system...
+    x_j = np.asarray(res_j.x)
+    x_a = np.asarray(res_a.x)
+    np.testing.assert_allclose(x_a, x_j, atol=1e-7)
+    # ...ADI in far fewer iterations.
+    assert int(res_a.iters) < 0.4 * int(res_j.iters), (
+        int(res_a.iters), int(res_j.iters),
+    )
+
+
+def test_adi_precond_end_to_end_2d_solve():
+    """precond='adi' through the full 2D facade produces the right answer
+    on an anisotropic mesh."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import (
+        HybridSolver2D, Solver2DConfig, poisson_2d_inhomogeneous,
+    )
+
+    p = poisson_2d_inhomogeneous()
+    sols = {}
+    for precond in ("adi", "jacobi"):
+        s = HybridSolver2D(p, Solver2DConfig(nx=8, ny=64, M=5, n_colloc=5,
+                                             precond=precond))
+        sol = s.solve()
+        assert bool(sol.solve_ok.all())
+        sols[precond] = np.asarray(sol.fem_values)
+    # Same coarse solution regardless of preconditioner.
+    np.testing.assert_allclose(sols["adi"], sols["jacobi"], atol=1e-8)
