@@ -294,23 +294,33 @@ def lssvr_enhance(problem: Problem1D, nodes, fem_values, cfg: SolverConfig,
                                 cond=shared_ops.cond)
     if (
         shared_ops is None
-        and uniform_geom is not None
         and cfg.kkt_method in ("auto", "qr")
         and cfg.M >= 3
+        and touches_left is True and touches_right is True
         and _resolve_backend(cfg, E) == "pallas"
     ):
         # Variable-coefficient fused path: same null-space CGS2-QR algebra
         # as the XLA route below, entirely in VMEM (SURVEY.md 7.1 L7).
+        # Without uniform_geom the kernel runs in graded-mesh mode (traced
+        # node positions; chain factors folded into the coefficients) —
+        # this is what backs hybrid_solve_general / adaptive meshes on TPU.
         from ..ops import pallas_kernels as pk
 
-        x0, h = uniform_geom
         tile = pk.pick_tile(E)
         fv = _dirichlet_consistent(problem, fem_values)
+        x0d, x1d = problem.domain
+        if uniform_geom is not None:
+            x0, h = uniform_geom
+            graded_nodes = None
+        else:
+            x0, h = x0d, (x1d - x0d) / E  # h = reference (mean) width
+            graded_nodes = nodes
         host = pk.VarCoeffOperators(cfg.M, cfg.n_colloc, h, fv.dtype)
         w, slack, bcv = pk.fused_enhance_varcoeff(
             fv, problem, host, x0, h, cfg.n_colloc, tile=tile,
             with_diagnostics=cfg.diagnostics,
             f_shifted_fn=problem.f_shifted,
+            nodes=graded_nodes,
         )
         return _pallas_finalize(w, slack, bcv, fv[:-1], fv[1:], cfg)
 

@@ -660,8 +660,17 @@ def fused_enhance_varcoeff(
     interpret: bool = False,
     with_diagnostics: bool = True,
     f_shifted_fn=None,
+    nodes=None,  # [E+1] traced node positions: GRADED-mesh mode (see below)
 ):
     """Fused per-element-operator (variable-coefficient) enhancement.
+
+    ``nodes`` switches to graded-mesh mode: element positions and widths
+    come from the traced node array instead of (x0, h) index arithmetic.
+    The chain-factor algebra folds into the per-element coefficients —
+    with rho_e = h_ref / h_e, D_e / s_ref^2 = (a2 rho^2) W2 + (a1 rho) W1
+    + a0 W0 against the SAME static host operators (built at the reference
+    width ``h``) — so adaptive / non-uniform meshes run the identical
+    fused kernel (this path backs ``hybrid_solve_general`` on TPU).
 
     Closes the 33x gap of the unfused XLA MGS-QR path (``kkt.
     solve_primal_lse`` + ``_batched_mgs_qr_solve``): that path's ~60 small
@@ -690,7 +699,14 @@ def fused_enhance_varcoeff(
         raise ValueError("fused varcoeff kernel needs M >= 3 (K = M-2 >= 1)")
 
     t_colloc = legendre.collocation_points(C, dtype=dtype)
-    dloc = ((t_colloc + 1.0) * jnp.asarray(0.5 * h, dtype))[:, None]  # [C,1]
+    graded = nodes is not None
+    if graded:
+        # Half-offsets in reference coords; element width applied in-kernel.
+        dloc = ((t_colloc + 1.0) * 0.5)[:, None]  # [C, 1]
+        xl_row = nodes[:-1][None, :]
+        h_row = (nodes[1:] - nodes[:-1])[None, :]
+    else:
+        dloc = ((t_colloc + 1.0) * jnp.asarray(0.5 * h, dtype))[:, None]
     fem_l = fem_values[:-1][None, :]
     fem_r = fem_values[1:][None, :]
     AZ2, AZ1, AZ0 = host.AZ[0], host.AZ[1], host.AZ[2]
@@ -702,16 +718,33 @@ def fused_enhance_varcoeff(
     hi = jax.lax.Precision.HIGHEST
 
     def kernel(dloc_ref, fl_ref, fr_ref, az2_ref, az1_ref, az0_ref,
-               ap_ref, z_ref, pbc_ref, b_ref, w_ref, *diag_refs):
-        i = pl.program_id(0)
-        e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + i * tile
-        xl = jnp.asarray(x0, dtype) + e_idx.astype(dtype) * jnp.asarray(
-            h, dtype
-        )  # [1, tile]
-        d = dloc_ref[:]  # [C, 1]
+               ap_ref, z_ref, pbc_ref, b_ref, *rest):
+        if graded:
+            xl_ref, h_ref = rest[0], rest[1]
+            w_ref, diag_refs = rest[2], rest[3:]
+            xl = xl_ref[:]  # [1, tile]
+            he = h_ref[:]
+            d = dloc_ref[:] * he  # [C, tile] in-element offsets
+            rho = jnp.asarray(h, dtype) / he  # h_ref / h_e
+        else:
+            w_ref, diag_refs = rest[0], rest[1:]
+            i = pl.program_id(0)
+            e_idx = jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile), 1
+            ) + i * tile
+            xl = jnp.asarray(x0, dtype) + e_idx.astype(dtype) * jnp.asarray(
+                h, dtype
+            )  # [1, tile]
+            d = dloc_ref[:]  # [C, 1]
+            rho = None
         xq = xl + d  # [C, tile] mapped collocation points
         a2, a1, a0 = problem.colloc_coeffs(xq)  # each [C, tile] (VPU)
-        if f_shifted_fn is not None:
+        if rho is not None:
+            # Fold the per-element chain factors into the coefficients:
+            # D_e / s_ref^2 = (a2 rho^2) W2 + (a1 rho) W1 + a0 W0.
+            a2 = a2 * (rho * rho)
+            a1 = a1 * rho
+        if f_shifted_fn is not None and not graded:
             f = f_shifted_fn(xl, d)
         else:
             f = problem.f(xq) * jnp.ones_like(xq)
@@ -777,20 +810,27 @@ def fused_enhance_varcoeff(
         ] * 2
     repl = pl.BlockSpec(memory_space=pltpu.VMEM)
     row_block = pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+    in_specs = [repl, row_block, row_block,
+                repl, repl, repl, repl, repl, repl, repl]
+    inputs = [dloc, fem_l, fem_r, AZ2, AZ1, AZ0, AP, host.Z, host.Pbc,
+              host.B]
+    if graded:
+        in_specs += [row_block, row_block]
+        inputs += [xl_row, h_row]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[repl, row_block, row_block,
-                  repl, repl, repl, repl, repl, repl, repl],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * E * C * (3 * K + 2 * K * K + 12),
             bytes_accessed=4 * (2 * E + E * M + 2 * E),
-            transcendentals=2 * E if f_shifted_fn is not None else E * C,
+            transcendentals=(2 * E if f_shifted_fn is not None
+                             and not graded else E * C),
         ),
-    )(dloc, fem_l, fem_r, AZ2, AZ1, AZ0, AP, host.Z, host.Pbc, host.B)
+    )(*inputs)
     if with_diagnostics:
         wT, slack, bcv = outs
         return wT.T, slack[0], bcv[0]

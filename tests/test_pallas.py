@@ -263,3 +263,37 @@ def test_fused_stacked_2d_matches_xla_path():
             r = float(jnp.max(slack)) / max(
                 float(jnp.max(d_ref.max_slack)), 1e-30)
             assert 0.05 < r < 20.0, r
+
+
+def test_fused_varcoeff_graded_mesh_matches_xla():
+    """Graded-mesh mode (traced node positions, chain factors folded into
+    the coefficients) equals the XLA per-element LSE path on a random
+    non-uniform mesh — this is the fused kernel behind
+    hybrid_solve_general / adaptive refinement on TPU."""
+    problem = problems.variable_coeff_elliptic()
+    E = 128
+    rng = np.random.default_rng(4)
+    widths = rng.uniform(0.5, 2.0, E)
+    nodes = np.concatenate([[0.0], np.cumsum(widths)])
+    nodes = -1.0 + 2.0 * nodes / nodes[-1]  # graded mesh on [-1, 1]
+    nodes = jnp.asarray(nodes, jnp.float32)
+    cfg = SolverConfig(num_nodes=E + 1, dtype="float32", M=8, n_colloc=12)
+    fem = jnp.sin(jnp.pi * nodes).astype(jnp.float32)
+    wj, _ = H.lssvr_enhance(problem, nodes, fem, cfg, shared_ops=None)
+    h_ref = 2.0 / E
+    host = pk.VarCoeffOperators(cfg.M, cfg.n_colloc, h_ref, jnp.float32)
+    w, slack, bcv = pk.fused_enhance_varcoeff(
+        fem, problem, host, -1.0, h_ref, cfg.n_colloc, tile=128,
+        interpret=True, nodes=nodes,
+    )
+    np.testing.assert_allclose(np.asarray(w), np.asarray(wj), atol=5e-5)
+    assert float(jnp.max(bcv)) < 1e-5
+    # Constant-coefficient problem on the same graded mesh (the other
+    # hybrid_solve_general client).
+    problem2 = problems.poisson_1d()
+    wj2, _ = H.lssvr_enhance(problem2, nodes, fem, cfg, shared_ops=None)
+    w2, _, bcv2 = pk.fused_enhance_varcoeff(
+        fem, problem2, host, -1.0, h_ref, cfg.n_colloc, tile=128,
+        interpret=True, nodes=nodes,
+    )
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(wj2), atol=5e-5)
