@@ -143,7 +143,8 @@ def fused_enhance_separable(
     fem_values: jnp.ndarray,  # [E+1] nodal values (Dirichlet-consistent)
     ops: kkt.SharedOperators,  # must carry WfF / PF / Qres
     f_elem_factors_fn,  # xl [1, T] -> list of R traced [1, T] factors
-    x0: float,
+    x0,  # left domain edge: Python float OR traced scalar (per-shard
+    # offset inside shard_map — the kernel takes it as a [1, 1] input)
     h: float,
     tile: int = 8192,
     interpret: bool = False,
@@ -215,13 +216,13 @@ def fused_enhance_separable(
     # measured 0.36 ms for the slack dots alone at E = 2^20, vs ~0.01 ms
     # as FMAs.  The FMAs are also true-f32, i.e. MORE accurate than the
     # MXU's bf16x6 HIGHEST emulation.
-    def kernel(fl_ref, fr_ref, wfft_ref, wbc_ref, pft_ref, qres_ref,
-               b_ref, tp_ref, w_ref, *diag_refs):
+    def kernel(x0_ref, fl_ref, fr_ref, wfft_ref, wbc_ref, pft_ref,
+               qres_ref, b_ref, tp_ref, w_ref, *diag_refs):
         i = pl.program_id(0)
+        x0v = x0_ref[0:1, 0:1]  # [1, 1] (traced per-shard inside shard_map)
         if f_translation is not None:
             # One base point per grid step; static mixing spans the tile.
-            xb = jnp.full((1, 1), x0, dtype) \
-                + (i * tile).astype(dtype) * jnp.asarray(h, dtype)
+            xb = x0v + (i * tile).astype(dtype) * jnp.asarray(h, dtype)
             base = f_elem_factors_fn(xb)  # R x [1, 1]
             a = [
                 sum(tp_ref[r * R + s:r * R + s + 1, :] * base[s]
@@ -232,9 +233,7 @@ def fused_enhance_separable(
             e_idx = jax.lax.broadcasted_iota(
                 jnp.int32, (1, tile), 1
             ) + i * tile
-            xl = jnp.asarray(x0, dtype) + e_idx.astype(dtype) * jnp.asarray(
-                h, dtype
-            )
+            xl = x0v + e_idx.astype(dtype) * jnp.asarray(h, dtype)
             a = f_elem_factors_fn(xl)  # list of R [1, tile] factors
         bcs = (fl_ref[:], fr_ref[:])  # 2 x [1, tile]
         w = wfft_ref[:, 0:1] * a[0]  # [M, 1] x [1, tile] outer
@@ -290,10 +289,12 @@ def fused_enhance_separable(
     repl = pl.BlockSpec(memory_space=pltpu.VMEM)
     row_block = pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
     C = PFT.shape[0]
+    x0_arr = jnp.asarray(x0, dtype).reshape(1, 1)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[row_block, row_block, repl, repl, repl, repl, repl, repl],
+        in_specs=[repl, row_block, row_block,
+                  repl, repl, repl, repl, repl, repl],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
@@ -303,7 +304,7 @@ def fused_enhance_separable(
             transcendentals=(R * (E // tile) if f_translation is not None
                              else R * E),
         ),
-    )(fem_l, fem_r, WfFT, ops.Wbc, PFT, ops.Qres, ops.B.T, tpack)
+    )(x0_arr, fem_l, fem_r, WfFT, ops.Wbc, PFT, ops.Qres, ops.B.T, tpack)
     if with_fallback:
         wT, slack, bcv, ok = outs
         return wT.T, slack[0], bcv[0], ok[0]

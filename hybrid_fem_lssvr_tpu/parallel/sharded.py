@@ -150,13 +150,20 @@ def _spike_solve(sub, diag, sup, rhs, l_coup, u_coup, d, n_dev, axis):
 
 
 def make_sharded_solve(problem: Problem1D, cfg: SolverConfig, mesh,
-                       axis: str = ELEMENT_AXIS):
+                       axis: str = ELEMENT_AXIS,
+                       enhance_backend: str = "auto"):
     """Build the jitted multi-chip hybrid solve over ``mesh``.
 
     Uniform mesh; any element count (tail slabs carry masked dummy padding
     when E_total does not divide by the device count — outputs are sliced
     back to E_total).  Returns a zero-argument jitted callable producing a
     ShardedSolution (coeffs sharded over the element axis).
+
+    ``enhance_backend``: 'auto' runs the fused separable Pallas kernel per
+    shard on TPU when the problem/config support it (per-shard x0 enters
+    the kernel as a traced input), else the XLA shared-matmul path;
+    'xla' forces XLA; 'pallas-interpret' forces the kernel in interpreter
+    mode (CI equality testing on virtual CPU meshes).
     """
     n_dev = mesh.shape[axis]
     E_total = cfg.num_nodes - 1
@@ -194,6 +201,36 @@ def make_sharded_solve(problem: Problem1D, cfg: SolverConfig, mesh,
         # Boundary-element bc overrides are no-ops here because fem_loc holds
         # the exact Dirichlet data at the boundary nodes (masked above);
         # touches_right=False avoids overriding a padded tail element.
+        use_pallas = enhance_backend == "pallas-interpret" or (
+            enhance_backend == "auto"
+            and jax.default_backend() == "tpu"
+            and not jax.config.jax_enable_x64
+            and cfg.backend in ("auto", "pallas")
+        )
+        if (
+            use_pallas
+            and shared_ops is not None
+            and shared_ops.WfF is not None
+            and problem.f_elem_factors is not None
+            and cfg.diagnostics
+        ):
+            from ..ops import pallas_kernels as pk
+
+            tile = pk.pick_tile(E_loc)
+            if tile >= 128:
+                # Per-shard left edge as a traced kernel input; fem_loc
+                # already holds Dirichlet-correct boundary values.
+                x0g, x1g = problem.domain
+                h = (x1g - x0g) / E_total
+                x0_loc = jnp.asarray(x0g, dtype) \
+                    + (d * E_loc).astype(dtype) * jnp.asarray(h, dtype)
+                w, slack, bcv, okf = pk.fused_enhance_separable(
+                    fem_loc, shared_ops, problem.f_elem_factors,
+                    x0_loc, h, tile=tile, with_fallback=True,
+                    f_translation=problem.f_translation,
+                    interpret=(enhance_backend == "pallas-interpret"),
+                )
+                return w, fem_loc[None], slack, bcv, okf > 0.5
         w, diags = lssvr_enhance(
             problem, nodes_loc, fem_loc, cfg, shared_ops=shared_ops,
             touches_left=(d == 0), touches_right=False,

@@ -119,3 +119,23 @@ def test_indivisible_element_count_padded(E):
         atol=1e-9,
     )
     assert bool(jnp.all(out.solve_ok))
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_pallas_enhancement_matches_xla(n_dev):
+    """The fused separable kernel run PER SHARD inside shard_map (per-shard
+    x0 as a traced kernel input, interpret mode on the virtual CPU mesh)
+    equals the XLA shared-matmul enhancement."""
+    problem = problems.poisson_1d()
+    cfg = SolverConfig(num_nodes=128 * n_dev + 1, M=8, dtype="float32")
+    mesh = pmesh.element_mesh(n_dev)
+    out_x = make_sharded_solve(problem, cfg, mesh,
+                               enhance_backend="xla")()
+    out_p = make_sharded_solve(problem, cfg, mesh,
+                               enhance_backend="pallas-interpret")()
+    np.testing.assert_allclose(np.asarray(out_p.coeffs),
+                               np.asarray(out_x.coeffs), atol=3e-6)
+    np.testing.assert_array_equal(np.asarray(out_p.solve_ok),
+                                  np.asarray(out_x.solve_ok))
+    np.testing.assert_allclose(np.asarray(out_p.bc_violation),
+                               np.asarray(out_x.bc_violation), atol=3e-6)
