@@ -297,17 +297,19 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
 
 
 def _element_data_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys,
-                     fem_values, t_int, bpts, row_offset=0):
+                     fem_values, t_int, bpts, row_offset=0, col_offset=0):
     """Per-element collocation rhs [E, C^2] (interior points) and
     boundary-trace values [E, 4M-4] (FEM bilinear trace, overridden by g on
     domain-boundary edges).
 
     ``ys``/``fem_values`` may be a local y-slab (sharded solve); then
     ``row_offset`` is the slab's global first element row (possibly traced),
-    used for the domain-boundary masks.
+    used for the domain-boundary masks.  ``col_offset`` likewise for 2-axis
+    block sharding (``parallel.sharded2d.make_sharded_solve_2d_grid``).
     """
     dtype = xs.dtype
     C = cfg.n_colloc
+    nx_loc = xs.shape[0] - 1
     ny_loc = ys.shape[0] - 1
     t = jnp.asarray(t_int, dtype)  # [C] interior points
     hx = xs[1:] - xs[:-1]
@@ -318,8 +320,8 @@ def _element_data_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys,
     yq = ym[:, None] + 0.5 * hy[:, None] * t[None, :]
     # f on [ny, nx, C(y), C(x)] -> flatten rows row-major (iy, ix)
     F = problem.f(xq[None, :, None, :], yq[:, None, :, None])
-    F = F * jnp.ones((ny_loc, cfg.nx, C, C), dtype)
-    f_rows = F.reshape(ny_loc * cfg.nx, C * C)
+    F = F * jnp.ones((ny_loc, nx_loc, C, C), dtype)
+    f_rows = F.reshape(ny_loc * nx_loc, C * C)
 
     # corner values
     u00 = fem_values[:-1, :-1]
@@ -339,7 +341,7 @@ def _element_data_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys,
 
     # Domain-boundary override: boundary points on edges of boundary elements
     # take g(x, y) exactly (reference ``:67-79`` semantics, masked).
-    ex = jnp.arange(cfg.nx)
+    ex = col_offset + jnp.arange(nx_loc)  # GLOBAL element columns
     ey = row_offset + jnp.arange(ny_loc)  # GLOBAL element rows
     # absolute coordinates of each element's boundary points: [ny, nx, K]
     xp = (xm[:, None] + 0.5 * hx[:, None] * tx[None, :])[None, :, :]
@@ -355,7 +357,8 @@ def _element_data_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys,
     on_domain_bdry = on_left | on_right | on_bottom | on_top
     gvals = problem.g(xp, yp) * jnp.ones_like(trace)
     bc_rows = jnp.where(on_domain_bdry, gvals, trace)
-    return f_rows, bc_rows.reshape(ny_loc * cfg.nx, -1), (u00, u10, u01, u11)
+    return (f_rows, bc_rows.reshape(ny_loc * nx_loc, -1),
+            (u00, u10, u01, u11))
 
 
 def _bilinear_fallback_coeffs(u00, u10, u01, u11, M):

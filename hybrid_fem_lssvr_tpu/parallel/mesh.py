@@ -34,3 +34,16 @@ def element_spec() -> PartitionSpec:
 
 def replicated_spec() -> PartitionSpec:
     return PartitionSpec()
+
+
+GRID_AXES = ("ely", "elx")
+
+
+def grid_mesh(n_dy: int, n_dx: int, devices: Optional[Sequence] = None
+              ) -> Mesh:
+    """2-axis mesh over (element-row, element-column) blocks — the full 2D
+    analog of ``element_mesh`` (SURVEY.md 7.1 L8: 2-D mesh sharding)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_dy * n_dx]).reshape(n_dy, n_dx)
+    return Mesh(devices, GRID_AXES)

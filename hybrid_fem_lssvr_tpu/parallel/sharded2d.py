@@ -338,3 +338,138 @@ def make_sharded_evaluate_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
         return sharded(coeffs, jnp.asarray(x, dtype), jnp.asarray(y, dtype))
 
     return evaluate
+
+
+def _halo_add_2d(v, dy, dx, n_dy, n_dx, ay, ax):
+    """Duplicated-interface sum for 2-axis block sharding: the first/last
+    node row is shared with the y-neighbour, the first/last column with
+    the x-neighbour, and each corner node with three other devices.  A
+    row exchange followed by a column exchange yields the full sum — after
+    the row phase both row copies contain their side's corner partials, so
+    the column phase carries the diagonal contributions too."""
+    up = [(i, (i - 1) % n_dy) for i in range(n_dy)]
+    dn = [(i, (i + 1) % n_dy) for i in range(n_dy)]
+    from_next = jax.lax.ppermute(v[0], ay, up)
+    from_prev = jax.lax.ppermute(v[-1], ay, dn)
+    v = v.at[-1].add(jnp.where(dy < n_dy - 1, from_next,
+                               jnp.zeros_like(from_next)))
+    v = v.at[0].add(jnp.where(dy > 0, from_prev, jnp.zeros_like(from_prev)))
+    lt = [(i, (i - 1) % n_dx) for i in range(n_dx)]
+    rt = [(i, (i + 1) % n_dx) for i in range(n_dx)]
+    from_right = jax.lax.ppermute(v[:, 0], ax, lt)
+    from_left = jax.lax.ppermute(v[:, -1], ax, rt)
+    v = v.at[:, -1].add(jnp.where(dx < n_dx - 1, from_right,
+                                  jnp.zeros_like(from_right)))
+    v = v.at[:, 0].add(jnp.where(dx > 0, from_left,
+                                 jnp.zeros_like(from_left)))
+    return v
+
+
+def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
+                               mesh, axes=None):
+    """Fully 2-axis-sharded 2D solve over a ``grid_mesh`` (SURVEY.md 7.1
+    L8): both the coarse Q1 Jacobi-CG (block-halo stiffness apply,
+    ownership-masked psum inner products over BOTH axes) and the
+    enhancement (domain-boundary masks driven by global row AND column
+    offsets) run on [ny/Dy, nx/Dx] blocks.  Requires cfg.ny % Dy == 0 and
+    cfg.nx % Dx == 0.  Returns a zero-argument jitted callable producing
+    (coeffs [ny, nx, M, M] block-sharded, solve_ok [ny, nx])."""
+    from .mesh import GRID_AXES
+
+    if axes is None:
+        axes = GRID_AXES
+    ay, ax = axes
+    n_dy, n_dx = mesh.shape[ay], mesh.shape[ax]
+    if cfg.ny % n_dy or cfg.nx % n_dx:
+        raise ValueError(
+            f"ny={cfg.ny} / nx={cfg.nx} must divide by the mesh "
+            f"({n_dy}, {n_dx})"
+        )
+    ny_loc, nx_loc = cfg.ny // n_dy, cfg.nx // n_dx
+    dtype = cfg.jnp_dtype()
+    shared_bundle = prepare_shared_2d(problem, cfg)
+    shared, (t_int, bpts) = shared_bundle
+    repl = jax.sharding.NamedSharding(mesh, P())
+    shared = jax.device_put(shared, repl)
+    t_int = jax.device_put(t_int, repl)
+    bpts = jax.device_put(bpts, repl)
+    x0, x1, y0, y1 = problem.domain
+    hx = (x1 - x0) / cfg.nx
+    hy = (y1 - y0) / cfg.ny
+
+    def local_step(shared, t_int, bpts):
+        from ..ops import assembly2d, cg
+
+        dy = jax.lax.axis_index(ay)
+        dx = jax.lax.axis_index(ax)
+        row0 = dy * ny_loc
+        col0 = dx * nx_loc
+        xs_loc = x0 + hx * (col0 + jnp.arange(nx_loc + 1, dtype=jnp.int32)
+                            ).astype(dtype)
+        ys_loc = y0 + hy * (row0 + jnp.arange(ny_loc + 1, dtype=jnp.int32)
+                            ).astype(dtype)
+        K_loc = jnp.asarray(assembly2d.q1_local_stiffness(hx, hy), dtype)
+
+        g_row = row0 + jnp.arange(ny_loc + 1)
+        g_col = col0 + jnp.arange(nx_loc + 1)
+        interior = ((g_row > 0) & (g_row < cfg.ny))[:, None] \
+            & ((g_col > 0) & (g_col < cfg.nx))[None, :]
+        own = (jnp.where((jnp.arange(ny_loc + 1) > 0) | (dy == 0), 1.0, 0.0
+                         ).astype(dtype)[:, None]
+               * jnp.where((jnp.arange(nx_loc + 1) > 0) | (dx == 0), 1.0,
+                           0.0).astype(dtype)[None, :])
+
+        def halo(v):
+            return _halo_add_2d(v, dy, dx, n_dy, n_dx, ay, ax)
+
+        b = halo(assembly2d.assemble_load(xs_loc, ys_loc, problem.f))
+        X, Y = jnp.meshgrid(xs_loc, ys_loc)
+        u_bc = jnp.where(interior, 0.0, problem.g(X, Y) * jnp.ones_like(X))
+
+        def apply_full(v):
+            return halo(assembly2d.apply_stiffness(v, K_loc))
+
+        def apply_free(v):
+            return jnp.where(interior, apply_full(v * interior), 0.0)
+
+        def dist_dot(u, v):
+            return jax.lax.psum(jnp.sum(u * v * own), (ay, ax))
+
+        rhs = jnp.where(interior, b - apply_full(u_bc), 0.0)
+        diag = halo(assembly2d.stiffness_diag(
+            (ny_loc + 1, nx_loc + 1), K_loc, dtype))
+        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+        tol = cfg.cg_tol
+        if tol is None:
+            tol = 100.0 * float(jnp.finfo(dtype).eps)
+        res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=tol,
+                    maxiter=cfg.cg_maxiter, dot_fn=dist_dot)
+        fem_loc = u_bc + jnp.where(interior, res.x, 0.0)
+
+        f_rows, bc_rows, corners = _element_data_2d(
+            problem, cfg, xs_loc, ys_loc, fem_loc, t_int, bpts,
+            row_offset=row0, col_offset=col0,
+        )
+        w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+        M = cfg.M
+        coeffs = w.reshape(ny_loc, nx_loc, M, M)
+        fb = _bilinear_fallback_coeffs(*corners, M)
+        ok = diags.solve_ok.reshape(ny_loc, nx_loc)
+        coeffs = jnp.where(
+            ok[..., None, None],
+            jnp.where(jnp.isfinite(coeffs), coeffs, 0.0), fb,
+        )
+        return coeffs, ok
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(ay, ax), P(ay, ax)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run():
+        return sharded(shared, t_int, bpts)
+
+    return run

@@ -95,3 +95,28 @@ def test_sharded_evaluate_2d_matches_single_device(n_dev):
     u_single = evaluate_2d(sol, jnp.asarray(x, dtype), jnp.asarray(y, dtype))
     np.testing.assert_allclose(np.asarray(u_dist), np.asarray(u_single),
                                atol=1e-9)
+
+
+@pytest.mark.parametrize("shape", [(2, 2), (2, 4), (4, 2), (1, 8)])
+def test_grid_sharded_2d_matches_single_device(shape):
+    """Fully 2-axis block sharding (SURVEY 7.1 L8): distributed coarse CG
+    with row+column+corner halo exchange and block-global boundary masks
+    == the single-device solve."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import (
+        poisson_2d_inhomogeneous,
+    )
+    from hybrid_fem_lssvr_tpu.parallel.sharded2d import (
+        make_sharded_solve_2d_grid,
+    )
+
+    n_dy, n_dx = shape
+    problem = poisson_2d_inhomogeneous()  # nonzero g: all 4 edge masks
+    cfg = Solver2DConfig(nx=8, ny=8, M=4, n_colloc=4, precond='jacobi')
+    single = HybridSolver2D(problem, cfg)
+    sol = single.solve()
+
+    mesh = pmesh.grid_mesh(n_dy, n_dx)
+    coeffs, ok = make_sharded_solve_2d_grid(problem, cfg, mesh)()
+    np.testing.assert_allclose(np.asarray(coeffs), np.asarray(sol.coeffs),
+                               atol=1e-9)
+    assert bool(jnp.all(ok))
