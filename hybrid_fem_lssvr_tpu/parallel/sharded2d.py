@@ -473,3 +473,58 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
         return sharded(shared, t_int, bpts)
 
     return run
+
+
+def make_sharded_evaluate_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
+                                  mesh, axes=None):
+    """Distributed read path for the 2-axis block-sharded solve: each
+    device evaluates the query points whose element falls in its
+    (row-block, column-block); one psum over both axes assembles the
+    replicated result.  Clamp semantics match ``hybrid2d.evaluate_2d``."""
+    from ..ops import legendre
+    from .mesh import GRID_AXES
+
+    if axes is None:
+        axes = GRID_AXES
+    ay, ax = axes
+    n_dy, n_dx = mesh.shape[ay], mesh.shape[ax]
+    ny_loc, nx_loc = cfg.ny // n_dy, cfg.nx // n_dx
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1 = problem.domain
+    hx = (x1 - x0) / cfg.nx
+    hy = (y1 - y0) / cfg.ny
+    M = cfg.M
+
+    def local_eval(coeffs_loc, x, y):
+        dy = jax.lax.axis_index(ay)
+        dx = jax.lax.axis_index(ax)
+        ix = jnp.clip(((x - x0) / hx).astype(jnp.int32), 0, cfg.nx - 1)
+        iy = jnp.clip(((y - y0) / hy).astype(jnp.int32), 0, cfg.ny - 1)
+        mine = ((iy >= dy * ny_loc) & (iy < (dy + 1) * ny_loc)
+                & (ix >= dx * nx_loc) & (ix < (dx + 1) * nx_loc))
+        iy_l = jnp.clip(iy - dy * ny_loc, 0, ny_loc - 1)
+        ix_l = jnp.clip(ix - dx * nx_loc, 0, nx_loc - 1)
+        tx = 2.0 * (x - (jnp.asarray(x0, dtype)
+                         + ix.astype(dtype) * jnp.asarray(hx, dtype))) \
+            / hx - 1.0
+        ty = 2.0 * (y - (jnp.asarray(y0, dtype)
+                         + iy.astype(dtype) * jnp.asarray(hy, dtype))) \
+            / hy - 1.0
+        (Vx,) = legendre.legendre_vandermonde(tx, M, num_derivs=0)
+        (Vy,) = legendre.legendre_vandermonde(ty, M, num_derivs=0)
+        W = coeffs_loc[iy_l, ix_l]
+        val = jnp.einsum("pk,pkl,pl->p", Vy, W, Vx,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.psum(jnp.where(mine, val, 0.0), (ay, ax))
+
+    sharded = jax.shard_map(
+        local_eval, mesh=mesh,
+        in_specs=(P(ay, ax), P(), P()), out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def evaluate(coeffs, x, y):
+        return sharded(coeffs, jnp.asarray(x, dtype), jnp.asarray(y, dtype))
+
+    return evaluate

@@ -120,3 +120,27 @@ def test_grid_sharded_2d_matches_single_device(shape):
     np.testing.assert_allclose(np.asarray(coeffs), np.asarray(sol.coeffs),
                                atol=1e-9)
     assert bool(jnp.all(ok))
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_grid_sharded_evaluate_matches_single_device(shape):
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import evaluate_2d
+    from hybrid_fem_lssvr_tpu.parallel.sharded2d import (
+        make_sharded_evaluate_2d_grid, make_sharded_solve_2d_grid,
+    )
+
+    n_dy, n_dx = shape
+    problem = poisson_2d()
+    cfg = Solver2DConfig(nx=8, ny=8, M=4, n_colloc=4, precond='jacobi')
+    single = HybridSolver2D(problem, cfg)
+    sol = single.solve()
+    mesh = pmesh.grid_mesh(n_dy, n_dx)
+    coeffs, _ = make_sharded_solve_2d_grid(problem, cfg, mesh)()
+    ev = make_sharded_evaluate_2d_grid(problem, cfg, mesh)
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-1.2, 1.2, 501)
+    y = rng.uniform(-1.2, 1.2, 501)
+    u = ev(coeffs, x, y)
+    dtype = sol.xs.dtype
+    u_ref = evaluate_2d(sol, jnp.asarray(x, dtype), jnp.asarray(y, dtype))
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-9)
