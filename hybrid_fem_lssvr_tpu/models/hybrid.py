@@ -210,10 +210,14 @@ def _resolve_backend(cfg: SolverConfig, E: int) -> str:
         return cfg.backend
     from ..ops import pallas_kernels as pk
 
+    # The kernels are f32-only; a global x64 flag alone no longer disables
+    # them (they trace inside a scoped enable_x64(False) —
+    # pallas_kernels._mosaic_x64_safe), but genuinely-f64 enhancement data
+    # still routes to XLA.
     if (
         jax.default_backend() == "tpu"
         and pk.pick_tile(E) >= 128
-        and not jax.config.jax_enable_x64  # Mosaic x64 lowering issues
+        and cfg.jnp_dtype() == jnp.float32
     ):
         return "pallas"
     return "xla"

@@ -20,6 +20,8 @@ runs the kernel in interpreter mode on CPU and natively on TPU).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +31,26 @@ from jax.experimental.pallas import tpu as pltpu
 from . import kkt, legendre
 
 
+def _mosaic_x64_safe(fn):
+    """Trace the kernel invocation under a scoped ``jax.enable_x64(False)``.
+
+    Mosaic fails to legalize GRIDDED pallas_calls when the global x64 flag
+    is on (remote-compile 'failed to legalize func.return'; gridless kernels
+    compile fine — bisected on hardware, NUMERICS.md 12/18).  The scope
+    flips only Python-literal/index promotion during tracing — every array
+    these kernels touch is explicitly f32/int32, so semantics are unchanged
+    — and restores the Pallas fast path for accuracy-focused runs that
+    enable x64 for the coarse stage (``fem_dtype='float64'``)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.enable_x64(False):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@_mosaic_x64_safe
 def fused_enhance_shared(
     fem_values: jnp.ndarray,  # [E+1] nodal values (Dirichlet-consistent)
     ops: kkt.SharedOperators,
@@ -139,6 +161,7 @@ def fused_enhance_shared(
     return outs[0].T, None, None
 
 
+@_mosaic_x64_safe
 def fused_enhance_separable(
     fem_values: jnp.ndarray,  # [E+1] nodal values (Dirichlet-consistent)
     ops: kkt.SharedOperators,  # must carry WfF / PF / Qres
@@ -314,6 +337,7 @@ def fused_enhance_separable(
     return outs[0].T, None, None
 
 
+@_mosaic_x64_safe
 def fused_enhance_shared_2d(
     fem_values: jnp.ndarray,  # [ny+1, nx+1] nodal grid
     ops: kkt.SharedOperators,
@@ -462,6 +486,7 @@ def fused_enhance_shared_2d(
     return outs[0].T, None, None
 
 
+@_mosaic_x64_safe
 def fused_enhance_stacked_2d(
     fem_values: jnp.ndarray,  # [ny+1, nx+1] nodal grid
     ops: kkt.SharedOperators,  # must carry Pres / Qres
@@ -650,6 +675,7 @@ class VarCoeffOperators:
         self.s2 = s * s
 
 
+@_mosaic_x64_safe
 def fused_enhance_varcoeff(
     fem_values: jnp.ndarray,  # [E+1] nodal values (Dirichlet-consistent)
     problem,  # Problem1D: colloc_coeffs / f / f_shifted, jnp-traceable

@@ -204,7 +204,7 @@ def make_sharded_solve(problem: Problem1D, cfg: SolverConfig, mesh,
         use_pallas = enhance_backend == "pallas-interpret" or (
             enhance_backend == "auto"
             and jax.default_backend() == "tpu"
-            and not jax.config.jax_enable_x64
+            and cfg.jnp_dtype() == jnp.float32  # kernels are f32-only
             and cfg.backend in ("auto", "pallas")
         )
         if (
