@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import HybridSolver, SolverConfig, problems
-from .models.hybrid2d import HybridSolver2D, Solver2DConfig, poisson_2d
+from .models.hybrid2d import (HybridSolver2D, Solver2DConfig,
+                              get_problem_2d, poisson_2d)
 from .utils import checkpoint as ckpt
 from .utils import metrics as M
 from .utils import profiling
@@ -214,17 +215,21 @@ def cmd_campaign(args):
                  "advection_diffusion_1d"):
         _run_one(problems.get(name), SolverConfig(num_nodes=65, **base),
                  em, args.eval_points)
-    # config 5: 2D
-    ns = argparse.Namespace(nx=32, ny=32, M=6, gamma=1e4, dtype=args.dtype,
-                            eval_points=2000)
-    cmd_run2d(ns)
+    # config 5: 2D — Poisson plus the generalized constant-coefficient
+    # families (Helmholtz, advection-diffusion) on the same pipeline
+    for name2d in ("poisson_2d", "helmholtz_2d", "advection_diffusion_2d",
+                   "variable_coeff_elliptic_2d"):
+        ns = argparse.Namespace(nx=32, ny=32, M=6, gamma=1e4,
+                                dtype=args.dtype, eval_points=2000,
+                                problem=name2d)
+        cmd_run2d(ns)
 
 
 def cmd_run2d(args):
     if getattr(args, "x64", False):
         jax.config.update("jax_enable_x64", True)
     em = M.MetricsEmitter()
-    problem = poisson_2d()
+    problem = get_problem_2d(getattr(args, "problem", "poisson_2d"))
     cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=args.M,
                          gamma=args.gamma, dtype=args.dtype,
                          precond=getattr(args, "precond", "auto"),
@@ -312,7 +317,14 @@ def build_parser():
     sp.add_argument("--refine-frac", type=float, default=0.3)
     sp.set_defaults(fn=cmd_adaptive)
 
-    sp = sub.add_parser("run2d", help="2D Poisson on structured quads")
+    sp = sub.add_parser(
+        "run2d", help="2D families on structured quads (Poisson, Helmholtz,"
+        " advection-diffusion, reaction-diffusion)")
+    sp.add_argument("--problem", default="poisson_2d",
+                    choices=["poisson_2d", "poisson_2d_inhomogeneous",
+                             "helmholtz_2d", "advection_diffusion_2d",
+                             "reaction_diffusion_2d",
+                             "variable_coeff_elliptic_2d"])
     sp.add_argument("--nx", type=int, default=32)
     sp.add_argument("--ny", type=int, default=32)
     sp.add_argument("--M", type=int, default=6)

@@ -32,13 +32,29 @@ from ..ops import assembly2d, cg, kkt, legendre
 
 @dataclasses.dataclass(frozen=True)
 class Problem2D:
-    """-Laplace(u) = f on a rectangle, u = g on the boundary."""
+    """L u = -a0 Lap(u) + b . grad(u) + c u = f on a rectangle, u = g on the
+    boundary.  Constant coefficients (a0, b, c) keep the per-element
+    operators shared across the uniform mesh, so every family rides the same
+    precomputed-affine-map enhancement fast path as Poisson; defaults give
+    the pure Poisson operator.  c < 0 is Helmholtz, b != 0 is
+    advection-diffusion — the 2D analogs of the 1D families in
+    ``models/problems.py`` (reference scope: 1D Poisson only,
+    ``Hybrid-FEM-LSSVR.py:8-18``)."""
 
     name: str
     f: Callable  # f(x, y)
     g: Callable  # Dirichlet data g(x, y)
     domain: Tuple[float, float, float, float] = (-1.0, 1.0, -1.0, 1.0)
     exact: Optional[Callable] = None
+    a0: float = 1.0  # diffusion coefficient (constant)
+    c: float = 0.0  # reaction coefficient (c < 0: Helmholtz)
+    b: Tuple[float, float] = (0.0, 0.0)  # advection velocity (bx, by)
+    # Variable diffusion: L u = -div(a(x,y) grad u) + c u.  When set, the
+    # per-element operators differ and the enhancement runs the batched
+    # null-space QR path (2D analog of problems.variable_coeff_elliptic);
+    # grad_a = (da/dx, da/dy) callables for the chain-rule collocation rows.
+    a_var: Optional[Callable] = None
+    grad_a: Optional[Tuple[Callable, Callable]] = None
     # Optional structured rhs for the fused kernel: f_shifted(xl, dx, yl, dy)
     # == f(xl+dx, yl+dy) with per-quad transcendental work factored out.
     f_shifted: Optional[Callable] = None
@@ -133,6 +149,163 @@ def poisson_2d_inhomogeneous() -> Problem2D:
     )
 
 
+def _trig_tensor_rhs(a1, a2, a3, a4):
+    """(f, f_shifted, f_elem_factors, f_colloc_factors) for the rhs family
+    f = a1 SxSy + a2 CxSy + a3 SxCy + a4 CxCy with Sx = sin(pi x) etc. —
+    every constant-coefficient operator applied to u = sin(pi x) sin(pi y)
+    lands in this 4-term tensor basis, so all 2D families share one
+    separable-rhs expansion (angle addition against the static collocation
+    offsets; see the poisson_2d docstrings)."""
+    pi = jnp.pi
+
+    def f(x, y):
+        sx, cx = jnp.sin(pi * x), jnp.cos(pi * x)
+        sy, cy = jnp.sin(pi * y), jnp.cos(pi * y)
+        return a1 * sx * sy + a2 * cx * sy + a3 * sx * cy + a4 * cx * cy
+
+    def f_shifted(xl, dx, yl, dy):
+        sx = jnp.sin(pi * (xl + dx))
+        cx = jnp.cos(pi * (xl + dx))
+        sy = jnp.sin(pi * (yl + dy))
+        cy = jnp.cos(pi * (yl + dy))
+        return a1 * sx * sy + a2 * cx * sy + a3 * sx * cy + a4 * cx * cy
+
+    def f_elem_factors(xl, yl):
+        sx, cx = jnp.sin(pi * xl), jnp.cos(pi * xl)
+        sy, cy = jnp.sin(pi * yl), jnp.cos(pi * yl)
+        # coefficients of [cdx*cdy, cdx*sdy, sdx*cdy, sdx*sdy]
+        return [
+            a1 * sx * sy + a2 * cx * sy + a3 * sx * cy + a4 * cx * cy,
+            a1 * sx * cy + a2 * cx * cy - a3 * sx * sy - a4 * cx * sy,
+            a1 * cx * sy - a2 * sx * sy + a3 * cx * cy - a4 * sx * cy,
+            a1 * cx * cy - a2 * sx * cy - a3 * cx * sy + a4 * sx * sy,
+        ]
+
+    def f_colloc_factors(dx, dy):
+        cdx, sdx = np.cos(np.pi * dx), np.sin(np.pi * dx)
+        cdy, sdy = np.cos(np.pi * dy), np.sin(np.pi * dy)
+        return [cdx * cdy, cdx * sdy, sdx * cdy, sdx * sdy]
+
+    return f, f_shifted, f_elem_factors, f_colloc_factors
+
+
+def helmholtz_2d(k: float = 2.0) -> Problem2D:
+    """-Lap u - k^2 u = (2 pi^2 - k^2) sin(pi x) sin(pi y), exact
+    u = sin(pi x) sin(pi y) — 2D analog of ``problems.helmholtz_1d``.
+
+    The continuous operator's smallest Dirichlet eigenvalue on (-1,1)^2 is
+    pi^2/2 ~ 4.93, so k > ~2.2 makes the coarse system indefinite; the
+    coarse stage routes to BiCGStab for any k (symmetric indefinite is fine,
+    CG is not)."""
+    pi = float(jnp.pi)
+    amp = 2.0 * pi * pi - k * k
+    f, f_shifted, f_ef, f_cf = _trig_tensor_rhs(amp, 0.0, 0.0, 0.0)
+    return Problem2D(
+        name="helmholtz_2d",
+        f=f,
+        g=lambda x, y: jnp.zeros_like(x + y),
+        exact=lambda x, y: jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y),
+        c=-k * k,
+        f_shifted=f_shifted,
+        f_elem_factors=f_ef,
+        f_colloc_factors=f_cf,
+    )
+
+
+def advection_diffusion_2d(bx: float = 3.0, by: float = 1.5) -> Problem2D:
+    """-Lap u + b . grad u = f with exact u = sin(pi x) sin(pi y) — the 2D
+    analog of ``problems.advection_diffusion_1d``; the coarse Q1 system is
+    nonsymmetric (BiCGStab) and the collocation rows gain first-derivative
+    terms."""
+    pi = float(jnp.pi)
+    f, f_shifted, f_ef, f_cf = _trig_tensor_rhs(
+        2.0 * pi * pi, bx * pi, by * pi, 0.0
+    )
+    return Problem2D(
+        name="advection_diffusion_2d",
+        f=f,
+        g=lambda x, y: jnp.zeros_like(x + y),
+        exact=lambda x, y: jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y),
+        b=(bx, by),
+        f_shifted=f_shifted,
+        f_elem_factors=f_ef,
+        f_colloc_factors=f_cf,
+    )
+
+
+def reaction_diffusion_2d(c: float = 10.0) -> Problem2D:
+    """-Lap u + c u = f (c > 0: SPD coarse system, exercises the mass term
+    on the CG path), exact u = sin(pi x) sin(pi y)."""
+    pi = float(jnp.pi)
+    f, f_shifted, f_ef, f_cf = _trig_tensor_rhs(
+        2.0 * pi * pi + c, 0.0, 0.0, 0.0
+    )
+    return Problem2D(
+        name="reaction_diffusion_2d",
+        f=f,
+        g=lambda x, y: jnp.zeros_like(x + y),
+        exact=lambda x, y: jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y),
+        c=c,
+        f_shifted=f_shifted,
+        f_elem_factors=f_ef,
+        f_colloc_factors=f_cf,
+    )
+
+
+def variable_coeff_elliptic_2d() -> Problem2D:
+    """-div(a grad u) = f with a(x, y) = 1 + xy/2 (positive on the square),
+    exact u = sin(pi x) sin(pi y) — 2D analog of
+    ``problems.variable_coeff_elliptic``.  Expanding the divergence:
+    f = 2 pi^2 a u - da/dx u_x - da/dy u_y."""
+    pi = jnp.pi
+
+    def a(x, y):
+        return 1.0 + 0.5 * x * y
+
+    def ax(x, y):
+        return 0.5 * y * jnp.ones_like(x + y)
+
+    def ay(x, y):
+        return 0.5 * x * jnp.ones_like(x + y)
+
+    def f(x, y):
+        sx, cx = jnp.sin(pi * x), jnp.cos(pi * x)
+        sy, cy = jnp.sin(pi * y), jnp.cos(pi * y)
+        return (2.0 * pi * pi * a(x, y) * sx * sy
+                - ax(x, y) * pi * cx * sy
+                - ay(x, y) * pi * sx * cy)
+
+    return Problem2D(
+        name="variable_coeff_elliptic_2d",
+        f=f,
+        g=lambda x, y: jnp.zeros_like(x + y),
+        exact=lambda x, y: jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y),
+        a_var=a,
+        grad_a=(ax, ay),
+    )
+
+
+_PROBLEMS_2D = {
+    "poisson_2d": poisson_2d,
+    "poisson_2d_inhomogeneous": poisson_2d_inhomogeneous,
+    "helmholtz_2d": helmholtz_2d,
+    "advection_diffusion_2d": advection_diffusion_2d,
+    "reaction_diffusion_2d": reaction_diffusion_2d,
+    "variable_coeff_elliptic_2d": variable_coeff_elliptic_2d,
+}
+
+
+def get_problem_2d(name: str, **kwargs) -> Problem2D:
+    """Registry lookup mirroring ``problems.get`` for the 2D families."""
+    try:
+        return _PROBLEMS_2D[name](**kwargs)
+    except KeyError:
+        raise ValueError(
+            f"unknown 2D problem {name!r}; available: "
+            f"{sorted(_PROBLEMS_2D)}"
+        ) from None
+
+
 @dataclasses.dataclass(frozen=True)
 class Solver2DConfig:
     nx: int = 16  # elements per dimension
@@ -192,8 +365,25 @@ def _boundary_coords(M: int):
     return np.array(pts)  # [4M-4, 2]
 
 
+class VarCoeff2DOperators(NamedTuple):
+    """Shared host-f64-precomputed operator parts for the per-element
+    variable-coefficient 2D enhancement: D_e = -a_e * Lap - ax_e * Gx
+    - ay_e * Gy + Dconst, batched over elements with the coefficient fields
+    sampled at each element's collocation points."""
+
+    Lap: jnp.ndarray  # [C^2, M^2]  sx^2 V0(x)V2 + sy^2 V2(x)V0 (positive)
+    Gx: jnp.ndarray  # [C^2, M^2]  sx V0 (x) V1
+    Gy: jnp.ndarray  # [C^2, M^2]  sy V1 (x) V0
+    Dconst: jnp.ndarray  # [C^2, M^2]  bx Gx + by Gy + c Mass
+    B: jnp.ndarray  # [4M-4, M^2] shared trace rows
+    Z: jnp.ndarray  # [M^2, M^2-(4M-4)] null basis of B
+    Pbc: jnp.ndarray  # [M^2, 4M-4] min-norm particular map
+
+
 def prepare_shared_2d(problem: Problem2D, cfg: Solver2DConfig):
-    """Host float64 precompute of the shared 2D operators (D, B, Wf, Wbc).
+    """Host float64 precompute of the shared 2D operators (D, B, Wf, Wbc);
+    for variable-coefficient problems (``problem.a_var``), the shared
+    operator PARTS + null-space basis instead (``VarCoeff2DOperators``).
 
     PDE collocation uses INTERIOR points only: at element corners
     Lap(p) == 0 for every zero-trace polynomial p (both second-derivative
@@ -206,14 +396,46 @@ def prepare_shared_2d(problem: Problem2D, cfg: Solver2DConfig):
     M, C = cfg.M, cfg.n_colloc
     t_int = np.linspace(-1.0, 1.0, C + 2)[1:-1]
     V0, V1, V2 = legendre.vandermonde_host(t_int, M)
-    sx2 = (2.0 / hx) ** 2
-    sy2 = (2.0 / hy) ** 2
-    # D[(iy, ix), (ky, kx)] = -sx2 V0y[iy,ky] V2x[ix,kx]
-    #                         -sy2 V2y[iy,ky] V0x[ix,kx]
-    D = -(
-        sx2 * np.einsum("yk,xl->yxkl", V0, V2)
-        + sy2 * np.einsum("yk,xl->yxkl", V2, V0)
-    ).reshape(C * C, M * M)
+    if problem.a_var is not None:
+        dtype = cfg.jnp_dtype()
+        sxf, syf = 2.0 / hx, 2.0 / hy
+        Lap = (
+            sxf * sxf * np.einsum("yk,xl->yxkl", V0, V2)
+            + syf * syf * np.einsum("yk,xl->yxkl", V2, V0)
+        ).reshape(C * C, M * M)
+        Gx = (sxf * np.einsum("yk,xl->yxkl", V0, V1)).reshape(C * C, M * M)
+        Gy = (syf * np.einsum("yk,xl->yxkl", V1, V0)).reshape(C * C, M * M)
+        Mass = np.einsum("yk,xl->yxkl", V0, V0).reshape(C * C, M * M)
+        bxv, byv = problem.b
+        Dconst = bxv * Gx + byv * Gy + problem.c * Mass
+        bpts = _boundary_coords(M)
+        V0y_b = legendre.vandermonde_host(bpts[:, 0], M)[0]
+        V0x_b = legendre.vandermonde_host(bpts[:, 1], M)[0]
+        B = np.einsum("pk,pl->pkl", V0y_b, V0x_b).reshape(-1, M * M)
+        Z, Pbc = kkt.nullspace_host(B)
+        ops = VarCoeff2DOperators(
+            Lap=jnp.asarray(Lap, dtype), Gx=jnp.asarray(Gx, dtype),
+            Gy=jnp.asarray(Gy, dtype), Dconst=jnp.asarray(Dconst, dtype),
+            B=jnp.asarray(B, dtype), Z=jnp.asarray(Z, dtype),
+            Pbc=jnp.asarray(Pbc, dtype),
+        )
+        return ops, (jnp.asarray(t_int), jnp.asarray(bpts))
+    sx = 2.0 / hx
+    sy = 2.0 / hy
+    # D[(iy, ix), (ky, kx)] = rows of L = -a0 Lap + b . grad + c applied to
+    # the tensor-product basis P_ky(ty) P_kx(tx) with chain factors 2/h.
+    Dt = -problem.a0 * (
+        sx * sx * np.einsum("yk,xl->yxkl", V0, V2)
+        + sy * sy * np.einsum("yk,xl->yxkl", V2, V0)
+    )
+    bx, by = problem.b
+    if bx != 0.0:
+        Dt = Dt + bx * sx * np.einsum("yk,xl->yxkl", V0, V1)
+    if by != 0.0:
+        Dt = Dt + by * sy * np.einsum("yk,xl->yxkl", V1, V0)
+    if problem.c != 0.0:
+        Dt = Dt + problem.c * np.einsum("yk,xl->yxkl", V0, V0)
+    D = Dt.reshape(C * C, M * M)
     bpts = _boundary_coords(M)
     V0y_b = legendre.vandermonde_host(bpts[:, 0], M)[0]  # [K, M]
     V0x_b = legendre.vandermonde_host(bpts[:, 1], M)[0]
@@ -247,11 +469,44 @@ def prepare_shared_2d(problem: Problem2D, cfg: Solver2DConfig):
 
 
 def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
-    """Coarse Q1 nodal values on the grid via Jacobi-preconditioned CG."""
+    """Coarse Q1 nodal values on the grid via preconditioned CG (SPD
+    operators) or BiCGStab (advection / indefinite Helmholtz)."""
     dtype = xs.dtype
     hx = float((problem.domain[1] - problem.domain[0]) / cfg.nx)
     hy = float((problem.domain[3] - problem.domain[2]) / cfg.ny)
-    K_loc = jnp.asarray(assembly2d.q1_local_stiffness(hx, hy), dtype)
+    bx, by = problem.b
+    var = problem.a_var is not None
+    if var:
+        # Per-element stiffness K_e = sum_q a(x_q) S_q; reaction/advection
+        # terms stay shared (constant coefficients) and compose additively.
+        Sq_np, dxq, dyq = assembly2d.q1_varcoeff_parts(hx, hy)
+        Sq = jnp.asarray(Sq_np, dtype)
+        a_maps = assembly2d.coeff_maps(xs, ys, problem.a_var, dxq, dyq)
+        K_const = None
+        if problem.c != 0.0 or bx != 0.0 or by != 0.0:
+            K_const = jnp.asarray(
+                assembly2d.q1_local_operator(hx, hy, 0.0, problem.c, bx,
+                                             by),
+                dtype,
+            )
+
+        def apply_op(v):
+            y = assembly2d.apply_stiffness_var(v, Sq, a_maps)
+            if K_const is not None:
+                y = y + assembly2d.apply_stiffness(v, K_const)
+            return y
+    else:
+        K_loc = jnp.asarray(
+            assembly2d.q1_local_operator(hx, hy, problem.a0, problem.c,
+                                         bx, by),
+            dtype,
+        )
+
+        def apply_op(v):
+            return assembly2d.apply_stiffness(v, K_loc)
+    # CG requires SPD: symmetric needs b == 0; definiteness can fail for
+    # c < 0 (Helmholtz shifts eigenvalues down), so route those to BiCGStab.
+    spd = bx == 0.0 and by == 0.0 and problem.c >= 0.0
 
     b = assembly2d.assemble_load(xs, ys, problem.f)
     ny1, nx1 = ys.shape[0], xs.shape[0]
@@ -261,37 +516,96 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
     u_bc = jnp.where(interior, 0.0, problem.g(X, Y) * jnp.ones_like(X))
 
     def apply_free(v):
-        return jnp.where(
-            interior, assembly2d.apply_stiffness(v * interior, K_loc), 0.0
-        )
+        return jnp.where(interior, apply_op(v * interior), 0.0)
 
-    rhs = jnp.where(
-        interior, b - assembly2d.apply_stiffness(u_bc, K_loc), 0.0
-    )
+    rhs = jnp.where(interior, b - apply_op(u_bc), 0.0)
     precond = cfg.precond
     if precond == "auto":
         # V-cycle needs 2-divisible grids; Jacobi-CG iterations grow O(N)
-        # (measured 88/177/357 at n=32/64/128) so prefer multigrid.
+        # (measured 88/177/357 at n=32/64/128) so prefer multigrid.  For
+        # indefinite Helmholtz (c < 0) damped-Jacobi smoothing amplifies the
+        # near-null modes, so fall back to plain Jacobi-BiCGStab.
         precond = (
             "mg" if cfg.nx % 2 == 0 and cfg.ny % 2 == 0
-            and min(cfg.nx, cfg.ny) >= 8 else "jacobi"
+            and min(cfg.nx, cfg.ny) >= 8 and problem.c >= 0.0 else "jacobi"
         )
     if precond == "mg":
         from ..ops import multigrid
 
-        M_inv = multigrid.make_vcycle(ny1, nx1, K_loc, dtype)
+        if var:
+            # Exact rediscretisation per level: re-sample the coefficient
+            # callable at each level's own quadrature points.
+            x0d, y0d = problem.domain[0], problem.domain[2]
+
+            def apply_diag_for_level(lvl, shape):
+                s = float(2 ** lvl)
+                Sq_l, dxq_l, dyq_l = assembly2d.q1_varcoeff_parts(
+                    hx * s, hy * s
+                )
+                Sq_l = jnp.asarray(Sq_l, dtype)
+                xs_l = x0d + hx * s * jnp.arange(shape[1], dtype=dtype)
+                ys_l = y0d + hy * s * jnp.arange(shape[0], dtype=dtype)
+                am = assembly2d.coeff_maps(xs_l, ys_l, problem.a_var,
+                                           dxq_l, dyq_l)
+                Kc = None
+                if K_const is not None:
+                    Kc = jnp.asarray(
+                        assembly2d.q1_local_operator(
+                            hx * s, hy * s, 0.0, problem.c, bx, by
+                        ),
+                        dtype,
+                    )
+
+                def apply_l(v):
+                    y = assembly2d.apply_stiffness_var(v, Sq_l, am)
+                    if Kc is not None:
+                        y = y + assembly2d.apply_stiffness(v, Kc)
+                    return y
+
+                d = assembly2d.stiffness_var_diag(shape, Sq_l, am, dtype)
+                if Kc is not None:
+                    d = d + assembly2d.stiffness_diag(shape, Kc, dtype)
+                return apply_l, d
+
+            M_inv = multigrid.make_vcycle(
+                ny1, nx1, None, dtype,
+                apply_diag_for_level=apply_diag_for_level,
+            )
+        else:
+            # Rediscretise the full operator per level: the stiffness part
+            # is scale-invariant but mass/convection parts scale with h, so
+            # coarse levels rebuild the local 4x4 at their own spacing.
+            def loc_for_level(lvl):
+                s = float(2 ** lvl)
+                return jnp.asarray(
+                    assembly2d.q1_local_operator(
+                        hx * s, hy * s, problem.a0, problem.c, bx, by
+                    ),
+                    dtype,
+                )
+
+            M_inv = multigrid.make_vcycle(ny1, nx1, K_loc, dtype,
+                                          loc_for_level=loc_for_level)
     elif precond == "adi":
         from ..parallel.transpose import make_adi_preconditioner
 
         M_inv = make_adi_preconditioner(ny1, nx1, hx, hy, dtype)
     else:
-        diag = assembly2d.stiffness_diag((ny1, nx1), K_loc, dtype)
+        if var:
+            diag = assembly2d.stiffness_var_diag((ny1, nx1), Sq, a_maps,
+                                                 dtype)
+            if K_const is not None:
+                diag = diag + assembly2d.stiffness_diag((ny1, nx1),
+                                                        K_const, dtype)
+        else:
+            diag = assembly2d.stiffness_diag((ny1, nx1), K_loc, dtype)
         M_inv = jnp.where(interior, 1.0 / diag, 1.0)
     tol = cfg.cg_tol
     if tol is None:
         tol = 100.0 * float(jnp.finfo(dtype).eps)
-    res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=tol,
-                maxiter=cfg.cg_maxiter)
+    solver = cg.cg if spd else cg.bicgstab
+    res = solver(apply_free, rhs, M_inv=M_inv, tol=tol,
+                 maxiter=cfg.cg_maxiter)
     u = u_bc + jnp.where(interior, res.x, 0.0)
     return u, res
 
@@ -418,7 +732,9 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
             "pallas"
             if jax.default_backend() == "tpu"
             and pk.pick_tile(E, 4096) >= 128
-            and not jax.config.jax_enable_x64  # Mosaic x64 lowering issues
+            and dtype == jnp.float32  # kernels are f32-only; a global x64
+            # flag alone no longer disqualifies (_mosaic_x64_safe)
+            and problem.a_var is None  # per-element path is XLA (for now)
             else "xla"
         )
     if backend == "pallas":
@@ -462,7 +778,44 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
         f_rows, bc_rows, corners = _element_data_2d(
             problem, cfg, xs, ys, fem_values, t_int, bpts
         )
-        w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+        if problem.a_var is not None:
+            # Per-element operators: sample the coefficient fields at each
+            # element's collocation grid and assemble D_e from the shared
+            # parts, then the batched null-space QR (1D analog:
+            # hybrid.lssvr_enhance's variable-coefficient branch).
+            vb: VarCoeff2DOperators = shared
+            C = cfg.n_colloc
+            t = jnp.asarray(t_int, dtype)
+            hx = (x1 - x0) / cfg.nx
+            hy = (y1 - y0) / cfg.ny
+            xq = xs[:-1][:, None] + 0.5 * hx * (t[None, :] + 1.0)  # [nx, C]
+            yq = ys[:-1][:, None] + 0.5 * hy * (t[None, :] + 1.0)  # [ny, C]
+
+            def samp(fn):
+                v = fn(xq[None, :, None, :], yq[:, None, :, None])
+                v = v * jnp.ones((cfg.ny, cfg.nx, C, C), dtype)
+                return v.reshape(E, C * C)
+
+            if problem.grad_a is not None:
+                ax_fn, ay_fn = problem.grad_a
+            else:  # derive the chain-rule coefficients by AD
+                ax_fn = jnp.vectorize(jax.grad(problem.a_var, argnums=0))
+                ay_fn = jnp.vectorize(jax.grad(problem.a_var, argnums=1))
+            a_e = samp(problem.a_var)
+            ax_e = samp(ax_fn)
+            ay_e = samp(ay_fn)
+            D = (
+                -a_e[..., None] * vb.Lap
+                - ax_e[..., None] * vb.Gx
+                - ay_e[..., None] * vb.Gy
+                + vb.Dconst
+            )
+            w, diags = kkt.solve_batched(
+                D, vb.B, f_rows, bc_rows, cfg.gamma,
+                formulation=cfg.formulation, ZP=(vb.Z, vb.Pbc),
+            )
+        else:
+            w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
     M = cfg.M
     coeffs = w.reshape(cfg.ny, cfg.nx, M, M)
     fb = _bilinear_fallback_coeffs(*corners, M)
@@ -476,7 +829,8 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
         max_slack=diags.max_slack.reshape(cfg.ny, cfg.nx),
         bc_violation=diags.bc_violation.reshape(cfg.ny, cfg.nx),
         solve_ok=ok,
-        cond_estimate=shared.cond,
+        cond_estimate=(diags.cond_estimate if problem.a_var is not None
+                       else shared.cond),
     )
 
 

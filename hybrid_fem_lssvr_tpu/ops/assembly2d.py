@@ -43,6 +43,134 @@ def q1_local_stiffness(hx: float, hy: float, quad_order: int = 2):
     return K
 
 
+def _q1_shape(xi, eta):
+    """Q1 shape functions and reference-space gradients at one point."""
+    N = 0.25 * np.array([(1 - xi) * (1 - eta), (1 + xi) * (1 - eta),
+                         (1 - xi) * (1 + eta), (1 + xi) * (1 + eta)])
+    dN_dxi = 0.25 * np.array([-(1 - eta), (1 - eta), -(1 + eta), (1 + eta)])
+    dN_deta = 0.25 * np.array([-(1 - xi), -(1 + xi), (1 - xi), (1 + xi)])
+    return N, dN_dxi, dN_deta
+
+
+@functools.lru_cache(maxsize=None)
+def q1_local_mass(hx: float, hy: float, quad_order: int = 2):
+    """4x4 local mass matrix int N_a N_b for a rectangular Q1 element
+    (host-side numpy float64; 2x2 Gauss is exact for the bilinear product)."""
+    t, w = gauss_rule(quad_order)
+    t, w = np.array(t), np.array(w)
+    Mm = np.zeros((4, 4))
+    jac = (hx / 2) * (hy / 2)
+    for xi, wx in zip(t, w):
+        for eta, wy in zip(t, w):
+            N, _, _ = _q1_shape(xi, eta)
+            Mm += wx * wy * jac * np.outer(N, N)
+    return Mm
+
+
+@functools.lru_cache(maxsize=None)
+def q1_local_convection(hx: float, hy: float, bx: float, by: float,
+                        quad_order: int = 2):
+    """4x4 local convection matrix int N_a (b . grad N_b) for constant
+    advection velocity b = (bx, by) (nonsymmetric; host-side numpy f64)."""
+    t, w = gauss_rule(quad_order)
+    t, w = np.array(t), np.array(w)
+    Cm = np.zeros((4, 4))
+    jac = (hx / 2) * (hy / 2)
+    for xi, wx in zip(t, w):
+        for eta, wy in zip(t, w):
+            N, dN_dxi, dN_deta = _q1_shape(xi, eta)
+            conv = bx * dN_dxi * (2.0 / hx) + by * dN_deta * (2.0 / hy)
+            Cm += wx * wy * jac * np.outer(N, conv)
+    return Cm
+
+
+def q1_local_operator(hx: float, hy: float, a0: float = 1.0, c: float = 0.0,
+                      bx: float = 0.0, by: float = 0.0,
+                      quad_order: int = 2):
+    """Combined 4x4 local matrix for L u = -a0 Lap u + b . grad u + c u.
+
+    Defaults reproduce the pure Poisson stiffness.  Shared by every element
+    of a uniform mesh, so the matrix-free ``apply_stiffness`` (which is
+    operator-agnostic: any 4x4 local matrix) applies the full operator."""
+    A = a0 * q1_local_stiffness(hx, hy, quad_order)
+    if c != 0.0:
+        A = A + c * q1_local_mass(hx, hy, quad_order)
+    if bx != 0.0 or by != 0.0:
+        A = A + q1_local_convection(hx, hy, bx, by, quad_order)
+    return A
+
+
+@functools.lru_cache(maxsize=None)
+def q1_varcoeff_parts(hx: float, hy: float, quad_order: int = 2):
+    """Per-quadrature-point gradient-product matrices for variable-
+    coefficient stiffness: S[q, a, b] = w_q jac (grad N_a . grad N_b)(xi_q),
+    so the element matrix for -div(a grad u) is K_e = sum_q a(x_q^e) S[q].
+    Also returns the reference offsets (dxq, dyq) [Q] of the quadrature
+    points from the element's lower-left corner (host numpy f64)."""
+    t, w = gauss_rule(quad_order)
+    t, w = np.array(t), np.array(w)
+    jac = (hx / 2) * (hy / 2)
+    S, dxq, dyq = [], [], []
+    for xi, wx in zip(t, w):
+        for eta, wy in zip(t, w):
+            _, dN_dxi, dN_deta = _q1_shape(xi, eta)
+            dN_dx = dN_dxi * (2.0 / hx)
+            dN_dy = dN_deta * (2.0 / hy)
+            S.append(wx * wy * jac * (np.outer(dN_dx, dN_dx)
+                                      + np.outer(dN_dy, dN_dy)))
+            dxq.append((xi + 1.0) * 0.5 * hx)
+            dyq.append((eta + 1.0) * 0.5 * hy)
+    return np.stack(S), np.array(dxq), np.array(dyq)
+
+
+def coeff_maps(xs: jnp.ndarray, ys: jnp.ndarray, a_fn, dxq, dyq):
+    """Sample a(x, y) at each element's quadrature points: [Q, ny, nx]."""
+    dtype = xs.dtype
+    xq = xs[:-1][None, None, :] + jnp.asarray(dxq, dtype)[:, None, None]
+    yq = ys[:-1][None, :, None] + jnp.asarray(dyq, dtype)[:, None, None]
+    ny, nx = ys.shape[0] - 1, xs.shape[0] - 1
+    return a_fn(xq, yq) * jnp.ones((dxq.shape[0], ny, nx), dtype)
+
+
+def apply_stiffness_var(u: jnp.ndarray, Sq: jnp.ndarray,
+                        a_maps: jnp.ndarray) -> jnp.ndarray:
+    """y = A u for -div(a grad u): per-element K_e = sum_q a_q S_q with
+    a_maps [Q, ny, nx] the coefficient sampled per element per quadrature
+    point (``coeff_maps``).  Same gather -> 4x4 -> scatter structure as
+    ``apply_stiffness``, with the coefficient map as a per-element weight."""
+    c = _corners(u)  # 4 x [ny, nx]
+    Q = Sq.shape[0]
+    r = []
+    for a in range(4):
+        acc = 0.0
+        for q in range(Q):
+            sq = sum(Sq[q, a, b] * c[b] for b in range(4))
+            acc = acc + a_maps[q] * sq
+        r.append(acc)
+    y = jnp.zeros_like(u)
+    y = y.at[:-1, :-1].add(r[0])
+    y = y.at[:-1, 1:].add(r[1])
+    y = y.at[1:, :-1].add(r[2])
+    y = y.at[1:, 1:].add(r[3])
+    return y
+
+
+def stiffness_var_diag(shape, Sq: jnp.ndarray, a_maps: jnp.ndarray,
+                       dtype) -> jnp.ndarray:
+    """diag(A) for the variable-coefficient stiffness (Jacobi)."""
+    ny1, nx1 = shape
+    d = jnp.zeros((ny1, nx1), dtype)
+    Ke_diag = [
+        sum(a_maps[q] * Sq[q, a, a] for q in range(Sq.shape[0]))
+        for a in range(4)
+    ]
+    d = d.at[:-1, :-1].add(Ke_diag[0])
+    d = d.at[:-1, 1:].add(Ke_diag[1])
+    d = d.at[1:, :-1].add(Ke_diag[2])
+    d = d.at[1:, 1:].add(Ke_diag[3])
+    return d
+
+
 def _corners(u):
     """Gather element corner values from the node grid: 4 x [ny, nx]."""
     return (u[:-1, :-1], u[:-1, 1:], u[1:, :-1], u[1:, 1:])

@@ -56,12 +56,20 @@ def _interior(shape):
 
 def make_vcycle(ny1: int, nx1: int, K_loc, dtype, nu: int = 2,
                 omega: float = 0.8, coarsest: int = 5,
-                coarse_sweeps: int = 60):
+                coarse_sweeps: int = 60, loc_for_level=None,
+                apply_diag_for_level=None):
     """Build M_inv(r): one V(nu, nu) cycle on the Dirichlet-interior system.
 
     Requires (ny1-1, nx1-1) divisible by 2 down to the coarsest level; the
     2D Laplacian's Q1 stiffness is scale-invariant for fixed aspect ratio,
-    so K_loc is reused on every level."""
+    so by default K_loc is reused on every level.  For operators with mass
+    or convection terms (which scale with h), pass ``loc_for_level(lvl)``
+    returning the rediscretised local 4x4 at level ``lvl`` (spacing
+    ``2**lvl`` times the fine spacing).  For operators without a shared
+    local 4x4 (variable coefficients), pass ``apply_diag_for_level(lvl,
+    shape)`` returning ``(apply_fn, diag_array)`` — the exact
+    rediscretisation per level (coefficient callables re-sampled at each
+    level's own quadrature points)."""
     shapes = [(ny1, nx1)]
     while (
         (shapes[-1][0] - 1) % 2 == 0
@@ -71,20 +79,39 @@ def make_vcycle(ny1: int, nx1: int, K_loc, dtype, nu: int = 2,
         shapes.append(((shapes[-1][0] - 1) // 2 + 1,
                        (shapes[-1][1] - 1) // 2 + 1))
     masks = [_interior(s) for s in shapes]
-    diags = [
-        jnp.where(
-            masks[i], assembly2d.stiffness_diag(shapes[i], K_loc, dtype),
-            1.0,
-        )
-        for i in range(len(shapes))
-    ]
+    if apply_diag_for_level is not None:
+        applies, raw_diags = zip(*[
+            apply_diag_for_level(i, shapes[i]) for i in range(len(shapes))
+        ])
+        diags = [
+            jnp.where(masks[i], raw_diags[i], 1.0)
+            for i in range(len(shapes))
+        ]
 
-    def apply_A(u, lvl):
-        return jnp.where(
-            masks[lvl],
-            assembly2d.apply_stiffness(u * masks[lvl], K_loc),
-            0.0,
-        )
+        def apply_A(u, lvl):
+            return jnp.where(
+                masks[lvl], applies[lvl](u * masks[lvl]), 0.0
+            )
+    else:
+        if loc_for_level is None:
+            locs = [K_loc] * len(shapes)
+        else:
+            locs = [loc_for_level(i) for i in range(len(shapes))]
+        diags = [
+            jnp.where(
+                masks[i],
+                assembly2d.stiffness_diag(shapes[i], locs[i], dtype),
+                1.0,
+            )
+            for i in range(len(shapes))
+        ]
+
+        def apply_A(u, lvl):
+            return jnp.where(
+                masks[lvl],
+                assembly2d.apply_stiffness(u * masks[lvl], locs[lvl]),
+                0.0,
+            )
 
     def smooth(u, r, lvl, sweeps):
         for _ in range(sweeps):

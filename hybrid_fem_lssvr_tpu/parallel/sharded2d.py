@@ -122,7 +122,12 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
     nx1 = xs.shape[0]
     hx = float((problem.domain[1] - problem.domain[0]) / cfg.nx)
     hy = float((problem.domain[3] - problem.domain[2]) / cfg.ny)
-    K_loc = jnp.asarray(assembly2d.q1_local_stiffness(hx, hy), dtype)
+    K_loc = jnp.asarray(
+        assembly2d.q1_local_operator(hx, hy, problem.a0, problem.c,
+                                     *problem.b),
+        dtype,
+    )
+    spd = problem.b == (0.0, 0.0) and problem.c >= 0.0
 
     # Global interior mask for this slab's node rows.
     g_row = row0 + jnp.arange(ny_loc + 1)
@@ -157,7 +162,7 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
     if precond == "auto":
         precond = (
             "mg" if cfg.ny % (2 * n_dev) == 0 and cfg.nx % 2 == 0
-            and min(cfg.nx, cfg.ny) >= 8 else "jacobi"
+            and min(cfg.nx, cfg.ny) >= 8 and problem.c >= 0.0 else "jacobi"
         )
     if precond == "mg":
         # Distributed V-cycle: fine-level smoothing + residual restriction
@@ -169,9 +174,18 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
 
         nyc, nxc = cfg.ny // 2, cfg.nx // 2
         nyc_loc = ny_loc // 2
-        # Q1 Laplacian stiffness is scale-invariant for fixed aspect ratio.
-        serial_vcycle = multigrid.make_vcycle(nyc + 1, nxc + 1, K_loc,
-                                              dtype)
+        # Rediscretise per level (mass/convection terms scale with h;
+        # serial-vcycle level l sits at spacing 2**(l+1) x fine).
+        serial_vcycle = multigrid.make_vcycle(
+            nyc + 1, nxc + 1, K_loc, dtype,
+            loc_for_level=lambda lvl: jnp.asarray(
+                assembly2d.q1_local_operator(
+                    hx * 2.0 ** (lvl + 1), hy * 2.0 ** (lvl + 1),
+                    problem.a0, problem.c, *problem.b
+                ),
+                dtype,
+            ),
+        )
         omega, nu = 0.8, 2
         row0c = row0 // 2
 
@@ -203,8 +217,9 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
     tol = cfg.cg_tol
     if tol is None:
         tol = 100.0 * float(jnp.finfo(dtype).eps)
-    res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=tol,
-                maxiter=cfg.cg_maxiter, dot_fn=dist_dot)
+    solver = cg.cg if spd else cg.bicgstab
+    res = solver(apply_free, rhs, M_inv=M_inv, tol=tol,
+                 maxiter=cfg.cg_maxiter, dot_fn=dist_dot)
     return u_bc + jnp.where(interior, res.x, 0.0)
 
 
@@ -408,7 +423,11 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
                             ).astype(dtype)
         ys_loc = y0 + hy * (row0 + jnp.arange(ny_loc + 1, dtype=jnp.int32)
                             ).astype(dtype)
-        K_loc = jnp.asarray(assembly2d.q1_local_stiffness(hx, hy), dtype)
+        K_loc = jnp.asarray(
+            assembly2d.q1_local_operator(hx, hy, problem.a0, problem.c,
+                                         *problem.b),
+            dtype,
+        )
 
         g_row = row0 + jnp.arange(ny_loc + 1)
         g_col = col0 + jnp.arange(nx_loc + 1)
@@ -442,8 +461,10 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
         tol = cfg.cg_tol
         if tol is None:
             tol = 100.0 * float(jnp.finfo(dtype).eps)
-        res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=tol,
-                    maxiter=cfg.cg_maxiter, dot_fn=dist_dot)
+        spd = problem.b == (0.0, 0.0) and problem.c >= 0.0
+        solver = cg.cg if spd else cg.bicgstab
+        res = solver(apply_free, rhs, M_inv=M_inv, tol=tol,
+                     maxiter=cfg.cg_maxiter, dot_fn=dist_dot)
         fem_loc = u_bc + jnp.where(interior, res.x, 0.0)
 
         f_rows, bc_rows, corners = _element_data_2d(

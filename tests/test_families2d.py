@@ -1,0 +1,288 @@
+"""Generalized constant-coefficient 2D families: L u = -a0 Lap u + b.grad u
++ c u (Helmholtz, advection-diffusion, reaction-diffusion) — 2D analogs of
+the 1D families in models/problems.py (reference scope was 1D Poisson only,
+Hybrid-FEM-LSSVR.py:8-18).  Covers the BiCGStab coarse path, the local
+mass/convection operators, and the per-level rediscretised multigrid."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_fem_lssvr_tpu.models.hybrid2d import (
+    HybridSolver2D, Solver2DConfig, advection_diffusion_2d, get_problem_2d,
+    helmholtz_2d, reaction_diffusion_2d,
+)
+from hybrid_fem_lssvr_tpu.ops import assembly2d, cg
+
+
+@pytest.fixture(scope="module")
+def query():
+    r = np.random.default_rng(11)
+    return r.uniform(-1, 1, 2000), r.uniform(-1, 1, 2000)
+
+
+# ---------------------------------------------------------------- operators
+
+
+def test_q1_local_mass_properties():
+    hx, hy = 0.5, 0.25
+    Mm = assembly2d.q1_local_mass(hx, hy)
+    np.testing.assert_allclose(Mm, Mm.T, atol=1e-14)
+    # int over the element of (sum_a N_a) * (sum_b N_b) = element area
+    np.testing.assert_allclose(Mm.sum(), hx * hy, rtol=1e-14)
+    assert np.linalg.eigvalsh(Mm)[0] > 0  # SPD
+
+
+def test_q1_local_convection_properties():
+    C = assembly2d.q1_local_convection(0.5, 0.25, 3.0, -1.5)
+    # gradient of the constant function vanishes: C @ 1 = 0
+    np.testing.assert_allclose(C.sum(axis=1), 0.0, atol=1e-14)
+    # pure-convection local matrix is not symmetric
+    assert np.abs(C - C.T).max() > 1e-3
+    # linearity in the velocity
+    Cx = assembly2d.q1_local_convection(0.5, 0.25, 1.0, 0.0)
+    Cy = assembly2d.q1_local_convection(0.5, 0.25, 0.0, 1.0)
+    np.testing.assert_allclose(C, 3.0 * Cx - 1.5 * Cy, atol=1e-13)
+
+
+def test_q1_local_operator_defaults_to_stiffness():
+    np.testing.assert_allclose(
+        assembly2d.q1_local_operator(0.5, 0.25),
+        assembly2d.q1_local_stiffness(0.5, 0.25), atol=0,
+    )
+
+
+def test_q1_mass_exact_on_bilinear():
+    # u = v = 1 at a single corner: M[a,a] = int N_a^2 = hx*hy/9
+    Mm = assembly2d.q1_local_mass(2.0, 3.0)
+    np.testing.assert_allclose(np.diag(Mm), 2.0 * 3.0 / 9.0, rtol=1e-14)
+
+
+def test_trig_tensor_rhs_expansions_consistent():
+    """f_shifted and the elem (x) colloc factor expansion must reproduce
+    f(xl+dx, yl+dy) for arbitrary coefficients — these feed the fused
+    Pallas kernel and the host-side rhs contraction, which the XLA
+    reference path (problem.f direct) never exercises."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import _trig_tensor_rhs
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=4)
+    f, f_shifted, f_ef, f_cf = _trig_tensor_rhs(*a)
+    xl, yl = rng.uniform(-1, 1, (2, 6))
+    dx, dy = rng.uniform(0, 0.2, (2, 6))
+    direct = np.asarray(f(jnp.asarray(xl + dx), jnp.asarray(yl + dy)))
+    shifted = np.asarray(f_shifted(jnp.asarray(xl), jnp.asarray(dx),
+                                   jnp.asarray(yl), jnp.asarray(dy)))
+    np.testing.assert_allclose(shifted, direct, atol=1e-13)
+    elem = f_ef(jnp.asarray(xl), jnp.asarray(yl))
+    coll = f_cf(dx, dy)
+    recon = sum(np.asarray(e) * c for e, c in zip(elem, coll))
+    np.testing.assert_allclose(recon, direct, atol=1e-13)
+
+
+# ---------------------------------------------------------------- bicgstab
+
+
+def _dense_from_apply(apply_A, n, dtype=np.float64):
+    cols = [np.asarray(apply_A(jnp.asarray(np.eye(n)[:, j]))) for j in
+            range(n)]
+    return np.stack(cols, axis=1)
+
+
+def test_bicgstab_matches_dense_nonsymmetric():
+    rng = np.random.default_rng(3)
+    n = 40
+    A = np.eye(n) * 4.0 + rng.normal(size=(n, n)) * 0.3  # diag-dominant
+    b = rng.normal(size=n)
+    res = cg.bicgstab(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                      tol=1e-12, maxiter=400)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b),
+                               atol=1e-8)
+    assert int(res.iters) < 400
+
+
+def test_bicgstab_preconditioned_indefinite_symmetric():
+    # Symmetric indefinite (Helmholtz-like shift): CG's SPD requirement
+    # fails, BiCGStab converges.
+    rng = np.random.default_rng(4)
+    n = 30
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    w = np.linspace(1.0, 10.0, n)
+    w[:2] = [-0.7, -0.2]  # two negative eigenvalues
+    A = (Q * w) @ Q.T
+    b = rng.normal(size=n)
+    M_inv = jnp.asarray(1.0 / np.abs(np.diag(A)))
+    res = cg.bicgstab(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                      M_inv=M_inv, tol=1e-12, maxiter=600)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b),
+                               atol=1e-7)
+
+
+# ------------------------------------------------------------- end-to-end
+
+
+@pytest.mark.parametrize("name,tol16", [
+    ("helmholtz_2d", 2e-2),
+    ("advection_diffusion_2d", 3e-2),
+    ("reaction_diffusion_2d", 2e-2),
+])
+def test_family_2d_solves_and_converges(query, name, tol16):
+    xq, yq = query
+    problem = get_problem_2d(name)
+    errs = []
+    for n in (8, 16):
+        s = HybridSolver2D(problem, Solver2DConfig(nx=n, ny=n, M=6))
+        sol = s.solve()
+        assert bool(sol.solve_ok.all())
+        linf, _ = s.errors(xq, yq)
+        errs.append(float(linf))
+    assert errs[1] < tol16, errs
+    # O(h^2) trace-limited convergence
+    order = np.log2(errs[0] / errs[1])
+    assert order > 1.5, (order, errs)
+
+
+def test_helmholtz_2d_primal_equals_dual(query):
+    xq, yq = query
+    problem = helmholtz_2d()
+    up = ud = None
+    for form in ("primal", "dual"):
+        s = HybridSolver2D(problem, Solver2DConfig(nx=8, ny=8, M=5,
+                                                   formulation=form))
+        sol = s.solve()
+        assert bool(sol.solve_ok.all())
+        u = s.evaluate_solution(jnp.asarray(xq), jnp.asarray(yq))
+        if form == "primal":
+            up = np.asarray(u)
+        else:
+            ud = np.asarray(u)
+    np.testing.assert_allclose(ud, up, atol=2e-5)
+
+
+def test_advection_2d_mg_rediscretises_per_level(query):
+    # precond='mg' with convection+... terms must rebuild the local 4x4 per
+    # level; verify it converges to the same answer as jacobi.
+    xq, yq = query
+    problem = advection_diffusion_2d()
+    sols = {}
+    for pc in ("jacobi", "mg"):
+        s = HybridSolver2D(problem, Solver2DConfig(nx=16, ny=16, M=5,
+                                                   precond=pc))
+        sols[pc] = s.solve()
+    np.testing.assert_allclose(
+        np.asarray(sols["mg"].fem_values),
+        np.asarray(sols["jacobi"].fem_values), atol=1e-9,
+    )
+
+
+def test_varcoeff_2d_solves_and_converges(query):
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import (
+        variable_coeff_elliptic_2d,
+    )
+
+    xq, yq = query
+    problem = variable_coeff_elliptic_2d()
+    errs = []
+    for n in (8, 16):
+        s = HybridSolver2D(problem, Solver2DConfig(nx=n, ny=n, M=6))
+        sol = s.solve()
+        assert bool(sol.solve_ok.all())
+        linf, _ = s.errors(xq, yq)
+        errs.append(float(linf))
+    assert errs[1] < 1e-2, errs
+    assert np.log2(errs[0] / errs[1]) > 1.5, errs
+
+
+def test_varcoeff_2d_ad_grad_matches_analytic(query):
+    # grad_a omitted -> derived by jax.grad; must agree with the analytic
+    # chain-rule coefficients to fp precision.
+    import dataclasses
+
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import (
+        variable_coeff_elliptic_2d,
+    )
+
+    xq, yq = query
+    p = variable_coeff_elliptic_2d()
+    p_ad = dataclasses.replace(p, grad_a=None)
+    cfg = Solver2DConfig(nx=8, ny=8, M=5)
+    u_an = HybridSolver2D(p, cfg)
+    u_an.solve()
+    u_ad = HybridSolver2D(p_ad, cfg)
+    u_ad.solve()
+    np.testing.assert_allclose(
+        np.asarray(u_ad.evaluate_solution(jnp.asarray(xq),
+                                          jnp.asarray(yq))),
+        np.asarray(u_an.evaluate_solution(jnp.asarray(xq),
+                                          jnp.asarray(yq))),
+        atol=1e-12,
+    )
+
+
+def test_varcoeff_2d_constant_a_equals_shared_path(query):
+    # a(x,y) == 1 through the per-element machinery must reproduce the
+    # shared-operator Poisson solve — end-to-end plumbing cross-check.
+    import dataclasses
+
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import (
+        poisson_2d, variable_coeff_elliptic_2d,
+    )
+
+    xq, yq = query
+    base = poisson_2d()
+    p_var = dataclasses.replace(
+        base,
+        name="poisson_as_varcoeff",
+        a_var=lambda x, y: jnp.ones_like(x + y),
+        grad_a=(lambda x, y: jnp.zeros_like(x + y),
+                lambda x, y: jnp.zeros_like(x + y)),
+        f_shifted=None, f_elem_factors=None, f_colloc_factors=None,
+    )
+    cfg = Solver2DConfig(nx=8, ny=8, M=5)
+    s_sh = HybridSolver2D(base, cfg)
+    s_sh.solve()
+    s_vr = HybridSolver2D(p_var, cfg)
+    s_vr.solve()
+    u_sh = np.asarray(s_sh.evaluate_solution(jnp.asarray(xq),
+                                             jnp.asarray(yq)))
+    u_vr = np.asarray(s_vr.evaluate_solution(jnp.asarray(xq),
+                                             jnp.asarray(yq)))
+    np.testing.assert_allclose(u_vr, u_sh, atol=5e-9)
+
+
+def test_apply_stiffness_var_constant_a_matches_shared():
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(rng.normal(size=(7, 9)))
+    hx, hy = 0.3, 0.45
+    K_loc = jnp.asarray(assembly2d.q1_local_stiffness(hx, hy))
+    Sq, dxq, dyq = assembly2d.q1_varcoeff_parts(hx, hy)
+    a_maps = jnp.ones((4, 6, 8), jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(assembly2d.apply_stiffness_var(u, jnp.asarray(Sq),
+                                                  a_maps)),
+        np.asarray(assembly2d.apply_stiffness(u, K_loc)), atol=1e-13,
+    )
+    d_var = assembly2d.stiffness_var_diag((7, 9), jnp.asarray(Sq), a_maps,
+                                          jnp.float64)
+    d_sh = assembly2d.stiffness_diag((7, 9), K_loc, jnp.float64)
+    np.testing.assert_allclose(np.asarray(d_var), np.asarray(d_sh),
+                               atol=1e-13)
+
+
+def test_reaction_2d_mass_term_matters(query):
+    # Solving the reaction problem while dropping c (pure-Poisson operator)
+    # must give a visibly different/worse answer — guards against the
+    # coefficients being silently ignored anywhere in the pipeline.
+    xq, yq = query
+    p_full = reaction_diffusion_2d(c=40.0)
+    import dataclasses
+
+    p_dropped = dataclasses.replace(p_full, c=0.0)
+    e = {}
+    for tag, p in (("full", p_full), ("dropped", p_dropped)):
+        s = HybridSolver2D(p, Solver2DConfig(nx=16, ny=16, M=6))
+        s.solve()
+        linf, _ = s.errors(xq, yq)
+        e[tag] = float(linf)
+    assert e["full"] < 2e-2
+    assert e["dropped"] > 10 * e["full"]

@@ -32,6 +32,26 @@ def test_sharded_2d_matches_single_device(n_dev, distributed_fem):
     assert bool(jnp.all(out.solve_ok))
 
 
+@pytest.mark.parametrize("name", ["advection_diffusion_2d",
+                                  "helmholtz_2d"])
+def test_sharded_2d_nonspd_family_matches_single_device(name):
+    """The generalized-operator families run the distributed BiCGStab
+    coarse stage (psum inner products) — must match single-device."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import get_problem_2d
+
+    problem = get_problem_2d(name)
+    cfg = Solver2DConfig(nx=8, ny=8, M=4, n_colloc=4, precond="jacobi")
+    single = HybridSolver2D(problem, cfg)
+    sol = single.solve()
+    run = make_sharded_solve_2d(problem, cfg, pmesh.element_mesh(4),
+                                distributed_fem=True)
+    out = run()
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=1e-8
+    )
+    assert bool(jnp.all(out.solve_ok))
+
+
 @pytest.mark.parametrize("n_dev", [2, 8])
 def test_distributed_multigrid_matches_single_device(n_dev):
     """Distributed V-cycle (slab smoothing + 2-row-halo restriction +
