@@ -275,6 +275,24 @@ def variable_coeff_elliptic_2d() -> Problem2D:
                 - ax(x, y) * pi * cx * sy
                 - ay(x, y) * pi * sx * cy)
 
+    def f_shifted(xl, dx, yl, dy):
+        # Angle addition against the static in-element offsets: 4
+        # transcendentals per element (on [1, tile]) + O(C^2) per tile,
+        # instead of 4 C^2 per element (the fused-kernel rhs hook).
+        sxl, cxl = jnp.sin(pi * xl), jnp.cos(pi * xl)
+        syl, cyl = jnp.sin(pi * yl), jnp.cos(pi * yl)
+        sdx, cdx = jnp.sin(pi * dx), jnp.cos(pi * dx)
+        sdy, cdy = jnp.sin(pi * dy), jnp.cos(pi * dy)
+        sx = sxl * cdx + cxl * sdx
+        cx = cxl * cdx - sxl * sdx
+        sy = syl * cdy + cyl * sdy
+        cy = cyl * cdy - syl * sdy
+        x = xl + dx
+        y = yl + dy
+        return (2.0 * pi * pi * (1.0 + 0.5 * x * y) * sx * sy
+                - 0.5 * y * pi * cx * sy
+                - 0.5 * x * pi * sx * cy)
+
     return Problem2D(
         name="variable_coeff_elliptic_2d",
         f=f,
@@ -282,6 +300,7 @@ def variable_coeff_elliptic_2d() -> Problem2D:
         exact=lambda x, y: jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y),
         a_var=a,
         grad_a=(ax, ay),
+        f_shifted=f_shifted,
     )
 
 
@@ -378,6 +397,12 @@ class VarCoeff2DOperators(NamedTuple):
     B: jnp.ndarray  # [4M-4, M^2] shared trace rows
     Z: jnp.ndarray  # [M^2, M^2-(4M-4)] null basis of B
     Pbc: jnp.ndarray  # [M^2, 4M-4] min-norm particular map
+    # Fused-kernel precompute (host f64, statically scaled by 1/s2 so every
+    # f32 intermediate is O(1)): the four operator parts projected onto the
+    # null basis / particular map, stacked [Lap; Gx; Gy; Dconst].
+    AZ: jnp.ndarray = None  # [4 C^2, K]  (K = null-space dim)
+    AP: jnp.ndarray = None  # [4 C^2, 4M-4]
+    s2: float = 1.0  # the static row scale sx^2 + sy^2
 
 
 def prepare_shared_2d(problem: Problem2D, cfg: Solver2DConfig):
@@ -413,11 +438,20 @@ def prepare_shared_2d(problem: Problem2D, cfg: Solver2DConfig):
         V0x_b = legendre.vandermonde_host(bpts[:, 1], M)[0]
         B = np.einsum("pk,pl->pkl", V0y_b, V0x_b).reshape(-1, M * M)
         Z, Pbc = kkt.nullspace_host(B)
+        s2 = sxf * sxf + syf * syf
+        AZ = np.concatenate(
+            [Lap @ Z, Gx @ Z, Gy @ Z, Dconst @ Z]
+        ) / s2  # [4 C^2, K]
+        AP = np.concatenate(
+            [Lap @ Pbc, Gx @ Pbc, Gy @ Pbc, Dconst @ Pbc]
+        ) / s2  # [4 C^2, 4M-4]
         ops = VarCoeff2DOperators(
             Lap=jnp.asarray(Lap, dtype), Gx=jnp.asarray(Gx, dtype),
             Gy=jnp.asarray(Gy, dtype), Dconst=jnp.asarray(Dconst, dtype),
             B=jnp.asarray(B, dtype), Z=jnp.asarray(Z, dtype),
             Pbc=jnp.asarray(Pbc, dtype),
+            AZ=jnp.asarray(AZ, dtype), AP=jnp.asarray(AP, dtype),
+            s2=float(s2),
         )
         return ops, (jnp.asarray(t_int), jnp.asarray(bpts))
     sx = 2.0 / hx
@@ -706,6 +740,43 @@ def _pallas_solve_ok(slack, bcv, corners):
     return finite & (bcv <= 1e-2 * scale)
 
 
+def _varcoeff_element_operators(problem: Problem2D, cfg: Solver2DConfig,
+                                xs, ys, vb: VarCoeff2DOperators, t_int):
+    """Batched per-element collocation operators D [E, C^2, M^2]: sample
+    the coefficient fields (a, da/dx, da/dy) at each element's collocation
+    grid and combine the shared host-f64 parts.  grad_a analytic when
+    supplied, else derived by ``jax.grad`` (the fused Pallas kernel requires
+    analytic grad_a; this XLA build is the AD fallback)."""
+    dtype = xs.dtype
+    E = cfg.nx * cfg.ny
+    C = cfg.n_colloc
+    t = jnp.asarray(t_int, dtype)
+    hx = xs[1] - xs[0]
+    hy = ys[1] - ys[0]
+    xq = xs[:-1][:, None] + 0.5 * hx * (t[None, :] + 1.0)  # [nx, C]
+    yq = ys[:-1][:, None] + 0.5 * hy * (t[None, :] + 1.0)  # [ny, C]
+
+    def samp(fn):
+        v = fn(xq[None, :, None, :], yq[:, None, :, None])
+        v = v * jnp.ones((cfg.ny, cfg.nx, C, C), dtype)
+        return v.reshape(E, C * C)
+
+    if problem.grad_a is not None:
+        ax_fn, ay_fn = problem.grad_a
+    else:  # derive the chain-rule coefficients by AD
+        ax_fn = jnp.vectorize(jax.grad(problem.a_var, argnums=0))
+        ay_fn = jnp.vectorize(jax.grad(problem.a_var, argnums=1))
+    a_e = samp(problem.a_var)
+    ax_e = samp(ax_fn)
+    ay_e = samp(ay_fn)
+    return (
+        -a_e[..., None] * vb.Lap
+        - ax_e[..., None] * vb.Gx
+        - ay_e[..., None] * vb.Gy
+        + vb.Dconst
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
                     shared_bundle) -> Solution2D:
@@ -734,7 +805,9 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
             and pk.pick_tile(E, 4096) >= 128
             and dtype == jnp.float32  # kernels are f32-only; a global x64
             # flag alone no longer disqualifies (_mosaic_x64_safe)
-            and problem.a_var is None  # per-element path is XLA (for now)
+            # Per-element (a_var) fused path needs analytic chain-rule
+            # coefficients; AD-derived grad_a routes to XLA.
+            and (problem.a_var is None or problem.grad_a is not None)
             else "xla"
         )
     if backend == "pallas":
@@ -742,7 +815,17 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
 
         hx = (x1 - x0) / cfg.nx
         hy = (y1 - y0) / cfg.ny
-        if shared.Pres is not None:
+        if problem.a_var is not None:
+            sx, sy = 2.0 / hx, 2.0 / hy
+            w, slack, bcv = pk.fused_enhance_varcoeff_2d(
+                fem_values, shared, problem.a_var, problem.grad_a,
+                problem.f, problem.g, (x0, hx, y0, hy), cfg.nx, cfg.ny,
+                t_int, bpts, s2=sx * sx + sy * sy,
+                tile=pk.pick_tile(E, 1024),
+                with_diagnostics=cfg.diagnostics,
+                f_shifted_fn=problem.f_shifted,
+            )
+        elif shared.Pres is not None:
             # Stacked-operator kernel: [w; e] in ONE MXU dot (the generic
             # kernel's 3-4 separately K-padded HIGHEST dots dominated its
             # cost — see the kernel docstring and NUMERICS.md 13).
@@ -784,32 +867,8 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
             # parts, then the batched null-space QR (1D analog:
             # hybrid.lssvr_enhance's variable-coefficient branch).
             vb: VarCoeff2DOperators = shared
-            C = cfg.n_colloc
-            t = jnp.asarray(t_int, dtype)
-            hx = (x1 - x0) / cfg.nx
-            hy = (y1 - y0) / cfg.ny
-            xq = xs[:-1][:, None] + 0.5 * hx * (t[None, :] + 1.0)  # [nx, C]
-            yq = ys[:-1][:, None] + 0.5 * hy * (t[None, :] + 1.0)  # [ny, C]
-
-            def samp(fn):
-                v = fn(xq[None, :, None, :], yq[:, None, :, None])
-                v = v * jnp.ones((cfg.ny, cfg.nx, C, C), dtype)
-                return v.reshape(E, C * C)
-
-            if problem.grad_a is not None:
-                ax_fn, ay_fn = problem.grad_a
-            else:  # derive the chain-rule coefficients by AD
-                ax_fn = jnp.vectorize(jax.grad(problem.a_var, argnums=0))
-                ay_fn = jnp.vectorize(jax.grad(problem.a_var, argnums=1))
-            a_e = samp(problem.a_var)
-            ax_e = samp(ax_fn)
-            ay_e = samp(ay_fn)
-            D = (
-                -a_e[..., None] * vb.Lap
-                - ax_e[..., None] * vb.Gx
-                - ay_e[..., None] * vb.Gy
-                + vb.Dconst
-            )
+            D = _varcoeff_element_operators(problem, cfg, xs, ys, vb,
+                                            t_int)
             w, diags = kkt.solve_batched(
                 D, vb.B, f_rows, bc_rows, cfg.gamma,
                 formulation=cfg.formulation, ZP=(vb.Z, vb.Pbc),

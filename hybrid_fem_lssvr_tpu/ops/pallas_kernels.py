@@ -864,6 +864,226 @@ def fused_enhance_varcoeff(
     return outs[0].T, None, None
 
 
+@_mosaic_x64_safe
+def fused_enhance_varcoeff_2d(
+    fem_values: jnp.ndarray,  # [ny+1, nx+1] nodal grid
+    vops,  # models.hybrid2d.VarCoeff2DOperators (AZ/AP precompute required)
+    a_fn,  # diffusion coefficient a(x, y), jnp-traceable
+    grad_a,  # (da/dx, da/dy) callables (analytic chain-rule coefficients)
+    f_fn,  # rhs f(x, y)
+    g_fn,  # Dirichlet data g(x, y)
+    geom,  # (x0, hx, y0, hy) Python floats
+    nx: int,
+    ny: int,
+    t_int,  # [C] interior collocation offsets (reference coords)
+    bpts,  # [Kb, 2] (ty, tx) boundary-trace points
+    s2: float,  # static row scale sx^2 + sy^2 (recomputed from geom by
+    #             the caller: the pytree copy in vops may be traced)
+    tile: int = 1024,  # measured fastest of 256/512/1024 on v5e (~7% over
+    #                    512); ~5.3 MB of [C^2, tile] live arrays at M=6
+    interpret: bool = False,
+    with_diagnostics: bool = True,
+    f_shifted_fn=None,  # optional structured f(xl+dx, yl+dy) evaluation
+):
+    """Fused per-element-operator (variable-coefficient) 2D enhancement.
+
+    2D composition of ``fused_enhance_varcoeff`` (per-element null-space
+    CGS2 QR, elements on lanes) and ``fused_enhance_shared_2d`` (quad index
+    -> mapped coordinates -> rhs + bilinear FEM trace with Dirichlet
+    override).  Per element tile, entirely in VMEM: sample the coefficient
+    fields a, da/dx, da/dy at the C^2 collocation points, assemble the
+    projected operator columns G_k = -a (Lap Z)_k - a_x (Gx Z)_k
+    - a_y (Gy Z)_k + (Dconst Z)_k from the four static host-f64 parts
+    (``VarCoeff2DOperators.AZ``, statically scaled by 1/s2), CGS2-QR the
+    K-column LSE, recover w = Pbc bc + Z y, and emit diagnostics.
+
+    Same algebra as the XLA path (``kkt.solve_primal_lse`` with per-element
+    D — the 2D branch of ``hybrid_solve_2d``), so accuracy is identical up
+    to the row-scaling convention (static 1/s2 here vs per-element RMS
+    there; the LSE minimiser is invariant to either).  Avoids that path's
+    [E, C^2, M^2] D-tensor materialisation (~5.3 GB at 1M quads, M=6) and
+    its ~60 batched-op HBM round trips.  Replaces the reference's
+    per-element SLSQP (``Hybrid-FEM-LSSVR.py:90``) for per-element
+    operators in 2D (SURVEY.md section 7.1 L7, section 2.2).
+
+    VMEM footprint is dominated by 2K+6 [C^2, tile] f32 live arrays
+    (~5.3 MB at M=6, C=6, tile=1024), hence the smaller default tile than
+    the shared kernels.  Returns (w [E, M^2], max_slack [E], bcv [E]).
+    """
+    E = nx * ny
+    if E % tile:
+        raise ValueError(f"E={E} not a multiple of tile={tile}")
+    if tile % 128:
+        raise ValueError(f"tile={tile} must be a multiple of 128 lanes")
+    if vops.AZ is None or vops.AP is None:
+        raise ValueError("vops must carry the AZ/AP fused precompute")
+    dtype = fem_values.dtype
+    x0, hx, y0, hy = geom
+    M2, K = vops.Z.shape
+    Kb = vops.B.shape[0]
+    C2 = vops.AZ.shape[0] // 4
+    ax_fn, ay_fn = grad_a
+
+    # Corner-value views, flattened row-major over quads: [1, E] each.
+    u00 = fem_values[:-1, :-1].reshape(1, E)
+    u10 = fem_values[:-1, 1:].reshape(1, E)
+    u01 = fem_values[1:, :-1].reshape(1, E)
+    u11 = fem_values[1:, 1:].reshape(1, E)
+
+    t = jnp.asarray(t_int, dtype)
+    C = t.shape[0]
+    # In-element offsets of the C x C collocation grid, flattened (iy, ix)
+    # row-major to match prepare_shared_2d's operator rows: [C^2, 1].
+    dX = (jnp.tile(t, C)[:, None] + 1.0) * jnp.asarray(0.5 * hx, dtype)
+    dY = (jnp.repeat(t, C)[:, None] + 1.0) * jnp.asarray(0.5 * hy, dtype)
+    # Trace points: [Kb, 1] offsets + static bilinear shape factors +
+    # domain-boundary masks (same packing as fused_enhance_shared_2d).
+    ty = jnp.asarray(bpts[:, 0], dtype)[:, None]
+    tx = jnp.asarray(bpts[:, 1], dtype)[:, None]
+    N00 = 0.25 * (1 - tx) * (1 - ty)
+    N10 = 0.25 * (1 + tx) * (1 - ty)
+    N01 = 0.25 * (1 - tx) * (1 + ty)
+    N11 = 0.25 * (1 + tx) * (1 + ty)
+    n_pack = jnp.concatenate([N00, N10, N01, N11], axis=0)  # [4Kb, 1]
+    bxy_pack = jnp.concatenate(
+        [(tx + 1.0) * jnp.asarray(0.5 * hx, dtype),
+         (ty + 1.0) * jnp.asarray(0.5 * hy, dtype),
+         (tx == -1.0).astype(dtype), (tx == 1.0).astype(dtype),
+         (ty == -1.0).astype(dtype), (ty == 1.0).astype(dtype)],
+        axis=0,
+    )  # [6Kb, 1]
+
+    inv_s2_f = float(1.0 / s2)
+    s2_f = float(s2)
+    eps_f = 1e-30
+    hi = jax.lax.Precision.HIGHEST
+
+    def kernel(dX_r, dY_r, n_r, bxy_r, u00_r, u10_r, u01_r, u11_r,
+               az_r, ap_r, z_r, pbc_r, b_r, w_ref, *diag_refs):
+        i = pl.program_id(0)
+        e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + i * tile
+        nx32 = jnp.int32(nx)  # keep int32 under jax_enable_x64
+        ex = (e_idx % nx32).astype(dtype)
+        ey = (e_idx // nx32).astype(dtype)
+        xl = jnp.asarray(x0, dtype) + ex * jnp.asarray(hx, dtype)
+        yl = jnp.asarray(y0, dtype) + ey * jnp.asarray(hy, dtype)
+        xq = xl + dX_r[:]  # [C^2, tile] mapped collocation points
+        yq = yl + dY_r[:]
+        ones = jnp.ones_like(xq)
+        a = a_fn(xq, yq) * ones  # coefficient fields on the VPU
+        ax = ax_fn(xq, yq) * ones
+        ay = ay_fn(xq, yq) * ones
+        if f_shifted_fn is not None:
+            f = f_shifted_fn(xl, dX_r[:], yl, dY_r[:])
+        else:
+            f = f_fn(xq, yq) * ones  # [C^2, tile]
+        # Trace rows: bilinear FEM trace, Dirichlet override on the domain
+        # boundary (element-position masks x static point masks).
+        n00, n10, n01, n11 = (n_r[0:Kb], n_r[Kb:2 * Kb], n_r[2 * Kb:3 * Kb],
+                              n_r[3 * Kb:4 * Kb])
+        trace = (n00 * u00_r[:] + n10 * u10_r[:] + n01 * u01_r[:]
+                 + n11 * u11_r[:])  # [Kb, tile]
+        xb = xl + bxy_r[0:Kb]
+        yb = yl + bxy_r[Kb:2 * Kb]
+        gv = g_fn(xb, yb) * jnp.ones_like(trace)
+        is_l = (e_idx % nx32) == 0
+        is_r = (e_idx % nx32) == nx32 - 1
+        is_b = (e_idx // nx32) == 0
+        is_t = (e_idx // nx32) == jnp.int32(ny) - 1
+        mask = (
+            ((bxy_r[2 * Kb:3 * Kb] > 0.5) & is_l)
+            | ((bxy_r[3 * Kb:4 * Kb] > 0.5) & is_r)
+            | ((bxy_r[4 * Kb:5 * Kb] > 0.5) & is_b)
+            | ((bxy_r[5 * Kb:6 * Kb] > 0.5) & is_t)
+        )
+        bc = jnp.where(mask, gv, trace)
+        # Particular solution + its (scaled) operator image, both via MXU
+        # (K = Kb ~ 20 contractions: past the VPU/MXU crossover, see
+        # fused_enhance_stacked_2d / NUMERICS.md 13).
+        wp = jnp.dot(pbc_r[:], bc, precision=hi,
+                     preferred_element_type=dtype)  # [M^2, tile]
+        apbc = jnp.dot(ap_r[:], bc, precision=hi,
+                       preferred_element_type=dtype)  # [4 C^2, tile]
+        Dwp = (-a * apbc[0:C2] - ax * apbc[C2:2 * C2]
+               - ay * apbc[2 * C2:3 * C2] + apbc[3 * C2:4 * C2])
+        g = f * jnp.asarray(inv_s2_f, dtype) - Dwp  # scaled residual rhs
+        # Projected operator columns, one per null-space direction.
+        G = [
+            -a * az_r[0:C2, k:k + 1] - ax * az_r[C2:2 * C2, k:k + 1]
+            - ay * az_r[2 * C2:3 * C2, k:k + 1]
+            + az_r[3 * C2:4 * C2, k:k + 1]
+            for k in range(K)
+        ]
+        # CGS2 QR over the K columns — identical algebra to
+        # kkt._batched_mgs_qr_solve, every intermediate in VMEM.
+        Qc = []
+        R = [[None] * K for _ in range(K)]
+        for j in range(K):
+            v = G[j]
+            for _pass in range(2):
+                for i2 in range(j):
+                    rij = jnp.sum(Qc[i2] * v, axis=0, keepdims=True)
+                    R[i2][j] = rij if R[i2][j] is None else R[i2][j] + rij
+                    v = v - rij * Qc[i2]
+            rjj = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+            R[j][j] = rjj
+            Qc.append(v / (rjj + jnp.asarray(eps_f, dtype)))
+        qtg = [jnp.sum(Qc[j] * g, axis=0, keepdims=True) for j in range(K)]
+        y = [None] * K
+        for j in reversed(range(K)):
+            acc = qtg[j]
+            for i2 in range(j + 1, K):
+                acc = acc - R[j][i2] * y[i2]
+            y[j] = acc / (R[j][j] + jnp.asarray(eps_f, dtype))
+        ystack = jnp.concatenate(y, axis=0)  # [K, tile]
+        w = wp + jnp.dot(z_r[:], ystack, precision=hi,
+                         preferred_element_type=dtype)  # [M^2, tile]
+        w_ref[:] = w
+        if with_diagnostics:
+            slack_ref, bcv_ref = diag_refs
+            e_res = g
+            for k in range(K):
+                e_res = e_res - G[k] * y[k]
+            # Back to the original row scale: f - D w = s2 (g~ - G~ y).
+            slack_ref[:] = jnp.asarray(s2_f, dtype) * jnp.max(
+                jnp.abs(e_res), axis=0, keepdims=True)
+            b_res = bc - jnp.dot(b_r[:], w, precision=hi,
+                                 preferred_element_type=dtype)
+            bcv_ref[:] = jnp.max(jnp.abs(b_res), axis=0, keepdims=True)
+
+    grid = (E // tile,)
+    col = lambda i: (0, i)
+    out_shape = [jax.ShapeDtypeStruct((M2, E), dtype)]
+    out_specs = [pl.BlockSpec((M2, tile), col, memory_space=pltpu.VMEM)]
+    if with_diagnostics:
+        out_shape += [jax.ShapeDtypeStruct((1, E), dtype)] * 2
+        out_specs += [
+            pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+        ] * 2
+    repl = pl.BlockSpec(memory_space=pltpu.VMEM)
+    row_block = pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[repl, repl, repl, repl,
+                  row_block, row_block, row_block, row_block,
+                  repl, repl, repl, repl, repl],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E * C2 * (4 * K + 2 * K * K + 4 * Kb + 16),
+            bytes_accessed=4 * (4 * E + E * M2 + 2 * E),
+            transcendentals=4 * E if f_shifted_fn is not None else E * C2,
+        ),
+    )(dX, dY, n_pack, bxy_pack, u00, u10, u01, u11,
+      vops.AZ, vops.AP, vops.Z, vops.Pbc, vops.B)
+    if with_diagnostics:
+        wT, slack, bcv = outs
+        return wT.T, slack[0], bcv[0]
+    return outs[0].T, None, None
+
+
 def pick_tile(E: int, max_tile: int = 8192) -> int:
     """Largest power-of-two tile (multiple of 128) dividing E, or 0 if E has
     no 128-aligned power-of-two factor (caller falls back to the XLA path)."""
