@@ -23,7 +23,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..models.hybrid2d import (
     Problem2D, Solver2DConfig, _bilinear_fallback_coeffs, _element_data_2d,
-    fem_solve_2d, prepare_shared_2d,
+    _varcoeff_element_operators, fem_solve_2d, prepare_shared_2d,
 )
 from ..ops import kkt
 from .mesh import ELEMENT_AXIS
@@ -122,11 +122,46 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
     nx1 = xs.shape[0]
     hx = float((problem.domain[1] - problem.domain[0]) / cfg.nx)
     hy = float((problem.domain[3] - problem.domain[2]) / cfg.ny)
-    K_loc = jnp.asarray(
-        assembly2d.q1_local_operator(hx, hy, problem.a0, problem.c,
-                                     *problem.b),
-        dtype,
-    )
+    var = problem.a_var is not None
+    if var:
+        # Variable diffusion: per-element K_e = sum_q a(x_q) S_q with the
+        # coefficient sampled at THIS slab's quadrature points; constant
+        # reaction/advection terms compose additively (mirrors
+        # hybrid2d.fem_solve_2d).
+        Sq_np, dxq, dyq = assembly2d.q1_varcoeff_parts(hx, hy)
+        Sq = jnp.asarray(Sq_np, dtype)
+        a_maps = assembly2d.coeff_maps(xs, ys_loc, problem.a_var, dxq, dyq)
+        K_const = None
+        if problem.c != 0.0 or problem.b != (0.0, 0.0):
+            K_const = jnp.asarray(
+                assembly2d.q1_local_operator(hx, hy, 0.0, problem.c,
+                                             *problem.b),
+                dtype,
+            )
+
+        def apply_local(v):
+            y = assembly2d.apply_stiffness_var(v, Sq, a_maps)
+            if K_const is not None:
+                y = y + assembly2d.apply_stiffness(v, K_const)
+            return y
+
+        diag_local = assembly2d.stiffness_var_diag((ny_loc + 1, nx1), Sq,
+                                                   a_maps, dtype)
+        if K_const is not None:
+            diag_local = diag_local + assembly2d.stiffness_diag(
+                (ny_loc + 1, nx1), K_const, dtype)
+    else:
+        K_loc = jnp.asarray(
+            assembly2d.q1_local_operator(hx, hy, problem.a0, problem.c,
+                                         *problem.b),
+            dtype,
+        )
+
+        def apply_local(v):
+            return assembly2d.apply_stiffness(v, K_loc)
+
+        diag_local = assembly2d.stiffness_diag((ny_loc + 1, nx1), K_loc,
+                                               dtype)
     spd = problem.b == (0.0, 0.0) and problem.c >= 0.0
 
     # Global interior mask for this slab's node rows.
@@ -143,8 +178,7 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
     u_bc = jnp.where(interior, 0.0, problem.g(X, Y) * jnp.ones_like(X))
 
     def apply_full(v):
-        return _halo_add(assembly2d.apply_stiffness(v, K_loc), d, n_dev,
-                         axis)
+        return _halo_add(apply_local(v), d, n_dev, axis)
 
     def apply_free(v):
         return jnp.where(interior, apply_full(v * interior), 0.0)
@@ -153,10 +187,7 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
         return jax.lax.psum(jnp.sum(u * v * own), axis)
 
     rhs = jnp.where(interior, b - apply_full(u_bc), 0.0)
-    diag = _halo_add(
-        assembly2d.stiffness_diag((ny_loc + 1, nx1), K_loc, dtype),
-        d, n_dev, axis,
-    )
+    diag = _halo_add(diag_local, d, n_dev, axis)
 
     precond = cfg.precond
     if precond == "auto":
@@ -174,18 +205,29 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
 
         nyc, nxc = cfg.ny // 2, cfg.nx // 2
         nyc_loc = ny_loc // 2
-        # Rediscretise per level (mass/convection terms scale with h;
-        # serial-vcycle level l sits at spacing 2**(l+1) x fine).
-        serial_vcycle = multigrid.make_vcycle(
-            nyc + 1, nxc + 1, K_loc, dtype,
-            loc_for_level=lambda lvl: jnp.asarray(
-                assembly2d.q1_local_operator(
-                    hx * 2.0 ** (lvl + 1), hy * 2.0 ** (lvl + 1),
-                    problem.a0, problem.c, *problem.b
+        # Rediscretise per level (mass/convection terms scale with h, and
+        # variable coefficients need re-sampling; serial-vcycle level l
+        # sits at spacing 2**(l+1) x fine).
+        if var:
+            from ..models.hybrid2d import _varcoeff_mg_levels
+
+            serial_vcycle = multigrid.make_vcycle(
+                nyc + 1, nxc + 1, None, dtype,
+                apply_diag_for_level=_varcoeff_mg_levels(
+                    problem, hx, hy, dtype, lvl_offset=1
                 ),
-                dtype,
-            ),
-        )
+            )
+        else:
+            serial_vcycle = multigrid.make_vcycle(
+                nyc + 1, nxc + 1, K_loc, dtype,
+                loc_for_level=lambda lvl: jnp.asarray(
+                    assembly2d.q1_local_operator(
+                        hx * 2.0 ** (lvl + 1), hy * 2.0 ** (lvl + 1),
+                        problem.a0, problem.c, *problem.b
+                    ),
+                    dtype,
+                ),
+            )
         omega, nu = 0.8, 2
         row0c = row0 // 2
 
@@ -271,7 +313,17 @@ def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
             problem, cfg, xs, ys_loc, fem_loc, t_int, bpts,
             row_offset=row0,
         )
-        w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+        if problem.a_var is not None:
+            # Per-element operators from THIS slab's coefficient samples +
+            # the replicated host-f64 parts; batched null-space QR.
+            D = _varcoeff_element_operators(problem, cfg, xs, ys_loc,
+                                            shared, t_int)
+            w, diags = kkt.solve_batched(
+                D, shared.B, f_rows, bc_rows, cfg.gamma,
+                formulation=cfg.formulation, ZP=(shared.Z, shared.Pbc),
+            )
+        else:
+            w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
         M = cfg.M
         coeffs = w.reshape(ny_loc, cfg.nx, M, M)
         fb = _bilinear_fallback_coeffs(*corners, M)
@@ -423,11 +475,42 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
                             ).astype(dtype)
         ys_loc = y0 + hy * (row0 + jnp.arange(ny_loc + 1, dtype=jnp.int32)
                             ).astype(dtype)
-        K_loc = jnp.asarray(
-            assembly2d.q1_local_operator(hx, hy, problem.a0, problem.c,
-                                         *problem.b),
-            dtype,
-        )
+        if problem.a_var is not None:
+            Sq_np, dxq, dyq = assembly2d.q1_varcoeff_parts(hx, hy)
+            Sq = jnp.asarray(Sq_np, dtype)
+            a_maps = assembly2d.coeff_maps(xs_loc, ys_loc, problem.a_var,
+                                           dxq, dyq)
+            K_const = None
+            if problem.c != 0.0 or problem.b != (0.0, 0.0):
+                K_const = jnp.asarray(
+                    assembly2d.q1_local_operator(hx, hy, 0.0, problem.c,
+                                                 *problem.b),
+                    dtype,
+                )
+
+            def apply_local(v):
+                yv = assembly2d.apply_stiffness_var(v, Sq, a_maps)
+                if K_const is not None:
+                    yv = yv + assembly2d.apply_stiffness(v, K_const)
+                return yv
+
+            diag_local = assembly2d.stiffness_var_diag(
+                (ny_loc + 1, nx_loc + 1), Sq, a_maps, dtype)
+            if K_const is not None:
+                diag_local = diag_local + assembly2d.stiffness_diag(
+                    (ny_loc + 1, nx_loc + 1), K_const, dtype)
+        else:
+            K_loc = jnp.asarray(
+                assembly2d.q1_local_operator(hx, hy, problem.a0,
+                                             problem.c, *problem.b),
+                dtype,
+            )
+
+            def apply_local(v):
+                return assembly2d.apply_stiffness(v, K_loc)
+
+            diag_local = assembly2d.stiffness_diag(
+                (ny_loc + 1, nx_loc + 1), K_loc, dtype)
 
         g_row = row0 + jnp.arange(ny_loc + 1)
         g_col = col0 + jnp.arange(nx_loc + 1)
@@ -446,7 +529,7 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
         u_bc = jnp.where(interior, 0.0, problem.g(X, Y) * jnp.ones_like(X))
 
         def apply_full(v):
-            return halo(assembly2d.apply_stiffness(v, K_loc))
+            return halo(apply_local(v))
 
         def apply_free(v):
             return jnp.where(interior, apply_full(v * interior), 0.0)
@@ -455,8 +538,7 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
             return jax.lax.psum(jnp.sum(u * v * own), (ay, ax))
 
         rhs = jnp.where(interior, b - apply_full(u_bc), 0.0)
-        diag = halo(assembly2d.stiffness_diag(
-            (ny_loc + 1, nx_loc + 1), K_loc, dtype))
+        diag = halo(diag_local)
         M_inv = jnp.where(interior, 1.0 / diag, 1.0)
         tol = cfg.cg_tol
         if tol is None:
@@ -471,7 +553,15 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
             problem, cfg, xs_loc, ys_loc, fem_loc, t_int, bpts,
             row_offset=row0, col_offset=col0,
         )
-        w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+        if problem.a_var is not None:
+            D = _varcoeff_element_operators(problem, cfg, xs_loc, ys_loc,
+                                            shared, t_int)
+            w, diags = kkt.solve_batched(
+                D, shared.B, f_rows, bc_rows, cfg.gamma,
+                formulation=cfg.formulation, ZP=(shared.Z, shared.Pbc),
+            )
+        else:
+            w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
         M = cfg.M
         coeffs = w.reshape(ny_loc, nx_loc, M, M)
         fb = _bilinear_fallback_coeffs(*corners, M)
