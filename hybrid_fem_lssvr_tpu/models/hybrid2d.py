@@ -342,6 +342,10 @@ class Solver2DConfig:
     # direction, the right tool for strongly anisotropic hx/hy where
     # point-smoothing degrades; parallel/transpose.py)
     backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (enhancement stage)
+    varcoeff_method: str = "sne"  # Pallas per-element LSE algorithm:
+    # 'sne' (semi-normal equations + refinement, MXU, ~1.2x faster) |
+    # 'qr' (CGS2, VPU).  Identical accuracy (tests/test_pallas.py);
+    # XLA/CPU paths always use the QR algebra.
     diagnostics: bool = True
     dtype: Optional[str] = None
     fem_dtype: Optional[str] = None  # 'float64' runs the coarse CG stage in
@@ -403,6 +407,14 @@ class VarCoeff2DOperators(NamedTuple):
     AZ: jnp.ndarray = None  # [4 C^2, K]  (K = null-space dim)
     AP: jnp.ndarray = None  # [4 C^2, 4M-4]
     s2: float = 1.0  # the static row scale sx^2 + sy^2
+    # Semi-normal-equations precompute: pair-symmetrised products of the
+    # AZ blocks, so N = G^T G = NZ contracted against the coefficient
+    # pair-product fields in ONE MXU dot (see
+    # pallas_kernels.fused_enhance_varcoeff_2d method='sne').  Pairs (s, t),
+    # s <= t < n_terms, in lexicographic order; n_terms = 3 when Dconst
+    # vanishes (pure -div(a grad u)) else 4.
+    NZ: jnp.ndarray = None  # [K^2, P C^2], P = n_terms (n_terms+1) / 2
+    n_terms: int = 3
 
 
 def prepare_shared_2d(problem: Problem2D, cfg: Solver2DConfig):
@@ -445,6 +457,20 @@ def prepare_shared_2d(problem: Problem2D, cfg: Solver2DConfig):
         AP = np.concatenate(
             [Lap @ Pbc, Gx @ Pbc, Gy @ Pbc, Dconst @ Pbc]
         ) / s2  # [4 C^2, 4M-4]
+        # Pair-symmetrised AZ products for the semi-normal-equations
+        # kernel: N[j, k] = sum_p sum_q (c_s c_t)[q] NZ[(j, k), (p, q)].
+        C2 = C * C
+        K = Z.shape[1]
+        n_terms = 4 if (bxv != 0.0 or byv != 0.0 or problem.c != 0.0) \
+            else 3
+        AZb = (AZ / 1.0).reshape(4, C2, K)
+        pairs = [(s, t) for s in range(n_terms) for t in range(s, n_terms)]
+        NZ = np.zeros((K * K, len(pairs) * C2))
+        for pi, (s, t) in enumerate(pairs):
+            blk = np.einsum("qj,qk->jkq", AZb[s], AZb[t])
+            if s != t:
+                blk = blk + np.einsum("qj,qk->jkq", AZb[t], AZb[s])
+            NZ[:, pi * C2:(pi + 1) * C2] = blk.reshape(K * K, C2)
         ops = VarCoeff2DOperators(
             Lap=jnp.asarray(Lap, dtype), Gx=jnp.asarray(Gx, dtype),
             Gy=jnp.asarray(Gy, dtype), Dconst=jnp.asarray(Dconst, dtype),
@@ -452,6 +478,7 @@ def prepare_shared_2d(problem: Problem2D, cfg: Solver2DConfig):
             Pbc=jnp.asarray(Pbc, dtype),
             AZ=jnp.asarray(AZ, dtype), AP=jnp.asarray(AP, dtype),
             s2=float(s2),
+            NZ=jnp.asarray(NZ, dtype), n_terms=n_terms,
         )
         return ops, (jnp.asarray(t_int), jnp.asarray(bpts))
     sx = 2.0 / hx
@@ -500,6 +527,50 @@ def prepare_shared_2d(problem: Problem2D, cfg: Solver2DConfig):
             D, B, cfg.jnp_dtype(), rhs_colloc_factors=rhs_factors,
         )
     return shared, (jnp.asarray(t_int), jnp.asarray(bpts))
+
+
+def _varcoeff_mg_levels(problem: Problem2D, hx: float, hy: float, dtype,
+                        lvl_offset: int = 0):
+    """``apply_diag_for_level(lvl, shape)`` factory for
+    ``multigrid.make_vcycle`` with variable diffusion: exact per-level
+    rediscretisation by re-sampling the coefficient callable at each
+    level's own quadrature points.  Level ``lvl`` sits at spacing
+    ``h * 2**(lvl + lvl_offset)`` — pass ``lvl_offset=1`` when the serial
+    V-cycle runs below a distributed fine level (``parallel/sharded2d``)."""
+    from ..ops import assembly2d
+
+    x0d, y0d = problem.domain[0], problem.domain[2]
+    bx, by = problem.b
+    has_const = problem.c != 0.0 or bx != 0.0 or by != 0.0
+
+    def apply_diag_for_level(lvl, shape):
+        s = float(2 ** (lvl + lvl_offset))
+        Sq_l, dxq_l, dyq_l = assembly2d.q1_varcoeff_parts(hx * s, hy * s)
+        Sq_l = jnp.asarray(Sq_l, dtype)
+        xs_l = x0d + hx * s * jnp.arange(shape[1], dtype=dtype)
+        ys_l = y0d + hy * s * jnp.arange(shape[0], dtype=dtype)
+        am = assembly2d.coeff_maps(xs_l, ys_l, problem.a_var, dxq_l, dyq_l)
+        Kc = None
+        if has_const:
+            Kc = jnp.asarray(
+                assembly2d.q1_local_operator(
+                    hx * s, hy * s, 0.0, problem.c, bx, by
+                ),
+                dtype,
+            )
+
+        def apply_l(v):
+            y = assembly2d.apply_stiffness_var(v, Sq_l, am)
+            if Kc is not None:
+                y = y + assembly2d.apply_stiffness(v, Kc)
+            return y
+
+        d = assembly2d.stiffness_var_diag(shape, Sq_l, am, dtype)
+        if Kc is not None:
+            d = d + assembly2d.stiffness_diag(shape, Kc, dtype)
+        return apply_l, d
+
+    return apply_diag_for_level
 
 
 def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
@@ -569,41 +640,11 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
         if var:
             # Exact rediscretisation per level: re-sample the coefficient
             # callable at each level's own quadrature points.
-            x0d, y0d = problem.domain[0], problem.domain[2]
-
-            def apply_diag_for_level(lvl, shape):
-                s = float(2 ** lvl)
-                Sq_l, dxq_l, dyq_l = assembly2d.q1_varcoeff_parts(
-                    hx * s, hy * s
-                )
-                Sq_l = jnp.asarray(Sq_l, dtype)
-                xs_l = x0d + hx * s * jnp.arange(shape[1], dtype=dtype)
-                ys_l = y0d + hy * s * jnp.arange(shape[0], dtype=dtype)
-                am = assembly2d.coeff_maps(xs_l, ys_l, problem.a_var,
-                                           dxq_l, dyq_l)
-                Kc = None
-                if K_const is not None:
-                    Kc = jnp.asarray(
-                        assembly2d.q1_local_operator(
-                            hx * s, hy * s, 0.0, problem.c, bx, by
-                        ),
-                        dtype,
-                    )
-
-                def apply_l(v):
-                    y = assembly2d.apply_stiffness_var(v, Sq_l, am)
-                    if Kc is not None:
-                        y = y + assembly2d.apply_stiffness(v, Kc)
-                    return y
-
-                d = assembly2d.stiffness_var_diag(shape, Sq_l, am, dtype)
-                if Kc is not None:
-                    d = d + assembly2d.stiffness_diag(shape, Kc, dtype)
-                return apply_l, d
-
             M_inv = multigrid.make_vcycle(
                 ny1, nx1, None, dtype,
-                apply_diag_for_level=apply_diag_for_level,
+                apply_diag_for_level=_varcoeff_mg_levels(
+                    problem, hx, hy, dtype
+                ),
             )
         else:
             # Rediscretise the full operator per level: the stiffness part
@@ -746,19 +787,23 @@ def _varcoeff_element_operators(problem: Problem2D, cfg: Solver2DConfig,
     the coefficient fields (a, da/dx, da/dy) at each element's collocation
     grid and combine the shared host-f64 parts.  grad_a analytic when
     supplied, else derived by ``jax.grad`` (the fused Pallas kernel requires
-    analytic grad_a; this XLA build is the AD fallback)."""
+    analytic grad_a; this XLA build is the AD fallback).  Element counts
+    come from the node arrays, so a sharded caller can pass its local
+    slab/block (``parallel/sharded2d.py``)."""
     dtype = xs.dtype
-    E = cfg.nx * cfg.ny
+    nx_l = xs.shape[0] - 1
+    ny_l = ys.shape[0] - 1
+    E = nx_l * ny_l
     C = cfg.n_colloc
     t = jnp.asarray(t_int, dtype)
     hx = xs[1] - xs[0]
     hy = ys[1] - ys[0]
-    xq = xs[:-1][:, None] + 0.5 * hx * (t[None, :] + 1.0)  # [nx, C]
-    yq = ys[:-1][:, None] + 0.5 * hy * (t[None, :] + 1.0)  # [ny, C]
+    xq = xs[:-1][:, None] + 0.5 * hx * (t[None, :] + 1.0)  # [nx_l, C]
+    yq = ys[:-1][:, None] + 0.5 * hy * (t[None, :] + 1.0)  # [ny_l, C]
 
     def samp(fn):
         v = fn(xq[None, :, None, :], yq[:, None, :, None])
-        v = v * jnp.ones((cfg.ny, cfg.nx, C, C), dtype)
+        v = v * jnp.ones((ny_l, nx_l, C, C), dtype)
         return v.reshape(E, C * C)
 
     if problem.grad_a is not None:
@@ -824,6 +869,7 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
                 tile=pk.pick_tile(E, 1024),
                 with_diagnostics=cfg.diagnostics,
                 f_shifted_fn=problem.f_shifted,
+                method=cfg.varcoeff_method,
             )
         elif shared.Pres is not None:
             # Stacked-operator kernel: [w; e] in ONE MXU dot (the generic

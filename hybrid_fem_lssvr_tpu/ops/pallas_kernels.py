@@ -884,6 +884,10 @@ def fused_enhance_varcoeff_2d(
     interpret: bool = False,
     with_diagnostics: bool = True,
     f_shifted_fn=None,  # optional structured f(xl+dx, yl+dy) evaluation
+    method: str = "qr",  # 'qr' (CGS2, VPU) | 'sne' (semi-normal equations,
+    #                      MXU — see the docstring's accuracy discussion)
+    refine: bool = True,  # 'sne' only: one refinement step in the factored
+    #                      normal equations (Bjorck semi-normal method)
 ):
     """Fused per-element-operator (variable-coefficient) 2D enhancement.
 
@@ -906,8 +910,23 @@ def fused_enhance_varcoeff_2d(
     per-element SLSQP (``Hybrid-FEM-LSSVR.py:90``) for per-element
     operators in 2D (SURVEY.md section 7.1 L7, section 2.2).
 
+    ``method='sne'`` — semi-normal equations on the MXU.  G is a
+    coefficient-weighted sum of static blocks, so N = G^T G is a static
+    pair-product matrix (``VarCoeff2DOperators.NZ``, host-f64) contracted
+    against the per-element coefficient pair fields in ONE MXU dot; y then
+    comes from an unrolled lane-batched Cholesky (K^3/3 VPU flops vs the
+    QR's 2 K^2 C^2), with one refinement step in the factored system
+    (Bjorck's semi-normal method, ``refine=True``).  Moves the O(K^2 C^2)
+    orthogonalisation work from the VPU to the MXU.  Numerically safe
+    because the null-space projection keeps kappa(G) tiny — measured <= 6
+    for M <= 8 on the shipped problems — so kappa(N) = kappa(G)^2 <= ~40
+    and the f32 normal equations lose < 1e-5 relative; the refinement step
+    restores QR-level residuals.  Both methods are asserted equal to the
+    XLA path in tests/test_pallas.py.
+
     VMEM footprint is dominated by 2K+6 [C^2, tile] f32 live arrays
-    (~5.3 MB at M=6, C=6, tile=1024), hence the smaller default tile than
+    (~5.3 MB at M=6, C=6, tile=1024; 'sne' peaks similarly on the [K^2,
+    tile] N block plus pair fields), hence the smaller default tile than
     the shared kernels.  Returns (w [E, M^2], max_slack [E], bcv [E]).
     """
     E = nx * ny
@@ -917,11 +936,20 @@ def fused_enhance_varcoeff_2d(
         raise ValueError(f"tile={tile} must be a multiple of 128 lanes")
     if vops.AZ is None or vops.AP is None:
         raise ValueError("vops must carry the AZ/AP fused precompute")
+    if method not in ("qr", "sne"):
+        raise ValueError(f"unknown method {method!r}")
     dtype = fem_values.dtype
     x0, hx, y0, hy = geom
     M2, K = vops.Z.shape
     Kb = vops.B.shape[0]
     C2 = vops.AZ.shape[0] // 4
+    if method == "sne":
+        if vops.NZ is None:
+            raise ValueError("method='sne' needs the NZ precompute")
+        # Term count from the (static) pair-block count: P = S (S+1) / 2.
+        P = vops.NZ.shape[1] // C2
+        S = {3: 2, 6: 3, 10: 4}[P]
+        pairs = [(s, t) for s in range(S) for t in range(s, S)]
     ax_fn, ay_fn = grad_a
 
     # Corner-value views, flattened row-major over quads: [1, E] each.
@@ -959,7 +987,11 @@ def fused_enhance_varcoeff_2d(
     hi = jax.lax.Precision.HIGHEST
 
     def kernel(dX_r, dY_r, n_r, bxy_r, u00_r, u10_r, u01_r, u11_r,
-               az_r, ap_r, z_r, pbc_r, b_r, w_ref, *diag_refs):
+               az_r, ap_r, z_r, pbc_r, b_r, *rest):
+        if method == "sne":
+            nz_r, w_ref, diag_refs = rest[0], rest[1], rest[2:]
+        else:
+            w_ref, diag_refs = rest[0], rest[1:]
         i = pl.program_id(0)
         e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + i * tile
         nx32 = jnp.int32(nx)  # keep int32 under jax_enable_x64
@@ -997,53 +1029,127 @@ def fused_enhance_varcoeff_2d(
             | ((bxy_r[5 * Kb:6 * Kb] > 0.5) & is_t)
         )
         bc = jnp.where(mask, gv, trace)
-        # Particular solution + its (scaled) operator image, both via MXU
-        # (K = Kb ~ 20 contractions: past the VPU/MXU crossover, see
-        # fused_enhance_stacked_2d / NUMERICS.md 13).
-        wp = jnp.dot(pbc_r[:], bc, precision=hi,
-                     preferred_element_type=dtype)  # [M^2, tile]
-        apbc = jnp.dot(ap_r[:], bc, precision=hi,
-                       preferred_element_type=dtype)  # [4 C^2, tile]
+        # Particular solution + its (scaled) operator image in ONE stacked
+        # MXU contraction ([Pbc; AP] @ bc): each K ~ 20 HIGHEST dot pads K
+        # to 128, so fusing them halves the padded passes (the
+        # fused_enhance_stacked_2d trick, NUMERICS.md 13).
+        wpap = jnp.dot(jnp.concatenate([pbc_r[:], ap_r[:]], axis=0), bc,
+                       precision=hi, preferred_element_type=dtype)
+        wp = wpap[0:M2]  # [M^2, tile]
+        apbc = wpap[M2:M2 + 4 * C2]  # [4 C^2, tile]
         Dwp = (-a * apbc[0:C2] - ax * apbc[C2:2 * C2]
                - ay * apbc[2 * C2:3 * C2] + apbc[3 * C2:4 * C2])
         g = f * jnp.asarray(inv_s2_f, dtype) - Dwp  # scaled residual rhs
-        # Projected operator columns, one per null-space direction.
-        G = [
-            -a * az_r[0:C2, k:k + 1] - ax * az_r[C2:2 * C2, k:k + 1]
-            - ay * az_r[2 * C2:3 * C2, k:k + 1]
-            + az_r[3 * C2:4 * C2, k:k + 1]
-            for k in range(K)
-        ]
-        # CGS2 QR over the K columns — identical algebra to
-        # kkt._batched_mgs_qr_solve, every intermediate in VMEM.
-        Qc = []
-        R = [[None] * K for _ in range(K)]
-        for j in range(K):
-            v = G[j]
-            for _pass in range(2):
-                for i2 in range(j):
-                    rij = jnp.sum(Qc[i2] * v, axis=0, keepdims=True)
-                    R[i2][j] = rij if R[i2][j] is None else R[i2][j] + rij
-                    v = v - rij * Qc[i2]
-            rjj = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
-            R[j][j] = rjj
-            Qc.append(v / (rjj + jnp.asarray(eps_f, dtype)))
-        qtg = [jnp.sum(Qc[j] * g, axis=0, keepdims=True) for j in range(K)]
-        y = [None] * K
-        for j in reversed(range(K)):
-            acc = qtg[j]
-            for i2 in range(j + 1, K):
-                acc = acc - R[j][i2] * y[i2]
-            y[j] = acc / (R[j][j] + jnp.asarray(eps_f, dtype))
-        ystack = jnp.concatenate(y, axis=0)  # [K, tile]
+        eps = jnp.asarray(eps_f, dtype)
+        if method == "qr":
+            # Projected operator columns, one per null-space direction.
+            G = [
+                -a * az_r[0:C2, k:k + 1] - ax * az_r[C2:2 * C2, k:k + 1]
+                - ay * az_r[2 * C2:3 * C2, k:k + 1]
+                + az_r[3 * C2:4 * C2, k:k + 1]
+                for k in range(K)
+            ]
+            # CGS2 QR over the K columns — identical algebra to
+            # kkt._batched_mgs_qr_solve, every intermediate in VMEM.
+            Qc = []
+            R = [[None] * K for _ in range(K)]
+            for j in range(K):
+                v = G[j]
+                for _pass in range(2):
+                    for i2 in range(j):
+                        rij = jnp.sum(Qc[i2] * v, axis=0, keepdims=True)
+                        R[i2][j] = (rij if R[i2][j] is None
+                                    else R[i2][j] + rij)
+                        v = v - rij * Qc[i2]
+                rjj = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+                R[j][j] = rjj
+                Qc.append(v / (rjj + eps))
+            qtg = [jnp.sum(Qc[j] * g, axis=0, keepdims=True)
+                   for j in range(K)]
+            y = [None] * K
+            for j in reversed(range(K)):
+                acc = qtg[j]
+                for i2 in range(j + 1, K):
+                    acc = acc - R[j][i2] * y[i2]
+                y[j] = acc / (R[j][j] + eps)
+            ystack = jnp.concatenate(y, axis=0)  # [K, tile]
+            if with_diagnostics:
+                e_res = g
+                for k in range(K):
+                    e_res = e_res - G[k] * y[k]
+        else:  # 'sne' — semi-normal equations on the MXU
+            cs = [-a, -ax, -ay, ones][:S]
+
+            def apply_G(yv):  # [K, tile] -> [C^2, tile]
+                Ay = jnp.dot(az_r[0:S * C2], yv, precision=hi,
+                             preferred_element_type=dtype)
+                out = cs[0] * Ay[0:C2]
+                for s in range(1, S):
+                    out = out + cs[s] * Ay[s * C2:(s + 1) * C2]
+                return out
+
+            def apply_GT(rv):  # [C^2, tile] -> [K, tile]
+                st = jnp.concatenate([cs[s] * rv for s in range(S)],
+                                     axis=0)
+                return jax.lax.dot_general(
+                    az_r[0:S * C2], st, (((0,), (0,)), ((), ())),
+                    precision=hi, preferred_element_type=dtype,
+                )
+
+            # N = G^T G for every element in ONE MXU contraction of the
+            # coefficient pair-product fields against the static
+            # pair-symmetrised AZ products.
+            pf = jnp.concatenate([cs[s] * cs[t] for (s, t) in pairs],
+                                 axis=0)  # [P C^2, tile]
+            Nf = jnp.dot(nz_r[:], pf, precision=hi,
+                         preferred_element_type=dtype)  # [K^2, tile]
+            # Unrolled lane-batched Cholesky N = L L^T (SPD by
+            # construction; kappa(N) = kappa(G)^2 stays tiny — see
+            # docstring).
+            L = [[None] * K for _ in range(K)]
+            Ld_inv = [None] * K
+            for j in range(K):
+                sjj = Nf[j * K + j:j * K + j + 1]
+                for p2 in range(j):
+                    sjj = sjj - L[j][p2] * L[j][p2]
+                Ljj = jnp.sqrt(jnp.maximum(sjj, 0.0))
+                L[j][j] = Ljj
+                Ld_inv[j] = 1.0 / (Ljj + eps)
+                for i3 in range(j + 1, K):
+                    sij = Nf[i3 * K + j:i3 * K + j + 1]
+                    for p2 in range(j):
+                        sij = sij - L[i3][p2] * L[j][p2]
+                    L[i3][j] = sij * Ld_inv[j]
+
+            def chol_solve(bv):  # [K, tile] -> list of K [1, tile]
+                zz = [None] * K
+                for j in range(K):
+                    acc = bv[j:j + 1]
+                    for p2 in range(j):
+                        acc = acc - L[j][p2] * zz[p2]
+                    zz[j] = acc * Ld_inv[j]
+                yy = [None] * K
+                for j in reversed(range(K)):
+                    acc = zz[j]
+                    for i3 in range(j + 1, K):
+                        acc = acc - L[i3][j] * yy[i3]
+                    yy[j] = acc * Ld_inv[j]
+                return yy
+
+            ystack = jnp.concatenate(chol_solve(apply_GT(g)), axis=0)
+            if refine or with_diagnostics:
+                e_res = g - apply_G(ystack)
+            if refine:
+                dstack = jnp.concatenate(chol_solve(apply_GT(e_res)),
+                                         axis=0)
+                ystack = ystack + dstack
+                if with_diagnostics:
+                    e_res = e_res - apply_G(dstack)
         w = wp + jnp.dot(z_r[:], ystack, precision=hi,
                          preferred_element_type=dtype)  # [M^2, tile]
         w_ref[:] = w
         if with_diagnostics:
             slack_ref, bcv_ref = diag_refs
-            e_res = g
-            for k in range(K):
-                e_res = e_res - G[k] * y[k]
             # Back to the original row scale: f - D w = s2 (g~ - G~ y).
             slack_ref[:] = jnp.asarray(s2_f, dtype) * jnp.max(
                 jnp.abs(e_res), axis=0, keepdims=True)
@@ -1062,22 +1168,31 @@ def fused_enhance_varcoeff_2d(
         ] * 2
     repl = pl.BlockSpec(memory_space=pltpu.VMEM)
     row_block = pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+    in_specs = [repl, repl, repl, repl,
+                row_block, row_block, row_block, row_block,
+                repl, repl, repl, repl, repl]
+    inputs = [dX, dY, n_pack, bxy_pack, u00, u10, u01, u11,
+              vops.AZ, vops.AP, vops.Z, vops.Pbc, vops.B]
+    if method == "sne":
+        in_specs.append(repl)
+        inputs.append(vops.NZ)
+        flops = 2 * E * (K * K * P * C2 + 3 * S * C2 * K
+                         + K * K * K // 3 + C2 * (4 * Kb + 16))
+    else:
+        flops = 2 * E * C2 * (4 * K + 2 * K * K + 4 * Kb + 16)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[repl, repl, repl, repl,
-                  row_block, row_block, row_block, row_block,
-                  repl, repl, repl, repl, repl],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * E * C2 * (4 * K + 2 * K * K + 4 * Kb + 16),
+            flops=flops,
             bytes_accessed=4 * (4 * E + E * M2 + 2 * E),
             transcendentals=4 * E if f_shifted_fn is not None else E * C2,
         ),
-    )(dX, dY, n_pack, bxy_pack, u00, u10, u01, u11,
-      vops.AZ, vops.AP, vops.Z, vops.Pbc, vops.B)
+    )(*inputs)
     if with_diagnostics:
         wT, slack, bcv = outs
         return wT.T, slack[0], bcv[0]

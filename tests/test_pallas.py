@@ -286,10 +286,12 @@ def test_fused_varcoeff_2d_matches_xla_path():
                                      ZP=(vops.Z, vops.Pbc))
     geom = (-1.0, 2 / 16, -1.0, 2 / 16)
     s2 = 2.0 * 16.0 ** 2  # sx^2 + sy^2 at hx = hy = 1/8
-    for fs in (None, p.f_shifted):
+    cases = [("qr", None), ("qr", p.f_shifted), ("sne", p.f_shifted)]
+    for method, fs in cases:
         w, slack, bcv = pk.fused_enhance_varcoeff_2d(
             fem, vops, p.a_var, p.grad_a, p.f, p.g, geom, 16, 16,
             t_int, bpts, s2=s2, tile=256, interpret=True, f_shifted_fn=fs,
+            method=method,
         )
         np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
                                    atol=3e-5)
@@ -297,10 +299,11 @@ def test_fused_varcoeff_2d_matches_xla_path():
             np.asarray(bcv), np.asarray(d_ref.bc_violation), atol=1e-5
         )
         # Same scaled-residual algebra -> the slack realisations agree
-        # closely (static 1/s2 scale here vs per-element RMS there).
+        # closely (static 1/s2 scale here vs per-element RMS there; the
+        # 'sne' residual is post-refinement, same magnitude).
         r = float(jnp.max(slack)) / max(
             float(jnp.max(d_ref.max_slack)), 1e-30)
-        assert 0.2 < r < 5.0, r
+        assert 0.2 < r < 5.0, (method, r)
 
 
 def test_fused_varcoeff_graded_mesh_matches_xla():
