@@ -119,6 +119,8 @@ def _register_2d(lib):
     lib.q1_cg_solve_f64.restype = ctypes.c_int
     lib.enhance_lse2d_f64.restype = ctypes.c_int
     lib.evaluate2d_f64.restype = None
+    lib.q1_apply_var_f64.restype = None
+    lib.enhance_lse2d_var_f64.restype = ctypes.c_int
 
 
 def q1_apply(u, K_loc) -> np.ndarray:
@@ -165,6 +167,41 @@ def enhance_lse2d(D, B, f_all, bc_all) -> np.ndarray:
     fails = lib.enhance_lse2d_f64(_dptr(D), _dptr(B), _dptr(f_all),
                                   _dptr(bc_all), E, C2, M2, K, _dptr(w))
     assert fails == 0, f"{fails} native 2D element solves failed"
+    return w
+
+
+def q1_apply_var(u, Sq, a_maps) -> np.ndarray:
+    """Variable-coefficient matrix-free Q1 apply: per-element
+    K_e = sum_q a_q S_q (oracle for ``assembly2d.apply_stiffness_var``)."""
+    lib = load()
+    assert lib is not None
+    _register_2d(lib)
+    u, Sq, a_maps = (np.ascontiguousarray(v, np.float64)
+                     for v in (u, Sq, a_maps))
+    ny1, nx1 = u.shape
+    Q = Sq.shape[0]
+    out = np.empty((ny1, nx1))
+    lib.q1_apply_var_f64(_dptr(u), _dptr(Sq), _dptr(a_maps), Q, ny1, nx1,
+                         _dptr(out))
+    return out
+
+
+def enhance_lse2d_var(D_all, B, f_all, bc_all) -> np.ndarray:
+    """Per-element-operator 2D LSE enhancement (oracle for the
+    variable-coefficient branch of ``hybrid_solve_2d``)."""
+    lib = load()
+    assert lib is not None
+    _register_2d(lib)
+    D_all, B, f_all, bc_all = (np.ascontiguousarray(v, np.float64)
+                               for v in (D_all, B, f_all, bc_all))
+    E, C2 = f_all.shape
+    M2 = D_all.shape[2]
+    K = B.shape[0]
+    w = np.empty((E, M2))
+    fails = lib.enhance_lse2d_var_f64(_dptr(D_all), _dptr(B), _dptr(f_all),
+                                      _dptr(bc_all), E, C2, M2, K,
+                                      _dptr(w))
+    assert fails == 0, f"{fails} native 2D var element solves failed"
     return w
 
 

@@ -297,6 +297,72 @@ int enhance_lse2d_f64(const double* D, const double* B,
   return fails;
 }
 
+// Matrix-free variable-coefficient Q1 stiffness apply (the oracle for
+// ops/assembly2d.apply_stiffness_var): per-element K_e = sum_q a_q S_q
+// with Sq: [Q, 4, 4] per-quadrature-point gradient products and
+// a_maps: [Q, ny, nx] the coefficient sampled per element per point.
+void q1_apply_var_f64(const double* u, const double* Sq,
+                      const double* a_maps, int Q, int ny1, int nx1,
+                      double* out) {
+  std::memset(out, 0, (size_t)ny1 * nx1 * sizeof(double));
+  const int ny = ny1 - 1, nx = nx1 - 1;
+  for (int ey = 0; ey < ny; ++ey) {
+    for (int ex = 0; ex < nx; ++ex) {
+      const int n00 = ey * nx1 + ex, n10 = n00 + 1;
+      const int n01 = n00 + nx1, n11 = n01 + 1;
+      const int idx[4] = {n00, n10, n01, n11};
+      double Ke[16] = {0.0};
+      for (int q = 0; q < Q; ++q) {
+        const double aq = a_maps[((size_t)q * ny + ey) * nx + ex];
+        for (int t = 0; t < 16; ++t) Ke[t] += aq * Sq[q * 16 + t];
+      }
+      for (int a = 0; a < 4; ++a) {
+        double s = 0.0;
+        for (int b = 0; b < 4; ++b) s += Ke[a * 4 + b] * u[idx[b]];
+        out[idx[a]] += s;
+      }
+    }
+  }
+}
+
+// Per-element-operator 2D LSE enhancement (oracle for the variable-
+// coefficient branch of hybrid_solve_2d / fused_enhance_varcoeff_2d):
+// same bordered normal-equation KKT as enhance_lse2d_f64, but with a
+// per-element D (D_all: [E, C2, M2]) and per-element equilibration.
+int enhance_lse2d_var_f64(const double* D_all, const double* B,
+                          const double* f_all, const double* bc_all,
+                          int E, int C2, int M2, int K, double* w_all) {
+  const int n = M2 + K;
+  int fails = 0;
+  for (int e = 0; e < E; ++e) {
+    const double* D = D_all + (size_t)e * C2 * M2;
+    double fro = 0.0;
+    for (int i = 0; i < C2 * M2; ++i) fro += D[i] * D[i];
+    const double s = 1.0 / std::sqrt(fro / C2 + 1e-300);
+    std::vector<double> A(n * n, 0.0), rhs(n, 0.0);
+    for (int i = 0; i < M2; ++i) {
+      for (int j = 0; j < M2; ++j) {
+        double acc = 0.0;
+        for (int c = 0; c < C2; ++c)
+          acc += (s * D[c * M2 + i]) * (s * D[c * M2 + j]);
+        A[i * n + j] = acc;
+      }
+      for (int k = 0; k < K; ++k) {
+        A[i * n + (M2 + k)] = B[k * M2 + i];
+        A[(M2 + k) * n + i] = B[k * M2 + i];
+      }
+      double r = 0.0;
+      for (int c = 0; c < C2; ++c)
+        r += (s * D[c * M2 + i]) * (s * f_all[(size_t)e * C2 + c]);
+      rhs[i] = r;
+    }
+    for (int k = 0; k < K; ++k) rhs[M2 + k] = bc_all[(size_t)e * K + k];
+    if (ge_solve(A, rhs, n) != 0) { ++fails; continue; }
+    std::memcpy(w_all + (size_t)e * M2, rhs.data(), M2 * sizeof(double));
+  }
+  return fails;
+}
+
 // Tensor-Legendre evaluation on a uniform [ny, nx] quad grid (clamped).
 // coeffs: [ny, nx, M, M] (ky, kx ordering); points (x, y)[np_] -> out[np_].
 void evaluate2d_f64(double x0, double hx, int nx, double y0, double hy,

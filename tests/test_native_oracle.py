@@ -157,3 +157,48 @@ def test_native_2d_pipeline_cross_validates_jax():
                                  xq, yq)
     u_jax = np.asarray(s.evaluate_solution(xq, yq))
     np.testing.assert_allclose(u_native, u_jax, atol=1e-8)
+
+
+def test_native_q1_apply_var_matches_jax():
+    """Native variable-coefficient matrix-free apply == the JAX
+    ``apply_stiffness_var`` on a random coefficient field."""
+    import jax.numpy as jnp
+
+    from hybrid_fem_lssvr_tpu.ops import assembly2d
+
+    rng = np.random.default_rng(7)
+    hx, hy = 0.25, 0.5
+    Sq, dxq, dyq = assembly2d.q1_varcoeff_parts(hx, hy)
+    ny1, nx1 = 9, 13
+    u = rng.normal(size=(ny1, nx1))
+    a_maps = 1.0 + np.abs(rng.normal(size=(Sq.shape[0], ny1 - 1, nx1 - 1)))
+    ref = np.asarray(assembly2d.apply_stiffness_var(
+        jnp.asarray(u), jnp.asarray(Sq), jnp.asarray(a_maps)))
+    got = native.q1_apply_var(u, Sq, a_maps)
+    np.testing.assert_allclose(got, ref, atol=1e-13)
+
+
+def test_native_varcoeff_2d_pipeline_cross_validates_jax():
+    """Independent f64 oracle for the variable-coefficient 2D path:
+    native per-element bordered-KKT LSE == the JAX batched null-space QR
+    (different algebra, same minimiser) on variable_coeff_elliptic_2d."""
+    import jax.numpy as jnp
+
+    from hybrid_fem_lssvr_tpu.models import hybrid2d as h2
+
+    p = h2.variable_coeff_elliptic_2d()
+    n = 8
+    cfg = h2.Solver2DConfig(nx=n, ny=n, M=5, n_colloc=5, dtype="float64",
+                            precond="jacobi", cg_tol=1e-13)
+    s = h2.HybridSolver2D(p, cfg)
+    sol = s.solve()
+    shared, (t_int, bpts) = h2.prepare_shared_2d(p, cfg)
+    xs = jnp.linspace(-1, 1, n + 1, dtype=jnp.float64)
+    f_rows, bc_rows, _ = h2._element_data_2d(
+        p, cfg, xs, xs, sol.fem_values, t_int, bpts)
+    D = h2._varcoeff_element_operators(p, cfg, xs, xs, shared, t_int)
+    w_native = native.enhance_lse2d_var(
+        np.asarray(D), np.asarray(shared.B), np.asarray(f_rows),
+        np.asarray(bc_rows))
+    w_jax = np.asarray(sol.coeffs).reshape(n * n, -1)
+    np.testing.assert_allclose(w_native, w_jax, atol=1e-8)
