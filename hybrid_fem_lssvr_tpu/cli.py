@@ -233,7 +233,9 @@ def cmd_run2d(args):
     cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=args.M,
                          gamma=args.gamma, dtype=args.dtype,
                          precond=getattr(args, "precond", "auto"),
-                         fem_dtype=getattr(args, "fem_dtype", None))
+                         fem_dtype=getattr(args, "fem_dtype", None),
+                         varcoeff_method=getattr(args, "varcoeff_method",
+                                                 "sne"))
     solver = HybridSolver2D(problem, cfg)
     rec = {}
     with profiling.timed(rec, "solve_sec"):
@@ -336,6 +338,9 @@ def build_parser():
     sp.add_argument("--x64", action="store_true")
     sp.add_argument("--precond", default="auto",
                     choices=["auto", "jacobi", "mg", "adi"])
+    sp.add_argument("--varcoeff-method", default="sne",
+                    choices=["sne", "qr"],
+                    help="Pallas per-element LSE algorithm (TPU only)")
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument("--eval-points", type=int, default=2000)
     sp.set_defaults(fn=cmd_run2d)

@@ -123,6 +123,59 @@ def q1_varcoeff_parts(hx: float, hy: float, quad_order: int = 2):
     return np.stack(S), np.array(dxq), np.array(dyq)
 
 
+@functools.lru_cache(maxsize=None)
+def q1_reference_parts(quad_order: int = 2):
+    """Reference-element 4x4 operator parts over [-1, 1]^2 (host f64):
+    ``Cxx`` = int dN/dxi dN/dxi, ``Cyy`` = int dN/deta dN/deta,
+    ``Mhat`` = int N N, ``Chatx`` = int N dN/dxi, ``Chaty`` = int N dN/deta.
+    The physical local operator on an hx x hy rectangle is the exact
+    tensor-product scaling
+
+        K_e = a0 (hy/hx) Cxx + a0 (hx/hy) Cyy + c (hx hy / 4) Mhat
+              + bx (hy/2) Chatx + by (hx/2) Chaty
+
+    (identity asserted against ``q1_local_operator`` in
+    tests/test_graded2d.py) — per-element scalars, so GRADED tensor-product
+    meshes assemble matrix-free through ``apply_stiffness_var`` with these
+    as the S_q stack."""
+    t, w = gauss_rule(quad_order)
+    t, w = np.array(t), np.array(w)
+    Cxx = np.zeros((4, 4))
+    Cyy = np.zeros((4, 4))
+    Mh = np.zeros((4, 4))
+    Cx = np.zeros((4, 4))
+    Cy = np.zeros((4, 4))
+    for xi, wx in zip(t, w):
+        for eta, wy in zip(t, w):
+            N, dN_dxi, dN_deta = _q1_shape(xi, eta)
+            Cxx += wx * wy * np.outer(dN_dxi, dN_dxi)
+            Cyy += wx * wy * np.outer(dN_deta, dN_deta)
+            Mh += wx * wy * np.outer(N, N)
+            Cx += wx * wy * np.outer(N, dN_dxi)
+            Cy += wx * wy * np.outer(N, dN_deta)
+    return Cxx, Cyy, Mh, Cx, Cy
+
+
+@functools.lru_cache(maxsize=None)
+def q1_reference_quad_parts(quad_order: int = 2):
+    """Per-quadrature-point reference gradient products for graded
+    variable-coefficient stiffness: ``Sxx[q] = w_q dN/dxi dN/dxi(xi_q)``
+    and ``Syy[q]`` likewise, plus the reference coordinates ``tq [Q, 2]``
+    ((xi, eta)) of the points.  The physical per-element matrix for
+    -div(a grad u) on an hx x hy rectangle is
+    ``K_e = sum_q a(x_q^e) [ (hy/hx) Sxx[q] + (hx/hy) Syy[q] ]``."""
+    t, w = gauss_rule(quad_order)
+    t, w = np.array(t), np.array(w)
+    Sxx, Syy, tq = [], [], []
+    for xi, wx in zip(t, w):
+        for eta, wy in zip(t, w):
+            _, dN_dxi, dN_deta = _q1_shape(xi, eta)
+            Sxx.append(wx * wy * np.outer(dN_dxi, dN_dxi))
+            Syy.append(wx * wy * np.outer(dN_deta, dN_deta))
+            tq.append((xi, eta))
+    return np.stack(Sxx), np.stack(Syy), np.array(tq)
+
+
 def coeff_maps(xs: jnp.ndarray, ys: jnp.ndarray, a_fn, dxq, dyq):
     """Sample a(x, y) at each element's quadrature points: [Q, ny, nx]."""
     dtype = xs.dtype
