@@ -185,6 +185,27 @@ def cmd_adaptive(args):
         em.emit("adaptive_round", problem=problem.name, **rec)
 
 
+def cmd_adaptive2d(args):
+    from .models.hybrid2d_graded import adaptive_solve_2d
+
+    em = M.MetricsEmitter()
+    problem = get_problem_2d(getattr(args, "problem", "poisson_2d"))
+    cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=args.M,
+                         gamma=args.gamma, dtype=args.dtype,
+                         precond="jacobi")
+    ep = None
+    if problem.exact is not None:
+        rng = np.random.default_rng(0)
+        ep = (rng.uniform(problem.domain[0], problem.domain[1],
+                          args.eval_points),
+              rng.uniform(problem.domain[2], problem.domain[3],
+                          args.eval_points))
+    res = adaptive_solve_2d(problem, cfg, rounds=args.rounds,
+                            refine_frac=args.refine_frac, eval_points=ep)
+    for rec in res.history:
+        em.emit("adaptive2d_round", problem=problem.name, **rec)
+
+
 def cmd_campaign(args):
     """Run every BASELINE.json workload config and emit one JSON line each:
     1) 1D Poisson primal (reference __main__ config),
@@ -318,6 +339,25 @@ def build_parser():
     sp.add_argument("--rounds", type=int, default=4)
     sp.add_argument("--refine-frac", type=float, default=0.3)
     sp.set_defaults(fn=cmd_adaptive)
+
+    sp = sub.add_parser(
+        "adaptive2d",
+        help="2D slack-driven tensor-product adaptivity (graded meshes)")
+    sp.add_argument("--problem", default="poisson_2d",
+                    choices=["poisson_2d", "poisson_2d_inhomogeneous",
+                             "helmholtz_2d", "advection_diffusion_2d",
+                             "reaction_diffusion_2d",
+                             "variable_coeff_elliptic_2d"])
+    sp.add_argument("--nx", type=int, default=8)
+    sp.add_argument("--ny", type=int, default=8)
+    sp.add_argument("--M", type=int, default=6)
+    sp.add_argument("--gamma", type=float, default=1e4)
+    sp.add_argument("--dtype", default=None,
+                    choices=[None, "float32", "float64"])
+    sp.add_argument("--rounds", type=int, default=3)
+    sp.add_argument("--refine-frac", type=float, default=0.3)
+    sp.add_argument("--eval-points", type=int, default=2000)
+    sp.set_defaults(fn=cmd_adaptive2d)
 
     sp = sub.add_parser(
         "run2d", help="2D families on structured quads (Poisson, Helmholtz,"

@@ -196,6 +196,19 @@ def test_cli_run2d(capsys):
     assert rec["linf_error"] < 0.1
 
 
+def test_cli_adaptive2d(capsys):
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["adaptive2d", "--nx", "6", "--ny", "6", "--M", "4",
+              "--rounds", "1", "--eval-points", "500"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    recs = [json.loads(ln) for ln in lines
+            if '"adaptive2d_round"' in ln]
+    assert len(recs) == 2
+    assert recs[1]["elements"] > recs[0]["elements"]
+    assert recs[1]["linf"] < 0.2
+
+
 def test_cli_checkpoint_resume(tmp_path, capsys):
     from hybrid_fem_lssvr_tpu import cli
 
