@@ -377,7 +377,7 @@ def build_parser():
                     choices=[None, "float32", "float64"])
     sp.add_argument("--x64", action="store_true")
     sp.add_argument("--precond", default="auto",
-                    choices=["auto", "jacobi", "mg", "adi"])
+                    choices=["auto", "jacobi", "mg", "adi", "shifted"])
     sp.add_argument("--varcoeff-method", default="sne",
                     choices=["sne", "qr"],
                     help="Pallas per-element LSE algorithm (TPU only)")

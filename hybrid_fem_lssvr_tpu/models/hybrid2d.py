@@ -341,6 +341,9 @@ class Solver2DConfig:
     # | 'adi' (Peaceman-Rachford line sweeps — exact line solves per
     # direction, the right tool for strongly anisotropic hx/hy where
     # point-smoothing degrades; parallel/transpose.py)
+    # | 'shifted' (SPD-shifted real Laplacian V-cycle, c -> |c| — the
+    # robust preconditioner for indefinite Helmholtz; 'auto' picks it
+    # when c < 0 and the grid is MG-eligible)
     backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (enhancement stage)
     varcoeff_method: str = "sne"  # Pallas per-element LSE algorithm:
     # 'sne' (semi-normal equations + refinement, MXU, ~1.2x faster) |
@@ -628,13 +631,33 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
     if precond == "auto":
         # V-cycle needs 2-divisible grids; Jacobi-CG iterations grow O(N)
         # (measured 88/177/357 at n=32/64/128) so prefer multigrid.  For
-        # indefinite Helmholtz (c < 0) damped-Jacobi smoothing amplifies the
-        # near-null modes, so fall back to plain Jacobi-BiCGStab.
-        precond = (
-            "mg" if cfg.nx % 2 == 0 and cfg.ny % 2 == 0
-            and min(cfg.nx, cfg.ny) >= 8 and problem.c >= 0.0 else "jacobi"
+        # indefinite Helmholtz (c < 0) damped-Jacobi smoothing amplifies
+        # the near-null modes on the TRUE operator, so precondition
+        # BiCGStab with the SPD-shifted operator's V-cycle instead
+        # ('shifted': c -> |c|, the real shifted Laplacian — measured
+        # 67 -> 10 BiCGStab iterations at k=2 and 959 -> 39 at k=4 on a
+        # random rhs at n=32, tests/test_families2d.py).
+        if cfg.nx % 2 == 0 and cfg.ny % 2 == 0 and min(cfg.nx, cfg.ny) >= 8:
+            precond = "mg" if problem.c >= 0.0 else "shifted"
+        else:
+            precond = "jacobi"
+    if precond == "shifted":
+        from ..ops import multigrid
+
+        def loc_for_level_shifted(lvl):
+            s = float(2 ** lvl)
+            return jnp.asarray(
+                assembly2d.q1_local_operator(
+                    hx * s, hy * s, problem.a0, abs(problem.c), bx, by
+                ),
+                dtype,
+            )
+
+        M_inv = multigrid.make_vcycle(
+            ny1, nx1, loc_for_level_shifted(0), dtype,
+            loc_for_level=loc_for_level_shifted,
         )
-    if precond == "mg":
+    elif precond == "mg":
         from ..ops import multigrid
 
         if var:

@@ -286,3 +286,67 @@ def test_reaction_2d_mass_term_matters(query):
         e[tag] = float(linf)
     assert e["full"] < 2e-2
     assert e["dropped"] > 10 * e["full"]
+
+
+def test_shifted_laplacian_preconditioner_helmholtz():
+    """Indefinite Helmholtz: BiCGStab preconditioned by the SPD-shifted
+    (c -> |c|) V-cycle must (a) produce the same solve as plain Jacobi and
+    (b) cut the iteration count by >= 3x on a generic (non-eigenvector)
+    rhs.  (The shipped sine rhs is an exact eigenvector of the uniform
+    discrete operator, so the comparison uses a random rhs.)"""
+    import jax.numpy as jnp
+
+    from hybrid_fem_lssvr_tpu.ops import multigrid
+
+    rng = np.random.default_rng(0)
+    n = 32
+    hx = 2.0 / n
+    k = 4.0
+    c = -k * k
+    ny1 = nx1 = n + 1
+    interior = jnp.zeros((ny1, nx1), bool).at[1:-1, 1:-1].set(True)
+    rhs = jnp.asarray(rng.normal(size=(ny1, nx1)),
+                      jnp.float32) * interior
+    K_loc = jnp.asarray(assembly2d.q1_local_operator(hx, hx, 1.0, c),
+                        jnp.float32)
+
+    def apply_free(v):
+        return jnp.where(
+            interior, assembly2d.apply_stiffness(v * interior, K_loc), 0.0)
+
+    diag = assembly2d.stiffness_diag((ny1, nx1), K_loc, jnp.float32)
+    Mj = jnp.where(interior, 1.0 / diag, 1.0)
+
+    def loc_sh(lvl):
+        s = float(2 ** lvl)
+        return jnp.asarray(
+            assembly2d.q1_local_operator(hx * s, hx * s, 1.0, abs(c)),
+            jnp.float32)
+
+    Msh = multigrid.make_vcycle(ny1, nx1, loc_sh(0), jnp.float32,
+                                loc_for_level=loc_sh)
+    rj = cg.bicgstab(apply_free, rhs, M_inv=Mj, tol=1e-6, maxiter=4000)
+    rs = cg.bicgstab(apply_free, rhs, M_inv=Msh, tol=1e-6, maxiter=4000)
+    # f32 + relative tol 1e-6 on an indefinite system: each solver stops
+    # with its own O(kappa * tol) error realisation
+    np.testing.assert_allclose(np.asarray(rs.x), np.asarray(rj.x),
+                               atol=1e-3)
+    assert int(rs.iters) * 3 <= int(rj.iters), (int(rs.iters),
+                                                int(rj.iters))
+
+
+def test_helmholtz_auto_routes_to_shifted_and_solves(query):
+    """'auto' at c < 0 on an MG-eligible grid uses the shifted V-cycle;
+    the end-to-end solution is unchanged vs explicit jacobi."""
+    xq, yq = query
+    problem = helmholtz_2d()
+    sols = {}
+    for pc in ("auto", "jacobi"):
+        s = HybridSolver2D(problem, Solver2DConfig(nx=16, ny=16, M=5,
+                                                   precond=pc))
+        sols[pc] = s.solve()
+        assert bool(sols[pc].solve_ok.all())
+    np.testing.assert_allclose(
+        np.asarray(sols["auto"].fem_values),
+        np.asarray(sols["jacobi"].fem_values), atol=1e-5,
+    )
