@@ -54,6 +54,13 @@ class Graded2DOperators(NamedTuple):
     B: jnp.ndarray  # [4M-4, M^2] shared trace rows
     Z: jnp.ndarray  # [M^2, K] null basis of B
     Pbc: jnp.ndarray  # [M^2, 4M-4] min-norm particular map
+    # Fused-kernel precompute: the five reference parts projected onto the
+    # null basis / particular map, stacked [W20; W02; W10; W01; W00] at
+    # UNIT scale — the per-element chain factors and the per-element row
+    # scale 1/(sx^2 + sy^2) are applied in-kernel (unlike the uniform
+    # var-coeff kernel's static 1/s2).
+    AZ: jnp.ndarray = None  # [5 C^2, K]
+    AP: jnp.ndarray = None  # [5 C^2, 4M-4]
 
 
 def prepare_shared_2d_graded(problem: Problem2D, cfg: Solver2DConfig):
@@ -78,11 +85,14 @@ def prepare_shared_2d_graded(problem: Problem2D, cfg: Solver2DConfig):
     V0x_b = legendre.vandermonde_host(bpts[:, 1], M)[0]
     B = np.einsum("pk,pl->pkl", V0y_b, V0x_b).reshape(-1, M * M)
     Z, Pbc = kkt.nullspace_host(B)
+    Wstack = np.concatenate([W20, W02, W10, W01, W00])  # [5 C^2, M^2]
     ops = Graded2DOperators(
         W20=jnp.asarray(W20, dtype), W02=jnp.asarray(W02, dtype),
         W10=jnp.asarray(W10, dtype), W01=jnp.asarray(W01, dtype),
         W00=jnp.asarray(W00, dtype), B=jnp.asarray(B, dtype),
         Z=jnp.asarray(Z, dtype), Pbc=jnp.asarray(Pbc, dtype),
+        AZ=jnp.asarray(Wstack @ Z, dtype),
+        AP=jnp.asarray(Wstack @ Pbc, dtype),
     )
     return ops, (jnp.asarray(t_int), jnp.asarray(bpts))
 
@@ -232,17 +242,51 @@ def hybrid_solve_2d_graded(problem: Problem2D, cfg: Solver2DConfig,
         fem_values = fem_values.astype(dtype)
     else:
         fem_values, cg_res = fem_solve_2d_graded(problem, cfg, xs, ys)
-    f_rows, bc_rows, corners = _element_data_2d(
-        problem, cfg, xs, ys, fem_values, t_int, bpts
-    )
-    D = _graded_element_operators(problem, cfg, xs, ys, gops, t_int)
-    w, diags = kkt.solve_batched(
-        D, gops.B, f_rows, bc_rows, cfg.gamma,
-        formulation=cfg.formulation, ZP=(gops.Z, gops.Pbc),
-    )
     M = cfg.M
     nx = xs.shape[0] - 1
     ny = ys.shape[0] - 1
+    E = nx * ny
+    backend = cfg.backend
+    if backend == "auto":
+        from ..ops import pallas_kernels as pk
+
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and pk.pick_tile(E, 1024) >= 128
+            and dtype == jnp.float32
+            and (problem.a_var is None or problem.grad_a is not None)
+            else "xla"
+        )
+    if backend == "pallas":
+        from ..ops import pallas_kernels as pk
+        from .hybrid2d import _pallas_solve_ok
+
+        w, slack, bcv = pk.fused_enhance_graded_2d(
+            fem_values, gops, problem, xs, ys, nx, ny, t_int, bpts,
+            tile=pk.pick_tile(E, 512),
+            with_diagnostics=cfg.diagnostics,
+        )
+        corners = (fem_values[:-1, :-1], fem_values[:-1, 1:],
+                   fem_values[1:, :-1], fem_values[1:, 1:])
+        if cfg.diagnostics:
+            diags = kkt.KKTDiagnostics(
+                slack, bcv, _pallas_solve_ok(slack, bcv, corners)
+            )
+        else:
+            z = jnp.zeros((E,), w.dtype)
+            diags = kkt.KKTDiagnostics(
+                z, z, jnp.all(jnp.isfinite(w), axis=-1)
+            )
+    else:
+        f_rows, bc_rows, corners = _element_data_2d(
+            problem, cfg, xs, ys, fem_values, t_int, bpts
+        )
+        D = _graded_element_operators(problem, cfg, xs, ys, gops, t_int)
+        w, diags = kkt.solve_batched(
+            D, gops.B, f_rows, bc_rows, cfg.gamma,
+            formulation=cfg.formulation, ZP=(gops.Z, gops.Pbc),
+        )
     coeffs = w.reshape(ny, nx, M, M)
     fb = _bilinear_fallback_coeffs(*corners, M)
     ok = diags.solve_ok.reshape(ny, nx)

@@ -1199,6 +1199,238 @@ def fused_enhance_varcoeff_2d(
     return outs[0].T, None, None
 
 
+@_mosaic_x64_safe
+def fused_enhance_graded_2d(
+    fem_values: jnp.ndarray,  # [ny+1, nx+1] nodal grid
+    gops,  # models.hybrid2d_graded.Graded2DOperators (AZ/AP required)
+    problem,  # Problem2D: a0/b/c statics, a_var/grad_a optional, f, g
+    xs: jnp.ndarray,  # [nx+1] traced node positions
+    ys: jnp.ndarray,  # [ny+1]
+    nx: int,
+    ny: int,
+    t_int,  # [C] interior collocation offsets (reference coords)
+    bpts,  # [Kb, 2] (ty, tx) boundary-trace points
+    tile: int = 512,  # the five-block working set OOMs the 16 MB scoped
+    #                   VMEM at tile=1024 (measured 16.31M at M=6)
+    interpret: bool = False,
+    with_diagnostics: bool = True,
+):
+    """Fused graded-mesh 2D enhancement (per-element chain factors).
+
+    2D analog of ``fused_enhance_varcoeff``'s graded mode: element
+    geometry comes from row inputs (xl, yl, hx_e, hy_e) instead of index
+    arithmetic, and the projected operator columns are per-element-scalar
+    combinations of FIVE unit-scale reference blocks
+    (``Graded2DOperators.AZ`` = [W20; W02; W10; W01; W00] Z):
+
+        G_k = inv_s2_e [ -a sx^2 (W20 Z)_k - a sy^2 (W02 Z)_k
+                         + (bx - a_x) sx (W10 Z)_k
+                         + (by - a_y) sy (W01 Z)_k + c (W00 Z)_k ]
+
+    with sx = 2/hx_e, sy = 2/hy_e and the per-element row scale
+    inv_s2_e = 1/(sx^2 + sy^2) applied dynamically (a per-element SCALAR,
+    so the LSE minimiser is unchanged — same invariance the XLA path's
+    per-element RMS normalisation uses).  Solves by the K-column CGS2 QR
+    (``method='qr'`` algebra of ``fused_enhance_varcoeff_2d``).
+
+    This is what makes graded/adaptive tensor-product meshes viable at
+    production scale: the XLA graded path (``hybrid2d_graded.
+    _graded_element_operators`` + ``kkt.solve_batched``) materialises the
+    [E, C^2, M^2] D tensor — 5.3 GB at 2^20 quads, M=6.
+    Returns (w [E, M^2], max_slack [E], bcv [E]).
+    """
+    E = nx * ny
+    if E % tile:
+        raise ValueError(f"E={E} not a multiple of tile={tile}")
+    if tile % 128:
+        raise ValueError(f"tile={tile} must be a multiple of 128 lanes")
+    if gops.AZ is None or gops.AP is None:
+        raise ValueError("gops must carry the AZ/AP fused precompute")
+    dtype = fem_values.dtype
+    M2, K = gops.Z.shape
+    Kb = gops.B.shape[0]
+    C2 = gops.AZ.shape[0] // 5
+    var = problem.a_var is not None
+    if var:
+        if problem.grad_a is None:
+            raise ValueError(
+                "fused graded kernel needs analytic grad_a (AD fallback "
+                "is the XLA path)")
+        ax_fn, ay_fn = problem.grad_a
+    bx_c, by_c = problem.b
+
+    # Corner-value views + per-element geometry rows: [1, E] each.
+    u00 = fem_values[:-1, :-1].reshape(1, E)
+    u10 = fem_values[:-1, 1:].reshape(1, E)
+    u01 = fem_values[1:, :-1].reshape(1, E)
+    u11 = fem_values[1:, 1:].reshape(1, E)
+    hx_e = (xs[1:] - xs[:-1])[None, :] * jnp.ones((ny, 1), dtype)
+    hy_e = (ys[1:] - ys[:-1])[:, None] * jnp.ones((1, nx), dtype)
+    xl_e = xs[:-1][None, :] * jnp.ones((ny, 1), dtype)
+    yl_e = ys[:-1][:, None] * jnp.ones((1, nx), dtype)
+    geom_pack = jnp.concatenate(
+        [xl_e.reshape(1, E), yl_e.reshape(1, E),
+         hx_e.reshape(1, E), hy_e.reshape(1, E)], axis=0)  # [4, E]
+
+    t = jnp.asarray(t_int, dtype)
+    C = t.shape[0]
+    # HALF-offsets in reference coords (element width applied in-kernel),
+    # (iy, ix) row-major like the operator rows: [C^2, 1].
+    dX0 = ((jnp.tile(t, C) + 1.0) * 0.5)[:, None]
+    dY0 = ((jnp.repeat(t, C) + 1.0) * 0.5)[:, None]
+    ty = jnp.asarray(bpts[:, 0], dtype)[:, None]
+    tx = jnp.asarray(bpts[:, 1], dtype)[:, None]
+    N00 = 0.25 * (1 - tx) * (1 - ty)
+    N10 = 0.25 * (1 + tx) * (1 - ty)
+    N01 = 0.25 * (1 - tx) * (1 + ty)
+    N11 = 0.25 * (1 + tx) * (1 + ty)
+    n_pack = jnp.concatenate([N00, N10, N01, N11], axis=0)  # [4Kb, 1]
+    bxy_pack = jnp.concatenate(
+        [(tx + 1.0) * 0.5, (ty + 1.0) * 0.5,
+         (tx == -1.0).astype(dtype), (tx == 1.0).astype(dtype),
+         (ty == -1.0).astype(dtype), (ty == 1.0).astype(dtype)],
+        axis=0,
+    )  # [6Kb, 1] (offsets are half-offsets; width applied in-kernel)
+
+    eps_f = 1e-30
+    hi = jax.lax.Precision.HIGHEST
+
+    def kernel(dX_r, dY_r, n_r, bxy_r, u00_r, u10_r, u01_r, u11_r,
+               geom_r, az_r, ap_r, z_r, pbc_r, b_r, w_ref, *diag_refs):
+        i = pl.program_id(0)
+        e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + i * tile
+        nx32 = jnp.int32(nx)  # keep int32 under jax_enable_x64
+        xl = geom_r[0:1]  # [1, tile]
+        yl = geom_r[1:2]
+        hx = geom_r[2:3]
+        hy = geom_r[3:4]
+        sx = 2.0 / hx
+        sy = 2.0 / hy
+        sx2 = sx * sx
+        sy2 = sy * sy
+        inv_s2 = 1.0 / (sx2 + sy2)  # per-element row scale
+        xq = xl + dX_r[:] * hx  # [C^2, tile] mapped collocation points
+        yq = yl + dY_r[:] * hy
+        ones = jnp.ones_like(xq)
+        if var:
+            a = problem.a_var(xq, yq) * ones
+            cx = (bx_c - ax_fn(xq, yq)) * ones
+            cy = (by_c - ay_fn(xq, yq)) * ones
+        else:
+            a = jnp.asarray(problem.a0, dtype) * ones
+            cx = jnp.asarray(bx_c, dtype) * ones
+            cy = jnp.asarray(by_c, dtype) * ones
+        f = problem.f(xq, yq) * ones  # [C^2, tile]
+        # Per-element term fields against the five unit-scale blocks.
+        c1 = -a * sx2 * inv_s2
+        c2 = -a * sy2 * inv_s2
+        c3 = cx * sx * inv_s2
+        c4 = cy * sy * inv_s2
+        c5 = jnp.asarray(problem.c, dtype) * inv_s2 * ones
+        # Trace rows: bilinear FEM trace, Dirichlet override on the domain
+        # boundary.
+        n00, n10, n01, n11 = (n_r[0:Kb], n_r[Kb:2 * Kb], n_r[2 * Kb:3 * Kb],
+                              n_r[3 * Kb:4 * Kb])
+        trace = (n00 * u00_r[:] + n10 * u10_r[:] + n01 * u01_r[:]
+                 + n11 * u11_r[:])  # [Kb, tile]
+        xb = xl + bxy_r[0:Kb] * hx
+        yb = yl + bxy_r[Kb:2 * Kb] * hy
+        gv = problem.g(xb, yb) * jnp.ones_like(trace)
+        is_l = (e_idx % nx32) == 0
+        is_r = (e_idx % nx32) == nx32 - 1
+        is_b = (e_idx // nx32) == 0
+        is_t = (e_idx // nx32) == jnp.int32(ny) - 1
+        mask = (
+            ((bxy_r[2 * Kb:3 * Kb] > 0.5) & is_l)
+            | ((bxy_r[3 * Kb:4 * Kb] > 0.5) & is_r)
+            | ((bxy_r[4 * Kb:5 * Kb] > 0.5) & is_b)
+            | ((bxy_r[5 * Kb:6 * Kb] > 0.5) & is_t)
+        )
+        bc = jnp.where(mask, gv, trace)
+        wpap = jnp.dot(jnp.concatenate([pbc_r[:], ap_r[:]], axis=0), bc,
+                       precision=hi, preferred_element_type=dtype)
+        wp = wpap[0:M2]  # [M^2, tile]
+        apbc = wpap[M2:M2 + 5 * C2]  # [5 C^2, tile]
+        cs = [c1, c2, c3, c4, c5]
+        Dwp = sum(cs[s] * apbc[s * C2:(s + 1) * C2] for s in range(5))
+        g = f * inv_s2 - Dwp  # scaled residual rhs
+        eps = jnp.asarray(eps_f, dtype)
+        G = [
+            sum(cs[s] * az_r[s * C2:(s + 1) * C2, k:k + 1]
+                for s in range(5))
+            for k in range(K)
+        ]
+        # CGS2 QR — identical algebra to kkt._batched_mgs_qr_solve.
+        Qc = []
+        R = [[None] * K for _ in range(K)]
+        for j in range(K):
+            v = G[j]
+            for _pass in range(2):
+                for i2 in range(j):
+                    rij = jnp.sum(Qc[i2] * v, axis=0, keepdims=True)
+                    R[i2][j] = (rij if R[i2][j] is None
+                                else R[i2][j] + rij)
+                    v = v - rij * Qc[i2]
+            rjj = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+            R[j][j] = rjj
+            Qc.append(v / (rjj + eps))
+        qtg = [jnp.sum(Qc[j] * g, axis=0, keepdims=True) for j in range(K)]
+        y = [None] * K
+        for j in reversed(range(K)):
+            acc = qtg[j]
+            for i2 in range(j + 1, K):
+                acc = acc - R[j][i2] * y[i2]
+            y[j] = acc / (R[j][j] + eps)
+        ystack = jnp.concatenate(y, axis=0)  # [K, tile]
+        w = wp + jnp.dot(z_r[:], ystack, precision=hi,
+                         preferred_element_type=dtype)  # [M^2, tile]
+        w_ref[:] = w
+        if with_diagnostics:
+            slack_ref, bcv_ref = diag_refs
+            e_res = g
+            for k in range(K):
+                e_res = e_res - G[k] * y[k]
+            # Back to the original row scale: f - D w = s2_e (g~ - G~ y).
+            slack_ref[:] = (sx2 + sy2) * jnp.max(
+                jnp.abs(e_res), axis=0, keepdims=True)
+            b_res = bc - jnp.dot(b_r[:], w, precision=hi,
+                                 preferred_element_type=dtype)
+            bcv_ref[:] = jnp.max(jnp.abs(b_res), axis=0, keepdims=True)
+
+    grid = (E // tile,)
+    col = lambda i: (0, i)
+    out_shape = [jax.ShapeDtypeStruct((M2, E), dtype)]
+    out_specs = [pl.BlockSpec((M2, tile), col, memory_space=pltpu.VMEM)]
+    if with_diagnostics:
+        out_shape += [jax.ShapeDtypeStruct((1, E), dtype)] * 2
+        out_specs += [
+            pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+        ] * 2
+    repl = pl.BlockSpec(memory_space=pltpu.VMEM)
+    row_block = pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+    geom_block = pl.BlockSpec((4, tile), col, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[repl, repl, repl, repl,
+                  row_block, row_block, row_block, row_block,
+                  geom_block, repl, repl, repl, repl, repl],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E * C2 * (5 * K + 2 * K * K + 4 * Kb + 24),
+            bytes_accessed=4 * (8 * E + E * M2 + 2 * E),
+            transcendentals=E * C2,
+        ),
+    )(dX0, dY0, n_pack, bxy_pack, u00, u10, u01, u11, geom_pack,
+      gops.AZ, gops.AP, gops.Z, gops.Pbc, gops.B)
+    if with_diagnostics:
+        wT, slack, bcv = outs
+        return wT.T, slack[0], bcv[0]
+    return outs[0].T, None, None
+
+
 def pick_tile(E: int, max_tile: int = 8192) -> int:
     """Largest power-of-two tile (multiple of 128) dividing E, or 0 if E has
     no 128-aligned power-of-two factor (caller falls back to the XLA path)."""

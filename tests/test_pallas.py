@@ -338,3 +338,43 @@ def test_fused_varcoeff_graded_mesh_matches_xla():
         interpret=True, nodes=nodes,
     )
     np.testing.assert_allclose(np.asarray(w2), np.asarray(wj2), atol=5e-5)
+
+
+def test_fused_graded_2d_matches_xla_path():
+    """The graded-mesh fused kernel (per-element chain factors from row
+    inputs, five unit-scale reference blocks, dynamic per-element row
+    scale) equals the XLA graded path on uniform AND random graded
+    meshes, constant and variable coefficients."""
+    from hybrid_fem_lssvr_tpu.models import hybrid2d as h2
+    from hybrid_fem_lssvr_tpu.models import hybrid2d_graded as hg
+    from hybrid_fem_lssvr_tpu.ops import kkt
+
+    rng = np.random.default_rng(3)
+    for pname in ("advection_diffusion_2d", "variable_coeff_elliptic_2d"):
+        p = h2.get_problem_2d(pname)
+        cfg = h2.Solver2DConfig(nx=16, ny=16, M=5, n_colloc=5,
+                                precond="jacobi", dtype="float32")
+        gops, (t_int, bpts) = hg.prepare_shared_2d_graded(p, cfg)
+        xs = np.sort(np.concatenate([[-1, 1],
+                                     rng.uniform(-0.95, 0.95, 15)]))
+        ys = np.sort(np.concatenate([[-1, 1],
+                                     rng.uniform(-0.95, 0.95, 15)]))
+        xsj = jnp.asarray(xs, jnp.float32)
+        ysj = jnp.asarray(ys, jnp.float32)
+        fem, _ = hg.fem_solve_2d_graded(p, cfg, xsj, ysj)
+        f_rows, bc_rows, _ = h2._element_data_2d(p, cfg, xsj, ysj, fem,
+                                                 t_int, bpts)
+        D = hg._graded_element_operators(p, cfg, xsj, ysj, gops, t_int)
+        w_ref, d_ref = kkt.solve_batched(D, gops.B, f_rows, bc_rows,
+                                         cfg.gamma,
+                                         ZP=(gops.Z, gops.Pbc))
+        w, slack, bcv = pk.fused_enhance_graded_2d(
+            fem, gops, p, xsj, ysj, 16, 16, t_int, bpts, tile=256,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                                   atol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(bcv), np.asarray(d_ref.bc_violation), atol=1e-5)
+        r = float(jnp.max(slack)) / max(
+            float(jnp.max(d_ref.max_slack)), 1e-30)
+        assert 0.2 < r < 5.0, (pname, r)
