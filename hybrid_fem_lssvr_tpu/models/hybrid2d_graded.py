@@ -323,6 +323,31 @@ def evaluate_2d_graded(sol: Solution2D, x: jnp.ndarray, y: jnp.ndarray):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def evaluate_2d_graded_gradient(sol: Solution2D, x: jnp.ndarray,
+                                y: jnp.ndarray):
+    """(du/dx, du/dy) on the graded mesh — per-element chain factors
+    2/hx_e, 2/hy_e (graded analog of ``hybrid2d.evaluate_2d_gradient``)."""
+    xs, ys = sol.xs, sol.ys
+    nx = xs.shape[0] - 1
+    ny = ys.shape[0] - 1
+    ix = jnp.clip(jnp.searchsorted(xs, x, side="right") - 1, 0, nx - 1)
+    iy = jnp.clip(jnp.searchsorted(ys, y, side="right") - 1, 0, ny - 1)
+    hx_e = xs[ix + 1] - xs[ix]
+    hy_e = ys[iy + 1] - ys[iy]
+    tx = (2.0 * x - xs[ix] - xs[ix + 1]) / hx_e
+    ty = (2.0 * y - ys[iy] - ys[iy + 1]) / hy_e
+    M = sol.coeffs.shape[-1]
+    Vx, Vx1 = legendre.legendre_vandermonde(tx, M, num_derivs=1)
+    Vy, Vy1 = legendre.legendre_vandermonde(ty, M, num_derivs=1)
+    W = sol.coeffs[iy, ix]  # [P, M(ky), M(kx)]
+    hi = jax.lax.Precision.HIGHEST
+    ux = (2.0 / hx_e) * jnp.einsum("pk,pkl,pl->p", Vy, W, Vx1,
+                                   precision=hi)
+    uy = (2.0 / hy_e) * jnp.einsum("pk,pkl,pl->p", Vy1, W, Vx,
+                                   precision=hi)
+    return ux, uy
+
+
 class HybridSolver2DGraded:
     """Facade for graded tensor-product meshes (mirrors HybridSolver2D;
     nx/ny in the config are ignored — the mesh is the node arrays)."""
@@ -347,6 +372,12 @@ class HybridSolver2DGraded:
         dtype = self.solution.xs.dtype
         return evaluate_2d_graded(self.solution, jnp.asarray(x, dtype),
                                   jnp.asarray(y, dtype))
+
+    def evaluate_gradient(self, x, y):
+        assert self.solution is not None
+        dtype = self.solution.xs.dtype
+        return evaluate_2d_graded_gradient(
+            self.solution, jnp.asarray(x, dtype), jnp.asarray(y, dtype))
 
     def errors(self, x, y):
         from ..utils import metrics
