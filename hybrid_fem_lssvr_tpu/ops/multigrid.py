@@ -20,33 +20,50 @@ import jax.numpy as jnp
 from . import assembly2d
 
 
+def _fw_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """1D full weighting along axis 0 of an ODD-length (padded) array:
+    y[i] = (x[2i] + 2 x[2i+1] + x[2i+2]) / 2.
+
+    Implemented by a pair-deinterleaving reshape instead of stride-2
+    slicing: TPU lowers strided slices on the minor (lane) axis to
+    element gathers — the old sliced restrict measured 24.6 ms for one
+    1025^2 -> 513^2 transfer where this form measures 0.03 ms (820x;
+    docs/NUMERICS.md 20)."""
+    L = x.shape[0]
+    m = (L - 1) // 2
+    pairs = x[:-1].reshape((m, 2) + x.shape[1:])
+    xe = pairs[:, 0]  # x[0], x[2], ..., x[L-3]
+    xo = pairs[:, 1]  # x[1], x[3], ..., x[L-2]
+    xe_next = jnp.concatenate([xe[1:], x[-1:]], axis=0)  # x[2i+2]
+    return 0.5 * (xe + 2.0 * xo + xe_next)
+
+
 def restrict_full_weighting(r: jnp.ndarray) -> jnp.ndarray:
     """[nf+1, nf+1] fine-grid residual -> [nf/2+1, nf/2+1] via R = P^T
-    (stencil [1 2 1; 2 4 2; 1 2 1]/4).  For Q1 elements with bilinear P the
-    coarse Q1 space is nested in the fine one and P^T A P IS the coarse Q1
-    stiffness (square cells), so R must be P^T exactly — the classical
-    FW/16 scaling under-weights the coarse correction by 4x (measured: CG
-    iteration counts kept growing ~O(N^0.8) instead of staying flat)."""
+    (stencil [1 2 1; 2 4 2; 1 2 1]/4, applied separably per axis).  For Q1
+    elements with bilinear P the coarse Q1 space is nested in the fine one
+    and P^T A P IS the coarse Q1 stiffness (square cells), so R must be
+    P^T exactly — the classical FW/16 scaling under-weights the coarse
+    correction by 4x (measured: CG iteration counts kept growing ~O(N^0.8)
+    instead of staying flat)."""
     rp = jnp.pad(r, 1)
-    c = rp[1:-1:2, 1:-1:2]
-    n = rp[0:-2:2, 1:-1:2] + rp[2::2, 1:-1:2] \
-        + rp[1:-1:2, 0:-2:2] + rp[1:-1:2, 2::2]
-    d = rp[0:-2:2, 0:-2:2] + rp[0:-2:2, 2::2] \
-        + rp[2::2, 0:-2:2] + rp[2::2, 2::2]
-    return (4.0 * c + 2.0 * n + d) / 4.0
+    return _fw_rows(_fw_rows(rp).T).T
+
+
+def _interleave_rows(xe: jnp.ndarray, xo: jnp.ndarray) -> jnp.ndarray:
+    """[m+1, ...] even rows + [m, ...] odd rows -> [2m+1, ...] interleaved
+    (stack + reshape; strided .at[::2].set scatters measured 5.5 ms for
+    one 513 -> 1025 prolongation where this form is ~free)."""
+    body = jnp.stack([xe[:-1], xo], axis=1)
+    body = body.reshape((-1,) + xe.shape[1:])
+    return jnp.concatenate([body, xe[-1:]], axis=0)
 
 
 def prolong_bilinear(c: jnp.ndarray, fine_shape) -> jnp.ndarray:
-    """[nc+1, nc+1] coarse field -> [2nc+1, 2nc+1] bilinear interpolation."""
-    nyf, nxf = fine_shape
-    u = jnp.zeros(fine_shape, c.dtype)
-    u = u.at[::2, ::2].set(c)
-    u = u.at[1::2, ::2].set(0.5 * (c[:-1, :] + c[1:, :]))
-    u = u.at[::2, 1::2].set(0.5 * (c[:, :-1] + c[:, 1:]))
-    u = u.at[1::2, 1::2].set(
-        0.25 * (c[:-1, :-1] + c[1:, :-1] + c[:-1, 1:] + c[1:, 1:])
-    )
-    return u
+    """[nc+1, nc+1] coarse field -> [2nc+1, 2nc+1] bilinear interpolation
+    (separable interleave per axis)."""
+    top = _interleave_rows(c.T, 0.5 * (c[:, :-1] + c[:, 1:]).T).T
+    return _interleave_rows(top, 0.5 * (top[:-1] + top[1:]))
 
 
 def _interior(shape):

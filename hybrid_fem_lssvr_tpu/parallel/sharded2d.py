@@ -76,6 +76,8 @@ def _restrict_slab(res, d, n_dev, axis):
     [nyl/2+1, nx/2+1], with the two 1-row halos needed by the interface
     coarse nodes fetched via ppermute (R = P^T scaling, see ops/multigrid).
     """
+    from ..ops.multigrid import _fw_rows
+
     up_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     dn_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
     # row below slab start = previous device's second-to-last row
@@ -86,19 +88,11 @@ def _restrict_slab(res, d, n_dev, axis):
     from_next = jnp.where(d < n_dev - 1, from_next,
                           jnp.zeros_like(from_next))
     r_ext = jnp.concatenate([from_prev[None], res, from_next[None]])
-    below = r_ext[0:-2:2]  # fine rows 2i-1
-    center = r_ext[1:-1:2]  # fine rows 2i
-    above = r_ext[2::2]  # fine rows 2i+1
-
-    def colfw(A):
-        Ap = jnp.pad(A, ((0, 0), (1, 1)))
-        return Ap[:, 0:-2:2], Ap[:, 1:-1:2], Ap[:, 2::2]
-
-    bl, bc_, br = colfw(below)
-    cl, cc, cr = colfw(center)
-    al, ac, ar = colfw(above)
-    return (4.0 * cc + 2.0 * (bc_ + ac + cl + cr)
-            + (bl + br + al + ar)) / 4.0
+    # Separable pair-deinterleaved full weighting ([1 2 1]/2 per axis) —
+    # stride-2 slicing lowers to element gathers on TPU (multigrid._fw_rows
+    # docstring; same fix as the serial restrict).
+    rows = _fw_rows(r_ext)  # [nyl/2 + 1, nx + 1]
+    return _fw_rows(jnp.pad(rows, ((0, 0), (1, 1))).T).T
 
 
 def _gather_grid(c_slab, n_dev, axis):
