@@ -185,11 +185,16 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
 
     precond = cfg.precond
     if precond == "auto":
-        precond = (
-            "mg" if cfg.ny % (2 * n_dev) == 0 and cfg.nx % 2 == 0
-            and min(cfg.nx, cfg.ny) >= 8 and problem.c >= 0.0 else "jacobi"
-        )
-    if precond == "mg":
+        if (cfg.ny % (2 * n_dev) == 0 and cfg.nx % 2 == 0
+                and min(cfg.nx, cfg.ny) >= 8):
+            # Indefinite Helmholtz: V-cycle of the SPD-shifted (c -> |c|)
+            # operator preconditioning BiCGStab (see hybrid2d.fem_solve_2d;
+            # constant-coefficient only — var keeps jacobi below).
+            precond = ("mg" if problem.c >= 0.0
+                       else ("shifted" if not var else "jacobi"))
+        else:
+            precond = "jacobi"
+    if precond in ("mg", "shifted"):
         # Distributed V-cycle: fine-level smoothing + residual restriction
         # run on the slabs (one 2-row halo exchange); all coarser levels run
         # the serial V-cycle redundantly on the gathered (replicated) coarse
@@ -197,6 +202,33 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
         # all_gather of the half-resolution grid.
         from ..ops import multigrid
 
+        c_pc = problem.c if precond == "mg" else abs(problem.c)
+        if precond == "shifted":
+            # The preconditioner cycles on the SHIFTED operator throughout
+            # (fine smoothing included); BiCGStab below iterates the true
+            # indefinite operator.
+            K_pc = jnp.asarray(
+                assembly2d.q1_local_operator(hx, hy, problem.a0, c_pc,
+                                             *problem.b),
+                dtype,
+            )
+
+            def apply_pc(v):
+                return jnp.where(
+                    interior,
+                    _halo_add(assembly2d.apply_stiffness(v * interior,
+                                                         K_pc),
+                              d, n_dev, axis),
+                    0.0,
+                )
+
+            diag_pc = _halo_add(
+                assembly2d.stiffness_diag((ny_loc + 1, nx1), K_pc, dtype),
+                d, n_dev, axis,
+            )
+        else:
+            apply_pc = apply_free
+            diag_pc = diag
         nyc, nxc = cfg.ny // 2, cfg.nx // 2
         nyc_loc = ny_loc // 2
         # Rediscretise per level (mass/convection terms scale with h, and
@@ -217,7 +249,7 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
                 loc_for_level=lambda lvl: jnp.asarray(
                     assembly2d.q1_local_operator(
                         hx * 2.0 ** (lvl + 1), hy * 2.0 ** (lvl + 1),
-                        problem.a0, problem.c, *problem.b
+                        problem.a0, c_pc, *problem.b
                     ),
                     dtype,
                 ),
@@ -228,13 +260,13 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
         def smooth(u, r):
             for _ in range(nu):
                 u = u + omega * jnp.where(
-                    interior, (r - apply_free(u)) / diag, 0.0
+                    interior, (r - apply_pc(u)) / diag_pc, 0.0
                 )
             return u
 
         def M_inv(r):
             u = smooth(jnp.zeros_like(r), r)
-            res_f = jnp.where(interior, r - apply_free(u), 0.0)
+            res_f = jnp.where(interior, r - apply_pc(u), 0.0)
             rc_slab = _restrict_slab(res_f, d, n_dev, axis)
             rc_full = _gather_grid(rc_slab, n_dev, axis)
             ec_full = serial_vcycle(rc_full)

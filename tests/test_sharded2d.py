@@ -114,6 +114,29 @@ def test_grid_sharded_2d_varcoeff_matches_single_device():
     assert bool(jnp.all(ok))
 
 
+def test_distributed_shifted_helmholtz_matches_single_device():
+    """Indefinite Helmholtz on slabs: the distributed SPD-shifted V-cycle
+    preconditioning distributed BiCGStab == the single-device shifted
+    path ('auto' routes both)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import helmholtz_2d
+
+    problem = helmholtz_2d()
+    cfg = Solver2DConfig(nx=16, ny=16, M=4, n_colloc=4)  # auto -> shifted
+    single = HybridSolver2D(problem, cfg)
+    sol = single.solve()
+    run = make_sharded_solve_2d(problem, cfg, pmesh.element_mesh(4),
+                                distributed_fem=True)
+    out = run()
+    np.testing.assert_allclose(
+        out.assemble_fem_grid(total_ny=cfg.ny),
+        np.asarray(sol.fem_values), atol=5e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=5e-6
+    )
+    assert bool(jnp.all(out.solve_ok))
+
+
 @pytest.mark.parametrize("n_dev", [2, 8])
 def test_distributed_multigrid_matches_single_device(n_dev):
     """Distributed V-cycle (slab smoothing + 2-row-halo restriction +
