@@ -88,7 +88,9 @@ def main():
 
     u = ops_eval.evaluate(nodes, w, xs)
     linf = float(jnp.max(jnp.abs(u - jnp.sin(jnp.pi * xs))))
-    assert linf < 1e-4, f"accuracy regression in bench: linf={linf}"
+    # Gate at ~10x the measured floor (6.6e-7 on-chip, RESULTS.md) so a
+    # genuine accuracy regression in the benched kernel fails the artifact.
+    assert linf < 1e-5, f"accuracy regression in bench: linf={linf}"
 
     print(json.dumps({
         "metric": "lssvr_enhancement_throughput_1M_elements",

@@ -98,7 +98,8 @@ class Solution(NamedTuple):
     solve_ok: jnp.ndarray  # [E] bool fallback mask
     # Condition monitor on the enhancement factorisation (SURVEY.md
     # section 5 failure detection; see kkt.KKTDiagnostics.cond_estimate).
-    # None on the fused variable-coefficient Pallas path.
+    # The fused variable-coefficient Pallas path emits the same R-diagonal
+    # ratio in-kernel (one extra output row).
     cond_estimate: jnp.ndarray = None
 
 
@@ -223,11 +224,18 @@ def _resolve_backend(cfg: SolverConfig, E: int) -> str:
     return "xla"
 
 
-def _dirichlet_consistent(problem, fem_values):
-    """Nodal values with boundary nodes pinned to the Dirichlet data."""
+def _dirichlet_consistent(problem, fem_values, touches_left=True,
+                          touches_right=True):
+    """Nodal values with boundary nodes pinned to the Dirichlet data.
+
+    ``touches_left``/``touches_right`` may be traced booleans inside a
+    sharded solve — only the edge devices' outermost nodes are global
+    boundary nodes; interior interfaces keep their FEM/SPIKE values."""
     g_l = jnp.asarray(problem.g_left, fem_values.dtype)
     g_r = jnp.asarray(problem.g_right, fem_values.dtype)
-    return fem_values.at[0].set(g_l).at[-1].set(g_r)
+    fv = fem_values
+    fv = fv.at[0].set(jnp.where(touches_left, g_l, fv[0]))
+    return fv.at[-1].set(jnp.where(touches_right, g_r, fv[-1]))
 
 
 def _pallas_finalize(w, slack, bcv, u_left, u_right, cfg, cond=None):
@@ -300,33 +308,42 @@ def lssvr_enhance(problem: Problem1D, nodes, fem_values, cfg: SolverConfig,
         shared_ops is None
         and cfg.kkt_method in ("auto", "qr")
         and cfg.M >= 3
-        and touches_left is True and touches_right is True
         and _resolve_backend(cfg, E) == "pallas"
     ):
         # Variable-coefficient fused path: same null-space CGS2-QR algebra
         # as the XLA route below, entirely in VMEM (SURVEY.md 7.1 L7).
         # Without uniform_geom the kernel runs in graded-mesh mode (traced
         # node positions; chain factors folded into the coefficients) —
-        # this is what backs hybrid_solve_general / adaptive meshes on TPU.
+        # this is what backs hybrid_solve_general / adaptive meshes on TPU
+        # AND the sharded variable-coefficient solves, where the touches
+        # flags are traced booleans and the per-shard node positions enter
+        # as the traced node array.
         from ..ops import pallas_kernels as pk
 
         tile = pk.pick_tile(E)
-        fv = _dirichlet_consistent(problem, fem_values)
+        fv = _dirichlet_consistent(problem, fem_values, touches_left,
+                                   touches_right)
         x0d, x1d = problem.domain
-        if uniform_geom is not None:
+        traced_touches = not (touches_left is True
+                              and touches_right is True)
+        if uniform_geom is not None and not traced_touches:
             x0, h = uniform_geom
             graded_nodes = None
         else:
+            # Sharded/graded: element positions from the traced node array
+            # (the non-graded kernel folds x0 into compile-time index
+            # arithmetic, which a per-shard traced origin cannot use).
             x0, h = x0d, (x1d - x0d) / E  # h = reference (mean) width
             graded_nodes = nodes
         host = pk.VarCoeffOperators(cfg.M, cfg.n_colloc, h, fv.dtype)
-        w, slack, bcv = pk.fused_enhance_varcoeff(
+        w, slack, bcv, cond = pk.fused_enhance_varcoeff(
             fv, problem, host, x0, h, cfg.n_colloc, tile=tile,
             with_diagnostics=cfg.diagnostics,
             f_shifted_fn=problem.f_shifted,
             nodes=graded_nodes,
         )
-        return _pallas_finalize(w, slack, bcv, fv[:-1], fv[1:], cfg)
+        return _pallas_finalize(w, slack, bcv, fv[:-1], fv[1:], cfg,
+                                cond=cond)
 
     x_colloc, f_colloc, bc, h, u_left, u_right = _element_data(
         problem, nodes, fem_values, cfg,

@@ -533,18 +533,21 @@ def prepare_shared_2d(problem: Problem2D, cfg: Solver2DConfig):
 
 
 def _varcoeff_mg_levels(problem: Problem2D, hx: float, hy: float, dtype,
-                        lvl_offset: int = 0):
+                        lvl_offset: int = 0, c_override: float = None):
     """``apply_diag_for_level(lvl, shape)`` factory for
     ``multigrid.make_vcycle`` with variable diffusion: exact per-level
     rediscretisation by re-sampling the coefficient callable at each
     level's own quadrature points.  Level ``lvl`` sits at spacing
     ``h * 2**(lvl + lvl_offset)`` — pass ``lvl_offset=1`` when the serial
-    V-cycle runs below a distributed fine level (``parallel/sharded2d``)."""
+    V-cycle runs below a distributed fine level (``parallel/sharded2d``).
+    ``c_override`` replaces the reaction coefficient (shifted-Laplacian
+    preconditioning of indefinite Helmholtz uses c -> |c|)."""
     from ..ops import assembly2d
 
     x0d, y0d = problem.domain[0], problem.domain[2]
     bx, by = problem.b
-    has_const = problem.c != 0.0 or bx != 0.0 or by != 0.0
+    c_eff = problem.c if c_override is None else c_override
+    has_const = c_eff != 0.0 or bx != 0.0 or by != 0.0
 
     def apply_diag_for_level(lvl, shape):
         s = float(2 ** (lvl + lvl_offset))
@@ -557,7 +560,7 @@ def _varcoeff_mg_levels(problem: Problem2D, hx: float, hy: float, dtype,
         if has_const:
             Kc = jnp.asarray(
                 assembly2d.q1_local_operator(
-                    hx * s, hy * s, 0.0, problem.c, bx, by
+                    hx * s, hy * s, 0.0, c_eff, bx, by
                 ),
                 dtype,
             )
@@ -644,19 +647,31 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
     if precond == "shifted":
         from ..ops import multigrid
 
-        def loc_for_level_shifted(lvl):
-            s = float(2 ** lvl)
-            return jnp.asarray(
-                assembly2d.q1_local_operator(
-                    hx * s, hy * s, problem.a0, abs(problem.c), bx, by
+        if var:
+            # Variable diffusion + indefinite shift: build the V-cycle from
+            # the TRUE a_var (exact per-level rediscretisation) with the
+            # reaction shifted c -> |c| — ignoring a_var here silently
+            # degrades preconditioner quality for heterogeneous media.
+            M_inv = multigrid.make_vcycle(
+                ny1, nx1, None, dtype,
+                apply_diag_for_level=_varcoeff_mg_levels(
+                    problem, hx, hy, dtype, c_override=abs(problem.c)
                 ),
-                dtype,
             )
+        else:
+            def loc_for_level_shifted(lvl):
+                s = float(2 ** lvl)
+                return jnp.asarray(
+                    assembly2d.q1_local_operator(
+                        hx * s, hy * s, problem.a0, abs(problem.c), bx, by
+                    ),
+                    dtype,
+                )
 
-        M_inv = multigrid.make_vcycle(
-            ny1, nx1, loc_for_level_shifted(0), dtype,
-            loc_for_level=loc_for_level_shifted,
-        )
+            M_inv = multigrid.make_vcycle(
+                ny1, nx1, loc_for_level_shifted(0), dtype,
+                loc_for_level=loc_for_level_shifted,
+            )
     elif precond == "mg":
         from ..ops import multigrid
 

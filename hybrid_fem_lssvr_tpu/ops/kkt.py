@@ -191,14 +191,14 @@ def nullspace_host(B):
     return Z, Pbc
 
 
-def _batched_mgs_qr_solve(G, g):
-    """Least squares min ||G y - g|| for a batch of SMALL thin systems:
-    G [E, C, K] (K static, <= ~12), g [E, C] -> y [E, K].
-
-    Modified Gram-Schmidt with one reorthogonalisation pass, written as
-    static Python loops of batched elementwise/reduction ops — TPU's
-    ``lax.linalg.qr`` is unusable here (batched Householder compiles for
-    minutes and runs worse; measured 43 s compile at E=64)."""
+def _batched_mgs_qr_factor(G):
+    """CGS2 QR factorisation of a batch of SMALL thin systems G [E, C, K]
+    (K static, <= ~12), written as static Python loops of batched
+    elementwise/reduction ops — TPU's ``lax.linalg.qr`` is unusable here
+    (batched Householder compiles for minutes and runs worse; measured
+    43 s compile at E=64).  Returns (lstsq, cond): ``lstsq(g)`` solves
+    min ||G y - g|| for g [E, C] via the retained factors — reusable for
+    iterative refinement without re-factorising."""
     E, C, K = G.shape
     cols = [G[:, :, j] for j in range(K)]
     Qc = []
@@ -213,21 +213,31 @@ def _batched_mgs_qr_solve(G, g):
         rjj = jnp.sqrt(jnp.sum(v * v, axis=-1))
         R = R.at[:, j, j].set(rjj)
         Qc.append(v / (rjj[:, None] + 1e-30))
-    # y = R^{-1} Q^T g by static back-substitution.
-    qtg = [jnp.sum(Qc[j] * g, axis=-1) for j in range(K)]
-    y = [None] * K
-    for j in reversed(range(K)):
-        acc = qtg[j]
-        for i in range(j + 1, K):
-            acc = acc - R[:, j, i] * y[i]
-        y[j] = acc / (R[:, j, j] + 1e-30)
+
+    def lstsq(g):
+        # y = R^{-1} Q^T g by static back-substitution.
+        qtg = [jnp.sum(Qc[j] * g, axis=-1) for j in range(K)]
+        y = [None] * K
+        for j in reversed(range(K)):
+            acc = qtg[j]
+            for i in range(j + 1, K):
+                acc = acc - R[:, j, i] * y[i]
+            y[j] = acc / (R[:, j, j] + 1e-30)
+        return jnp.stack(y, axis=-1)
+
     dR = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))  # [E, K]
     cond = jnp.max(dR, axis=-1) / jnp.maximum(jnp.min(dR, axis=-1), 1e-30)
-    return jnp.stack(y, axis=-1), cond
+    return lstsq, cond
+
+
+def _batched_mgs_qr_solve(G, g):
+    """min ||G y - g||: one-shot form of ``_batched_mgs_qr_factor``."""
+    lstsq, cond = _batched_mgs_qr_factor(G)
+    return lstsq(g), cond
 
 
 def solve_primal_lse(D: jnp.ndarray, B: jnp.ndarray, f: jnp.ndarray,
-                     bc: jnp.ndarray, ZP=None):
+                     bc: jnp.ndarray, ZP=None, refine_steps: int = 0):
     """Orthogonal-method path for float32 (the TPU hot dtype).
 
     Forming H = I + gamma D^T D squares D's conditioning and drowns the
@@ -244,6 +254,12 @@ def solve_primal_lse(D: jnp.ndarray, B: jnp.ndarray, f: jnp.ndarray,
       host-precomputed when B is shared; pass as ``ZP=(Z, Pbc)``),
       y = argmin ||(D Z) y - (f - D w_p)|| via the batched MGS QR,
       w = w_p + Z y.
+
+    ``refine_steps`` > 0 adds least-squares iterative refinement: the
+    retained CGS2 factors re-solve min ||G dy - (g - G y)|| and y += dy.
+    Each pass knocks the factorisation/back-substitution error eps*kappa(G)
+    down toward the residual-evaluation floor ~eps*C — at the optimum
+    G^T (g - G y) = 0, so dy -> 0 and the iteration is stationary.
     """
     E = D.shape[0]
     hi = jax.lax.Precision.HIGHEST
@@ -263,7 +279,11 @@ def solve_primal_lse(D: jnp.ndarray, B: jnp.ndarray, f: jnp.ndarray,
     s0 = jnp.sqrt(jnp.mean(D * D, axis=(1, 2))) + 1e-30  # [E]
     G = jnp.einsum("ecm,mk->eck", D, Z, precision=hi) / s0[:, None, None]
     g = (f - jnp.einsum("ecm,em->ec", D, wp, precision=hi)) / s0[:, None]
-    y, cond = _batched_mgs_qr_solve(G, g)
+    lstsq, cond = _batched_mgs_qr_factor(G)
+    y = lstsq(g)
+    for _ in range(refine_steps):
+        r = g - jnp.einsum("eck,ek->ec", G, y, precision=hi)
+        y = y + lstsq(r)
     w = wp + jnp.einsum("mk,ek->em", Z, y, precision=hi)
     return w, _diagnostics(D, B, f, bc, w, cond=cond)
 
@@ -283,7 +303,8 @@ def _solve_batched_inner(D, B, f, bc, gamma, formulation="primal",
             "dual_aug" if formulation == "dual" else "cholesky"
         )
     if method == "qr":
-        return solve_primal_lse(D, B, f, bc, ZP=ZP)
+        return solve_primal_lse(D, B, f, bc, ZP=ZP,
+                                refine_steps=refine_steps)
     if method == "cholesky":
         return solve_primal_batched(D, B, f, bc, gamma,
                                     refine_steps=refine_steps)

@@ -59,9 +59,10 @@ def _interleave_rows(xe: jnp.ndarray, xo: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([body, xe[-1:]], axis=0)
 
 
-def prolong_bilinear(c: jnp.ndarray, fine_shape) -> jnp.ndarray:
+def prolong_bilinear(c: jnp.ndarray) -> jnp.ndarray:
     """[nc+1, nc+1] coarse field -> [2nc+1, 2nc+1] bilinear interpolation
-    (separable interleave per axis)."""
+    (separable interleave per axis).  The fine shape is always
+    (2*nc+1, 2*nc+1) by construction — nested Q1 spaces."""
     top = _interleave_rows(c.T, 0.5 * (c[:, :-1] + c[:, 1:]).T).T
     return _interleave_rows(top, 0.5 * (top[:-1] + top[1:]))
 
@@ -144,9 +145,7 @@ def make_vcycle(ny1: int, nx1: int, K_loc, dtype, nu: int = 2,
         res = jnp.where(masks[lvl], r - apply_A(u, lvl), 0.0)
         rc = jnp.where(masks[lvl + 1], restrict_full_weighting(res), 0.0)
         ec = vcycle(rc, lvl + 1)
-        u = u + jnp.where(
-            masks[lvl], prolong_bilinear(ec, shapes[lvl]), 0.0
-        )
+        u = u + jnp.where(masks[lvl], prolong_bilinear(ec), 0.0)
         return smooth(u, r, lvl, nu)
 
     return vcycle

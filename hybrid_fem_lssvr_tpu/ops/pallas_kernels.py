@@ -711,7 +711,8 @@ def fused_enhance_varcoeff(
     identical by construction; replaces the reference's per-element SLSQP
     (``Hybrid-FEM-LSSVR.py:90``) for non-shared operators (SURVEY.md
     section 7.1 L7, section 2.2).
-    Returns (w [E, M], max_slack [E], bc_violation [E]).
+    Returns (w [E, M], max_slack [E], bc_violation [E], cond [E]) — the
+    last three None when ``with_diagnostics=False``.
     """
     E = fem_values.shape[0] - 1
     if E % tile:
@@ -815,7 +816,7 @@ def fused_enhance_varcoeff(
                          preferred_element_type=dtype)  # [M, tile]
         w_ref[:] = w
         if with_diagnostics:
-            slack_ref, bcv_ref = diag_refs
+            slack_ref, bcv_ref, cond_ref = diag_refs
             e_res = g
             for k in range(K):
                 e_res = e_res - G[k] * y[k]
@@ -825,16 +826,24 @@ def fused_enhance_varcoeff(
             b_res = bc - jnp.dot(b_ref[:], w, precision=hi,
                                  preferred_element_type=dtype)
             bcv_ref[:] = jnp.max(jnp.abs(b_res), axis=0, keepdims=True)
+            # Per-element condition monitor: max|R_jj| / min|R_jj| of the
+            # CGS2 factor — same lower bound on kappa(G) as the XLA path
+            # (kkt._batched_mgs_qr_solve); one extra output row.
+            dR = jnp.concatenate([R[j][j] for j in range(K)], axis=0)
+            cond_ref[:] = jnp.max(dR, axis=0, keepdims=True) / jnp.maximum(
+                jnp.min(dR, axis=0, keepdims=True),
+                jnp.asarray(eps_f, dtype),
+            )
 
     grid = (E // tile,)
     col = lambda i: (0, i)
     out_shape = [jax.ShapeDtypeStruct((M, E), dtype)]
     out_specs = [pl.BlockSpec((M, tile), col, memory_space=pltpu.VMEM)]
     if with_diagnostics:
-        out_shape += [jax.ShapeDtypeStruct((1, E), dtype)] * 2
+        out_shape += [jax.ShapeDtypeStruct((1, E), dtype)] * 3
         out_specs += [
             pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
-        ] * 2
+        ] * 3
     repl = pl.BlockSpec(memory_space=pltpu.VMEM)
     row_block = pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
     in_specs = [repl, row_block, row_block,
@@ -859,9 +868,9 @@ def fused_enhance_varcoeff(
         ),
     )(*inputs)
     if with_diagnostics:
-        wT, slack, bcv = outs
-        return wT.T, slack[0], bcv[0]
-    return outs[0].T, None, None
+        wT, slack, bcv, cond = outs
+        return wT.T, slack[0], bcv[0], cond[0]
+    return outs[0].T, None, None, None
 
 
 @_mosaic_x64_safe
@@ -950,6 +959,11 @@ def fused_enhance_varcoeff_2d(
         P = vops.NZ.shape[1] // C2
         S = {3: 2, 6: 3, 10: 4}[P]
         pairs = [(s, t) for s in range(S) for t in range(s, S)]
+    if grad_a is None:
+        raise ValueError(
+            "fused_enhance_varcoeff_2d requires analytic grad_a "
+            "(problem.grad_a); use the XLA backend for AD-derived gradients"
+        )
     ax_fn, ay_fn = grad_a
 
     # Corner-value views, flattened row-major over quads: [1, E] each.

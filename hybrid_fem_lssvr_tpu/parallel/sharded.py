@@ -231,6 +231,37 @@ def make_sharded_solve(problem: Problem1D, cfg: SolverConfig, mesh,
                     interpret=(enhance_backend == "pallas-interpret"),
                 )
                 return w, fem_loc[None], slack, bcv, okf > 0.5
+        if (
+            use_pallas
+            and shared_ops is None
+            and cfg.M >= 3
+            and cfg.kkt_method in ("auto", "qr")
+        ):
+            # Distributed variable-coefficient enhancement through the fused
+            # CGS2-QR kernel in graded mode: per-shard element positions
+            # enter as the traced local node array, so no compile-time
+            # origin is needed and every shard runs the identical kernel
+            # (previously this fell back to the ~60-op XLA MGS-QR path).
+            from ..models.hybrid import _pallas_finalize
+            from ..ops import pallas_kernels as pk
+
+            tile = pk.pick_tile(E_loc)
+            if tile >= 128:
+                x0g, x1g = problem.domain
+                h = (x1g - x0g) / E_total  # true width: rho == 1 in-kernel
+                host = pk.VarCoeffOperators(cfg.M, cfg.n_colloc, h, dtype)
+                w, slack, bcv, cond = pk.fused_enhance_varcoeff(
+                    fem_loc, problem, host, x0g, h, cfg.n_colloc,
+                    tile=tile, with_diagnostics=cfg.diagnostics,
+                    nodes=nodes_loc,
+                    interpret=(enhance_backend == "pallas-interpret"),
+                )
+                w, diags = _pallas_finalize(
+                    w, slack, bcv, fem_loc[:-1], fem_loc[1:], cfg,
+                    cond=cond,
+                )
+                return (w, fem_loc[None], diags.max_slack,
+                        diags.bc_violation, diags.solve_ok)
         w, diags = lssvr_enhance(
             problem, nodes_loc, fem_loc, cfg, shared_ops=shared_ops,
             touches_left=(d == 0), touches_right=False,

@@ -275,9 +275,7 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
                 (nyc_loc + 1, nxc + 1),
             )
             u = u + jnp.where(
-                interior,
-                multigrid.prolong_bilinear(ec_slab, (ny_loc + 1, nx1)),
-                0.0,
+                interior, multigrid.prolong_bilinear(ec_slab), 0.0
             )
             return smooth(u, r)
     else:

@@ -26,6 +26,38 @@ assert jax.device_count() == 8, jax.devices()
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Fast core subset (CLAUDE.md: `pytest -m fast`, ~8-10 min on a loaded box
+# vs ~45 for the full suite): whole modules covering the numerical core
+# (kkt/legendre/tridiag), end-to-end 1D parity, problem families, checks,
+# aux subsystems — plus one sharded-equality and one Pallas-interpret
+# equality test.  Marked centrally here so the list is auditable in one
+# place and modules stay marker-free.
+_FAST_MODULES = {
+    "test_kkt.py", "test_legendre.py", "test_tridiag.py",
+    "test_poisson1d.py", "test_problems.py", "test_checks.py",
+    "test_aux.py",
+}
+_FAST_TESTS = {
+    "test_sharded.py::test_sharded_matches_single_device",
+    "test_pallas.py::test_fused_matches_jnp_path",
+    "test_pallas.py::test_fused_varcoeff_matches_xla_lse_path",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "fast: core subset (~8 min); run with -m fast"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = os.path.basename(str(item.fspath))
+        base = item.nodeid.split("::")[1].split("[")[0] \
+            if "::" in item.nodeid else ""
+        if mod in _FAST_MODULES or f"{mod}::{base}" in _FAST_TESTS:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -352,6 +352,49 @@ def test_helmholtz_auto_routes_to_shifted_and_solves(query):
     )
 
 
+def test_varcoeff_helmholtz_shifted_uses_true_diffusion(query):
+    """Indefinite variable-coefficient Helmholtz: 'auto' routes to the
+    shifted V-cycle built from the TRUE a_var (per-level coefficient
+    re-sampling) with c -> |c|.  The preconditioned solve must match plain
+    Jacobi, converge in no more iterations, and hit the manufactured
+    solution."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import (
+        variable_coeff_elliptic_2d,
+    )
+
+    xq, yq = query
+    base = variable_coeff_elliptic_2d()
+    c = -16.0  # k = 4: genuinely indefinite at this grid
+    exact = base.exact
+    problem = dc.replace(
+        base,
+        name="varcoeff_helmholtz_2d",
+        c=c,
+        f=lambda x, y, _f=base.f: _f(x, y) + c * exact(x, y),
+        f_shifted=None,
+    )
+    sols = {}
+    for pc in ("auto", "jacobi"):
+        s = HybridSolver2D(problem, Solver2DConfig(nx=16, ny=16, M=5,
+                                                   precond=pc))
+        sols[pc] = s.solve()
+        assert bool(sols[pc].solve_ok.all())
+        # Discretisation-limited at this coarse grid (measured 5.66e-2 at
+        # nx=16, k=4) — the agreement/iteration assertions below carry the
+        # preconditioner-correctness content.
+        linf, _ = s.errors(xq, yq)
+        assert float(linf) < 8e-2, (pc, float(linf))
+    np.testing.assert_allclose(
+        np.asarray(sols["auto"].fem_values),
+        np.asarray(sols["jacobi"].fem_values), atol=1e-4,
+    )
+    assert int(sols["auto"].cg_iters) <= int(sols["jacobi"].cg_iters)
+
+
 def test_varcoeff_2d_primal_equals_dual(query):
     """Per-element operators through the genuine dual algebra (batched
     augmented LU over per-element D) == the primal null-space path to

@@ -228,6 +228,27 @@ def test_refinement_in_float32(rng):
     assert err2 / scale < 5e-5
 
 
+def test_lse_refinement_in_float32(rng):
+    """refine_steps is FUNCTIONAL on the f32 LSE/QR path (the default f32
+    route): the retained-factor least-squares refinement changes the
+    result and moves it toward the f64 oracle.  High basis degree makes
+    kappa(G) large enough for the first solve's eps*kappa error to be
+    visible above the residual-evaluation floor."""
+    D, B, f, bc = random_elements(rng, E=8, C=14, M=12)
+    w64, _ = kkt.solve_primal_lse(
+        jnp.asarray(D), jnp.asarray(B), jnp.asarray(f), jnp.asarray(bc)
+    )
+    cast = lambda v: jnp.asarray(v, jnp.float32)
+    w0, _ = kkt.solve_batched(cast(D), cast(B), cast(f), cast(bc), 1e4,
+                              method="qr", refine_steps=0)
+    w2, _ = kkt.solve_batched(cast(D), cast(B), cast(f), cast(bc), 1e4,
+                              method="qr", refine_steps=2)
+    assert np.abs(np.asarray(w0) - np.asarray(w2)).max() > 0  # not a no-op
+    err0 = np.abs(np.asarray(w0, np.float64) - np.asarray(w64)).max()
+    err2 = np.abs(np.asarray(w2, np.float64) - np.asarray(w64)).max()
+    assert err2 <= err0, (err0, err2)
+
+
 def test_condition_monitors_surface_kappa():
     """SURVEY section 5 failure detection: every factorisation path surfaces
     a cheap condition estimate that moves with the true conditioning."""

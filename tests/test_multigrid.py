@@ -23,7 +23,7 @@ def test_transfer_operators_are_adjoint():
     nc, nf = 9, 17
     c = jnp.asarray(rng.normal(size=(nc, nc)))
     f = jnp.asarray(rng.normal(size=(nf, nf)))
-    Pc = multigrid.prolong_bilinear(c, (nf, nf))
+    Pc = multigrid.prolong_bilinear(c)
     Rf = multigrid.restrict_full_weighting(f)
     lhs = float(jnp.sum(Pc * f))
     rhs = float(jnp.sum(c * Rf))

@@ -168,11 +168,17 @@ def test_fused_varcoeff_matches_xla_lse_path():
     host = pk.VarCoeffOperators(cfg.M, cfg.n_colloc, h, jnp.float32)
     wj, diags = H.lssvr_enhance(problem, nodes, fem, cfg)
     for fs in (None, problem.f_shifted):
-        w, slack, bcv = pk.fused_enhance_varcoeff(
+        w, slack, bcv, cond = pk.fused_enhance_varcoeff(
             fem, problem, host, -1.0, h, cfg.n_colloc, tile=128,
             interpret=True, f_shifted_fn=fs,
         )
         np.testing.assert_allclose(np.asarray(w), np.asarray(wj), atol=3e-5)
+        # In-kernel condition monitor == the XLA path's R-diagonal ratio
+        # (both are max|R_jj|/min|R_jj| of the same CGS2 factorisation; the
+        # ratio is invariant to the paths' different global row scalings).
+        np.testing.assert_allclose(np.asarray(cond),
+                                   np.asarray(diags.cond_estimate),
+                                   rtol=1e-3)
         # Slack is ill-conditioned across paths at fine h: max|f - D w|
         # amplifies f32 w-noise by ||D|| ~ (2/h)^2 (~2 absolute here), so
         # each f32 path reports its own rounding realisation.  Assert the
@@ -193,7 +199,7 @@ def test_fused_varcoeff_advection_matches_xla():
     host = pk.VarCoeffOperators(cfg.M, cfg.n_colloc, h, jnp.float32)
     # Force the non-shared XLA path by passing shared_ops=None.
     wj, _ = H.lssvr_enhance(problem, nodes, fem, cfg, shared_ops=None)
-    w, _, bcv = pk.fused_enhance_varcoeff(
+    w, _, bcv, _ = pk.fused_enhance_varcoeff(
         fem, problem, host, -1.0, h, cfg.n_colloc, tile=128, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(w), np.asarray(wj), atol=3e-5)
@@ -323,7 +329,7 @@ def test_fused_varcoeff_graded_mesh_matches_xla():
     wj, _ = H.lssvr_enhance(problem, nodes, fem, cfg, shared_ops=None)
     h_ref = 2.0 / E
     host = pk.VarCoeffOperators(cfg.M, cfg.n_colloc, h_ref, jnp.float32)
-    w, slack, bcv = pk.fused_enhance_varcoeff(
+    w, slack, bcv, _ = pk.fused_enhance_varcoeff(
         fem, problem, host, -1.0, h_ref, cfg.n_colloc, tile=128,
         interpret=True, nodes=nodes,
     )
@@ -333,7 +339,7 @@ def test_fused_varcoeff_graded_mesh_matches_xla():
     # hybrid_solve_general client).
     problem2 = problems.poisson_1d()
     wj2, _ = H.lssvr_enhance(problem2, nodes, fem, cfg, shared_ops=None)
-    w2, _, bcv2 = pk.fused_enhance_varcoeff(
+    w2, _, bcv2, _ = pk.fused_enhance_varcoeff(
         fem, problem2, host, -1.0, h_ref, cfg.n_colloc, tile=128,
         interpret=True, nodes=nodes,
     )

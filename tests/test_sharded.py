@@ -139,3 +139,24 @@ def test_sharded_pallas_enhancement_matches_xla(n_dev):
                                   np.asarray(out_x.solve_ok))
     np.testing.assert_allclose(np.asarray(out_p.bc_violation),
                                np.asarray(out_x.bc_violation), atol=3e-6)
+
+
+@pytest.mark.parametrize("prob_name", ["variable_coeff_elliptic",
+                                       "advection_diffusion_1d"])
+def test_sharded_varcoeff_pallas_matches_xla(prob_name):
+    """Distributed variable-coefficient enhancement through the fused
+    CGS2-QR kernel (graded mode, traced per-shard node positions) equals
+    the XLA MGS-QR path — previously sharded varcoeff always fell back to
+    the unfused XLA route."""
+    problem = problems.get(prob_name)
+    cfg = SolverConfig(num_nodes=128 * 2 + 1, M=8, dtype="float32")
+    mesh = pmesh.element_mesh(2)
+    out_x = make_sharded_solve(problem, cfg, mesh,
+                               enhance_backend="xla")()
+    out_p = make_sharded_solve(problem, cfg, mesh,
+                               enhance_backend="pallas-interpret")()
+    np.testing.assert_allclose(np.asarray(out_p.coeffs),
+                               np.asarray(out_x.coeffs), atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(out_p.solve_ok),
+                                  np.asarray(out_x.solve_ok))
+    assert bool(jnp.all(out_p.solve_ok))
