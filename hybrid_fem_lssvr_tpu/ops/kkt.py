@@ -105,6 +105,23 @@ def _chol_solve(L, s, r):
     return x * s[..., :, None]
 
 
+def _solve_tiny(S, r):
+    """Solve the tiny K x K Schur system.  K == 2 (the 1D endpoint-
+    continuity block) gets the closed-form adjugate — elementwise only, so
+    the path stays legal under TPU-emulated f64, where LU-based
+    ``jnp.linalg.solve`` does not compile (CLAUDE.md); larger K falls back
+    to the batched LU (f32/CPU paths)."""
+    if S.shape[-1] == 2:
+        a, b = S[..., 0, 0], S[..., 0, 1]
+        c, d = S[..., 1, 0], S[..., 1, 1]
+        det = a * d - b * c
+        r0, r1 = r[..., 0], r[..., 1]
+        return jnp.stack(
+            [(d * r0 - b * r1) / det, (a * r1 - c * r0) / det], axis=-1
+        )
+    return jnp.linalg.solve(S, r)
+
+
 def _kkt_core(L, s, B, rw, rbc):
     """Solve the bordered system [[H, B^T], [B, 0]] [w; lam] = [rw; rbc]
     given the equilibrated Cholesky factor (L, s) of H.  Returns (w, lam)."""
@@ -112,7 +129,7 @@ def _kkt_core(L, s, B, rw, rbc):
     X = _chol_solve(L, s, rhs)
     HiBt, Hirw = X[:, :-1], X[:, -1]
     S = B @ HiBt  # [K, K] Schur complement (SPD, tiny)
-    lam = jnp.linalg.solve(S, B @ Hirw - rbc)
+    lam = _solve_tiny(S, B @ Hirw - rbc)
     w = Hirw - HiBt @ lam
     return w, lam
 
@@ -365,7 +382,7 @@ def precompute_shared(D: jnp.ndarray, B: jnp.ndarray, gamma) -> SharedOperators:
     HiBt = _chol_solve(L, s, B.T)  # [M, 2]
     HiDt = _chol_solve(L, s, gamma * D.T)  # [M, C]
     S = B @ HiBt  # [2, 2]
-    Wbc = HiBt @ jnp.linalg.inv(S)  # [M, 2]
+    Wbc = _solve_tiny(S.T, HiBt)  # == HiBt @ inv(S): S SPD, tiny
     Wf = HiDt - Wbc @ (B @ HiDt)  # [M, C]
     return SharedOperators(Wf=Wf, Wbc=Wbc, D=D, B=B)
 
