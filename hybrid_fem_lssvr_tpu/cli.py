@@ -246,6 +246,104 @@ def cmd_campaign(args):
         cmd_run2d(ns)
 
 
+def cmd_runsharded(args):
+    """Multi-chip 1D solve over the element mesh (SURVEY.md 2.3 DP/SP row),
+    wired through ``load_or_run`` checkpointing so interrupted campaigns
+    resume without recompute."""
+    em = M.MetricsEmitter()
+    problem = problems.get(args.problem)
+    cfg = _cfg_from_args(args)
+    from .parallel import mesh as pmesh
+    from .parallel.sharded import (ShardedSolution, make_sharded_evaluate,
+                                   make_sharded_solve)
+
+    n_dev = args.devices or len(jax.devices())
+    m = pmesh.element_mesh(n_dev)
+    run = make_sharded_solve(problem, cfg, m)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol, resumed = ckpt.load_or_run(args.checkpoint, problem.name, cfg,
+                                        run, ShardedSolution)
+        jax.block_until_ready(sol.coeffs)
+    E = sol.coeffs.shape[0]
+    fields = dict(
+        problem=problem.name,
+        formulation=cfg.formulation,
+        devices=n_dev,
+        elements=E,
+        M=cfg.M,
+        solve_sec=rec["solve_sec"],
+        elements_per_sec=E / max(rec["solve_sec"], 1e-12),
+        resumed=resumed,
+        max_slack=float(jnp.max(sol.max_slack)),
+        bc_violation=float(jnp.max(sol.bc_violation)),
+        n_fallback=int(jnp.sum(~jnp.asarray(sol.solve_ok))),
+    )
+    if problem.exact is not None:
+        ev = make_sharded_evaluate(problem, cfg, m)
+        x = np.linspace(*problem.domain, args.eval_points)
+        u = ev(jnp.asarray(sol.coeffs), x)
+        ue = problem.exact(jnp.asarray(x, u.dtype))
+        fields["linf_error"] = float(M.linf_error(u, ue))
+        fields["l2_error"] = float(M.l2_error(u, ue))
+    em.emit("hybrid_solve_sharded", **fields)
+
+
+def _run2d_sharded(problem, cfg, args, em):
+    """2D multi-chip solve: y-slab or 2-axis grid mesh, load_or_run
+    checkpointing, distributed read path for the error norms."""
+    from .parallel import mesh as pmesh
+    from .parallel.sharded2d import (
+        ShardedSolution2D, ShardedSolution2DGrid, make_sharded_evaluate_2d,
+        make_sharded_evaluate_2d_grid, make_sharded_solve_2d,
+        make_sharded_solve_2d_grid,
+    )
+
+    if args.mesh == "slab":
+        n_dev = args.devices or len(jax.devices())
+        m = pmesh.element_mesh(n_dev)
+        run = make_sharded_solve_2d(problem, cfg, m)
+        cls = ShardedSolution2D
+        ev = make_sharded_evaluate_2d(problem, cfg, m)
+        mesh_desc = f"slab:{n_dev}"
+    else:
+        dy, dx = args.mesh_shape
+        m = pmesh.grid_mesh(dy, dx)
+        run = make_sharded_solve_2d_grid(problem, cfg, m)
+        cls = ShardedSolution2DGrid
+        ev = make_sharded_evaluate_2d_grid(problem, cfg, m)
+        mesh_desc = f"grid:{dy}x{dx}"
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol, resumed = ckpt.load_or_run(
+            getattr(args, "checkpoint", None), problem.name, cfg, run, cls
+        )
+        jax.block_until_ready(sol.coeffs)
+    fields = dict(
+        problem=problem.name,
+        mesh=mesh_desc,
+        elements=cfg.nx * cfg.ny,
+        M=cfg.M,
+        solve_sec=rec["solve_sec"],
+        resumed=resumed,
+        cg_iters=int(jnp.max(jnp.asarray(sol.cg_iters))),
+        max_slack=float(jnp.max(jnp.asarray(sol.max_slack))),
+        n_fallback=int(jnp.sum(~jnp.asarray(sol.solve_ok))),
+    )
+    if problem.exact is not None:
+        rng = np.random.default_rng(0)
+        xq = rng.uniform(problem.domain[0], problem.domain[1],
+                         args.eval_points)
+        yq = rng.uniform(problem.domain[2], problem.domain[3],
+                         args.eval_points)
+        u = ev(jnp.asarray(sol.coeffs), xq, yq)
+        ue = problem.exact(jnp.asarray(xq, u.dtype),
+                           jnp.asarray(yq, u.dtype))
+        fields["linf_error"] = float(M.linf_error(u, ue))
+        fields["l2_error"] = float(M.l2_error(u, ue))
+    em.emit("hybrid_solve_2d_sharded", **fields)
+
+
 def cmd_run2d(args):
     if getattr(args, "x64", False):
         jax.config.update("jax_enable_x64", True)
@@ -257,6 +355,8 @@ def cmd_run2d(args):
                          fem_dtype=getattr(args, "fem_dtype", None),
                          varcoeff_method=getattr(args, "varcoeff_method",
                                                  "sne"))
+    if getattr(args, "mesh", "none") != "none":
+        return _run2d_sharded(problem, cfg, args, em)
     solver = HybridSolver2D(problem, cfg)
     rec = {}
     with profiling.timed(rec, "solve_sec"):
@@ -360,6 +460,16 @@ def build_parser():
     sp.set_defaults(fn=cmd_adaptive2d)
 
     sp = sub.add_parser(
+        "runsharded",
+        help="multi-chip 1D solve over the element mesh (+ resume)")
+    common(sp)
+    sp.add_argument("--devices", type=int, default=None,
+                    help="device count (default: all visible)")
+    sp.add_argument("--checkpoint", default=None,
+                    help="checkpoint dir (resume if fingerprint matches)")
+    sp.set_defaults(fn=cmd_runsharded)
+
+    sp = sub.add_parser(
         "run2d", help="2D families on structured quads (Poisson, Helmholtz,"
         " advection-diffusion, reaction-diffusion)")
     sp.add_argument("--problem", default="poisson_2d",
@@ -383,6 +493,14 @@ def build_parser():
                     help="Pallas per-element LSE algorithm (TPU only)")
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument("--eval-points", type=int, default=2000)
+    sp.add_argument("--mesh", default="none",
+                    choices=["none", "slab", "grid"],
+                    help="multi-chip: y-slab or 2-axis block sharding")
+    sp.add_argument("--devices", type=int, default=None,
+                    help="device count for --mesh slab")
+    sp.add_argument("--mesh-shape", type=int, nargs=2, default=[2, 4],
+                    metavar=("DY", "DX"),
+                    help="device grid for --mesh grid")
     sp.set_defaults(fn=cmd_run2d)
     return p
 

@@ -97,11 +97,12 @@ def prepare_shared_2d_graded(problem: Problem2D, cfg: Solver2DConfig):
     return ops, (jnp.asarray(t_int), jnp.asarray(bpts))
 
 
-def fem_solve_2d_graded(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
-    """Coarse Q1 solve on the graded tensor-product mesh: matrix-free
-    per-element operators via reference-part scalar maps; Jacobi-CG (SPD)
-    or Jacobi-BiCGStab (nonsymmetric/indefinite).  Multigrid needs nested
-    uniform coarsenings, so graded meshes use the Jacobi path."""
+def graded_fem_parts(problem: Problem2D, xs, ys):
+    """Matrix-free per-element operator parts on a graded tensor-product
+    mesh: stacked reference 4x4 blocks Sq and their per-element scalar
+    maps [ny, nx].  ``ys`` may be a y-slab of a larger mesh (the maps
+    depend only on the local node positions) — this is what the
+    distributed graded solve slices per device."""
     dtype = xs.dtype
     hx = xs[1:] - xs[:-1]  # [nx]
     hy = ys[1:] - ys[:-1]  # [ny]
@@ -139,7 +140,17 @@ def fem_solve_2d_graded(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
         Sq_list.append(Chy)
         map_list.append(by * HX / 2.0 + jnp.zeros_like(HX))
     Sq = jnp.asarray(np.stack(Sq_list), dtype)
-    a_maps = jnp.stack(map_list)
+    return Sq, jnp.stack(map_list)
+
+
+def fem_solve_2d_graded(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
+    """Coarse Q1 solve on the graded tensor-product mesh: matrix-free
+    per-element operators via reference-part scalar maps; Jacobi-CG (SPD)
+    or Jacobi-BiCGStab (nonsymmetric/indefinite).  Multigrid needs nested
+    uniform coarsenings, so graded meshes use the Jacobi path."""
+    dtype = xs.dtype
+    bx, by = problem.b
+    Sq, a_maps = graded_fem_parts(problem, xs, ys)
 
     ny1, nx1 = ys.shape[0], xs.shape[0]
     interior = jnp.zeros((ny1, nx1), bool).at[1:-1, 1:-1].set(True)

@@ -33,6 +33,14 @@ class ShardedSolution2D(NamedTuple):
     coeffs: jnp.ndarray  # [ny, nx, M, M] sharded over element rows
     fem_local: jnp.ndarray  # [n_dev, ny_loc+1, nx+1] per-device slabs
     solve_ok: jnp.ndarray  # [ny, nx]
+    # Full observability (SURVEY.md section 5 metrics): per-element slack /
+    # boundary-trace residuals and the coarse stage's iteration count +
+    # final residual (identical across devices for the distributed CG —
+    # reported per device so a divergent shard would be visible).
+    max_slack: jnp.ndarray = None  # [ny, nx]
+    bc_violation: jnp.ndarray = None  # [ny, nx]
+    cg_iters: jnp.ndarray = None  # [n_dev]
+    cg_residual: jnp.ndarray = None  # [n_dev]
 
     def assemble_fem_grid(self, total_ny=None):
         """Stitch the overlapping slabs back into the [ny+1, nx+1] grid
@@ -102,6 +110,131 @@ def _gather_grid(c_slab, n_dev, axis):
     parts = [slabs[dd, :-1] for dd in range(n_dev)]
     parts.append(slabs[n_dev - 1, -1:])
     return jnp.concatenate(parts, axis=0)
+
+
+def _restrict_block(res, dy, dx, n_dy, n_dx, ay, ax):
+    """Full-weighting restriction of a 2-axis block residual
+    [nyl+1, nxl+1] -> [nyl/2+1, nxl/2+1].  Rows are extended with the
+    y-neighbours' halo rows first; the column exchange then runs on the
+    ROW-EXTENDED array, so the corner entries it delivers are the diagonal
+    neighbours' values (the same nested-halo trick as ``_halo_add_2d``).
+    Global-boundary sides extend with zeros (the residual vanishes there).
+    """
+    from ..ops.multigrid import _fw_rows
+
+    up = [(i, (i + 1) % n_dy) for i in range(n_dy)]
+    dn = [(i, (i - 1) % n_dy) for i in range(n_dy)]
+    from_prev = jax.lax.ppermute(res[-2], ay, up)  # y-neighbour below
+    from_next = jax.lax.ppermute(res[1], ay, dn)  # y-neighbour above
+    from_prev = jnp.where(dy > 0, from_prev, jnp.zeros_like(from_prev))
+    from_next = jnp.where(dy < n_dy - 1, from_next,
+                          jnp.zeros_like(from_next))
+    r_ext = jnp.concatenate([from_prev[None], res, from_next[None]])
+    upx = [(i, (i + 1) % n_dx) for i in range(n_dx)]
+    dnx = [(i, (i - 1) % n_dx) for i in range(n_dx)]
+    from_left = jax.lax.ppermute(r_ext[:, -2], ax, upx)
+    from_right = jax.lax.ppermute(r_ext[:, 1], ax, dnx)
+    from_left = jnp.where(dx > 0, from_left, jnp.zeros_like(from_left))
+    from_right = jnp.where(dx < n_dx - 1, from_right,
+                           jnp.zeros_like(from_right))
+    c_ext = jnp.concatenate(
+        [from_left[:, None], r_ext, from_right[:, None]], axis=1
+    )  # [nyl+3, nxl+3]
+    rows = _fw_rows(c_ext)  # [nyl/2+1, nxl+3]
+    return _fw_rows(rows.T).T  # [nyl/2+1, nxl/2+1]
+
+
+def _gather_grid_2d(c_block, n_dy, n_dx, ay, ax):
+    """all_gather overlapping coarse blocks [nyc_loc+1, nxc_loc+1] into the
+    full replicated coarse grid [nyc+1, nxc+1] (columns within each row
+    slab first, then rows)."""
+    cols = jax.lax.all_gather(c_block, ax)  # [n_dx, nyc_loc+1, nxc_loc+1]
+    parts = [cols[i, :, :-1] for i in range(n_dx)]
+    parts.append(cols[n_dx - 1, :, -1:])
+    row_slab = jnp.concatenate(parts, axis=1)  # [nyc_loc+1, nxc+1]
+    return _gather_grid(row_slab, n_dy, ay)
+
+
+def _fine_pc(problem, precond, var, hx, hy, dtype, shape1, varparts, halo,
+             interior, apply_free, diag):
+    """Fine-level preconditioner operator for the distributed V-cycle:
+    'mg' cycles on the true operator; 'shifted' on the SPD c -> |c|
+    operator (variable diffusion kept exactly — only the reaction term is
+    shifted).  Returns (apply_pc, diag_pc)."""
+    from ..ops import assembly2d
+
+    if precond != "shifted":
+        return apply_free, diag
+    c_pc = abs(problem.c)
+    bx, by = problem.b
+    if var:
+        Sq, a_maps = varparts
+        K_shift = None
+        if c_pc != 0.0 or bx != 0.0 or by != 0.0:
+            K_shift = jnp.asarray(
+                assembly2d.q1_local_operator(hx, hy, 0.0, c_pc, bx, by),
+                dtype,
+            )
+
+        def apply_pc_local(v):
+            yv = assembly2d.apply_stiffness_var(v, Sq, a_maps)
+            if K_shift is not None:
+                yv = yv + assembly2d.apply_stiffness(v, K_shift)
+            return yv
+
+        diag_pc_l = assembly2d.stiffness_var_diag(shape1, Sq, a_maps, dtype)
+        if K_shift is not None:
+            diag_pc_l = diag_pc_l + assembly2d.stiffness_diag(
+                shape1, K_shift, dtype)
+    else:
+        K_pc = jnp.asarray(
+            assembly2d.q1_local_operator(hx, hy, problem.a0, c_pc, bx, by),
+            dtype,
+        )
+
+        def apply_pc_local(v):
+            return assembly2d.apply_stiffness(v, K_pc)
+
+        diag_pc_l = assembly2d.stiffness_diag(shape1, K_pc, dtype)
+
+    def apply_pc(v):
+        return jnp.where(interior, halo(apply_pc_local(v * interior)), 0.0)
+
+    return apply_pc, halo(diag_pc_l)
+
+
+def _coarse_vcycle(problem, precond, var, hx, hy, dtype, nyc1, nxc1):
+    """Serial V-cycle for the gathered (replicated) coarse grid, one level
+    below the distributed fine level (spacing 2x fine; per-level
+    rediscretisation; c -> |c| under 'shifted')."""
+    from ..ops import assembly2d, multigrid
+
+    c_pc = problem.c if precond == "mg" else abs(problem.c)
+    if var:
+        from ..models.hybrid2d import _varcoeff_mg_levels
+
+        return multigrid.make_vcycle(
+            nyc1, nxc1, None, dtype,
+            apply_diag_for_level=_varcoeff_mg_levels(
+                problem, hx, hy, dtype, lvl_offset=1, c_override=c_pc
+            ),
+        )
+    return multigrid.make_vcycle(
+        nyc1, nxc1,
+        jnp.asarray(
+            assembly2d.q1_local_operator(2.0 * hx, 2.0 * hy, problem.a0,
+                                         c_pc, *problem.b),
+            dtype,
+        ),
+        dtype,
+        loc_for_level=lambda lvl: jnp.asarray(
+            assembly2d.q1_local_operator(
+                hx * 2.0 ** (lvl + 1), hy * 2.0 ** (lvl + 1),
+                problem.a0, c_pc, *problem.b
+            ),
+            dtype,
+        ),
+    )
 
 
 def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
@@ -188,10 +321,9 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
         if (cfg.ny % (2 * n_dev) == 0 and cfg.nx % 2 == 0
                 and min(cfg.nx, cfg.ny) >= 8):
             # Indefinite Helmholtz: V-cycle of the SPD-shifted (c -> |c|)
-            # operator preconditioning BiCGStab (see hybrid2d.fem_solve_2d;
-            # constant-coefficient only — var keeps jacobi below).
-            precond = ("mg" if problem.c >= 0.0
-                       else ("shifted" if not var else "jacobi"))
+            # operator preconditioning BiCGStab (see hybrid2d.fem_solve_2d);
+            # variable diffusion kept exactly in the shifted cycle.
+            precond = "mg" if problem.c >= 0.0 else "shifted"
         else:
             precond = "jacobi"
     if precond in ("mg", "shifted"):
@@ -202,58 +334,17 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
         # all_gather of the half-resolution grid.
         from ..ops import multigrid
 
-        c_pc = problem.c if precond == "mg" else abs(problem.c)
-        if precond == "shifted":
-            # The preconditioner cycles on the SHIFTED operator throughout
-            # (fine smoothing included); BiCGStab below iterates the true
-            # indefinite operator.
-            K_pc = jnp.asarray(
-                assembly2d.q1_local_operator(hx, hy, problem.a0, c_pc,
-                                             *problem.b),
-                dtype,
-            )
+        def halo(v):
+            return _halo_add(v, d, n_dev, axis)
 
-            def apply_pc(v):
-                return jnp.where(
-                    interior,
-                    _halo_add(assembly2d.apply_stiffness(v * interior,
-                                                         K_pc),
-                              d, n_dev, axis),
-                    0.0,
-                )
-
-            diag_pc = _halo_add(
-                assembly2d.stiffness_diag((ny_loc + 1, nx1), K_pc, dtype),
-                d, n_dev, axis,
-            )
-        else:
-            apply_pc = apply_free
-            diag_pc = diag
+        apply_pc, diag_pc = _fine_pc(
+            problem, precond, var, hx, hy, dtype, (ny_loc + 1, nx1),
+            (Sq, a_maps) if var else None, halo, interior, apply_free, diag,
+        )
         nyc, nxc = cfg.ny // 2, cfg.nx // 2
         nyc_loc = ny_loc // 2
-        # Rediscretise per level (mass/convection terms scale with h, and
-        # variable coefficients need re-sampling; serial-vcycle level l
-        # sits at spacing 2**(l+1) x fine).
-        if var:
-            from ..models.hybrid2d import _varcoeff_mg_levels
-
-            serial_vcycle = multigrid.make_vcycle(
-                nyc + 1, nxc + 1, None, dtype,
-                apply_diag_for_level=_varcoeff_mg_levels(
-                    problem, hx, hy, dtype, lvl_offset=1
-                ),
-            )
-        else:
-            serial_vcycle = multigrid.make_vcycle(
-                nyc + 1, nxc + 1, K_loc, dtype,
-                loc_for_level=lambda lvl: jnp.asarray(
-                    assembly2d.q1_local_operator(
-                        hx * 2.0 ** (lvl + 1), hy * 2.0 ** (lvl + 1),
-                        problem.a0, c_pc, *problem.b
-                    ),
-                    dtype,
-                ),
-            )
+        serial_vcycle = _coarse_vcycle(problem, precond, var, hx, hy,
+                                       dtype, nyc + 1, nxc + 1)
         omega, nu = 0.8, 2
         row0c = row0 // 2
 
@@ -278,6 +369,47 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
                 interior, multigrid.prolong_bilinear(ec_slab), 0.0
             )
             return smooth(u, r)
+    elif precond == "adi":
+        # Distributed ADI (Ulysses pattern, SURVEY 2.3): the y-slab
+        # interior residual transposes to x-slabs via the in-shard_map
+        # all_to_all block transpose, line solves run batched Thomas with
+        # lines as the (sharded) batch axis, and the pad-aware sweeps
+        # keep zero-padded rows/columns exactly zero, so divisibility
+        # padding never perturbs the true interior iteration.
+        import numpy as np
+
+        from .transpose import _local_transpose_block, adi_poisson_sweeps
+
+        nx_int = cfg.nx - 1
+        C_tot = -(-nx_int // n_dev) * n_dev
+        hmin = min(hx, hy)
+        tau = float(np.sqrt(np.pi**2 * 4.0 / hmin**2))
+        scale = 1.0 / (hx * hy)
+        dn_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        row_ids = row0 + 1 + jnp.arange(ny_loc)  # owned interior rows
+        row_mask = (row_ids <= cfg.ny - 1).astype(dtype)[:, None]
+
+        def tp(a):
+            return _local_transpose_block(a, axis, n_dev)
+
+        def M_inv(r):
+            r_int = r[1:, 1:cfg.nx] * jnp.asarray(scale, dtype) * row_mask
+            r_int = jnp.pad(r_int, ((0, 0), (0, C_tot - nx_int)))
+            u_int = adi_poisson_sweeps(
+                r_int, hx, hy, tau, n_sweeps=1,
+                transpose_fn=tp, transpose_fn_T=tp,
+                true_shape=(cfg.ny - 1, nx_int),
+            )
+            out = jnp.zeros((ny_loc + 1, nx1), dtype)
+            out = out.at[1:, 1:cfg.nx].set(u_int[:, :nx_int])
+            # Duplicated-interface consistency: row 0 (global row row0)
+            # was computed by the previous device as its last owned row.
+            from_prev = jax.lax.ppermute(u_int[-1, :nx_int], axis,
+                                         dn_perm)
+            out = out.at[0, 1:cfg.nx].set(
+                jnp.where(d > 0, from_prev, out[0, 1:cfg.nx])
+            )
+            return jnp.where(interior, out, 0.0)
     else:
         M_inv = jnp.where(interior, 1.0 / diag, 1.0)
     tol = cfg.cg_tol
@@ -286,7 +418,7 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
     solver = cg.cg if spd else cg.bicgstab
     res = solver(apply_free, rhs, M_inv=M_inv, tol=tol,
                  maxiter=cfg.cg_maxiter, dot_fn=dist_dot)
-    return u_bc + jnp.where(interior, res.x, 0.0)
+    return u_bc + jnp.where(interior, res.x, 0.0), res
 
 
 def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
@@ -321,11 +453,11 @@ def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
         row0 = d * ny_loc
         ys_loc = jax.lax.dynamic_slice(ys, (row0,), (ny_loc + 1,))
         if distributed_fem:
-            fem_loc = _dist_fem_solve_2d(
+            fem_loc, cg_res = _dist_fem_solve_2d(
                 problem, cfg, d, n_dev, axis, xs, ys_loc, row0
             )
         else:
-            fem_values, _ = fem_solve_2d(
+            fem_values, cg_res = fem_solve_2d(
                 problem, cfg, xs, ys[: cfg.ny + 1]
             )
             fem_pad = jnp.pad(fem_values, ((0, ny_pad - cfg.ny), (0, 0)))
@@ -356,21 +488,154 @@ def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
             ok[..., None, None],
             jnp.where(jnp.isfinite(coeffs), coeffs, 0.0), fb,
         )
-        return coeffs, fem_loc[None], ok
+        slack = diags.max_slack.reshape(ny_loc, cfg.nx)
+        bcv = diags.bc_violation.reshape(ny_loc, cfg.nx)
+        return (coeffs, fem_loc[None], ok, slack, bcv,
+                cg_res.iters.reshape(1).astype(jnp.int32),
+                cg_res.residual.reshape(1))
 
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis),) * 7,
         check_vma=False,
     )
 
     @jax.jit
     def run():
-        coeffs, fem_local, ok = sharded(shared, t_int, bpts)
+        coeffs, fem_local, ok, slack, bcv, iters, res = sharded(
+            shared, t_int, bpts
+        )
         # Strip padded tail element rows (ny not divisible by devices).
-        return ShardedSolution2D(coeffs[: cfg.ny], fem_local, ok[: cfg.ny])
+        return ShardedSolution2D(
+            coeffs[: cfg.ny], fem_local, ok[: cfg.ny],
+            max_slack=slack[: cfg.ny], bc_violation=bcv[: cfg.ny],
+            cg_iters=iters, cg_residual=res,
+        )
+
+    return run
+
+
+def make_sharded_solve_2d_graded(problem: Problem2D, cfg: Solver2DConfig,
+                                 mesh, xs, ys, axis: str = ELEMENT_AXIS):
+    """Distributed GRADED tensor-product 2D solve: element rows of the
+    graded mesh sharded as y-slabs (README roadmap item).  The node arrays
+    are data — each slab slices its own ``ys`` rows, builds the matrix-free
+    reference-part operators from its LOCAL spacings
+    (``hybrid2d_graded.graded_fem_parts``), and runs the distributed
+    Jacobi-CG/BiCGStab coarse stage (graded meshes have no nested uniform
+    coarsening, so no V-cycle — same routing as the single-device graded
+    path) followed by the per-element batched null-space enhancement with
+    slab-global boundary masks.  Requires ny % n_devices == 0."""
+    import dataclasses
+
+    from ..models.hybrid2d import _element_data_2d as _edata
+    from ..models.hybrid2d_graded import (
+        _graded_element_operators, graded_fem_parts,
+        prepare_shared_2d_graded,
+    )
+    from ..ops import assembly2d, cg
+
+    n_dev = mesh.shape[axis]
+    nx = len(xs) - 1
+    ny = len(ys) - 1
+    if ny % n_dev:
+        raise ValueError(f"graded ny={ny} must divide by devices={n_dev}")
+    ny_loc = ny // n_dev
+    dtype = cfg.jnp_dtype()
+    cfg = dataclasses.replace(cfg, nx=nx, ny=ny)
+    gops, (t_int, bpts) = prepare_shared_2d_graded(problem, cfg)
+    repl = jax.sharding.NamedSharding(mesh, P())
+    gops = jax.device_put(gops, repl)
+    t_int = jax.device_put(t_int, repl)
+    bpts = jax.device_put(bpts, repl)
+    xs_j = jax.device_put(jnp.asarray(xs, dtype), repl)
+    ys_j = jax.device_put(jnp.asarray(ys, dtype), repl)
+    bx, by = problem.b
+    spd = bx == 0.0 and by == 0.0 and problem.c >= 0.0
+
+    def local_step(gops, t_int, bpts, xs_a, ys_a):
+        d = jax.lax.axis_index(axis)
+        row0 = d * ny_loc
+        ys_loc = jax.lax.dynamic_slice(ys_a, (row0,), (ny_loc + 1,))
+        Sq, a_maps = graded_fem_parts(problem, xs_a, ys_loc)
+
+        g_row = row0 + jnp.arange(ny_loc + 1)
+        row_int = (g_row > 0) & (g_row < ny)
+        col_int = jnp.zeros(nx + 1, bool).at[1:-1].set(True)
+        interior = row_int[:, None] & col_int[None, :]
+        own = jnp.where((jnp.arange(ny_loc + 1) > 0) | (d == 0), 1.0, 0.0
+                        ).astype(dtype)[:, None]
+
+        def halo(v):
+            return _halo_add(v, d, n_dev, axis)
+
+        b = halo(assembly2d.assemble_load(xs_a, ys_loc, problem.f))
+        X, Y = jnp.meshgrid(xs_a, ys_loc)
+        u_bc = jnp.where(interior, 0.0, problem.g(X, Y) * jnp.ones_like(X))
+
+        def apply_full(v):
+            return halo(assembly2d.apply_stiffness_var(v, Sq, a_maps))
+
+        def apply_free(v):
+            return jnp.where(interior, apply_full(v * interior), 0.0)
+
+        def dist_dot(u, v):
+            return jax.lax.psum(jnp.sum(u * v * own), axis)
+
+        rhs = jnp.where(interior, b - apply_full(u_bc), 0.0)
+        diag = halo(assembly2d.stiffness_var_diag(
+            (ny_loc + 1, nx + 1), Sq, a_maps, dtype))
+        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+        tol = cfg.cg_tol
+        if tol is None:
+            tol = 100.0 * float(jnp.finfo(dtype).eps)
+        solver = cg.cg if spd else cg.bicgstab
+        res = solver(apply_free, rhs, M_inv=M_inv, tol=tol,
+                     maxiter=cfg.cg_maxiter, dot_fn=dist_dot)
+        fem_loc = u_bc + jnp.where(interior, res.x, 0.0)
+
+        f_rows, bc_rows, corners = _edata(
+            problem, cfg, xs_a, ys_loc, fem_loc, t_int, bpts,
+            row_offset=row0,
+        )
+        D = _graded_element_operators(problem, cfg, xs_a, ys_loc, gops,
+                                      t_int)
+        w, diags = kkt.solve_batched(
+            D, gops.B, f_rows, bc_rows, cfg.gamma,
+            formulation=cfg.formulation, ZP=(gops.Z, gops.Pbc),
+        )
+        M = cfg.M
+        coeffs = w.reshape(ny_loc, nx, M, M)
+        fb = _bilinear_fallback_coeffs(*corners, M)
+        ok = diags.solve_ok.reshape(ny_loc, nx)
+        coeffs = jnp.where(
+            ok[..., None, None],
+            jnp.where(jnp.isfinite(coeffs), coeffs, 0.0), fb,
+        )
+        return (coeffs, fem_loc[None], ok,
+                diags.max_slack.reshape(ny_loc, nx),
+                diags.bc_violation.reshape(ny_loc, nx),
+                res.iters.reshape(1).astype(jnp.int32),
+                res.residual.reshape(1))
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(axis),) * 7,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run():
+        coeffs, fem_local, ok, slack, bcv, iters, resid = sharded(
+            gops, t_int, bpts, xs_j, ys_j
+        )
+        return ShardedSolution2D(
+            coeffs, fem_local, ok, max_slack=slack, bc_violation=bcv,
+            cg_iters=iters, cg_residual=resid,
+        )
 
     return run
 
@@ -431,6 +696,35 @@ def make_sharded_evaluate_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
     return evaluate
 
 
+class ShardedSolution2DGrid(NamedTuple):
+    """Full observable solution of the 2-axis block-sharded solve (the grid
+    analog of ``ShardedSolution2D`` — a convergence stall in the
+    distributed CG surfaces in ``cg_iters``/``cg_residual``, not as
+    silently bad coefficients)."""
+
+    coeffs: jnp.ndarray  # [ny, nx, M, M] block-sharded
+    fem_local: jnp.ndarray  # [n_dy, n_dx, ny_loc+1, nx_loc+1]
+    solve_ok: jnp.ndarray  # [ny, nx]
+    max_slack: jnp.ndarray = None  # [ny, nx]
+    bc_violation: jnp.ndarray = None  # [ny, nx]
+    cg_iters: jnp.ndarray = None  # [n_dy, n_dx]
+    cg_residual: jnp.ndarray = None  # [n_dy, n_dx]
+
+    def assemble_fem_grid(self):
+        """Stitch the overlapping blocks back into [ny+1, nx+1]."""
+        import numpy as np
+
+        n_dy, n_dx, nyl1, nxl1 = self.fem_local.shape
+        nyl, nxl = nyl1 - 1, nxl1 - 1
+        grid = np.zeros((n_dy * nyl + 1, n_dx * nxl + 1))
+        fl = np.asarray(self.fem_local)
+        for by in range(n_dy):
+            for bx in range(n_dx):
+                grid[by * nyl:(by + 1) * nyl + 1,
+                     bx * nxl:(bx + 1) * nxl + 1] = fl[by, bx]
+        return grid
+
+
 def _halo_add_2d(v, dy, dx, n_dy, n_dx, ay, ax):
     """Duplicated-interface sum for 2-axis block sharding: the first/last
     node row is shared with the y-neighbour, the first/last column with
@@ -462,9 +756,12 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
     L8): both the coarse Q1 Jacobi-CG (block-halo stiffness apply,
     ownership-masked psum inner products over BOTH axes) and the
     enhancement (domain-boundary masks driven by global row AND column
-    offsets) run on [ny/Dy, nx/Dx] blocks.  Requires cfg.ny % Dy == 0 and
-    cfg.nx % Dx == 0.  Returns a zero-argument jitted callable producing
-    (coeffs [ny, nx, M, M] block-sharded, solve_ok [ny, nx])."""
+    offsets) run on [ny/Dy, nx/Dx] blocks.  The coarse stage is
+    preconditioned by a distributed V-cycle (block-halo restriction with
+    corner-carrying column exchange + gathered serial coarse levels) when
+    the grid divides down — 'auto' mirrors the slab path's routing.
+    Requires cfg.ny % Dy == 0 and cfg.nx % Dx == 0.  Returns a
+    zero-argument jitted callable producing a ``ShardedSolution2DGrid``."""
     from .mesh import GRID_AXES
 
     if axes is None:
@@ -563,7 +860,57 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
 
         rhs = jnp.where(interior, b - apply_full(u_bc), 0.0)
         diag = halo(diag_local)
-        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+        var = problem.a_var is not None
+        precond = cfg.precond
+        if precond == "auto":
+            if (cfg.ny % (2 * n_dy) == 0 and cfg.nx % (2 * n_dx) == 0
+                    and min(cfg.nx, cfg.ny) >= 8):
+                precond = "mg" if problem.c >= 0.0 else "shifted"
+            else:
+                precond = "jacobi"
+        if precond in ("mg", "shifted"):
+            # Distributed V-cycle on 2-axis blocks: fine-level smoothing +
+            # block-halo restriction (rows then corner-carrying columns);
+            # coarser levels run the serial V-cycle redundantly on the
+            # gathered half-resolution grid (same design as the slab path).
+            from ..ops import multigrid
+
+            apply_pc, diag_pc = _fine_pc(
+                problem, precond, var, hx, hy, dtype,
+                (ny_loc + 1, nx_loc + 1),
+                (Sq, a_maps) if var else None, halo, interior,
+                apply_free, diag,
+            )
+            serial_vcycle = _coarse_vcycle(
+                problem, precond, var, hx, hy, dtype,
+                cfg.ny // 2 + 1, cfg.nx // 2 + 1,
+            )
+            nyc_loc, nxc_loc = ny_loc // 2, nx_loc // 2
+            row0c, col0c = row0 // 2, col0 // 2
+            omega, nu = 0.8, 2
+
+            def smooth(u, r):
+                for _ in range(nu):
+                    u = u + omega * jnp.where(
+                        interior, (r - apply_pc(u)) / diag_pc, 0.0
+                    )
+                return u
+
+            def M_inv(r):
+                u = smooth(jnp.zeros_like(r), r)
+                res_f = jnp.where(interior, r - apply_pc(u), 0.0)
+                rc_blk = _restrict_block(res_f, dy, dx, n_dy, n_dx, ay, ax)
+                rc_full = _gather_grid_2d(rc_blk, n_dy, n_dx, ay, ax)
+                ec_full = serial_vcycle(rc_full)
+                ec_blk = jax.lax.dynamic_slice(
+                    ec_full, (row0c, col0c), (nyc_loc + 1, nxc_loc + 1)
+                )
+                u = u + jnp.where(
+                    interior, multigrid.prolong_bilinear(ec_blk), 0.0
+                )
+                return smooth(u, r)
+        else:
+            M_inv = jnp.where(interior, 1.0 / diag, 1.0)
         tol = cfg.cg_tol
         if tol is None:
             tol = 100.0 * float(jnp.finfo(dtype).eps)
@@ -594,18 +941,28 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
             ok[..., None, None],
             jnp.where(jnp.isfinite(coeffs), coeffs, 0.0), fb,
         )
-        return coeffs, ok
+        slack = diags.max_slack.reshape(ny_loc, nx_loc)
+        bcv = diags.bc_violation.reshape(ny_loc, nx_loc)
+        return (coeffs, fem_loc[None, None], ok, slack, bcv,
+                res.iters.reshape(1, 1).astype(jnp.int32),
+                res.residual.reshape(1, 1))
 
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(ay, ax), P(ay, ax)),
+        out_specs=(P(ay, ax), P(ay, ax, None, None)) + (P(ay, ax),) * 5,
         check_vma=False,
     )
 
     @jax.jit
     def run():
-        return sharded(shared, t_int, bpts)
+        coeffs, fem_local, ok, slack, bcv, iters, cg_resid = sharded(
+            shared, t_int, bpts
+        )
+        return ShardedSolution2DGrid(
+            coeffs, fem_local, ok, max_slack=slack, bc_violation=bcv,
+            cg_iters=iters, cg_residual=cg_resid,
+        )
 
     return run
 

@@ -64,17 +64,28 @@ def make_sharded_transpose(mesh, rows: int, cols: int,
     return jax.jit(sharded)
 
 
-def _line_solve(rhs_rows, h, tau):
+def _line_solve(rhs_rows, h, tau, n_true=None):
     """Solve (tau I + A) u = rhs along axis 1 for a batch of interior
     Dirichlet lines [L, n]: A = (1/h^2) tridiag(-1, 2, -1).  Batched
     Thomas over lines (the scan runs along the unsharded axis, so a
-    line-sharded batch needs no communication)."""
+    line-sharded batch needs no communication).
+
+    ``n_true`` < n marks the line's true Dirichlet length when the batch
+    is zero-padded for divisibility (distributed all_to_all transposes):
+    couplings are cut at the n_true boundary and the pad region solves as
+    identity, so the true-region solution is EXACT — not a perturbed
+    longer line."""
     n = rhs_rows.shape[1]
+    if n_true is None:
+        n_true = n
     inv2 = 1.0 / (h * h)
     dt = rhs_rows.dtype
-    a = jnp.full((n,), -inv2, dt).at[0].set(0.0)
-    b = jnp.full((n,), jnp.asarray(tau, dt) + 2.0 * inv2, dt)
-    c = jnp.full((n,), -inv2, dt).at[-1].set(0.0)
+    j = jnp.arange(n)
+    a = jnp.where((j == 0) | (j >= n_true), 0.0,
+                  jnp.asarray(-inv2, dt))
+    b = jnp.where(j < n_true, jnp.asarray(tau, dt) + 2.0 * inv2,
+                  jnp.asarray(1.0, dt))
+    c = jnp.where(j >= n_true - 1, 0.0, jnp.asarray(-inv2, dt))
     return tridiag.thomas(a, b, c, rhs_rows.T).T
 
 
@@ -85,7 +96,8 @@ def _apply_line_laplacian(u_rows, h):
 
 
 def adi_poisson_sweeps(f_int, hx, hy, tau, n_sweeps: int,
-                       transpose_fn=None, transpose_fn_T=None):
+                       transpose_fn=None, transpose_fn_T=None,
+                       true_shape=None):
     """Peaceman–Rachford ADI for -Lap u = f, u = 0 on the boundary of a
     uniform grid; ``f_int``: interior rhs [ny-1, nx-1] (y-major).
 
@@ -95,20 +107,29 @@ def adi_poisson_sweeps(f_int, hx, hy, tau, n_sweeps: int,
     ``transpose_fn`` maps the y-major interior grid to x-major (and
     ``transpose_fn_T`` back); pass the pair from
     ``make_sharded_transpose`` for the distributed all-to-all version, or
-    leave None for the local ``.T``.  Returns the interior solution
-    [ny-1, nx-1].
+    leave None for the local ``.T``.  ``true_shape`` = (ny_true, nx_true)
+    marks the true interior extents when ``f_int`` is zero-padded for
+    device divisibility — the pad region stays exactly zero (masked
+    applies + identity pad rows in the line solves), so the true-region
+    iteration is unchanged by padding.  Returns the interior solution,
+    same shape as ``f_int``.
     """
     tp = (lambda a: a.T) if transpose_fn is None else transpose_fn
     tpT = (lambda a: a.T) if transpose_fn_T is None else transpose_fn_T
 
     u = jnp.zeros_like(f_int)
     fT = tp(f_int)
+    nx_t = f_int.shape[1] if true_shape is None else true_shape[1]
+    ny_t = fT.shape[1] if true_shape is None else true_shape[0]
+    mx = (jnp.arange(f_int.shape[1]) < nx_t)[None, :]
+    my = (jnp.arange(fT.shape[1]) < ny_t)[None, :]
     for _ in range(n_sweeps):
         uT = tp(u)  # x-major: y-lines along axis 1
-        rhs1 = tpT(tau * uT - _apply_line_laplacian(uT, hy)) + f_int
-        u_star = _line_solve(rhs1, hx, tau)  # x-direction half-step
-        rhs2 = tp(tau * u_star - _apply_line_laplacian(u_star, hx)) + fT
-        uT = _line_solve(rhs2, hy, tau)  # y-direction half-step
+        rhs1 = tpT(my * (tau * uT - _apply_line_laplacian(uT, hy))) + f_int
+        u_star = _line_solve(mx * rhs1, hx, tau, n_true=nx_t)
+        rhs2 = tp(mx * (tau * u_star - _apply_line_laplacian(u_star, hx))) \
+            + fT
+        uT = _line_solve(my * rhs2, hy, tau, n_true=ny_t)
         u = tpT(uT)
     return u
 

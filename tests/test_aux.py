@@ -196,6 +196,56 @@ def test_cli_run2d(capsys):
     assert rec["linf_error"] < 0.1
 
 
+def test_cli_runsharded_with_resume(tmp_path, capsys):
+    """Multi-chip 1D CLI on the 8 virtual devices: JSON metrics + error
+    norms through the distributed read path; second invocation resumes
+    from the checkpoint and skips recompute."""
+    from hybrid_fem_lssvr_tpu import cli
+
+    ck = str(tmp_path / "ck1d")
+    cli.main(["runsharded", "--problem", "poisson_1d", "--num-nodes", "33",
+              "--checkpoint", ck])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "hybrid_solve_sharded"
+    assert rec["devices"] == 8
+    assert rec["linf_error"] < 1e-5
+    assert rec["resumed"] is False
+    cli.main(["runsharded", "--problem", "poisson_1d", "--num-nodes", "33",
+              "--checkpoint", ck])
+    rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["resumed"] is True
+    assert rec2["linf_error"] < 1e-5
+
+
+def test_cli_run2d_sharded_slab_and_grid(tmp_path, capsys):
+    """run2d --mesh slab|grid on the virtual devices: same JSON metrics,
+    load_or_run resume on the grid path."""
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["run2d", "--nx", "8", "--ny", "8", "--M", "4",
+              "--mesh", "slab", "--devices", "4", "--eval-points", "500"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "hybrid_solve_2d_sharded"
+    assert rec["mesh"] == "slab:4"
+    assert rec["linf_error"] < 0.1
+    assert rec["n_fallback"] == 0
+
+    ck = str(tmp_path / "ck2d")
+    args = ["run2d", "--nx", "8", "--ny", "8", "--M", "4",
+            "--mesh", "grid", "--mesh-shape", "2", "4",
+            "--checkpoint", ck, "--eval-points", "500"]
+    cli.main(args)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "hybrid_solve_2d_sharded"
+    assert rec["mesh"] == "grid:2x4"
+    assert rec["linf_error"] < 0.1
+    assert rec["resumed"] is False
+    cli.main(args)
+    rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["resumed"] is True
+    assert rec2["linf_error"] < 0.1
+
+
 def test_cli_adaptive2d(capsys):
     from hybrid_fem_lssvr_tpu import cli
 

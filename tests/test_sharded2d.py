@@ -107,11 +107,11 @@ def test_grid_sharded_2d_varcoeff_matches_single_device():
     cfg = Solver2DConfig(nx=8, ny=8, M=4, n_colloc=4, precond="jacobi")
     single = HybridSolver2D(problem, cfg)
     sol = single.solve()
-    coeffs, ok = make_sharded_solve_2d_grid(problem, cfg,
-                                            pmesh.grid_mesh(2, 4))()
-    np.testing.assert_allclose(np.asarray(coeffs), np.asarray(sol.coeffs),
-                               atol=1e-8)
-    assert bool(jnp.all(ok))
+    out = make_sharded_solve_2d_grid(problem, cfg,
+                                     pmesh.grid_mesh(2, 4))()
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(sol.coeffs), atol=1e-8)
+    assert bool(jnp.all(out.solve_ok))
 
 
 def test_distributed_shifted_helmholtz_matches_single_device():
@@ -221,10 +221,149 @@ def test_grid_sharded_2d_matches_single_device(shape):
     sol = single.solve()
 
     mesh = pmesh.grid_mesh(n_dy, n_dx)
-    coeffs, ok = make_sharded_solve_2d_grid(problem, cfg, mesh)()
-    np.testing.assert_allclose(np.asarray(coeffs), np.asarray(sol.coeffs),
-                               atol=1e-9)
-    assert bool(jnp.all(ok))
+    out = make_sharded_solve_2d_grid(problem, cfg, mesh)()
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(sol.coeffs), atol=1e-9)
+    assert bool(jnp.all(out.solve_ok))
+    # Full observability: fem blocks stitch to the global grid; coarse
+    # convergence surfaced per device.
+    np.testing.assert_allclose(out.assemble_fem_grid(),
+                               np.asarray(sol.fem_values), atol=1e-9)
+    assert out.cg_iters.shape == (n_dy, n_dx)
+    assert bool(jnp.all(out.cg_iters > 0))
+    assert bool(jnp.all(jnp.isfinite(out.max_slack)))
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (2, 2)])
+def test_grid_sharded_multigrid_matches_single_device(shape):
+    """Distributed V-cycle on 2-axis blocks (block-halo restriction with
+    corner-carrying column exchange + gathered serial coarse levels) ==
+    the single-device MG solve, and 'auto' routes to it."""
+    from hybrid_fem_lssvr_tpu.parallel.sharded2d import (
+        make_sharded_solve_2d_grid,
+    )
+
+    n_dy, n_dx = shape
+    problem = poisson_2d()
+    cfg = Solver2DConfig(nx=16, ny=16, M=4, n_colloc=4, precond="mg")
+    single = HybridSolver2D(problem, cfg)
+    sol = single.solve()
+    out = make_sharded_solve_2d_grid(problem, cfg,
+                                     pmesh.grid_mesh(n_dy, n_dx))()
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(sol.coeffs), atol=1e-9)
+    np.testing.assert_allclose(out.assemble_fem_grid(),
+                               np.asarray(sol.fem_values), atol=1e-10)
+    assert bool(jnp.all(out.solve_ok))
+    # auto routes to mg on an MG-eligible grid: same result.
+    cfg_auto = Solver2DConfig(nx=16, ny=16, M=4, n_colloc=4)
+    out_a = make_sharded_solve_2d_grid(problem, cfg_auto,
+                                       pmesh.grid_mesh(n_dy, n_dx))()
+    np.testing.assert_allclose(np.asarray(out_a.coeffs),
+                               np.asarray(out.coeffs), atol=1e-12)
+
+
+def test_grid_sharded_multigrid_mesh_independent_iterations():
+    """CG iteration counts under the distributed block V-cycle stay flat
+    as the grid refines (the defining multigrid property) — the Jacobi
+    path's counts grow, so the comparison is meaningful."""
+    from hybrid_fem_lssvr_tpu.parallel.sharded2d import (
+        make_sharded_solve_2d_grid,
+    )
+
+    problem = poisson_2d()
+    iters = {}
+    for n in (16, 32, 64):
+        cfg = Solver2DConfig(nx=n, ny=n, M=4, n_colloc=4, precond="mg")
+        out = make_sharded_solve_2d_grid(problem, cfg,
+                                         pmesh.grid_mesh(2, 4))()
+        iters[n] = int(np.max(np.asarray(out.cg_iters)))
+        assert bool(jnp.all(out.solve_ok))
+    # Mesh-independence: iterations at 64^2 within 2x of 16^2 (Jacobi
+    # grows ~4x per refinement level here).
+    assert iters[64] <= 2 * iters[16], iters
+
+
+def test_grid_sharded_shifted_helmholtz_matches_single_device():
+    """Indefinite Helmholtz on 2-axis blocks: the distributed SPD-shifted
+    block V-cycle preconditioning distributed BiCGStab == the
+    single-device shifted path ('auto' routes both)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import helmholtz_2d
+    from hybrid_fem_lssvr_tpu.parallel.sharded2d import (
+        make_sharded_solve_2d_grid,
+    )
+
+    problem = helmholtz_2d()
+    cfg = Solver2DConfig(nx=16, ny=16, M=4, n_colloc=4)  # auto -> shifted
+    single = HybridSolver2D(problem, cfg)
+    sol = single.solve()
+    out = make_sharded_solve_2d_grid(problem, cfg, pmesh.grid_mesh(2, 2))()
+    np.testing.assert_allclose(out.assemble_fem_grid(),
+                               np.asarray(sol.fem_values), atol=5e-7)
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(sol.coeffs), atol=5e-6)
+    assert bool(jnp.all(out.solve_ok))
+
+
+@pytest.mark.parametrize("nx", [16, 13])
+def test_distributed_adi_preconditioner_matches_single_device(nx):
+    """precond='adi' in the slab-sharded solve: the in-shard_map
+    all_to_all transpose + pad-aware Peaceman-Rachford sweeps (nx-1 not
+    divisible by devices exercises the zero-pad path) == the
+    single-device ADI solve."""
+    problem = poisson_2d()
+    cfg = Solver2DConfig(nx=nx, ny=16, M=4, n_colloc=4, precond="adi")
+    single = HybridSolver2D(problem, cfg)
+    sol = single.solve()
+    run = make_sharded_solve_2d(problem, cfg, pmesh.element_mesh(4),
+                                distributed_fem=True)
+    out = run()
+    np.testing.assert_allclose(
+        out.assemble_fem_grid(total_ny=cfg.ny),
+        np.asarray(sol.fem_values), atol=1e-11,
+    )
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(sol.coeffs), atol=2e-7)
+    assert bool(jnp.all(out.solve_ok))
+
+
+@pytest.mark.parametrize("prob_name", ["poisson_2d",
+                                       "variable_coeff_elliptic_2d"])
+def test_sharded_graded_2d_matches_single_device(prob_name):
+    """Distributed graded tensor-product solve (slab node-array slicing
+    through the per-element-scalar assembly) == the single-device graded
+    path on a random non-uniform mesh, constant and variable
+    coefficients."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import get_problem_2d
+    from hybrid_fem_lssvr_tpu.models.hybrid2d_graded import (
+        HybridSolver2DGraded,
+    )
+    from hybrid_fem_lssvr_tpu.parallel.sharded2d import (
+        make_sharded_solve_2d_graded,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def graded(n):
+        w = rng.uniform(0.5, 2.0, n)
+        t = np.concatenate([[0.0], np.cumsum(w)])
+        return -1.0 + 2.0 * t / t[-1]
+
+    xs, ys = graded(10), graded(8)
+    problem = get_problem_2d(prob_name)
+    cfg = Solver2DConfig(nx=10, ny=8, M=4, n_colloc=4, precond="jacobi")
+    single = HybridSolver2DGraded(problem, cfg, xs, ys)
+    sol = single.solve()
+    out = make_sharded_solve_2d_graded(problem, cfg,
+                                       pmesh.element_mesh(4), xs, ys)()
+    # fem values match to ~1e-15; the enhancement's kappa (~gamma *
+    # kappa(D)^2) amplifies that rounding difference into the coeffs.
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(sol.coeffs), atol=2e-7)
+    np.testing.assert_allclose(out.assemble_fem_grid(),
+                               np.asarray(sol.fem_values), atol=1e-12)
+    assert bool(jnp.all(out.solve_ok))
+    assert bool(jnp.all(out.cg_iters > 0))
 
 
 @pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
@@ -240,7 +379,7 @@ def test_grid_sharded_evaluate_matches_single_device(shape):
     single = HybridSolver2D(problem, cfg)
     sol = single.solve()
     mesh = pmesh.grid_mesh(n_dy, n_dx)
-    coeffs, _ = make_sharded_solve_2d_grid(problem, cfg, mesh)()
+    coeffs = make_sharded_solve_2d_grid(problem, cfg, mesh)().coeffs
     ev = make_sharded_evaluate_2d_grid(problem, cfg, mesh)
     rng = np.random.default_rng(9)
     x = rng.uniform(-1.2, 1.2, 501)
