@@ -904,7 +904,10 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
                 fem_values, shared, problem.a_var, problem.grad_a,
                 problem.f, problem.g, (x0, hx, y0, hy), cfg.nx, cfg.ny,
                 t_int, bpts, s2=sx * sx + sy * sy,
-                tile=pk.pick_tile(E, 1024),
+                # tile=2048 measured fastest once the 3-pass NZ contraction
+                # cut VMEM+MXU cost (10.69 ms at 1024^2 vs 11.41 at 1024;
+                # 4096 exceeds VMEM) — round 3.
+                tile=pk.pick_tile(E, 2048),
                 with_diagnostics=cfg.diagnostics,
                 f_shifted_fn=problem.f_shifted,
                 method=cfg.varcoeff_method,

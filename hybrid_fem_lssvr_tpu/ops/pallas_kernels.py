@@ -1112,42 +1112,69 @@ def fused_enhance_varcoeff_2d(
 
             # N = G^T G for every element in ONE MXU contraction of the
             # coefficient pair-product fields against the static
-            # pair-symmetrised AZ products.
+            # pair-symmetrised AZ products.  Manual 3-pass bf16 split
+            # (hi/lo error-free-ish decomposition, lo x lo dropped): the
+            # HIGHEST f32 dot costs 6 bf16 MXU passes — measured exactly
+            # its speed-of-light 4.2 ms of the 13 ms kernel at 1024^2 —
+            # while 3 passes lose only ~4e-6 relative in N, a
+            # kappa(N) <= 40 perturbation the semi-normal refinement step
+            # (refine=True) corrects to second order.  Mosaic exposes no
+            # BF16_X3 preset (probe: only DEFAULT/HIGHEST legalise).
             pf = jnp.concatenate([cs[s] * cs[t] for (s, t) in pairs],
                                  axis=0)  # [P C^2, tile]
-            Nf = jnp.dot(nz_r[:], pf, precision=hi,
-                         preferred_element_type=dtype)  # [K^2, tile]
+            bf = jnp.bfloat16
+            nz_hi = nz_r[:].astype(bf)
+            nz_lo = (nz_r[:] - nz_hi.astype(dtype)).astype(bf)
+            pf_hi = pf.astype(bf)
+            pf_lo = (pf - pf_hi.astype(dtype)).astype(bf)
+            lo = jax.lax.Precision.DEFAULT
+
+            def d1(a, b):  # one-pass bf16 MXU dot, f32 accumulate
+                return jnp.dot(a, b, precision=lo,
+                               preferred_element_type=dtype)
+
+            Nf = d1(nz_hi, pf_hi) + d1(nz_hi, pf_lo) + d1(nz_lo, pf_hi)
             # Unrolled lane-batched Cholesky N = L L^T (SPD by
             # construction; kappa(N) = kappa(G)^2 stays tiny — see
-            # docstring).
+            # docstring).  RIGHT-LOOKING form (NUMERICS.md 19's identified
+            # fix): the serial dependency chain through the factorisation
+            # is the (j+1, j+1) update path only — ~5 dependent ops per
+            # column instead of the left-looking j-long subtract chains
+            # (K^2/2 total); all other trailing updates are mutually
+            # independent [1, tile] ops the scheduler can overlap.
+            Ncur = {}
+            for i3 in range(K):
+                for k2 in range(i3 + 1):
+                    Ncur[(i3, k2)] = Nf[i3 * K + k2:i3 * K + k2 + 1]
             L = [[None] * K for _ in range(K)]
             Ld_inv = [None] * K
             for j in range(K):
-                sjj = Nf[j * K + j:j * K + j + 1]
-                for p2 in range(j):
-                    sjj = sjj - L[j][p2] * L[j][p2]
-                Ljj = jnp.sqrt(jnp.maximum(sjj, 0.0))
+                Ljj = jnp.sqrt(jnp.maximum(Ncur[(j, j)], 0.0))
                 L[j][j] = Ljj
                 Ld_inv[j] = 1.0 / (Ljj + eps)
                 for i3 in range(j + 1, K):
-                    sij = Nf[i3 * K + j:i3 * K + j + 1]
-                    for p2 in range(j):
-                        sij = sij - L[i3][p2] * L[j][p2]
-                    L[i3][j] = sij * Ld_inv[j]
+                    L[i3][j] = Ncur[(i3, j)] * Ld_inv[j]
+                for i3 in range(j + 1, K):
+                    for k2 in range(j + 1, i3 + 1):
+                        Ncur[(i3, k2)] = (
+                            Ncur[(i3, k2)] - L[i3][j] * L[k2][j]
+                        )
 
             def chol_solve(bv):  # [K, tile] -> list of K [1, tile]
+                # Column-oriented substitution, same chain-shortening: the
+                # rank-1 updates after each pivot are independent rows.
                 zz = [None] * K
+                rem = [bv[j:j + 1] for j in range(K)]
                 for j in range(K):
-                    acc = bv[j:j + 1]
-                    for p2 in range(j):
-                        acc = acc - L[j][p2] * zz[p2]
-                    zz[j] = acc * Ld_inv[j]
-                yy = [None] * K
-                for j in reversed(range(K)):
-                    acc = zz[j]
+                    zz[j] = rem[j] * Ld_inv[j]
                     for i3 in range(j + 1, K):
-                        acc = acc - L[i3][j] * yy[i3]
-                    yy[j] = acc * Ld_inv[j]
+                        rem[i3] = rem[i3] - L[i3][j] * zz[j]
+                yy = [None] * K
+                remb = [zz[j] for j in range(K)]
+                for j in reversed(range(K)):
+                    yy[j] = remb[j] * Ld_inv[j]
+                    for i3 in range(j):
+                        remb[i3] = remb[i3] - L[j][i3] * yy[j]
                 return yy
 
             ystack = jnp.concatenate(chol_solve(apply_GT(g)), axis=0)
