@@ -392,6 +392,9 @@ def _hybrid_solve_impl(problem: Problem1D, cfg: SolverConfig,
     operator exists, but the fused per-element kernel still applies)."""
     with jax.named_scope("fem_coarse_solve"):
         if cfg.fem_dtype is not None:
+            from ..utils.checks import require_x64
+
+            require_x64(cfg.fem_dtype, "SolverConfig.fem_dtype")
             fd = jnp.dtype(cfg.fem_dtype)
             fem_values = fem_solve(
                 problem, nodes.astype(fd), cfg

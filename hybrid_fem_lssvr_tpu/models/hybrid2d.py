@@ -870,6 +870,9 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
     ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
 
     if cfg.fem_dtype is not None:
+        from ..utils.checks import require_x64
+
+        require_x64(cfg.fem_dtype, "Solver2DConfig.fem_dtype")
         fd = jnp.dtype(cfg.fem_dtype)
         fem_values, cg_res = fem_solve_2d(
             problem, cfg, xs.astype(fd), ys.astype(fd)

@@ -568,6 +568,14 @@ def solve_dual_batched(
     (alpha [E, C] — the LSSVR support values, alpha = gamma * slack — and
     beta [E, K]) as a third output.
     """
+    if D.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        raise ValueError(
+            "the per-element dual path factorises the augmented "
+            "quasi-definite system with LU, which TPU-emulated f64 cannot "
+            "compile (CLAUDE.md); run dual f64 on the CPU x64 backend, or "
+            "use formulation='primal' (f64-TPU-legal via Cholesky/LSE — "
+            "identical solution, measured 1.2e-11 Linf at E=320 on-chip)"
+        )
     gamma = jnp.asarray(gamma, D.dtype)
     E, C, M = D.shape
     if B.ndim == 2:

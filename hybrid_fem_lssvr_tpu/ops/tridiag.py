@@ -275,6 +275,30 @@ def solve(a, b, c, rhs, method: str = "thomas"):
     raise ValueError(f"unknown tridiagonal method: {method}")
 
 
+def gauss_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled Gaussian elimination with partial pivoting for SMALL
+    static n (reduced SPIKE systems, 2*n_devices <= ~32): elementwise +
+    gather ops only, so it compiles under TPU-emulated f64 where LU-based
+    ``jnp.linalg.solve`` does not (CLAUDE.md)."""
+    n = A.shape[0]
+    Ab = jnp.concatenate([A, b[:, None]], axis=1)  # [n, n+1]
+    idx = jnp.arange(n)
+    for k in range(n):
+        p = jnp.argmax(jnp.abs(Ab[k:, k])) + k
+        rowk, rowp = Ab[k], Ab[p]
+        Ab = Ab.at[k].set(rowp).at[p].set(rowk)
+        factors = Ab[:, k] / Ab[k, k]
+        elim = jnp.where(idx > k, factors, 0.0)
+        Ab = Ab - elim[:, None] * Ab[k][None, :]
+    x = jnp.zeros((n,), A.dtype)
+    for k in reversed(range(n)):
+        acc = Ab[k, n]
+        if k + 1 < n:
+            acc = acc - jnp.sum(Ab[k, k + 1:n] * x[k + 1:n])
+        x = x.at[k].set(acc / Ab[k, k])
+    return x
+
+
 def to_dense(a, b, c) -> jnp.ndarray:
     """Materialise the tridiagonal system as a dense [N, N] matrix (tests)."""
     N = b.shape[0]

@@ -119,7 +119,10 @@ def _spike_solve(sub, diag, sup, rhs, l_coup, u_coup, d, n_dev, axis):
     e0 = jnp.zeros(E_loc, dtype).at[0].set(1.0)
     eR = jnp.zeros(E_loc, dtype).at[-1].set(1.0)
     rhs3 = jnp.stack([rhs, l_coup * e0, u_coup * eR], axis=1)  # [E_loc, 3]
-    sol3 = tridiag.thomas(sub, diag, sup, rhs3)
+    # 'auto': Thomas for small slabs, blocked SPIKE beyond 8192 rows — a
+    # length-E_loc sequential scan serialises the TPU (measured ~7 s for
+    # one 2^20-row slab on a 1-device mesh vs ~ms blocked).
+    sol3 = tridiag.solve(sub, diag, sup, rhs3, method="auto")
     g, v, w = sol3[:, 0], sol3[:, 1], sol3[:, 2]
 
     # Reduced system over boundary unknowns (x_first, x_last) per device:
@@ -139,7 +142,9 @@ def _spike_solve(sub, diag, sup, rhs, l_coup, u_coup, d, n_dev, axis):
             R = R.at[2 * dd, 2 * (dd + 1)].set(w1)
             R = R.at[2 * dd + 1, 2 * (dd + 1)].set(wR)
         rr = rr.at[2 * dd].set(g1).at[2 * dd + 1].set(gR)
-    y = jnp.linalg.solve(R, rr)  # 2*n_dev, solved redundantly per device
+    # 2*n_dev unknowns, solved redundantly per device; unrolled pivoted
+    # Gauss keeps the path TPU-emulated-f64-legal (LU is not).
+    y = tridiag.gauss_small(R, rr)
 
     xl = jnp.where(d > 0, y[jnp.maximum(2 * (d - 1) + 1, 0)], 0.0)
     xr = jnp.where(
@@ -170,6 +175,10 @@ def make_sharded_solve(problem: Problem1D, cfg: SolverConfig, mesh,
     E_loc = -(-E_total // n_dev)  # ceil: tail slabs carry dummy padding
     if E_loc < 2:
         raise ValueError("need at least 2 elements per device")
+    if cfg.fem_dtype is not None:
+        from ..utils.checks import require_x64
+
+        require_x64(cfg.fem_dtype, "SolverConfig.fem_dtype")
     dtype = cfg.jnp_dtype()
     shared = prepare_shared_host(problem, cfg)
     if shared is not None:
@@ -181,23 +190,32 @@ def make_sharded_solve(problem: Problem1D, cfg: SolverConfig, mesh,
 
     def local_step(shared_ops):
         d = jax.lax.axis_index(axis)
-        nodes_loc = _local_nodes(problem, E_total, E_loc, d, dtype)
+        # Coarse-stage dtype override (cfg.fem_dtype — the FEM system's
+        # kappa ~ N^2 makes a pure-f32 coarse solve meaningless past ~1e3
+        # elements, models/hybrid.py): assembly + SPIKE run in fd
+        # (TPU-emulated f64 is elementwise/scan-legal), nodal values cast
+        # back to the run dtype for the enhancement fast path.
+        fd = jnp.dtype(cfg.fem_dtype) if cfg.fem_dtype is not None \
+            else dtype
+        nodes_f = _local_nodes(problem, E_total, E_loc, d, fd)
         sub, diag, sup, rhs, l_coup, u_coup = _local_assembly(
-            problem, cfg, nodes_loc, d, n_dev, axis, E_total
+            problem, cfg, nodes_f, d, n_dev, axis, E_total
         )
         x_loc, xl = _spike_solve(
             sub, diag, sup, rhs, l_coup, u_coup, d, n_dev, axis
         )
+        nodes_loc = nodes_f.astype(dtype)
         # Local nodal values (E_loc + 1): left interface then local interior;
         # edge devices overwrite their outermost value with Dirichlet data.
-        g_l = jnp.asarray(problem.g_left, dtype)
-        g_r = jnp.asarray(problem.g_right, dtype)
+        g_l = jnp.asarray(problem.g_left, fd)
+        g_r = jnp.asarray(problem.g_right, fd)
         left_val = jnp.where(d == 0, g_l, xl)
-        fem_loc = jnp.concatenate([left_val[None], x_loc])
+        fem_loc = jnp.concatenate([left_val[None], x_loc]).astype(dtype)
         # The global right-boundary node (index E_total) may sit mid-slab
         # when E_total does not divide evenly; mask by global node id.
         node_ids = d * E_loc + jnp.arange(E_loc + 1)
-        fem_loc = jnp.where(node_ids == E_total, g_r, fem_loc)
+        fem_loc = jnp.where(node_ids == E_total, g_r.astype(dtype),
+                            fem_loc)
         # Boundary-element bc overrides are no-ops here because fem_loc holds
         # the exact Dirichlet data at the boundary nodes (masked above);
         # touches_right=False avoids overriding a padded tail element.

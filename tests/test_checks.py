@@ -45,3 +45,27 @@ def test_nan_guard_scoped():
     with checks.nan_guard():
         assert jax.config.jax_debug_nans
     assert jax.config.jax_debug_nans == prev
+
+
+def test_require_x64_guard():
+    """fem_dtype='float64' without jax_enable_x64 must raise, not silently
+    truncate to f32 (observed: sharded solve returned linf 2.45e-1 with
+    only a UserWarning before the guard existed)."""
+    import pytest
+
+    from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
+    from hybrid_fem_lssvr_tpu.parallel.sharded import make_sharded_solve
+
+    checks.require_x64("float64", "ctx")  # x64 on (conftest): no raise
+    checks.require_x64("float32", "ctx")  # f32 never raises
+    try:
+        jax.config.update("jax_enable_x64", False)
+        with pytest.raises(ValueError, match="float64"):
+            checks.require_x64("float64", "ctx")
+        p = problems.poisson_1d()
+        cfg = SolverConfig(num_nodes=101, dtype="float32",
+                           fem_dtype="float64")
+        with pytest.raises(ValueError, match="float64"):
+            make_sharded_solve(p, cfg, pmesh.element_mesh(2))
+    finally:
+        jax.config.update("jax_enable_x64", True)
