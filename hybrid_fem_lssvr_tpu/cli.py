@@ -381,6 +381,43 @@ def cmd_run2d(args):
     )
 
 
+def cmd_run3d(args):
+    from .models.hybrid3d import (
+        HybridSolver3D, Solver3DConfig, get_problem_3d,
+    )
+
+    if getattr(args, "x64", False):
+        jax.config.update("jax_enable_x64", True)
+    em = M.MetricsEmitter()
+    problem = get_problem_3d(getattr(args, "problem", "poisson_3d"))
+    cfg = Solver3DConfig(nx=args.nx, ny=args.ny, nz=args.nz, M=args.M,
+                         n_colloc=args.M, dtype=args.dtype,
+                         precond=getattr(args, "precond", "auto"),
+                         fem_dtype=getattr(args, "fem_dtype", None))
+    solver = HybridSolver3D(problem, cfg)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = solver.solve()
+        jax.block_until_ready(sol.coeffs)
+    rng = np.random.default_rng(0)
+    d = problem.domain
+    xq = rng.uniform(d[0], d[1], args.eval_points)
+    yq = rng.uniform(d[2], d[3], args.eval_points)
+    zq = rng.uniform(d[4], d[5], args.eval_points)
+    linf, l2 = solver.errors(xq, yq, zq)
+    em.emit(
+        "hybrid_solve_3d",
+        problem=problem.name,
+        elements=cfg.nx * cfg.ny * cfg.nz,
+        M=cfg.M,
+        solve_sec=rec["solve_sec"],
+        cg_iters=int(sol.cg_iters),
+        linf_error=float(linf),
+        l2_error=float(l2),
+        n_fallback=int(jnp.sum(~sol.solve_ok)),
+    )
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="hybrid_fem_lssvr_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -502,6 +539,26 @@ def build_parser():
                     metavar=("DY", "DX"),
                     help="device grid for --mesh grid")
     sp.set_defaults(fn=cmd_run2d)
+
+    sp = sub.add_parser(
+        "run3d", help="3D families on structured hexes (Poisson, "
+        "Helmholtz, advection-diffusion)")
+    sp.add_argument("--problem", default="poisson_3d",
+                    choices=["poisson_3d", "poisson_3d_inhomogeneous",
+                             "helmholtz_3d", "advection_diffusion_3d"])
+    sp.add_argument("--nx", type=int, default=16)
+    sp.add_argument("--ny", type=int, default=16)
+    sp.add_argument("--nz", type=int, default=16)
+    sp.add_argument("--M", type=int, default=4)
+    sp.add_argument("--dtype", default=None,
+                    choices=[None, "float32", "float64"])
+    sp.add_argument("--fem-dtype", default=None,
+                    choices=[None, "float32", "float64"])
+    sp.add_argument("--x64", action="store_true")
+    sp.add_argument("--precond", default="auto",
+                    choices=["auto", "jacobi", "mg", "shifted"])
+    sp.add_argument("--eval-points", type=int, default=2000)
+    sp.set_defaults(fn=cmd_run3d)
     return p
 
 

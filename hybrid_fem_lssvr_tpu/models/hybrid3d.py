@@ -1,0 +1,554 @@
+"""3D Poisson-family solver on structured hex meshes: Q1 FEM +
+tensor-product LSSVR enhancement.
+
+The 2D architecture (``models/hybrid2d.py``) extends tensorially — the
+reference itself is 1D-only (``Hybrid-FEM-LSSVR.py:8-18``), so 3D is a
+beyond-reference capability on the same two-stage design:
+
+* coarse stage: matrix-free Q1 hex stiffness (``ops/assembly3d``) +
+  Jacobi- or V-cycle-preconditioned CG (``ops/cg``, ``ops/multigrid``);
+* enhancement: per element a tensor-product Legendre expansion
+  u = sum_{kz,ky,kx} w[kz,ky,kx] P_kz(tz) P_ky(ty) P_kx(tx), constrained
+  by L u = f at a C^3 interior collocation grid and by pinning the
+  element-boundary trace to the Q1 FEM trilinear trace at the surface
+  points of the M^3 tensor grid.  A degree-(M-1)^3 tensor polynomial
+  vanishing on all six faces is divisible by (1-tx^2)(1-ty^2)(1-tz^2),
+  so the trace space has dimension M^3 - (M-2)^3 — exactly the number of
+  surface points of the M^3 grid, and each face carries a full MxM
+  tensor grid, so point values there determine the trace: B is square
+  and full-rank on the trace, the 3D analog of ``_boundary_coords``.
+* Every element shares the same D [C^3, M^3] and B [S, M^3] on a
+  uniform mesh, so the whole enhancement is the same two-matmul affine
+  map as 1D/2D, precomputed host-side in float64 via the null-space LSE
+  algebra (the 3D Laplacian has (M-2)^3 discrete-harmonic null
+  directions — the gamma-form normal equations are unusable, same
+  rationale as ``kkt.precompute_shared_lse_host``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import assembly3d, cg, kkt, legendre
+
+
+@dataclasses.dataclass(frozen=True)
+class Problem3D:
+    """L u = -a0 Lap(u) + b . grad(u) + c u = f on a box, u = g on the
+    boundary.  Constant coefficients keep the per-element operators shared
+    across the uniform mesh (the 3D analog of ``Problem2D``)."""
+
+    name: str
+    f: Callable  # f(x, y, z)
+    g: Callable  # Dirichlet data g(x, y, z)
+    domain: Tuple[float, ...] = (-1.0, 1.0, -1.0, 1.0, -1.0, 1.0)
+    exact: Optional[Callable] = None
+    a0: float = 1.0
+    c: float = 0.0  # reaction (c < 0: Helmholtz -> BiCGStab coarse stage)
+    b: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+def poisson_3d() -> Problem3D:
+    """-Lap u = 3 pi^2 sin(pi x) sin(pi y) sin(pi z), exact
+    u = sin(pi x) sin(pi y) sin(pi z)."""
+    pi = jnp.pi
+    return Problem3D(
+        name="poisson_3d",
+        f=lambda x, y, z: 3.0 * pi**2 * jnp.sin(pi * x) * jnp.sin(pi * y)
+        * jnp.sin(pi * z),
+        g=lambda x, y, z: jnp.zeros_like(x + y + z),
+        exact=lambda x, y, z: jnp.sin(pi * x) * jnp.sin(pi * y)
+        * jnp.sin(pi * z),
+    )
+
+
+def poisson_3d_inhomogeneous() -> Problem3D:
+    """-Lap u = 3 pi^2 cos(pi x) cos(pi y) cos(pi z), exact
+    u = cos(pi x) cos(pi y) cos(pi z) — nonzero Dirichlet trace exercises
+    the face g-override masks end-to-end (reference
+    ``Hybrid-FEM-LSSVR.py:67-79`` semantics, lifted to faces)."""
+    pi = jnp.pi
+
+    def u(x, y, z):
+        return jnp.cos(pi * x) * jnp.cos(pi * y) * jnp.cos(pi * z)
+
+    return Problem3D(
+        name="poisson_3d_inhomogeneous",
+        f=lambda x, y, z: 3.0 * pi**2 * u(x, y, z),
+        g=u,
+        exact=u,
+    )
+
+
+def helmholtz_3d(k: float = 2.0) -> Problem3D:
+    """-Lap u - k^2 u with exact u = sin(pi x) sin(pi y) sin(pi z) — the
+    3D indefinite family (coarse stage routes to BiCGStab with the
+    shifted-Laplacian V-cycle, as in 2D)."""
+    pi = float(np.pi)
+
+    def u(x, y, z):
+        return jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y) * jnp.sin(jnp.pi * z)
+
+    amp = 3.0 * pi * pi - k * k
+    return Problem3D(
+        name="helmholtz_3d",
+        f=lambda x, y, z: amp * u(x, y, z),
+        g=lambda x, y, z: jnp.zeros_like(x + y + z),
+        exact=u,
+        c=-k * k,
+    )
+
+
+def advection_diffusion_3d(bx: float = 2.0, by: float = 1.0,
+                           bz: float = 0.5) -> Problem3D:
+    """-Lap u + b . grad u = f with exact u = sin(pi x) sin(pi y) sin(pi z)
+    (nonsymmetric coarse system -> BiCGStab)."""
+    pi = jnp.pi
+
+    def u(x, y, z):
+        return jnp.sin(pi * x) * jnp.sin(pi * y) * jnp.sin(pi * z)
+
+    def f(x, y, z):
+        sx, cx = jnp.sin(pi * x), jnp.cos(pi * x)
+        sy, cy = jnp.sin(pi * y), jnp.cos(pi * y)
+        sz, cz = jnp.sin(pi * z), jnp.cos(pi * z)
+        return (3.0 * pi**2 * sx * sy * sz
+                + bx * pi * cx * sy * sz
+                + by * pi * sx * cy * sz
+                + bz * pi * sx * sy * cz)
+
+    return Problem3D(
+        name="advection_diffusion_3d", f=f,
+        g=lambda x, y, z: jnp.zeros_like(x + y + z),
+        exact=u, b=(bx, by, bz),
+    )
+
+
+_PROBLEMS_3D = {
+    "poisson_3d": poisson_3d,
+    "poisson_3d_inhomogeneous": poisson_3d_inhomogeneous,
+    "helmholtz_3d": helmholtz_3d,
+    "advection_diffusion_3d": advection_diffusion_3d,
+}
+
+
+def get_problem_3d(name: str, **kwargs) -> Problem3D:
+    """Registry lookup mirroring ``get_problem_2d`` for the 3D families."""
+    try:
+        return _PROBLEMS_3D[name](**kwargs)
+    except KeyError:
+        raise ValueError(
+            f"unknown 3D problem {name!r}; available: "
+            f"{sorted(_PROBLEMS_3D)}"
+        ) from None
+
+
+@dataclasses.dataclass(frozen=True)
+class Solver3DConfig:
+    nx: int = 8  # elements per dimension
+    ny: int = 8
+    nz: int = 8
+    M: int = 4  # Legendre basis size per dimension (M^3 coefficients)
+    gamma: float = 1.0e4  # kept for API parity; the LSE path is gamma-free
+    n_colloc: int = 4  # collocation grid per dimension (C^3 PDE rows)
+    cg_tol: Optional[float] = None  # None -> 100 * dtype eps (relative)
+    cg_maxiter: int = 2000
+    precond: str = "auto"  # 'auto' | 'jacobi' | 'mg' | 'shifted'
+    diagnostics: bool = True
+    dtype: Optional[str] = None
+    fem_dtype: Optional[str] = None  # 'float64': coarse stage in
+    # (TPU-emulated) f64 — elementwise/reduction ops only, TPU-legal
+
+    def jnp_dtype(self):
+        if self.dtype is not None:
+            return jnp.dtype(self.dtype)
+        return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+class Solution3D(NamedTuple):
+    xs: jnp.ndarray  # [nx+1]
+    ys: jnp.ndarray  # [ny+1]
+    zs: jnp.ndarray  # [nz+1]
+    fem_values: jnp.ndarray  # [nz+1, ny+1, nx+1]
+    coeffs: jnp.ndarray  # [nz, ny, nx, M, M, M]  (kz, ky, kx ordering)
+    cg_iters: jnp.ndarray
+    cg_residual: jnp.ndarray
+    max_slack: jnp.ndarray  # [nz, ny, nx]
+    bc_violation: jnp.ndarray  # [nz, ny, nx]
+    solve_ok: jnp.ndarray  # [nz, ny, nx]
+    cond_estimate: jnp.ndarray = None
+
+
+def _surface_coords(M: int):
+    """Surface points of the M^3 tensor grid on [-1, 1]^3: exactly
+    M^3 - (M-2)^3 points = dim of the tensor-polynomial trace space (see
+    module docstring), ordered (tz, ty, tx) lexicographically."""
+    tb = np.linspace(-1.0, 1.0, M)
+    pts = []
+    for iz, tz in enumerate(tb):
+        for iy, ty in enumerate(tb):
+            for ix, tx in enumerate(tb):
+                on_surf = (
+                    iz in (0, M - 1) or iy in (0, M - 1)
+                    or ix in (0, M - 1)
+                )
+                if on_surf:
+                    pts.append((tz, ty, tx))
+    return np.array(pts)  # [M^3 - (M-2)^3, 3]
+
+
+def prepare_shared_3d(problem: Problem3D, cfg: Solver3DConfig):
+    """Host float64 precompute of the shared 3D operators -> the affine
+    map (f, bc) -> w via the null-space LSE algebra.
+
+    PDE collocation uses INTERIOR points only (3D analog of the 2D rule:
+    on faces/edges/corners some second-derivative terms carry vanishing
+    trace factors, polluting the least-squares fit)."""
+    x0, x1, y0, y1, z0, z1 = problem.domain
+    hx = (x1 - x0) / cfg.nx
+    hy = (y1 - y0) / cfg.ny
+    hz = (z1 - z0) / cfg.nz
+    M, C = cfg.M, cfg.n_colloc
+    t_int = np.linspace(-1.0, 1.0, C + 2)[1:-1]
+    V0, V1, V2 = legendre.vandermonde_host(t_int, M)
+    sx, sy, sz = 2.0 / hx, 2.0 / hy, 2.0 / hz
+
+    def t3(Az, Ay, Ax):
+        # rows (iz, iy, ix) x cols (kz, ky, kx), both row-major
+        return np.einsum("zk,yl,xm->zyxklm", Az, Ay, Ax).reshape(
+            C * C * C, M * M * M
+        )
+
+    Dt = -problem.a0 * (
+        sx * sx * t3(V0, V0, V2)
+        + sy * sy * t3(V0, V2, V0)
+        + sz * sz * t3(V2, V0, V0)
+    )
+    bx, by, bz = problem.b
+    if bx != 0.0:
+        Dt = Dt + bx * sx * t3(V0, V0, V1)
+    if by != 0.0:
+        Dt = Dt + by * sy * t3(V0, V1, V0)
+    if bz != 0.0:
+        Dt = Dt + bz * sz * t3(V1, V0, V0)
+    if problem.c != 0.0:
+        Dt = Dt + problem.c * t3(V0, V0, V0)
+
+    spts = _surface_coords(M)
+    Vz_b = legendre.vandermonde_host(spts[:, 0], M)[0]  # [S, M]
+    Vy_b = legendre.vandermonde_host(spts[:, 1], M)[0]
+    Vx_b = legendre.vandermonde_host(spts[:, 2], M)[0]
+    B = np.einsum("pk,pl,pm->pklm", Vz_b, Vy_b, Vx_b).reshape(
+        -1, M * M * M
+    )
+    shared = kkt.precompute_shared_lse_host(Dt, B, cfg.jnp_dtype())
+    return shared, (jnp.asarray(t_int), jnp.asarray(spts))
+
+
+def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
+    """Coarse Q1 nodal values on the hex grid via preconditioned CG
+    (SPD) or BiCGStab (advection / indefinite Helmholtz)."""
+    dtype = xs.dtype
+    hx = float((problem.domain[1] - problem.domain[0]) / cfg.nx)
+    hy = float((problem.domain[3] - problem.domain[2]) / cfg.ny)
+    hz = float((problem.domain[5] - problem.domain[4]) / cfg.nz)
+    bx, by, bz = problem.b
+    K_loc = jnp.asarray(
+        assembly3d.q1_local_operator_3d(hx, hy, hz, problem.a0, problem.c,
+                                        bx, by, bz),
+        dtype,
+    )
+
+    def apply_op(v):
+        return assembly3d.apply_stiffness_3d(v, K_loc)
+
+    spd = bx == 0.0 and by == 0.0 and bz == 0.0 and problem.c >= 0.0
+
+    b = assembly3d.assemble_load_3d(xs, ys, zs, problem.f)
+    nz1, ny1, nx1 = zs.shape[0], ys.shape[0], xs.shape[0]
+    interior = jnp.zeros((nz1, ny1, nx1), bool).at[1:-1, 1:-1, 1:-1].set(
+        True
+    )
+    X = xs[None, None, :]
+    Y = ys[None, :, None]
+    Z = zs[:, None, None]
+    g_grid = problem.g(X, Y, Z) * jnp.ones((nz1, ny1, nx1), dtype)
+    u_bc = jnp.where(interior, 0.0, g_grid)
+
+    def apply_free(v):
+        return jnp.where(interior, apply_op(v * interior), 0.0)
+
+    rhs = jnp.where(interior, b - apply_op(u_bc), 0.0)
+
+    precond = cfg.precond
+    if precond == "auto":
+        mg_ok = (
+            cfg.nx % 2 == 0 and cfg.ny % 2 == 0 and cfg.nz % 2 == 0
+            and min(cfg.nx, cfg.ny, cfg.nz) >= 8
+        )
+        if mg_ok:
+            precond = "mg" if problem.c >= 0.0 else "shifted"
+        else:
+            precond = "jacobi"
+    if precond in ("mg", "shifted"):
+        from ..ops import multigrid
+
+        c_eff = abs(problem.c) if precond == "shifted" else problem.c
+
+        def loc_for_level(lvl):
+            s = float(2 ** lvl)
+            return jnp.asarray(
+                assembly3d.q1_local_operator_3d(
+                    hx * s, hy * s, hz * s, problem.a0, c_eff, bx, by, bz
+                ),
+                dtype,
+            )
+
+        M_inv = multigrid.make_vcycle_3d(
+            nz1, ny1, nx1, loc_for_level(0), dtype,
+            loc_for_level=loc_for_level,
+        )
+    else:
+        diag = assembly3d.stiffness_diag_3d((nz1, ny1, nx1), K_loc, dtype)
+        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+    solver = cg.cg if spd else cg.bicgstab
+    res = solver(apply_free, rhs, M_inv=M_inv, tol=tol,
+                 maxiter=cfg.cg_maxiter)
+    u = u_bc + jnp.where(interior, res.x, 0.0)
+    return u, res
+
+
+def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
+                     fem_values, t_int, spts):
+    """Per-element collocation rhs [E, C^3] and boundary-trace values
+    [E, S]: the FEM trilinear trace at the surface points, overridden by g
+    on domain-boundary faces (the 3D lift of ``_element_data_2d``)."""
+    dtype = xs.dtype
+    C = cfg.n_colloc
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    E = nx * ny * nz
+    t = jnp.asarray(t_int, dtype)
+    hx = xs[1] - xs[0]
+    hy = ys[1] - ys[0]
+    hz = zs[1] - zs[0]
+    xq = xs[:-1][:, None] + 0.5 * hx * (t[None, :] + 1.0)  # [nx, C]
+    yq = ys[:-1][:, None] + 0.5 * hy * (t[None, :] + 1.0)
+    zq = zs[:-1][:, None] + 0.5 * hz * (t[None, :] + 1.0)
+    # f on [nz, Cz, ny, Cy, nx, Cx] -> rows (iz, iy, ix) row-major to
+    # match prepare_shared_3d's t3 row order (z slowest, x fastest).
+    F = problem.f(
+        xq[None, None, None, None, :, :],
+        yq[None, None, :, :, None, None],
+        zq[:, :, None, None, None, None],
+    )
+    F = F * jnp.ones((nz, C, ny, C, nx, C), dtype)
+    f_rows = jnp.transpose(F, (0, 2, 4, 1, 3, 5)).reshape(E, C * C * C)
+
+    # 8 corner values, a = 4cz + 2cy + cx (assembly3d order)
+    cs = assembly3d._corners_3d(fem_values)
+    tzp = jnp.asarray(spts[:, 0], dtype)  # [S]
+    typ = jnp.asarray(spts[:, 1], dtype)
+    txp = jnp.asarray(spts[:, 2], dtype)
+    w1 = ((1 - txp), (1 + txp))
+    w2 = ((1 - typ), (1 + typ))
+    w3 = ((1 - tzp), (1 + tzp))
+    trace = 0.0
+    a = 0
+    for cz in range(2):
+        for cy in range(2):
+            for cx in range(2):
+                N = 0.125 * w3[cz] * w2[cy] * w1[cx]  # [S]
+                trace = trace + cs[a][..., None] * N
+                a += 1
+    # trace: [nz, ny, nx, S]
+
+    # Domain-boundary override: surface points on faces of boundary
+    # elements take g exactly.
+    ex = jnp.arange(nx)
+    ey = jnp.arange(ny)
+    ez = jnp.arange(nz)
+    xm = 0.5 * (xs[1:] + xs[:-1])
+    ym = 0.5 * (ys[1:] + ys[:-1])
+    zm = 0.5 * (zs[1:] + zs[:-1])
+    xp = (xm[:, None] + 0.5 * hx * txp[None, :])[None, None, :, :]
+    yp = (ym[:, None] + 0.5 * hy * typ[None, :])[None, :, None, :]
+    zp = (zm[:, None] + 0.5 * hz * tzp[None, :])[:, None, None, :]
+    on_bdry = (
+        ((ex[None, None, :, None] == 0) & (txp == -1.0))
+        | ((ex[None, None, :, None] == nx - 1) & (txp == 1.0))
+        | ((ey[None, :, None, None] == 0) & (typ == -1.0))
+        | ((ey[None, :, None, None] == ny - 1) & (typ == 1.0))
+        | ((ez[:, None, None, None] == 0) & (tzp == -1.0))
+        | ((ez[:, None, None, None] == nz - 1) & (tzp == 1.0))
+    )
+    gvals = problem.g(xp, yp, zp) * jnp.ones_like(trace)
+    bc_rows = jnp.where(on_bdry, gvals, trace)
+    return f_rows, bc_rows.reshape(E, -1), cs
+
+
+def _trilinear_fallback_coeffs(cs, M):
+    """Tensor-Legendre coefficients of the Q1 trilinear interpolant — the
+    3D analog of the reference's linear fallback (``:171-176``).  Corner
+    order a = 4cz + 2cy + cx; P0 = 1, P1 = t, so the interpolant expands
+    over products of (1 +/- t)/2 per axis."""
+    nz, ny, nx = cs[0].shape
+    c = jnp.zeros((nz, ny, nx, M, M, M), cs[0].dtype)
+    # u = sum_a u_a prod_axis (1 + s_axis t_axis)/2, s = -1 or +1
+    for a in range(8):
+        szn = 1.0 if (a >> 2) & 1 else -1.0
+        syn = 1.0 if (a >> 1) & 1 else -1.0
+        sxn = 1.0 if a & 1 else -1.0
+        ua = 0.125 * cs[a]
+        c = c.at[:, :, :, 0, 0, 0].add(ua)
+        c = c.at[:, :, :, 0, 0, 1].add(ua * sxn)
+        c = c.at[:, :, :, 0, 1, 0].add(ua * syn)
+        c = c.at[:, :, :, 1, 0, 0].add(ua * szn)
+        c = c.at[:, :, :, 0, 1, 1].add(ua * syn * sxn)
+        c = c.at[:, :, :, 1, 0, 1].add(ua * szn * sxn)
+        c = c.at[:, :, :, 1, 1, 0].add(ua * szn * syn)
+        c = c.at[:, :, :, 1, 1, 1].add(ua * szn * syn * sxn)
+    return c
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def hybrid_solve_3d(problem: Problem3D, cfg: Solver3DConfig,
+                    shared_bundle) -> Solution3D:
+    shared, (t_int, spts) = shared_bundle
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = problem.domain
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    zs = jnp.linspace(z0, z1, cfg.nz + 1, dtype=dtype)
+
+    if cfg.fem_dtype is not None:
+        from ..utils.checks import require_x64
+
+        require_x64(cfg.fem_dtype, "Solver3DConfig.fem_dtype")
+        fd = jnp.dtype(cfg.fem_dtype)
+        fem_values, cg_res = fem_solve_3d(
+            problem, cfg, xs.astype(fd), ys.astype(fd), zs.astype(fd)
+        )
+        fem_values = fem_values.astype(dtype)
+    else:
+        fem_values, cg_res = fem_solve_3d(problem, cfg, xs, ys, zs)
+
+    f_rows, bc_rows, cs = _element_data_3d(
+        problem, cfg, xs, ys, zs, fem_values, t_int, spts
+    )
+    w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+    M = cfg.M
+    shp = (cfg.nz, cfg.ny, cfg.nx)
+    coeffs = w.reshape(*shp, M, M, M)
+    fb = _trilinear_fallback_coeffs(cs, M)
+    ok = diags.solve_ok.reshape(shp)
+    coeffs = jnp.where(
+        ok[..., None, None, None],
+        jnp.where(jnp.isfinite(coeffs), coeffs, 0.0), fb,
+    )
+    return Solution3D(
+        xs=xs, ys=ys, zs=zs, fem_values=fem_values, coeffs=coeffs,
+        cg_iters=cg_res.iters, cg_residual=cg_res.residual,
+        max_slack=diags.max_slack.reshape(shp),
+        bc_violation=diags.bc_violation.reshape(shp),
+        solve_ok=ok,
+        cond_estimate=shared.cond,
+    )
+
+
+def evaluate_3d(sol: Solution3D, x, y, z):
+    """u(x, y, z) at query points [P] — O(1) uniform-grid lookup + batched
+    tensor-Legendre contraction (3D analog of ``evaluate_2d``; clamps
+    outside the domain like the reference ``:198-209``)."""
+    xs, ys, zs = sol.xs, sol.ys, sol.zs
+    nx, ny, nz = xs.shape[0] - 1, ys.shape[0] - 1, zs.shape[0] - 1
+    hx, hy, hz = xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0]
+    ix = jnp.clip(jnp.floor((x - xs[0]) / hx).astype(jnp.int32), 0, nx - 1)
+    iy = jnp.clip(jnp.floor((y - ys[0]) / hy).astype(jnp.int32), 0, ny - 1)
+    iz = jnp.clip(jnp.floor((z - zs[0]) / hz).astype(jnp.int32), 0, nz - 1)
+    tx = (2.0 * x - xs[ix] - xs[ix + 1]) / hx
+    ty = (2.0 * y - ys[iy] - ys[iy + 1]) / hy
+    tz = (2.0 * z - zs[iz] - zs[iz + 1]) / hz
+    M = sol.coeffs.shape[-1]
+    (Vx,) = legendre.legendre_vandermonde(tx, M, num_derivs=0)  # [P, M]
+    (Vy,) = legendre.legendre_vandermonde(ty, M, num_derivs=0)
+    (Vz,) = legendre.legendre_vandermonde(tz, M, num_derivs=0)
+    W = sol.coeffs[iz, iy, ix]  # [P, M(kz), M(ky), M(kx)]
+    return jnp.einsum("pk,pklm,pl,pm->p", Vz, W, Vy, Vx,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def evaluate_3d_gradient(sol: Solution3D, x, y, z):
+    """(du/dx, du/dy, du/dz) at query points [P] — derivative Vandermonde
+    per axis with chain factors 2/h."""
+    xs, ys, zs = sol.xs, sol.ys, sol.zs
+    nx, ny, nz = xs.shape[0] - 1, ys.shape[0] - 1, zs.shape[0] - 1
+    hx, hy, hz = xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0]
+    ix = jnp.clip(jnp.floor((x - xs[0]) / hx).astype(jnp.int32), 0, nx - 1)
+    iy = jnp.clip(jnp.floor((y - ys[0]) / hy).astype(jnp.int32), 0, ny - 1)
+    iz = jnp.clip(jnp.floor((z - zs[0]) / hz).astype(jnp.int32), 0, nz - 1)
+    tx = (2.0 * x - xs[ix] - xs[ix + 1]) / hx
+    ty = (2.0 * y - ys[iy] - ys[iy + 1]) / hy
+    tz = (2.0 * z - zs[iz] - zs[iz + 1]) / hz
+    M = sol.coeffs.shape[-1]
+    Vx, Vx1 = legendre.legendre_vandermonde(tx, M, num_derivs=1)
+    Vy, Vy1 = legendre.legendre_vandermonde(ty, M, num_derivs=1)
+    Vz, Vz1 = legendre.legendre_vandermonde(tz, M, num_derivs=1)
+    W = sol.coeffs[iz, iy, ix]
+    hi = jax.lax.Precision.HIGHEST
+    ux = (2.0 / hx) * jnp.einsum("pk,pklm,pl,pm->p", Vz, W, Vy, Vx1,
+                                 precision=hi)
+    uy = (2.0 / hy) * jnp.einsum("pk,pklm,pl,pm->p", Vz, W, Vy1, Vx,
+                                 precision=hi)
+    uz = (2.0 / hz) * jnp.einsum("pk,pklm,pl,pm->p", Vz1, W, Vy, Vx,
+                                 precision=hi)
+    return ux, uy, uz
+
+
+class HybridSolver3D:
+    """Facade mirroring the 1D/2D API for structured-hex 3D problems."""
+
+    def __init__(self, problem: Problem3D,
+                 config: Solver3DConfig = Solver3DConfig()):
+        self.problem = problem
+        self.config = config
+        self._shared = prepare_shared_3d(problem, config)
+        self.solution: Optional[Solution3D] = None
+
+    def solve(self) -> Solution3D:
+        self.solution = hybrid_solve_3d(self.problem, self.config,
+                                        self._shared)
+        return self.solution
+
+    def evaluate_solution(self, x, y, z):
+        assert self.solution is not None
+        dtype = self.solution.xs.dtype
+        return evaluate_3d(self.solution, jnp.asarray(x, dtype),
+                           jnp.asarray(y, dtype), jnp.asarray(z, dtype))
+
+    def evaluate_gradient(self, x, y, z):
+        assert self.solution is not None
+        dtype = self.solution.xs.dtype
+        return evaluate_3d_gradient(
+            self.solution, jnp.asarray(x, dtype), jnp.asarray(y, dtype),
+            jnp.asarray(z, dtype),
+        )
+
+    def errors(self, x, y, z):
+        from ..utils import metrics
+
+        u = self.evaluate_solution(x, y, z)
+        dtype = u.dtype
+        ue = self.problem.exact(
+            jnp.asarray(x, dtype), jnp.asarray(y, dtype),
+            jnp.asarray(z, dtype),
+        )
+        return metrics.linf_error(u, ue), metrics.l2_error(u, ue)

@@ -1,0 +1,147 @@
+"""Matrix-free Q1 FEM on structured hex meshes (3D tensor extension).
+
+The 3D analog of ``assembly2d``: no sparse matrix is ever formed — the
+stiffness operator is applied gather -> shared 8x8 local matrix ->
+scatter-add over the node grid, which XLA fuses into a stencil kernel
+(contrast the reference's scipy sparse assembly,
+``Hybrid-FEM-LSSVR.py:135-138``; the reference itself is 1D-only — 3D is
+a beyond-reference capability on the same architecture).
+
+Element/node layout: nodes u[nz+1, ny+1, nx+1]; element (k, j, i) spans
+x in [x_i, x_{i+1}], y in [y_j, y_{j+1}], z in [z_k, z_{k+1}].  Corner
+order within an element: a = 4*cz + 2*cy + cx (x fastest), matching the
+tensor (kron) construction of the local operators.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from .assembly import gauss_rule
+
+
+def _k1(h):
+    """1D P1 stiffness int N' N' on [0, h]."""
+    return (1.0 / h) * np.array([[1.0, -1.0], [-1.0, 1.0]])
+
+
+def _m1(h):
+    """1D P1 mass int N N on [0, h]."""
+    return (h / 6.0) * np.array([[2.0, 1.0], [1.0, 2.0]])
+
+
+def _c1():
+    """1D P1 convection int N N' on [0, h] (h-independent)."""
+    return 0.5 * np.array([[-1.0, 1.0], [-1.0, 1.0]])
+
+
+@functools.lru_cache(maxsize=None)
+def q1_local_operator_3d(hx: float, hy: float, hz: float, a0: float = 1.0,
+                         c: float = 0.0, bx: float = 0.0, by: float = 0.0,
+                         bz: float = 0.0):
+    """Shared 8x8 local matrix for L u = -a0 Lap u + b . grad u + c u on a
+    hex element — EXACT tensor products of the 1D P1 matrices (trilinear
+    shape functions separate, so no quadrature loop is needed; identity
+    against a quadrature oracle asserted in tests/test_poisson3d.py).
+    Host numpy f64, cached per element size."""
+    kx, mx = _k1(hx), _m1(hx)
+    ky, my = _k1(hy), _m1(hy)
+    kz, mz = _k1(hz), _m1(hz)
+
+    def t3(Az, Ay, Ax):
+        return np.kron(Az, np.kron(Ay, Ax))
+
+    K = a0 * (t3(mz, my, kx) + t3(mz, ky, mx) + t3(kz, my, mx))
+    if c != 0.0:
+        K = K + c * t3(mz, my, mx)
+    cv = _c1()
+    if bx != 0.0:
+        K = K + bx * t3(mz, my, cv)
+    if by != 0.0:
+        K = K + by * t3(mz, cv, mx)
+    if bz != 0.0:
+        K = K + bz * t3(cv, my, mx)
+    return K
+
+
+def _corners_3d(u):
+    """Gather element corner values: 8 x [nz, ny, nx], a = 4cz + 2cy + cx."""
+    sl = (slice(None, -1), slice(1, None))
+    return tuple(
+        u[sl[cz]][:, sl[cy]][:, :, sl[cx]]
+        for cz in range(2) for cy in range(2) for cx in range(2)
+    )
+
+
+def apply_stiffness_3d(u: jnp.ndarray, K_loc: jnp.ndarray) -> jnp.ndarray:
+    """y = A u with the shared 8x8 local operator (uniform mesh, constant
+    coefficients).  u: [nz+1, ny+1, nx+1] node grid."""
+    cs = _corners_3d(u)
+    r = [sum(K_loc[a, b] * cs[b] for b in range(8)) for a in range(8)]
+    y = jnp.zeros_like(u)
+    sl = (slice(None, -1), slice(1, None))
+    a = 0
+    for cz in range(2):
+        for cy in range(2):
+            for cx in range(2):
+                y = y.at[sl[cz], sl[cy], sl[cx]].add(r[a])
+                a += 1
+    return y
+
+
+def stiffness_diag_3d(shape, K_loc: jnp.ndarray, dtype) -> jnp.ndarray:
+    """diag(A) on the node grid (Jacobi preconditioner)."""
+    nz1, ny1, nx1 = shape
+    d = jnp.zeros((nz1, ny1, nx1), dtype)
+    ones = jnp.ones((nz1 - 1, ny1 - 1, nx1 - 1), dtype)
+    sl = (slice(None, -1), slice(1, None))
+    a = 0
+    for cz in range(2):
+        for cy in range(2):
+            for cx in range(2):
+                d = d.at[sl[cz], sl[cy], sl[cx]].add(K_loc[a, a] * ones)
+                a += 1
+    return d
+
+
+def assemble_load_3d(xs: jnp.ndarray, ys: jnp.ndarray, zs: jnp.ndarray,
+                     f_fn, quad_order: int = 2) -> jnp.ndarray:
+    """Load vector on the node grid: b_i = int f N_i, 2^3 Gauss per hex."""
+    dtype = xs.dtype
+    t, w = gauss_rule(quad_order)
+    t = jnp.array(t, dtype)
+    w = jnp.array(w, dtype)
+    hx = xs[1:] - xs[:-1]
+    hy = ys[1:] - ys[:-1]
+    hz = zs[1:] - zs[:-1]
+    xq = 0.5 * (xs[1:] + xs[:-1])[:, None] + 0.5 * hx[:, None] * t[None, :]
+    yq = 0.5 * (ys[1:] + ys[:-1])[:, None] + 0.5 * hy[:, None] * t[None, :]
+    zq = 0.5 * (zs[1:] + zs[:-1])[:, None] + 0.5 * hz[:, None] * t[None, :]
+    nz, ny, nx = hz.shape[0], hy.shape[0], hx.shape[0]
+    Q = t.shape[0]
+    # f on [nz, Qz, ny, Qy, nx, Qx]
+    F = f_fn(
+        xq[None, None, None, None, :, :],
+        yq[None, None, :, :, None, None],
+        zq[:, :, None, None, None, None],
+    )
+    F = F * jnp.ones((nz, Q, ny, Q, nx, Q), dtype)
+    jac = (hz[:, None, None, None, None, None] / 2
+           * hy[None, None, :, None, None, None] / 2
+           * hx[None, None, None, None, :, None] / 2)
+    W = (w[None, :, None, None, None, None]
+         * w[None, None, None, :, None, None]
+         * w[None, None, None, None, None, :]) * jac
+    lo = 0.5 * (1.0 - t)
+    hi = 0.5 * (1.0 + t)
+    FW = F * W
+    b = jnp.zeros((zs.shape[0], ys.shape[0], xs.shape[0]), dtype)
+    for cz, gz in ((0, lo), (1, hi)):
+        for cy, gy in ((0, lo), (1, hi)):
+            for cx, gx in ((0, lo), (1, hi)):
+                contrib = jnp.einsum("zryqxp,r,q,p->zyx", FW, gz, gy, gx)
+                b = b.at[cz:cz + nz, cy:cy + ny, cx:cx + nx].add(contrib)
+    return b

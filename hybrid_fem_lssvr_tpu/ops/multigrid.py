@@ -72,6 +72,98 @@ def _interior(shape):
     return m.at[1:-1, 1:-1].set(True)
 
 
+def restrict_full_weighting_3d(r: jnp.ndarray) -> jnp.ndarray:
+    """[nf+1]^3 fine residual -> [nf/2+1]^3 via R = P^T (separable
+    [1 2 1]/2 per axis — same pair-deinterleaved form as 2D)."""
+    rp = jnp.pad(r, 1)
+    a = _fw_rows(rp)
+    b = jnp.moveaxis(_fw_rows(jnp.moveaxis(a, 1, 0)), 0, 1)
+    return jnp.moveaxis(_fw_rows(jnp.moveaxis(b, 2, 0)), 0, 2)
+
+
+def prolong_trilinear(c: jnp.ndarray) -> jnp.ndarray:
+    """[nc+1]^3 coarse field -> [2nc+1]^3 trilinear interpolation
+    (separable interleave per axis)."""
+
+    def up(x):
+        return _interleave_rows(x, 0.5 * (x[:-1] + x[1:]))
+
+    a = up(c)
+    b = jnp.moveaxis(up(jnp.moveaxis(a, 1, 0)), 0, 1)
+    return jnp.moveaxis(up(jnp.moveaxis(b, 2, 0)), 0, 2)
+
+
+def _interior_3d(shape):
+    m = jnp.zeros(shape, bool)
+    return m.at[1:-1, 1:-1, 1:-1].set(True)
+
+
+def make_vcycle_3d(nz1: int, ny1: int, nx1: int, K_loc, dtype,
+                   nu: int = 2, omega: float = 0.8, coarsest: int = 5,
+                   coarse_sweeps: int = 60, loc_for_level=None):
+    """3D analog of ``make_vcycle``: V(nu, nu) on the Dirichlet-interior
+    Q1 hex system.  ``loc_for_level(lvl)`` returns the rediscretised local
+    8x8 at level ``lvl`` (spacing 2**lvl x fine) — required whenever the
+    operator has DIFFERENTLY-h-scaling terms (mass ~ h^3, convection
+    ~ h^2 vs stiffness ~ h).  With ``loc_for_level=None`` the pure
+    a0-Laplacian scaling is applied automatically: every term of the 3D
+    Q1 stiffness tensor product scales like h (1/h x h x h), so
+    K_loc(2^l h) = 2^l K_loc(h) EXACTLY.  (Reusing the fine K_loc
+    unscaled — the 2D habit, where stiffness IS scale-invariant — makes
+    each coarse correction wrong by 2x per level; measured CG iterations
+    13/18/26 at 16/32/64^3 with the bug vs mesh-independent after.)"""
+    from . import assembly3d
+
+    shapes = [(nz1, ny1, nx1)]
+    while (
+        all((s - 1) % 2 == 0 for s in shapes[-1])
+        and min(shapes[-1]) - 1 > coarsest
+    ):
+        shapes.append(tuple((s - 1) // 2 + 1 for s in shapes[-1]))
+    masks = [_interior_3d(s) for s in shapes]
+    if loc_for_level is None:
+        locs = [K_loc * jnp.asarray(2.0**lvl, dtype)
+                for lvl in range(len(shapes))]
+    else:
+        locs = [jnp.asarray(loc_for_level(lvl), dtype)
+                for lvl in range(len(shapes))]
+    diags = [
+        jnp.where(
+            masks[lvl],
+            assembly3d.stiffness_diag_3d(shapes[lvl], locs[lvl], dtype),
+            1.0,
+        )
+        for lvl in range(len(shapes))
+    ]
+
+    def apply_A(u, lvl):
+        return jnp.where(
+            masks[lvl],
+            assembly3d.apply_stiffness_3d(u * masks[lvl], locs[lvl]),
+            0.0,
+        )
+
+    def smooth(u, r, lvl, sweeps):
+        for _ in range(sweeps):
+            u = u + omega * jnp.where(
+                masks[lvl], (r - apply_A(u, lvl)) / diags[lvl], 0.0
+            )
+        return u
+
+    def vcycle(r, lvl=0):
+        u = smooth(jnp.zeros_like(r), r, lvl, nu)
+        if lvl == len(shapes) - 1:
+            return smooth(u, r, lvl, coarse_sweeps - nu)
+        res = jnp.where(masks[lvl], r - apply_A(u, lvl), 0.0)
+        rc = jnp.where(masks[lvl + 1], restrict_full_weighting_3d(res),
+                       0.0)
+        ec = vcycle(rc, lvl + 1)
+        u = u + jnp.where(masks[lvl], prolong_trilinear(ec), 0.0)
+        return smooth(u, r, lvl, nu)
+
+    return vcycle
+
+
 def make_vcycle(ny1: int, nx1: int, K_loc, dtype, nu: int = 2,
                 omega: float = 0.8, coarsest: int = 5,
                 coarse_sweeps: int = 60, loc_for_level=None,

@@ -196,6 +196,16 @@ def test_cli_run2d(capsys):
     assert rec["linf_error"] < 0.1
 
 
+def test_cli_run3d(capsys):
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["run3d", "--nx", "8", "--ny", "8", "--nz", "8"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "hybrid_solve_3d"
+    assert rec["linf_error"] < 0.1
+    assert rec["n_fallback"] == 0
+
+
 def test_cli_runsharded_with_resume(tmp_path, capsys):
     """Multi-chip 1D CLI on the 8 virtual devices: JSON metrics + error
     norms through the distributed read path; second invocation resumes
