@@ -381,6 +381,51 @@ def cmd_run2d(args):
     )
 
 
+def _run3d_sharded(problem, cfg, args, em):
+    """3D multi-chip solve: z-slab mesh, load_or_run checkpointing,
+    distributed read path for the error norms."""
+    from .parallel import mesh as pmesh
+    from .parallel.sharded3d import (
+        ShardedSolution3D, make_sharded_evaluate_3d, make_sharded_solve_3d,
+    )
+
+    n_dev = args.devices or len(jax.devices())
+    m = pmesh.element_mesh(n_dev)
+    run = make_sharded_solve_3d(problem, cfg, m)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol, resumed = ckpt.load_or_run(
+            getattr(args, "checkpoint", None), problem.name, cfg, run,
+            ShardedSolution3D,
+        )
+        jax.block_until_ready(sol.coeffs)
+    fields = dict(
+        problem=problem.name,
+        mesh=f"slab:{n_dev}",
+        elements=cfg.nx * cfg.ny * cfg.nz,
+        M=cfg.M,
+        solve_sec=rec["solve_sec"],
+        resumed=resumed,
+        cg_iters=int(jnp.max(jnp.asarray(sol.cg_iters))),
+        max_slack=float(jnp.max(jnp.asarray(sol.max_slack))),
+        n_fallback=int(jnp.sum(~jnp.asarray(sol.solve_ok))),
+    )
+    if problem.exact is not None:
+        ev = make_sharded_evaluate_3d(problem, cfg, m)
+        rng = np.random.default_rng(0)
+        d = problem.domain
+        xq = rng.uniform(d[0], d[1], args.eval_points)
+        yq = rng.uniform(d[2], d[3], args.eval_points)
+        zq = rng.uniform(d[4], d[5], args.eval_points)
+        u = ev(jnp.asarray(sol.coeffs), xq, yq, zq)
+        ue = problem.exact(jnp.asarray(xq, u.dtype),
+                           jnp.asarray(yq, u.dtype),
+                           jnp.asarray(zq, u.dtype))
+        fields["linf_error"] = float(M.linf_error(u, ue))
+        fields["l2_error"] = float(M.l2_error(u, ue))
+    em.emit("hybrid_solve_3d_sharded", **fields)
+
+
 def cmd_run3d(args):
     from .models.hybrid3d import (
         HybridSolver3D, Solver3DConfig, get_problem_3d,
@@ -394,6 +439,8 @@ def cmd_run3d(args):
                          n_colloc=args.M, dtype=args.dtype,
                          precond=getattr(args, "precond", "auto"),
                          fem_dtype=getattr(args, "fem_dtype", None))
+    if getattr(args, "mesh", "none") != "none":
+        return _run3d_sharded(problem, cfg, args, em)
     solver = HybridSolver3D(problem, cfg)
     rec = {}
     with profiling.timed(rec, "solve_sec"):
@@ -558,6 +605,12 @@ def build_parser():
     sp.add_argument("--precond", default="auto",
                     choices=["auto", "jacobi", "mg", "shifted"])
     sp.add_argument("--eval-points", type=int, default=2000)
+    sp.add_argument("--mesh", default="none", choices=["none", "slab"],
+                    help="multi-chip: z-slab sharding over the element "
+                    "layers")
+    sp.add_argument("--devices", type=int, default=None,
+                    help="device count for --mesh slab")
+    sp.add_argument("--checkpoint", default=None)
     sp.set_defaults(fn=cmd_run3d)
     return p
 

@@ -328,13 +328,18 @@ def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
 
 
 def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
-                     fem_values, t_int, spts):
+                     fem_values, t_int, spts, layer_offset=0):
     """Per-element collocation rhs [E, C^3] and boundary-trace values
     [E, S]: the FEM trilinear trace at the surface points, overridden by g
-    on domain-boundary faces (the 3D lift of ``_element_data_2d``)."""
+    on domain-boundary faces (the 3D lift of ``_element_data_2d``).
+
+    ``zs``/``fem_values`` may be a local z-slab (``parallel/sharded3d``);
+    ``layer_offset`` is then the slab's global first element layer
+    (possibly traced), used for the domain-boundary face masks."""
     dtype = xs.dtype
     C = cfg.n_colloc
-    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    nx, ny = xs.shape[0] - 1, ys.shape[0] - 1
+    nz = zs.shape[0] - 1
     E = nx * ny * nz
     t = jnp.asarray(t_int, dtype)
     hx = xs[1] - xs[0]
@@ -375,7 +380,7 @@ def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
     # elements take g exactly.
     ex = jnp.arange(nx)
     ey = jnp.arange(ny)
-    ez = jnp.arange(nz)
+    ez = layer_offset + jnp.arange(nz)  # GLOBAL element layers
     xm = 0.5 * (xs[1:] + xs[:-1])
     ym = 0.5 * (ys[1:] + ys[:-1])
     zm = 0.5 * (zs[1:] + zs[:-1])
@@ -384,11 +389,11 @@ def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
     zp = (zm[:, None] + 0.5 * hz * tzp[None, :])[:, None, None, :]
     on_bdry = (
         ((ex[None, None, :, None] == 0) & (txp == -1.0))
-        | ((ex[None, None, :, None] == nx - 1) & (txp == 1.0))
+        | ((ex[None, None, :, None] == cfg.nx - 1) & (txp == 1.0))
         | ((ey[None, :, None, None] == 0) & (typ == -1.0))
-        | ((ey[None, :, None, None] == ny - 1) & (typ == 1.0))
+        | ((ey[None, :, None, None] == cfg.ny - 1) & (typ == 1.0))
         | ((ez[:, None, None, None] == 0) & (tzp == -1.0))
-        | ((ez[:, None, None, None] == nz - 1) & (tzp == 1.0))
+        | ((ez[:, None, None, None] == cfg.nz - 1) & (tzp == 1.0))
     )
     gvals = problem.g(xp, yp, zp) * jnp.ones_like(trace)
     bc_rows = jnp.where(on_bdry, gvals, trace)

@@ -1,0 +1,375 @@
+"""Multi-chip 3D hybrid solve: element layers sharded as z-slabs.
+
+The 2D y-slab design (``parallel/sharded2d.py``) lifts directly: the
+coarse Q1 hex stage runs a fully distributed CG (one 2-plane halo
+exchange per stiffness apply via ``ppermute``, ownership-masked ``psum``
+inner products, fine-level-distributed V-cycle preconditioning with the
+coarser levels gathered), and the enhancement shards its element layers —
+every device builds and solves its own slab's batch through the shared
+two-matmul LSE path with domain-boundary face masks driven by GLOBAL
+layer indices.  Output coefficients are sharded over the leading
+(element-layer) axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..models.hybrid3d import (
+    Problem3D, Solver3DConfig, _element_data_3d, _trilinear_fallback_coeffs,
+    prepare_shared_3d,
+)
+from ..ops import assembly3d, cg, kkt, multigrid
+from ..ops.multigrid import _fw_rows
+from .mesh import ELEMENT_AXIS
+
+
+class ShardedSolution3D(NamedTuple):
+    coeffs: jnp.ndarray  # [nz, ny, nx, M, M, M] sharded over layers
+    fem_local: jnp.ndarray  # [n_dev, nz_loc+1, ny+1, nx+1] per-device
+    solve_ok: jnp.ndarray  # [nz, ny, nx]
+    max_slack: jnp.ndarray = None  # [nz, ny, nx]
+    bc_violation: jnp.ndarray = None  # [nz, ny, nx]
+    cg_iters: jnp.ndarray = None  # [n_dev]
+    cg_residual: jnp.ndarray = None  # [n_dev]
+
+    def assemble_fem_grid(self):
+        """Stitch the overlapping slabs back into [nz+1, ny+1, nx+1]."""
+        import numpy as np
+
+        n_dev, nloc1, ny1, nx1 = self.fem_local.shape
+        nz_loc = nloc1 - 1
+        grid = np.zeros((n_dev * nz_loc + 1, ny1, nx1))
+        fl = np.asarray(self.fem_local)
+        for dd in range(n_dev):
+            grid[dd * nz_loc:(dd + 1) * nz_loc + 1] = fl[dd]
+        return grid
+
+
+def _halo_add_3d(u_loc, d, n_dev, axis):
+    """Sum duplicated-interface z-plane contributions across neighbouring
+    slabs (3D lift of ``sharded2d._halo_add``: each device's first/last
+    node plane is shared with a neighbour)."""
+    up_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    dn_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    from_next = jax.lax.ppermute(u_loc[0], axis, up_perm)
+    from_prev = jax.lax.ppermute(u_loc[-1], axis, dn_perm)
+    u_loc = u_loc.at[-1].add(
+        jnp.where(d < n_dev - 1, from_next, jnp.zeros_like(from_next))
+    )
+    u_loc = u_loc.at[0].add(
+        jnp.where(d > 0, from_prev, jnp.zeros_like(from_prev))
+    )
+    return u_loc
+
+
+def _restrict_slab_3d(res, d, n_dev, axis):
+    """Full-weighting restriction of a z-slab residual [nzl+1, ny+1, nx+1]
+    -> [nzl/2+1, ny/2+1, nx/2+1]: the two 1-plane halos needed by the
+    interface coarse nodes come via ``ppermute`` (global-boundary sides
+    extend with zeros — the interior residual vanishes there)."""
+    up = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    dn = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    from_prev = jax.lax.ppermute(res[-2], axis, up)  # z-neighbour below
+    from_next = jax.lax.ppermute(res[1], axis, dn)  # z-neighbour above
+    from_prev = jnp.where(d > 0, from_prev, jnp.zeros_like(from_prev))
+    from_next = jnp.where(d < n_dev - 1, from_next,
+                          jnp.zeros_like(from_next))
+    r_ext = jnp.concatenate([from_prev[None], res, from_next[None]])
+    a = _fw_rows(r_ext)  # [nzl/2+1, ny+1, nx+1]
+    b = jnp.moveaxis(
+        _fw_rows(jnp.pad(jnp.moveaxis(a, 1, 0),
+                         ((1, 1), (0, 0), (0, 0)))), 0, 1)
+    return jnp.moveaxis(
+        _fw_rows(jnp.pad(jnp.moveaxis(b, 2, 0),
+                         ((1, 1), (0, 0), (0, 0)))), 0, 2)
+
+
+def _gather_grid_3d(c_slab, n_dev, axis):
+    """all_gather overlapping coarse z-slabs [ncl+1, nyc+1, nxc+1] into
+    the full replicated coarse grid."""
+    slabs = jax.lax.all_gather(c_slab, axis)
+    parts = [slabs[dd, :-1] for dd in range(n_dev)]
+    parts.append(slabs[n_dev - 1, -1:])
+    return jnp.concatenate(parts, axis=0)
+
+
+def _dist_fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, d, n_dev,
+                       axis, xs, ys, zs_loc, lay0):
+    """Distributed Q1 hex coarse solve on z-slabs; returns the slab's
+    nodal values [nz_loc+1, ny+1, nx+1] and the CG result."""
+    dtype = xs.dtype
+    nz_loc = zs_loc.shape[0] - 1
+    ny1, nx1 = ys.shape[0], xs.shape[0]
+    hx = float((problem.domain[1] - problem.domain[0]) / cfg.nx)
+    hy = float((problem.domain[3] - problem.domain[2]) / cfg.ny)
+    hz = float((problem.domain[5] - problem.domain[4]) / cfg.nz)
+    bx, by, bz = problem.b
+    K_loc = jnp.asarray(
+        assembly3d.q1_local_operator_3d(hx, hy, hz, problem.a0, problem.c,
+                                        bx, by, bz),
+        dtype,
+    )
+    spd = bx == 0.0 and by == 0.0 and bz == 0.0 and problem.c >= 0.0
+
+    # Global interior mask for this slab's node planes.
+    g_lay = lay0 + jnp.arange(nz_loc + 1)
+    lay_int = (g_lay > 0) & (g_lay < cfg.nz)
+    yx_int = jnp.zeros((ny1, nx1), bool).at[1:-1, 1:-1].set(True)
+    interior = lay_int[:, None, None] & yx_int[None]
+    own = jnp.where((jnp.arange(nz_loc + 1) > 0) | (d == 0), 1.0, 0.0)
+    own = own.astype(dtype)[:, None, None]
+
+    def halo(v):
+        return _halo_add_3d(v, d, n_dev, axis)
+
+    b = halo(assembly3d.assemble_load_3d(xs, ys, zs_loc, problem.f))
+    X = xs[None, None, :]
+    Y = ys[None, :, None]
+    Z = zs_loc[:, None, None]
+    g_grid = problem.g(X, Y, Z) * jnp.ones((nz_loc + 1, ny1, nx1), dtype)
+    u_bc = jnp.where(interior, 0.0, g_grid)
+
+    def apply_full(v):
+        return halo(assembly3d.apply_stiffness_3d(v, K_loc))
+
+    def apply_free(v):
+        return jnp.where(interior, apply_full(v * interior), 0.0)
+
+    def dist_dot(u, v):
+        return jax.lax.psum(jnp.sum(u * v * own), axis)
+
+    rhs = jnp.where(interior, b - apply_full(u_bc), 0.0)
+    diag = halo(
+        assembly3d.stiffness_diag_3d((nz_loc + 1, ny1, nx1), K_loc, dtype)
+    )
+
+    precond = cfg.precond
+    if precond == "auto":
+        if (cfg.nz % (2 * n_dev) == 0 and cfg.nx % 2 == 0
+                and cfg.ny % 2 == 0 and min(cfg.nx, cfg.ny, cfg.nz) >= 8):
+            precond = "mg" if problem.c >= 0.0 else "shifted"
+        else:
+            precond = "jacobi"
+    if precond in ("mg", "shifted"):
+        # Distributed V-cycle: fine-level smoothing + halo restriction on
+        # the slabs; all coarser levels run the serial 3D V-cycle
+        # redundantly on the gathered half-resolution grid (the fine level
+        # carries ~all the work — same design as the 2D slab path).
+        c_eff = abs(problem.c) if precond == "shifted" else problem.c
+
+        def loc_for_level(lvl):
+            # lvl is the COARSE cycle's level: global level lvl + 1.
+            s = float(2 ** (lvl + 1))
+            return jnp.asarray(
+                assembly3d.q1_local_operator_3d(
+                    hx * s, hy * s, hz * s, problem.a0, c_eff, bx, by, bz
+                ),
+                dtype,
+            )
+
+        if precond == "shifted":
+            K_pc = jnp.asarray(
+                assembly3d.q1_local_operator_3d(
+                    hx, hy, hz, problem.a0, c_eff, bx, by, bz
+                ),
+                dtype,
+            )
+        else:
+            K_pc = K_loc
+
+        def apply_pc(v):
+            return jnp.where(
+                interior,
+                halo(assembly3d.apply_stiffness_3d(v * interior, K_pc)),
+                0.0,
+            )
+
+        diag_pc = halo(assembly3d.stiffness_diag_3d(
+            (nz_loc + 1, ny1, nx1), K_pc, dtype))
+        nzc_loc = nz_loc // 2
+        serial_vcycle = multigrid.make_vcycle_3d(
+            cfg.nz // 2 + 1, cfg.ny // 2 + 1, cfg.nx // 2 + 1,
+            loc_for_level(0), dtype, loc_for_level=loc_for_level,
+        )
+        omega, nu = 0.8, 2
+        lay0c = lay0 // 2
+
+        def smooth(u, r):
+            for _ in range(nu):
+                u = u + omega * jnp.where(
+                    interior, (r - apply_pc(u)) / diag_pc, 0.0
+                )
+            return u
+
+        def M_inv(r):
+            u = smooth(jnp.zeros_like(r), r)
+            res_f = jnp.where(interior, r - apply_pc(u), 0.0)
+            rc_slab = _restrict_slab_3d(res_f, d, n_dev, axis)
+            rc_full = _gather_grid_3d(rc_slab, n_dev, axis)
+            ec_full = serial_vcycle(rc_full)
+            z0 = jnp.zeros_like(lay0c)
+            ec_slab = jax.lax.dynamic_slice(
+                ec_full, (lay0c, z0, z0),
+                (nzc_loc + 1, cfg.ny // 2 + 1, cfg.nx // 2 + 1),
+            )
+            u = u + jnp.where(
+                interior, multigrid.prolong_trilinear(ec_slab), 0.0
+            )
+            return smooth(u, r)
+    else:
+        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+    solver = cg.cg if spd else cg.bicgstab
+    res = solver(apply_free, rhs, M_inv=M_inv, tol=tol,
+                 maxiter=cfg.cg_maxiter, dot_fn=dist_dot)
+    return u_bc + jnp.where(interior, res.x, 0.0), res
+
+
+def make_sharded_evaluate_3d(problem: Problem3D, cfg: Solver3DConfig, mesh,
+                             axis: str = ELEMENT_AXIS):
+    """Distributed 3D read path (mirrors ``make_sharded_evaluate_2d``):
+    query points stay replicated; each device evaluates only the points
+    whose element layer falls in its z-slab against its LOCAL coefficient
+    shard; one psum assembles the replicated result.  Clamp semantics
+    match ``hybrid3d.evaluate_3d``.
+
+    Returns a jitted fn(coeffs [nz, ny, nx, M, M, M] (sharded over
+    layers), x [P], y [P], z [P]) -> u [P] replicated."""
+    from ..ops import legendre
+
+    n_dev = mesh.shape[axis]
+    nz_loc = cfg.nz // n_dev
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = problem.domain
+    hx = (x1 - x0) / cfg.nx
+    hy = (y1 - y0) / cfg.ny
+    hz = (z1 - z0) / cfg.nz
+    M = cfg.M
+
+    def local_eval(coeffs_loc, x, y, z):
+        d = jax.lax.axis_index(axis)
+        ix = jnp.clip(((x - x0) / hx).astype(jnp.int32), 0, cfg.nx - 1)
+        iy = jnp.clip(((y - y0) / hy).astype(jnp.int32), 0, cfg.ny - 1)
+        iz = jnp.clip(((z - z0) / hz).astype(jnp.int32), 0, cfg.nz - 1)
+        lo = d * nz_loc
+        mine = (iz >= lo) & (iz < lo + nz_loc)
+        iz_loc = jnp.clip(iz - lo, 0, nz_loc - 1)
+        tx = (2.0 * (x - (jnp.asarray(x0, dtype)
+                          + ix.astype(dtype) * jnp.asarray(hx, dtype)))
+              / hx - 1.0)
+        ty = (2.0 * (y - (jnp.asarray(y0, dtype)
+                          + iy.astype(dtype) * jnp.asarray(hy, dtype)))
+              / hy - 1.0)
+        tz = (2.0 * (z - (jnp.asarray(z0, dtype)
+                          + iz.astype(dtype) * jnp.asarray(hz, dtype)))
+              / hz - 1.0)
+        (Vx,) = legendre.legendre_vandermonde(tx, M, num_derivs=0)
+        (Vy,) = legendre.legendre_vandermonde(ty, M, num_derivs=0)
+        (Vz,) = legendre.legendre_vandermonde(tz, M, num_derivs=0)
+        W = coeffs_loc[iz_loc, iy, ix]  # [P, M, M, M]
+        val = jnp.einsum("pk,pklm,pl,pm->p", Vz, W, Vy, Vx,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.psum(jnp.where(mine, val, 0.0), axis)
+
+    sharded = jax.shard_map(
+        local_eval, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()), out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def evaluate(coeffs, x, y, z):
+        return sharded(coeffs, jnp.asarray(x, dtype),
+                       jnp.asarray(y, dtype), jnp.asarray(z, dtype))
+
+    return evaluate
+
+
+def make_sharded_solve_3d(problem: Problem3D, cfg: Solver3DConfig, mesh,
+                          axis: str = ELEMENT_AXIS,
+                          distributed_fem: bool = True):
+    """Jitted multi-chip 3D solve; ``cfg.nz`` must divide by the device
+    count (z-slab layout).  ``distributed_fem=False`` replicates the
+    coarse stage on every device (no communication)."""
+    n_dev = mesh.shape[axis]
+    if cfg.nz % n_dev != 0:
+        raise ValueError(
+            f"nz={cfg.nz} must divide by the {n_dev}-device mesh"
+        )
+    nz_loc = cfg.nz // n_dev
+    dtype = cfg.jnp_dtype()
+    shared_bundle = prepare_shared_3d(problem, cfg)
+    shared, (t_int, spts) = shared_bundle
+    repl = jax.sharding.NamedSharding(mesh, P())
+    shared = jax.device_put(shared, repl)
+    t_int = jax.device_put(t_int, repl)
+    spts = jax.device_put(spts, repl)
+
+    x0, x1, y0, y1, z0, z1 = problem.domain
+
+    def local_step(shared, t_int, spts):
+        d = jax.lax.axis_index(axis)
+        xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+        ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+        hz = (z1 - z0) / cfg.nz
+        zs = z0 + hz * jnp.arange(cfg.nz + 1, dtype=dtype)
+        lay0 = d * nz_loc
+        zs_loc = jax.lax.dynamic_slice(zs, (lay0,), (nz_loc + 1,))
+        if distributed_fem:
+            fem_loc, cg_res = _dist_fem_solve_3d(
+                problem, cfg, d, n_dev, axis, xs, ys, zs_loc, lay0
+            )
+        else:
+            from ..models.hybrid3d import fem_solve_3d
+
+            fem_values, cg_res = fem_solve_3d(problem, cfg, xs, ys, zs)
+            z00 = jnp.zeros_like(lay0)
+            fem_loc = jax.lax.dynamic_slice(
+                fem_values, (lay0, z00, z00),
+                (nz_loc + 1, cfg.ny + 1, cfg.nx + 1),
+            )
+        f_rows, bc_rows, cs = _element_data_3d(
+            problem, cfg, xs, ys, zs_loc, fem_loc, t_int, spts,
+            layer_offset=lay0,
+        )
+        w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+        M = cfg.M
+        coeffs = w.reshape(nz_loc, cfg.ny, cfg.nx, M, M, M)
+        fb = _trilinear_fallback_coeffs(cs, M)
+        ok = diags.solve_ok.reshape(nz_loc, cfg.ny, cfg.nx)
+        coeffs = jnp.where(
+            ok[..., None, None, None],
+            jnp.where(jnp.isfinite(coeffs), coeffs, 0.0), fb,
+        )
+        slack = diags.max_slack.reshape(nz_loc, cfg.ny, cfg.nx)
+        bcv = diags.bc_violation.reshape(nz_loc, cfg.ny, cfg.nx)
+        return (coeffs, fem_loc[None], ok, slack, bcv,
+                cg_res.iters.reshape(1).astype(jnp.int32),
+                cg_res.residual.reshape(1))
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(axis),) * 7,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run():
+        coeffs, fem_local, ok, slack, bcv, iters, res = sharded(
+            shared, t_int, spts
+        )
+        return ShardedSolution3D(
+            coeffs, fem_local, ok, max_slack=slack, bc_violation=bcv,
+            cg_iters=iters, cg_residual=res,
+        )
+
+    return run

@@ -1,0 +1,126 @@
+"""3D sharded solve on virtual CPU devices: z-slab layout
+(``parallel/sharded3d.py`` — the 2D y-slab design lifted tensorially)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_fem_lssvr_tpu.models.hybrid3d import (
+    HybridSolver3D, Solver3DConfig, get_problem_3d, poisson_3d,
+    poisson_3d_inhomogeneous,
+)
+from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
+from hybrid_fem_lssvr_tpu.parallel.sharded3d import make_sharded_solve_3d
+
+
+@pytest.mark.parametrize("distributed_fem", [False, True])
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_sharded_3d_matches_single_device(n_dev, distributed_fem):
+    problem = poisson_3d()
+    cfg = Solver3DConfig(nx=4, ny=4, nz=8, M=4, n_colloc=4,
+                         precond="jacobi")
+    single = HybridSolver3D(problem, cfg)
+    sol = single.solve()
+
+    run = make_sharded_solve_3d(problem, cfg, pmesh.element_mesh(n_dev),
+                                distributed_fem=distributed_fem)
+    out = run()
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        out.assemble_fem_grid(), np.asarray(sol.fem_values), atol=1e-10
+    )
+    assert bool(jnp.all(out.solve_ok))
+
+
+def test_sharded_3d_distributed_vcycle_matches_and_converges_fast():
+    """The distributed 3D V-cycle (fine level on slabs + gathered coarse
+    cycle): == single-device AND mesh-independent-class iteration counts
+    (far below Jacobi's)."""
+    problem = poisson_3d()
+    cfg = Solver3DConfig(nx=8, ny=8, nz=16, M=4, n_colloc=4,
+                         precond="mg")
+    single = HybridSolver3D(problem, cfg)
+    sol = single.solve()
+    run = make_sharded_solve_3d(problem, cfg, pmesh.element_mesh(4),
+                                distributed_fem=True)
+    out = run()
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=1e-8
+    )
+    # identical CG iteration count on every device, small
+    iters = np.asarray(out.cg_iters)
+    assert (iters == iters[0]).all()
+    assert iters[0] <= 25, iters
+    assert bool(jnp.all(out.solve_ok))
+
+
+def test_sharded_3d_inhomogeneous_face_masks():
+    """Nonzero Dirichlet data: the slab-local g-override masks use GLOBAL
+    layer indices — every slab must agree with the single-device solve."""
+    problem = poisson_3d_inhomogeneous()
+    cfg = Solver3DConfig(nx=4, ny=4, nz=8, M=4, n_colloc=4,
+                         precond="jacobi")
+    single = HybridSolver3D(problem, cfg)
+    sol = single.solve()
+    run = make_sharded_solve_3d(problem, cfg, pmesh.element_mesh(4))
+    out = run()
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=1e-9
+    )
+    assert bool(jnp.all(out.solve_ok))
+
+
+@pytest.mark.parametrize("name", ["helmholtz_3d", "advection_diffusion_3d"])
+def test_sharded_3d_nonspd_families(name):
+    """Indefinite/nonsymmetric 3D families ride the distributed BiCGStab
+    coarse stage (psum inner products) — must match single-device."""
+    problem = get_problem_3d(name)
+    cfg = Solver3DConfig(nx=4, ny=4, nz=8, M=4, n_colloc=4,
+                         precond="jacobi")
+    single = HybridSolver3D(problem, cfg)
+    sol = single.solve()
+    run = make_sharded_solve_3d(problem, cfg, pmesh.element_mesh(4))
+    out = run()
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=1e-8
+    )
+    assert bool(jnp.all(out.solve_ok))
+
+
+def test_sharded_3d_evaluate_matches_local():
+    """Distributed read path: psum-assembled point values == the
+    single-device ``evaluate_3d`` on sharded coefficients."""
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import evaluate_3d
+    from hybrid_fem_lssvr_tpu.parallel.sharded3d import (
+        make_sharded_evaluate_3d,
+    )
+
+    problem = poisson_3d_inhomogeneous()
+    cfg = Solver3DConfig(nx=4, ny=4, nz=8, M=4, n_colloc=4,
+                         precond="jacobi")
+    single = HybridSolver3D(problem, cfg)
+    sol = single.solve()
+    m = pmesh.element_mesh(4)
+    out = make_sharded_solve_3d(problem, cfg, m)()
+    ev = make_sharded_evaluate_3d(problem, cfg, m)
+    rng = np.random.default_rng(0)
+    # include out-of-domain points to exercise the clamp semantics
+    xq = rng.uniform(-1.2, 1.2, 300)
+    yq = rng.uniform(-1.2, 1.2, 300)
+    zq = rng.uniform(-1.2, 1.2, 300)
+    u_dist = ev(out.coeffs, xq, yq, zq)
+    dt = sol.xs.dtype
+    u_loc = evaluate_3d(sol, jnp.asarray(xq, dt), jnp.asarray(yq, dt),
+                        jnp.asarray(zq, dt))
+    np.testing.assert_allclose(np.asarray(u_dist), np.asarray(u_loc),
+                               atol=1e-9)
+
+
+def test_sharded_3d_rejects_nondivisible_nz():
+    with pytest.raises(ValueError, match="divide"):
+        make_sharded_solve_3d(
+            poisson_3d(), Solver3DConfig(nx=4, ny=4, nz=9),
+            pmesh.element_mesh(4),
+        )
