@@ -52,6 +52,11 @@ class Problem3D:
     a0: float = 1.0
     c: float = 0.0  # reaction (c < 0: Helmholtz -> BiCGStab coarse stage)
     b: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Variable diffusion -div(a(x,y,z) grad u): a_var the coefficient
+    # callable, grad_a = (da/dx, da/dy, da/dz) callables for the
+    # chain-rule collocation rows (derived by jax.grad when omitted).
+    a_var: Optional[Callable] = None
+    grad_a: Optional[Tuple[Callable, Callable, Callable]] = None
 
 
 def poisson_3d() -> Problem3D:
@@ -130,11 +135,55 @@ def advection_diffusion_3d(bx: float = 2.0, by: float = 1.0,
     )
 
 
+def variable_coeff_elliptic_3d() -> Problem3D:
+    """-div(a grad u) = f with a(x,y,z) = 1 + 0.5 x y z (positive on the
+    cube: a in [7/8, 9/8] -> SPD coarse system) and exact
+    u = sin(pi x) sin(pi y) sin(pi z).  The 3D member of the
+    variable-coefficient elliptic family (BASELINE config 3 lifted to
+    hexes; 2D analog ``variable_coeff_elliptic_2d``).
+    f = 3 pi^2 a u - grad a . grad u with grad a = 0.5 (yz, xz, xy)."""
+    pi = jnp.pi
+
+    def a(x, y, z):
+        return 1.0 + 0.5 * x * y * z
+
+    def ax(x, y, z):
+        return 0.5 * y * z * jnp.ones_like(x)
+
+    def ay(x, y, z):
+        return 0.5 * x * z * jnp.ones_like(y)
+
+    def az(x, y, z):
+        return 0.5 * x * y * jnp.ones_like(z)
+
+    def u(x, y, z):
+        return jnp.sin(pi * x) * jnp.sin(pi * y) * jnp.sin(pi * z)
+
+    def f(x, y, z):
+        sx, cx = jnp.sin(pi * x), jnp.cos(pi * x)
+        sy, cy = jnp.sin(pi * y), jnp.cos(pi * y)
+        sz, cz = jnp.sin(pi * z), jnp.cos(pi * z)
+        return (3.0 * pi * pi * (1.0 + 0.5 * x * y * z) * sx * sy * sz
+                - 0.5 * pi * (y * z * cx * sy * sz
+                              + x * z * sx * cy * sz
+                              + x * y * sx * sy * cz))
+
+    return Problem3D(
+        name="variable_coeff_elliptic_3d",
+        f=f,
+        g=lambda x, y, z: jnp.zeros_like(x + y + z),
+        exact=u,
+        a_var=a,
+        grad_a=(ax, ay, az),
+    )
+
+
 _PROBLEMS_3D = {
     "poisson_3d": poisson_3d,
     "poisson_3d_inhomogeneous": poisson_3d_inhomogeneous,
     "helmholtz_3d": helmholtz_3d,
     "advection_diffusion_3d": advection_diffusion_3d,
+    "variable_coeff_elliptic_3d": variable_coeff_elliptic_3d,
 }
 
 
@@ -203,9 +252,28 @@ def _surface_coords(M: int):
     return np.array(pts)  # [M^3 - (M-2)^3, 3]
 
 
+class VarCoeff3DOperators(NamedTuple):
+    """Shared host-f64 operator PARTS for 3D variable diffusion: the
+    per-element collocation operator is the pointwise-weighted combination
+    D_e = -a_e Lap - ax_e Gx - ay_e Gy - az_e Gz (+ Dconst), with the
+    coefficient fields sampled per element (3D analog of
+    ``VarCoeff2DOperators``)."""
+
+    Lap: jnp.ndarray  # [C^3, M^3] positive: sx^2 V0V0V2 + sy^2 V0V2V0 + ...
+    Gx: jnp.ndarray  # [C^3, M^3]  sx V0 (x) V0 (x) V1
+    Gy: jnp.ndarray  # [C^3, M^3]  sy V0 (x) V1 (x) V0
+    Gz: jnp.ndarray  # [C^3, M^3]  sz V1 (x) V0 (x) V0
+    Dconst: jnp.ndarray  # [C^3, M^3]  bx Gx + by Gy + bz Gz + c Mass
+    B: jnp.ndarray  # [S, M^3] shared trace rows
+    Z: jnp.ndarray  # [M^3, (M-2)^3] null basis of B
+    Pbc: jnp.ndarray  # [M^3, S] min-norm particular map
+
+
 def prepare_shared_3d(problem: Problem3D, cfg: Solver3DConfig):
     """Host float64 precompute of the shared 3D operators -> the affine
-    map (f, bc) -> w via the null-space LSE algebra.
+    map (f, bc) -> w via the null-space LSE algebra; for
+    variable-coefficient problems (``problem.a_var``), the shared operator
+    PARTS + null-space basis instead (``VarCoeff3DOperators``).
 
     PDE collocation uses INTERIOR points only (3D analog of the 2D rule:
     on faces/edges/corners some second-derivative terms carry vanishing
@@ -225,12 +293,41 @@ def prepare_shared_3d(problem: Problem3D, cfg: Solver3DConfig):
             C * C * C, M * M * M
         )
 
+    spts = _surface_coords(M)
+    Vz_b = legendre.vandermonde_host(spts[:, 0], M)[0]  # [S, M]
+    Vy_b = legendre.vandermonde_host(spts[:, 1], M)[0]
+    Vx_b = legendre.vandermonde_host(spts[:, 2], M)[0]
+    B = np.einsum("pk,pl,pm->pklm", Vz_b, Vy_b, Vx_b).reshape(
+        -1, M * M * M
+    )
+    bx, by, bz = problem.b
+
+    if problem.a_var is not None:
+        dtype = cfg.jnp_dtype()
+        Lap = (
+            sx * sx * t3(V0, V0, V2)
+            + sy * sy * t3(V0, V2, V0)
+            + sz * sz * t3(V2, V0, V0)
+        )
+        Gx = sx * t3(V0, V0, V1)
+        Gy = sy * t3(V0, V1, V0)
+        Gz = sz * t3(V1, V0, V0)
+        Mass = t3(V0, V0, V0)
+        Dconst = bx * Gx + by * Gy + bz * Gz + problem.c * Mass
+        Z, Pbc = kkt.nullspace_host(B)
+        shared = VarCoeff3DOperators(
+            Lap=jnp.asarray(Lap, dtype), Gx=jnp.asarray(Gx, dtype),
+            Gy=jnp.asarray(Gy, dtype), Gz=jnp.asarray(Gz, dtype),
+            Dconst=jnp.asarray(Dconst, dtype), B=jnp.asarray(B, dtype),
+            Z=jnp.asarray(Z, dtype), Pbc=jnp.asarray(Pbc, dtype),
+        )
+        return shared, (jnp.asarray(t_int), jnp.asarray(spts))
+
     Dt = -problem.a0 * (
         sx * sx * t3(V0, V0, V2)
         + sy * sy * t3(V0, V2, V0)
         + sz * sz * t3(V2, V0, V0)
     )
-    bx, by, bz = problem.b
     if bx != 0.0:
         Dt = Dt + bx * sx * t3(V0, V0, V1)
     if by != 0.0:
@@ -240,15 +337,56 @@ def prepare_shared_3d(problem: Problem3D, cfg: Solver3DConfig):
     if problem.c != 0.0:
         Dt = Dt + problem.c * t3(V0, V0, V0)
 
-    spts = _surface_coords(M)
-    Vz_b = legendre.vandermonde_host(spts[:, 0], M)[0]  # [S, M]
-    Vy_b = legendre.vandermonde_host(spts[:, 1], M)[0]
-    Vx_b = legendre.vandermonde_host(spts[:, 2], M)[0]
-    B = np.einsum("pk,pl,pm->pklm", Vz_b, Vy_b, Vx_b).reshape(
-        -1, M * M * M
-    )
     shared = kkt.precompute_shared_lse_host(Dt, B, cfg.jnp_dtype())
     return shared, (jnp.asarray(t_int), jnp.asarray(spts))
+
+
+def _varcoeff_mg_levels_3d(problem: Problem3D, hx: float, hy: float,
+                           hz: float, dtype, lvl_offset: int = 0,
+                           c_override: float = None):
+    """``apply_diag_for_level(lvl, shape)`` factory for
+    ``multigrid.make_vcycle_3d`` with variable diffusion: exact per-level
+    rediscretisation by re-sampling the coefficient callable at each
+    level's own quadrature points (3D analog of
+    ``hybrid2d._varcoeff_mg_levels``)."""
+    x0d, y0d, z0d = (problem.domain[0], problem.domain[2],
+                     problem.domain[4])
+    bx, by, bz = problem.b
+    c_eff = problem.c if c_override is None else c_override
+    has_const = c_eff != 0.0 or bx != 0.0 or by != 0.0 or bz != 0.0
+
+    def apply_diag_for_level(lvl, shape):
+        s = float(2 ** (lvl + lvl_offset))
+        Sq_l, dxq, dyq, dzq = assembly3d.q1_varcoeff_parts_3d(
+            hx * s, hy * s, hz * s
+        )
+        Sq_l = jnp.asarray(Sq_l, dtype)
+        xs_l = x0d + hx * s * jnp.arange(shape[2], dtype=dtype)
+        ys_l = y0d + hy * s * jnp.arange(shape[1], dtype=dtype)
+        zs_l = z0d + hz * s * jnp.arange(shape[0], dtype=dtype)
+        am = assembly3d.coeff_maps_3d(xs_l, ys_l, zs_l, problem.a_var,
+                                      dxq, dyq, dzq)
+        Kc = None
+        if has_const:
+            Kc = jnp.asarray(
+                assembly3d.q1_local_operator_3d(
+                    hx * s, hy * s, hz * s, 0.0, c_eff, bx, by, bz
+                ),
+                dtype,
+            )
+
+        def apply_l(v):
+            y = assembly3d.apply_stiffness_var_3d(v, Sq_l, am)
+            if Kc is not None:
+                y = y + assembly3d.apply_stiffness_3d(v, Kc)
+            return y
+
+        d = assembly3d.stiffness_var_diag_3d(shape, Sq_l, am, dtype)
+        if Kc is not None:
+            d = d + assembly3d.stiffness_diag_3d(shape, Kc, dtype)
+        return apply_l, d
+
+    return apply_diag_for_level
 
 
 def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
@@ -259,14 +397,36 @@ def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
     hy = float((problem.domain[3] - problem.domain[2]) / cfg.ny)
     hz = float((problem.domain[5] - problem.domain[4]) / cfg.nz)
     bx, by, bz = problem.b
-    K_loc = jnp.asarray(
-        assembly3d.q1_local_operator_3d(hx, hy, hz, problem.a0, problem.c,
-                                        bx, by, bz),
-        dtype,
-    )
+    var = problem.a_var is not None
+    if var:
+        # Per-element stiffness K_e = sum_q a(x_q) S_q; constant
+        # reaction/advection terms compose additively.
+        Sq_np, dxq, dyq, dzq = assembly3d.q1_varcoeff_parts_3d(hx, hy, hz)
+        Sq = jnp.asarray(Sq_np, dtype)
+        a_maps = assembly3d.coeff_maps_3d(xs, ys, zs, problem.a_var,
+                                          dxq, dyq, dzq)
+        K_const = None
+        if problem.c != 0.0 or bx != 0.0 or by != 0.0 or bz != 0.0:
+            K_const = jnp.asarray(
+                assembly3d.q1_local_operator_3d(hx, hy, hz, 0.0,
+                                                problem.c, bx, by, bz),
+                dtype,
+            )
 
-    def apply_op(v):
-        return assembly3d.apply_stiffness_3d(v, K_loc)
+        def apply_op(v):
+            y = assembly3d.apply_stiffness_var_3d(v, Sq, a_maps)
+            if K_const is not None:
+                y = y + assembly3d.apply_stiffness_3d(v, K_const)
+            return y
+    else:
+        K_loc = jnp.asarray(
+            assembly3d.q1_local_operator_3d(hx, hy, hz, problem.a0,
+                                            problem.c, bx, by, bz),
+            dtype,
+        )
+
+        def apply_op(v):
+            return assembly3d.apply_stiffness_3d(v, K_loc)
 
     spd = bx == 0.0 and by == 0.0 and bz == 0.0 and problem.c >= 0.0
 
@@ -301,21 +461,46 @@ def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
 
         c_eff = abs(problem.c) if precond == "shifted" else problem.c
 
-        def loc_for_level(lvl):
-            s = float(2 ** lvl)
-            return jnp.asarray(
-                assembly3d.q1_local_operator_3d(
-                    hx * s, hy * s, hz * s, problem.a0, c_eff, bx, by, bz
+        if var:
+            # Exact rediscretisation per level: re-sample the coefficient
+            # callable at each level's own quadrature points (ignoring
+            # a_var here would silently degrade preconditioner quality
+            # for heterogeneous media — the 2D lesson, ADVICE.md r2).
+            M_inv = multigrid.make_vcycle_3d(
+                nz1, ny1, nx1, None, dtype,
+                apply_diag_for_level=_varcoeff_mg_levels_3d(
+                    problem, hx, hy, hz, dtype,
+                    c_override=(abs(problem.c) if precond == "shifted"
+                                else None),
                 ),
-                dtype,
             )
+        else:
+            def loc_for_level(lvl):
+                s = float(2 ** lvl)
+                return jnp.asarray(
+                    assembly3d.q1_local_operator_3d(
+                        hx * s, hy * s, hz * s, problem.a0, c_eff,
+                        bx, by, bz
+                    ),
+                    dtype,
+                )
 
-        M_inv = multigrid.make_vcycle_3d(
-            nz1, ny1, nx1, loc_for_level(0), dtype,
-            loc_for_level=loc_for_level,
-        )
+            M_inv = multigrid.make_vcycle_3d(
+                nz1, ny1, nx1, loc_for_level(0), dtype,
+                loc_for_level=loc_for_level,
+            )
     else:
-        diag = assembly3d.stiffness_diag_3d((nz1, ny1, nx1), K_loc, dtype)
+        if var:
+            diag = assembly3d.stiffness_var_diag_3d(
+                (nz1, ny1, nx1), Sq, a_maps, dtype
+            )
+            if K_const is not None:
+                diag = diag + assembly3d.stiffness_diag_3d(
+                    (nz1, ny1, nx1), K_const, dtype
+                )
+        else:
+            diag = assembly3d.stiffness_diag_3d((nz1, ny1, nx1), K_loc,
+                                                dtype)
         M_inv = jnp.where(interior, 1.0 / diag, 1.0)
     tol = cfg.cg_tol
     if tol is None:
@@ -400,6 +585,59 @@ def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
     return f_rows, bc_rows.reshape(E, -1), cs
 
 
+def _varcoeff_element_operators_3d(problem: Problem3D,
+                                   cfg: Solver3DConfig, xs, ys, zs,
+                                   vb: VarCoeff3DOperators, t_int):
+    """Batched per-element collocation operators D [E, C^3, M^3]: sample
+    the coefficient fields (a, da/dx, da/dy, da/dz) at each element's
+    collocation grid and combine the shared host-f64 parts (3D analog of
+    ``hybrid2d._varcoeff_element_operators``).  grad_a analytic when
+    supplied, else derived by ``jax.grad``.  Element counts come from the
+    node arrays, so a sharded caller can pass its local z-slab."""
+    dtype = xs.dtype
+    nx_l = xs.shape[0] - 1
+    ny_l = ys.shape[0] - 1
+    nz_l = zs.shape[0] - 1
+    E = nx_l * ny_l * nz_l
+    C = cfg.n_colloc
+    t = jnp.asarray(t_int, dtype)
+    hx = xs[1] - xs[0]
+    hy = ys[1] - ys[0]
+    hz = zs[1] - zs[0]
+    xq = xs[:-1][:, None] + 0.5 * hx * (t[None, :] + 1.0)  # [nx_l, C]
+    yq = ys[:-1][:, None] + 0.5 * hy * (t[None, :] + 1.0)
+    zq = zs[:-1][:, None] + 0.5 * hz * (t[None, :] + 1.0)
+
+    def samp(fn):
+        # [nz, ny, nx, Cz, Cy, Cx] -> rows (iz, iy, ix), cols (cz, cy,
+        # cx), both row-major, matching prepare_shared_3d's t3 order.
+        v = fn(
+            xq[None, None, :, None, None, :],
+            yq[None, :, None, None, :, None],
+            zq[:, None, None, :, None, None],
+        )
+        v = v * jnp.ones((nz_l, ny_l, nx_l, C, C, C), dtype)
+        return v.reshape(E, C * C * C)
+
+    if problem.grad_a is not None:
+        ax_fn, ay_fn, az_fn = problem.grad_a
+    else:  # derive the chain-rule coefficients by AD
+        ax_fn = jnp.vectorize(jax.grad(problem.a_var, argnums=0))
+        ay_fn = jnp.vectorize(jax.grad(problem.a_var, argnums=1))
+        az_fn = jnp.vectorize(jax.grad(problem.a_var, argnums=2))
+    a_e = samp(problem.a_var)
+    ax_e = samp(ax_fn)
+    ay_e = samp(ay_fn)
+    az_e = samp(az_fn)
+    return (
+        -a_e[..., None] * vb.Lap
+        - ax_e[..., None] * vb.Gx
+        - ay_e[..., None] * vb.Gy
+        - az_e[..., None] * vb.Gz
+        + vb.Dconst
+    )
+
+
 def _trilinear_fallback_coeffs(cs, M):
     """Tensor-Legendre coefficients of the Q1 trilinear interpolant — the
     3D analog of the reference's linear fallback (``:171-176``).  Corner
@@ -449,7 +687,17 @@ def hybrid_solve_3d(problem: Problem3D, cfg: Solver3DConfig,
     f_rows, bc_rows, cs = _element_data_3d(
         problem, cfg, xs, ys, zs, fem_values, t_int, spts
     )
-    w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+    if problem.a_var is not None:
+        # Per-element operators from the shared parts + batched
+        # null-space QR (the 2D variable-coefficient route lifted).
+        vb: VarCoeff3DOperators = shared
+        D = _varcoeff_element_operators_3d(problem, cfg, xs, ys, zs, vb,
+                                           t_int)
+        w, diags = kkt.solve_batched(
+            D, vb.B, f_rows, bc_rows, cfg.gamma, ZP=(vb.Z, vb.Pbc),
+        )
+    else:
+        w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
     M = cfg.M
     shp = (cfg.nz, cfg.ny, cfg.nx)
     coeffs = w.reshape(*shp, M, M, M)
@@ -465,7 +713,8 @@ def hybrid_solve_3d(problem: Problem3D, cfg: Solver3DConfig,
         max_slack=diags.max_slack.reshape(shp),
         bc_violation=diags.bc_violation.reshape(shp),
         solve_ok=ok,
-        cond_estimate=shared.cond,
+        cond_estimate=(diags.cond_estimate if problem.a_var is not None
+                       else shared.cond),
     )
 
 

@@ -67,6 +67,110 @@ def q1_local_operator_3d(hx: float, hy: float, hz: float, a0: float = 1.0,
     return K
 
 
+def _q1_shape_3d(xi, eta, zeta):
+    """Q1 hex shape functions and reference-space gradients at one point,
+    corner order a = 4cz + 2cy + cx (x fastest)."""
+    N, dxi, deta, dzeta = [], [], [], []
+    for cz in (-1.0, 1.0):
+        for cy in (-1.0, 1.0):
+            for cx in (-1.0, 1.0):
+                N.append(0.125 * (1 + cx * xi) * (1 + cy * eta)
+                         * (1 + cz * zeta))
+                dxi.append(0.125 * cx * (1 + cy * eta) * (1 + cz * zeta))
+                deta.append(0.125 * (1 + cx * xi) * cy * (1 + cz * zeta))
+                dzeta.append(0.125 * (1 + cx * xi) * (1 + cy * eta) * cz)
+    return (np.array(N), np.array(dxi), np.array(deta), np.array(dzeta))
+
+
+@functools.lru_cache(maxsize=None)
+def q1_varcoeff_parts_3d(hx: float, hy: float, hz: float,
+                         quad_order: int = 2):
+    """Per-quadrature-point gradient-product matrices for variable-
+    coefficient stiffness on hexes: S[q, a, b] = w_q jac
+    (grad N_a . grad N_b)(xi_q), so the element matrix for
+    -div(a grad u) is K_e = sum_q a(x_q^e) S[q] (3D lift of
+    ``assembly2d.q1_varcoeff_parts``).  Also returns the reference
+    offsets (dxq, dyq, dzq) [Q] of the quadrature points from the
+    element's lower corner (host numpy f64)."""
+    t, w = gauss_rule(quad_order)
+    t, w = np.array(t), np.array(w)
+    jac = (hx / 2) * (hy / 2) * (hz / 2)
+    S, dxq, dyq, dzq = [], [], [], []
+    for zeta, wz in zip(t, w):
+        for eta, wy in zip(t, w):
+            for xi, wx in zip(t, w):
+                _, dN_dxi, dN_deta, dN_dzeta = _q1_shape_3d(xi, eta, zeta)
+                dN_dx = dN_dxi * (2.0 / hx)
+                dN_dy = dN_deta * (2.0 / hy)
+                dN_dz = dN_dzeta * (2.0 / hz)
+                S.append(wx * wy * wz * jac * (np.outer(dN_dx, dN_dx)
+                                               + np.outer(dN_dy, dN_dy)
+                                               + np.outer(dN_dz, dN_dz)))
+                dxq.append((xi + 1.0) * 0.5 * hx)
+                dyq.append((eta + 1.0) * 0.5 * hy)
+                dzq.append((zeta + 1.0) * 0.5 * hz)
+    return np.stack(S), np.array(dxq), np.array(dyq), np.array(dzq)
+
+
+def coeff_maps_3d(xs, ys, zs, a_fn, dxq, dyq, dzq):
+    """Sample a(x, y, z) at each element's quadrature points:
+    [Q, nz, ny, nx]."""
+    dtype = xs.dtype
+    xq = xs[:-1][None, None, None, :] + jnp.asarray(dxq, dtype)[:, None,
+                                                                None, None]
+    yq = ys[:-1][None, None, :, None] + jnp.asarray(dyq, dtype)[:, None,
+                                                                None, None]
+    zq = zs[:-1][None, :, None, None] + jnp.asarray(dzq, dtype)[:, None,
+                                                                None, None]
+    nz, ny, nx = zs.shape[0] - 1, ys.shape[0] - 1, xs.shape[0] - 1
+    return a_fn(xq, yq, zq) * jnp.ones((dxq.shape[0], nz, ny, nx), dtype)
+
+
+def apply_stiffness_var_3d(u: jnp.ndarray, Sq: jnp.ndarray,
+                           a_maps: jnp.ndarray) -> jnp.ndarray:
+    """y = A u for -div(a grad u): per-element K_e = sum_q a_q S_q with
+    a_maps [Q, nz, ny, nx] from ``coeff_maps_3d``.  Same gather -> 8x8 ->
+    scatter structure as ``apply_stiffness_3d`` with the coefficient map
+    as a per-element weight."""
+    cs = _corners_3d(u)
+    Q = Sq.shape[0]
+    r = []
+    for a in range(8):
+        acc = 0.0
+        for q in range(Q):
+            sq = sum(Sq[q, a, b] * cs[b] for b in range(8))
+            acc = acc + a_maps[q] * sq
+        r.append(acc)
+    y = jnp.zeros_like(u)
+    sl = (slice(None, -1), slice(1, None))
+    a = 0
+    for cz in range(2):
+        for cy in range(2):
+            for cx in range(2):
+                y = y.at[sl[cz], sl[cy], sl[cx]].add(r[a])
+                a += 1
+    return y
+
+
+def stiffness_var_diag_3d(shape, Sq: jnp.ndarray, a_maps: jnp.ndarray,
+                          dtype) -> jnp.ndarray:
+    """diag(A) for the variable-coefficient hex stiffness (Jacobi)."""
+    nz1, ny1, nx1 = shape
+    d = jnp.zeros((nz1, ny1, nx1), dtype)
+    Ke_diag = [
+        sum(a_maps[q] * Sq[q, a, a] for q in range(Sq.shape[0]))
+        for a in range(8)
+    ]
+    sl = (slice(None, -1), slice(1, None))
+    a = 0
+    for cz in range(2):
+        for cy in range(2):
+            for cx in range(2):
+                d = d.at[sl[cz], sl[cy], sl[cx]].add(Ke_diag[a])
+                a += 1
+    return d
+
+
 def _corners_3d(u):
     """Gather element corner values: 8 x [nz, ny, nx], a = 4cz + 2cy + cx."""
     sl = (slice(None, -1), slice(1, None))

@@ -100,7 +100,8 @@ def _interior_3d(shape):
 
 def make_vcycle_3d(nz1: int, ny1: int, nx1: int, K_loc, dtype,
                    nu: int = 2, omega: float = 0.8, coarsest: int = 5,
-                   coarse_sweeps: int = 60, loc_for_level=None):
+                   coarse_sweeps: int = 60, loc_for_level=None,
+                   apply_diag_for_level=None):
     """3D analog of ``make_vcycle``: V(nu, nu) on the Dirichlet-interior
     Q1 hex system.  ``loc_for_level(lvl)`` returns the rediscretised local
     8x8 at level ``lvl`` (spacing 2**lvl x fine) — required whenever the
@@ -111,7 +112,11 @@ def make_vcycle_3d(nz1: int, ny1: int, nx1: int, K_loc, dtype,
     K_loc(2^l h) = 2^l K_loc(h) EXACTLY.  (Reusing the fine K_loc
     unscaled — the 2D habit, where stiffness IS scale-invariant — makes
     each coarse correction wrong by 2x per level; measured CG iterations
-    13/18/26 at 16/32/64^3 with the bug vs mesh-independent after.)"""
+    13/18/26 at 16/32/64^3 with the bug vs mesh-independent after.)
+    For operators without a shared local 8x8 (variable coefficients),
+    pass ``apply_diag_for_level(lvl, shape)`` returning
+    ``(apply_fn, diag_array)`` — exact rediscretisation per level, the 3D
+    analog of ``make_vcycle``'s hook."""
     from . import assembly3d
 
     shapes = [(nz1, ny1, nx1)]
@@ -121,27 +126,42 @@ def make_vcycle_3d(nz1: int, ny1: int, nx1: int, K_loc, dtype,
     ):
         shapes.append(tuple((s - 1) // 2 + 1 for s in shapes[-1]))
     masks = [_interior_3d(s) for s in shapes]
-    if loc_for_level is None:
-        locs = [K_loc * jnp.asarray(2.0**lvl, dtype)
-                for lvl in range(len(shapes))]
-    else:
-        locs = [jnp.asarray(loc_for_level(lvl), dtype)
-                for lvl in range(len(shapes))]
-    diags = [
-        jnp.where(
-            masks[lvl],
-            assembly3d.stiffness_diag_3d(shapes[lvl], locs[lvl], dtype),
-            1.0,
-        )
-        for lvl in range(len(shapes))
-    ]
+    if apply_diag_for_level is not None:
+        applies, raw_diags = zip(*[
+            apply_diag_for_level(i, shapes[i]) for i in range(len(shapes))
+        ])
+        diags = [
+            jnp.where(masks[i], raw_diags[i], 1.0)
+            for i in range(len(shapes))
+        ]
 
-    def apply_A(u, lvl):
-        return jnp.where(
-            masks[lvl],
-            assembly3d.apply_stiffness_3d(u * masks[lvl], locs[lvl]),
-            0.0,
-        )
+        def apply_A(u, lvl):
+            return jnp.where(
+                masks[lvl], applies[lvl](u * masks[lvl]), 0.0
+            )
+    else:
+        if loc_for_level is None:
+            locs = [K_loc * jnp.asarray(2.0**lvl, dtype)
+                    for lvl in range(len(shapes))]
+        else:
+            locs = [jnp.asarray(loc_for_level(lvl), dtype)
+                    for lvl in range(len(shapes))]
+        diags = [
+            jnp.where(
+                masks[lvl],
+                assembly3d.stiffness_diag_3d(shapes[lvl], locs[lvl],
+                                             dtype),
+                1.0,
+            )
+            for lvl in range(len(shapes))
+        ]
+
+        def apply_A(u, lvl):
+            return jnp.where(
+                masks[lvl],
+                assembly3d.apply_stiffness_3d(u * masks[lvl], locs[lvl]),
+                0.0,
+            )
 
     def smooth(u, r, lvl, sweeps):
         for _ in range(sweeps):

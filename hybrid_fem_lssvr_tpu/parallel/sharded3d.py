@@ -109,11 +109,48 @@ def _dist_fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, d, n_dev,
     hy = float((problem.domain[3] - problem.domain[2]) / cfg.ny)
     hz = float((problem.domain[5] - problem.domain[4]) / cfg.nz)
     bx, by, bz = problem.b
-    K_loc = jnp.asarray(
-        assembly3d.q1_local_operator_3d(hx, hy, hz, problem.a0, problem.c,
-                                        bx, by, bz),
-        dtype,
-    )
+    var = problem.a_var is not None
+    if var:
+        # Slab-local coefficient sampling: zs_loc carries the physical
+        # z coordinates, so the quadrature-point maps are exact.
+        Sq_np, dxq, dyq, dzq = assembly3d.q1_varcoeff_parts_3d(hx, hy, hz)
+        Sq = jnp.asarray(Sq_np, dtype)
+        a_maps = assembly3d.coeff_maps_3d(xs, ys, zs_loc, problem.a_var,
+                                          dxq, dyq, dzq)
+        K_const = None
+        if problem.c != 0.0 or bx != 0.0 or by != 0.0 or bz != 0.0:
+            K_const = jnp.asarray(
+                assembly3d.q1_local_operator_3d(hx, hy, hz, 0.0,
+                                                problem.c, bx, by, bz),
+                dtype,
+            )
+
+        def apply_local(v):
+            y = assembly3d.apply_stiffness_var_3d(v, Sq, a_maps)
+            if K_const is not None:
+                y = y + assembly3d.apply_stiffness_3d(v, K_const)
+            return y
+
+        diag_local = assembly3d.stiffness_var_diag_3d(
+            (nz_loc + 1, ny1, nx1), Sq, a_maps, dtype
+        )
+        if K_const is not None:
+            diag_local = diag_local + assembly3d.stiffness_diag_3d(
+                (nz_loc + 1, ny1, nx1), K_const, dtype
+            )
+    else:
+        K_loc = jnp.asarray(
+            assembly3d.q1_local_operator_3d(hx, hy, hz, problem.a0,
+                                            problem.c, bx, by, bz),
+            dtype,
+        )
+
+        def apply_local(v):
+            return assembly3d.apply_stiffness_3d(v, K_loc)
+
+        diag_local = assembly3d.stiffness_diag_3d(
+            (nz_loc + 1, ny1, nx1), K_loc, dtype
+        )
     spd = bx == 0.0 and by == 0.0 and bz == 0.0 and problem.c >= 0.0
 
     # Global interior mask for this slab's node planes.
@@ -135,7 +172,7 @@ def _dist_fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, d, n_dev,
     u_bc = jnp.where(interior, 0.0, g_grid)
 
     def apply_full(v):
-        return halo(assembly3d.apply_stiffness_3d(v, K_loc))
+        return halo(apply_local(v))
 
     def apply_free(v):
         return jnp.where(interior, apply_full(v * interior), 0.0)
@@ -144,9 +181,7 @@ def _dist_fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, d, n_dev,
         return jax.lax.psum(jnp.sum(u * v * own), axis)
 
     rhs = jnp.where(interior, b - apply_full(u_bc), 0.0)
-    diag = halo(
-        assembly3d.stiffness_diag_3d((nz_loc + 1, ny1, nx1), K_loc, dtype)
-    )
+    diag = halo(diag_local)
 
     precond = cfg.precond
     if precond == "auto":
@@ -162,40 +197,84 @@ def _dist_fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, d, n_dev,
         # carries ~all the work — same design as the 2D slab path).
         c_eff = abs(problem.c) if precond == "shifted" else problem.c
 
-        def loc_for_level(lvl):
-            # lvl is the COARSE cycle's level: global level lvl + 1.
-            s = float(2 ** (lvl + 1))
-            return jnp.asarray(
-                assembly3d.q1_local_operator_3d(
-                    hx * s, hy * s, hz * s, problem.a0, c_eff, bx, by, bz
-                ),
-                dtype,
-            )
-
         if precond == "shifted":
-            K_pc = jnp.asarray(
-                assembly3d.q1_local_operator_3d(
-                    hx, hy, hz, problem.a0, c_eff, bx, by, bz
-                ),
-                dtype,
-            )
+            # Fine-level SPD-shifted operator: variable diffusion kept
+            # exactly, only the reaction term is shifted c -> |c|.
+            if var:
+                K_shift = None
+                if c_eff != 0.0 or bx != 0.0 or by != 0.0 or bz != 0.0:
+                    K_shift = jnp.asarray(
+                        assembly3d.q1_local_operator_3d(
+                            hx, hy, hz, 0.0, c_eff, bx, by, bz
+                        ),
+                        dtype,
+                    )
+
+                def apply_pc_local(v):
+                    yv = assembly3d.apply_stiffness_var_3d(v, Sq, a_maps)
+                    if K_shift is not None:
+                        yv = yv + assembly3d.apply_stiffness_3d(v, K_shift)
+                    return yv
+
+                diag_pc_l = assembly3d.stiffness_var_diag_3d(
+                    (nz_loc + 1, ny1, nx1), Sq, a_maps, dtype
+                )
+                if K_shift is not None:
+                    diag_pc_l = diag_pc_l + assembly3d.stiffness_diag_3d(
+                        (nz_loc + 1, ny1, nx1), K_shift, dtype
+                    )
+            else:
+                K_pc = jnp.asarray(
+                    assembly3d.q1_local_operator_3d(
+                        hx, hy, hz, problem.a0, c_eff, bx, by, bz
+                    ),
+                    dtype,
+                )
+
+                def apply_pc_local(v):
+                    return assembly3d.apply_stiffness_3d(v, K_pc)
+
+                diag_pc_l = assembly3d.stiffness_diag_3d(
+                    (nz_loc + 1, ny1, nx1), K_pc, dtype
+                )
         else:
-            K_pc = K_loc
+            apply_pc_local = apply_local
+            diag_pc_l = diag_local
 
         def apply_pc(v):
             return jnp.where(
-                interior,
-                halo(assembly3d.apply_stiffness_3d(v * interior, K_pc)),
-                0.0,
+                interior, halo(apply_pc_local(v * interior)), 0.0
             )
 
-        diag_pc = halo(assembly3d.stiffness_diag_3d(
-            (nz_loc + 1, ny1, nx1), K_pc, dtype))
+        diag_pc = halo(diag_pc_l)
         nzc_loc = nz_loc // 2
-        serial_vcycle = multigrid.make_vcycle_3d(
-            cfg.nz // 2 + 1, cfg.ny // 2 + 1, cfg.nx // 2 + 1,
-            loc_for_level(0), dtype, loc_for_level=loc_for_level,
-        )
+        if var:
+            from ..models.hybrid3d import _varcoeff_mg_levels_3d
+
+            serial_vcycle = multigrid.make_vcycle_3d(
+                cfg.nz // 2 + 1, cfg.ny // 2 + 1, cfg.nx // 2 + 1,
+                None, dtype,
+                apply_diag_for_level=_varcoeff_mg_levels_3d(
+                    problem, hx, hy, hz, dtype, lvl_offset=1,
+                    c_override=(c_eff if precond == "shifted" else None),
+                ),
+            )
+        else:
+            def loc_for_level(lvl):
+                # lvl is the COARSE cycle's level: global level lvl + 1.
+                s = float(2 ** (lvl + 1))
+                return jnp.asarray(
+                    assembly3d.q1_local_operator_3d(
+                        hx * s, hy * s, hz * s, problem.a0, c_eff,
+                        bx, by, bz
+                    ),
+                    dtype,
+                )
+
+            serial_vcycle = multigrid.make_vcycle_3d(
+                cfg.nz // 2 + 1, cfg.ny // 2 + 1, cfg.nx // 2 + 1,
+                loc_for_level(0), dtype, loc_for_level=loc_for_level,
+            )
         omega, nu = 0.8, 2
         lay0c = lay0 // 2
 
@@ -339,7 +418,18 @@ def make_sharded_solve_3d(problem: Problem3D, cfg: Solver3DConfig, mesh,
             problem, cfg, xs, ys, zs_loc, fem_loc, t_int, spts,
             layer_offset=lay0,
         )
-        w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+        if problem.a_var is not None:
+            from ..models.hybrid3d import _varcoeff_element_operators_3d
+
+            D = _varcoeff_element_operators_3d(
+                problem, cfg, xs, ys, zs_loc, shared, t_int
+            )
+            w, diags = kkt.solve_batched(
+                D, shared.B, f_rows, bc_rows, cfg.gamma,
+                ZP=(shared.Z, shared.Pbc),
+            )
+        else:
+            w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
         M = cfg.M
         coeffs = w.reshape(nz_loc, cfg.ny, cfg.nx, M, M, M)
         fb = _trilinear_fallback_coeffs(cs, M)

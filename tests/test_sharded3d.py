@@ -72,6 +72,28 @@ def test_sharded_3d_inhomogeneous_face_masks():
     assert bool(jnp.all(out.solve_ok))
 
 
+def test_sharded_3d_varcoeff_matches_single_device():
+    """Variable diffusion on z-slabs: slab-local coefficient sampling in
+    both the distributed coarse stage (var stiffness apply + exact MG
+    rediscretisation) and the per-element enhancement operators."""
+    problem = get_problem_3d("variable_coeff_elliptic_3d")
+    cfg = Solver3DConfig(nx=8, ny=8, nz=8, M=4, n_colloc=4, precond="mg")
+    single = HybridSolver3D(problem, cfg)
+    sol = single.solve()
+    run = make_sharded_solve_3d(problem, cfg, pmesh.element_mesh(4))
+    out = run()
+    # atol: the distributed CG's psum reduction order shifts the nodal
+    # values by ~cg_tol, and the gamma-form per-element solves (kappa ~
+    # 1e10 in f64, harmless vs the 1e-2 discretisation floor) amplify
+    # that into the coefficients' last digits — measured max 1.1e-7.
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=5e-7
+    )
+    assert bool(jnp.all(out.solve_ok))
+    iters = np.asarray(out.cg_iters)
+    assert (iters == iters[0]).all() and iters[0] <= 12, iters
+
+
 @pytest.mark.parametrize("name", ["helmholtz_3d", "advection_diffusion_3d"])
 def test_sharded_3d_nonspd_families(name):
     """Indefinite/nonsymmetric 3D families ride the distributed BiCGStab
