@@ -57,12 +57,37 @@ class Problem3D:
     # chain-rule collocation rows (derived by jax.grad when omitted).
     a_var: Optional[Callable] = None
     grad_a: Optional[Tuple[Callable, Callable, Callable]] = None
+    # Structured rhs hook for the fused kernel:
+    # f_shifted(xl, dx, yl, dy, zl, dz) == f(xl+dx, yl+dy, zl+dz) with
+    # transcendentals only on the [1, tile] element corners and the
+    # [C^3, 1] static offsets (trig angle addition) — a naive in-kernel
+    # f costs C^3 = 64 transcendental rows per tile, measured to make the
+    # fused kernel SLOWER than the XLA path (RESULTS.md).
+    f_shifted: Optional[Callable] = None
+
+
+def _sincos_shift(xl, dx):
+    """(sin, cos) of pi (xl + dx) by angle addition: transcendentals only
+    on the two factor shapes ([1, tile] corners, [C^3, 1] offsets), never
+    on the [C^3, tile] product (the 1D/2D structured-rhs trick,
+    NUMERICS.md 11)."""
+    pi = jnp.pi
+    sxl, cxl = jnp.sin(pi * xl), jnp.cos(pi * xl)
+    sd, cd = jnp.sin(pi * dx), jnp.cos(pi * dx)
+    return sxl * cd + cxl * sd, cxl * cd - sxl * sd
 
 
 def poisson_3d() -> Problem3D:
     """-Lap u = 3 pi^2 sin(pi x) sin(pi y) sin(pi z), exact
     u = sin(pi x) sin(pi y) sin(pi z)."""
     pi = jnp.pi
+
+    def f_shifted(xl, dx, yl, dy, zl, dz):
+        sx, _ = _sincos_shift(xl, dx)
+        sy, _ = _sincos_shift(yl, dy)
+        sz, _ = _sincos_shift(zl, dz)
+        return 3.0 * pi**2 * sx * sy * sz
+
     return Problem3D(
         name="poisson_3d",
         f=lambda x, y, z: 3.0 * pi**2 * jnp.sin(pi * x) * jnp.sin(pi * y)
@@ -70,6 +95,7 @@ def poisson_3d() -> Problem3D:
         g=lambda x, y, z: jnp.zeros_like(x + y + z),
         exact=lambda x, y, z: jnp.sin(pi * x) * jnp.sin(pi * y)
         * jnp.sin(pi * z),
+        f_shifted=f_shifted,
     )
 
 
@@ -83,11 +109,18 @@ def poisson_3d_inhomogeneous() -> Problem3D:
     def u(x, y, z):
         return jnp.cos(pi * x) * jnp.cos(pi * y) * jnp.cos(pi * z)
 
+    def f_shifted(xl, dx, yl, dy, zl, dz):
+        _, cx = _sincos_shift(xl, dx)
+        _, cy = _sincos_shift(yl, dy)
+        _, cz = _sincos_shift(zl, dz)
+        return 3.0 * pi**2 * cx * cy * cz
+
     return Problem3D(
         name="poisson_3d_inhomogeneous",
         f=lambda x, y, z: 3.0 * pi**2 * u(x, y, z),
         g=u,
         exact=u,
+        f_shifted=f_shifted,
     )
 
 
@@ -101,12 +134,20 @@ def helmholtz_3d(k: float = 2.0) -> Problem3D:
         return jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y) * jnp.sin(jnp.pi * z)
 
     amp = 3.0 * pi * pi - k * k
+
+    def f_shifted(xl, dx, yl, dy, zl, dz):
+        sx, _ = _sincos_shift(xl, dx)
+        sy, _ = _sincos_shift(yl, dy)
+        sz, _ = _sincos_shift(zl, dz)
+        return amp * sx * sy * sz
+
     return Problem3D(
         name="helmholtz_3d",
         f=lambda x, y, z: amp * u(x, y, z),
         g=lambda x, y, z: jnp.zeros_like(x + y + z),
         exact=u,
         c=-k * k,
+        f_shifted=f_shifted,
     )
 
 
@@ -128,10 +169,20 @@ def advection_diffusion_3d(bx: float = 2.0, by: float = 1.0,
                 + by * pi * sx * cy * sz
                 + bz * pi * sx * sy * cz)
 
+    def f_shifted(xl, dx, yl, dy, zl, dz):
+        sx, cx = _sincos_shift(xl, dx)
+        sy, cy = _sincos_shift(yl, dy)
+        sz, cz = _sincos_shift(zl, dz)
+        return (3.0 * pi**2 * sx * sy * sz
+                + bx * pi * cx * sy * sz
+                + by * pi * sx * cy * sz
+                + bz * pi * sx * sy * cz)
+
     return Problem3D(
         name="advection_diffusion_3d", f=f,
         g=lambda x, y, z: jnp.zeros_like(x + y + z),
         exact=u, b=(bx, by, bz),
+        f_shifted=f_shifted,
     )
 
 
@@ -209,6 +260,7 @@ class Solver3DConfig:
     cg_tol: Optional[float] = None  # None -> 100 * dtype eps (relative)
     cg_maxiter: int = 2000
     precond: str = "auto"  # 'auto' | 'jacobi' | 'mg' | 'shifted'
+    backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (enhancement stage)
     diagnostics: bool = True
     dtype: Optional[str] = None
     fem_dtype: Optional[str] = None  # 'float64': coarse stage in
@@ -533,15 +585,18 @@ def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
     xq = xs[:-1][:, None] + 0.5 * hx * (t[None, :] + 1.0)  # [nx, C]
     yq = ys[:-1][:, None] + 0.5 * hy * (t[None, :] + 1.0)
     zq = zs[:-1][:, None] + 0.5 * hz * (t[None, :] + 1.0)
-    # f on [nz, Cz, ny, Cy, nx, Cx] -> rows (iz, iy, ix) row-major to
-    # match prepare_shared_3d's t3 row order (z slowest, x fastest).
+    # f built DIRECTLY on [nz, ny, nx, Cz, Cy, Cx] — rows (iz, iy, ix)
+    # row-major, cols (cz, cy, cx) row-major, matching prepare_shared_3d's
+    # t3 order.  (An earlier [nz, Cz, ny, Cy, nx, Cx] layout + 6-D
+    # transpose cost ~0.4 ms of the 1.0 ms enhancement step at 64^3 —
+    # the transpose is a full relayout pass over the [E, C^3] array.)
     F = problem.f(
-        xq[None, None, None, None, :, :],
-        yq[None, None, :, :, None, None],
-        zq[:, :, None, None, None, None],
+        xq[None, None, :, None, None, :],
+        yq[None, :, None, None, :, None],
+        zq[:, None, None, :, None, None],
     )
-    F = F * jnp.ones((nz, C, ny, C, nx, C), dtype)
-    f_rows = jnp.transpose(F, (0, 2, 4, 1, 3, 5)).reshape(E, C * C * C)
+    F = F * jnp.ones((nz, ny, nx, C, C, C), dtype)
+    f_rows = F.reshape(E, C * C * C)
 
     # 8 corner values, a = 4cz + 2cy + cx (assembly3d order)
     cs = assembly3d._corners_3d(fem_values)
@@ -583,6 +638,17 @@ def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
     gvals = problem.g(xp, yp, zp) * jnp.ones_like(trace)
     bc_rows = jnp.where(on_bdry, gvals, trace)
     return f_rows, bc_rows.reshape(E, -1), cs
+
+
+def _pallas_solve_ok_3d(slack, bcv, corners):
+    """Per-element acceptance gate for the fused-kernel path: tolerance
+    scales with the boundary-data magnitude (the 8 corner values bound the
+    trilinear trace), NOT with the violation itself — same rationale as
+    ``hybrid2d._pallas_solve_ok``."""
+    finite = jnp.isfinite(slack) & jnp.isfinite(bcv)
+    mags = [jnp.abs(c).reshape(bcv.shape) for c in corners]
+    scale = 1.0 + functools.reduce(jnp.maximum, mags)
+    return finite & (bcv <= 1e-2 * scale)
 
 
 def _varcoeff_element_operators_3d(problem: Problem3D,
@@ -684,20 +750,57 @@ def hybrid_solve_3d(problem: Problem3D, cfg: Solver3DConfig,
     else:
         fem_values, cg_res = fem_solve_3d(problem, cfg, xs, ys, zs)
 
-    f_rows, bc_rows, cs = _element_data_3d(
-        problem, cfg, xs, ys, zs, fem_values, t_int, spts
-    )
-    if problem.a_var is not None:
-        # Per-element operators from the shared parts + batched
-        # null-space QR (the 2D variable-coefficient route lifted).
-        vb: VarCoeff3DOperators = shared
-        D = _varcoeff_element_operators_3d(problem, cfg, xs, ys, zs, vb,
-                                           t_int)
-        w, diags = kkt.solve_batched(
-            D, vb.B, f_rows, bc_rows, cfg.gamma, ZP=(vb.Z, vb.Pbc),
+    E = cfg.nx * cfg.ny * cfg.nz
+    backend = cfg.backend
+    if backend == "auto":
+        from ..ops import pallas_kernels as pk
+
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and problem.a_var is None
+            and pk.pick_tile(E, 8192) >= 128
+            and dtype == jnp.float32
+            else "xla"
         )
+    if backend == "pallas" and problem.a_var is None:
+        from ..ops import pallas_kernels as pk
+
+        x0f, x1f, y0f, y1f, z0f, z1f = problem.domain
+        hx = (x1f - x0f) / cfg.nx
+        hy = (y1f - y0f) / cfg.ny
+        hz = (z1f - z0f) / cfg.nz
+        w, slack, bcv = pk.fused_enhance_stacked_3d(
+            fem_values, shared, problem.f, problem.g,
+            (x0f, hx, y0f, hy, z0f, hz), cfg.nx, cfg.ny, cfg.nz,
+            t_int, spts, tile=pk.pick_tile(E, 8192),
+            with_diagnostics=cfg.diagnostics,
+            f_shifted_fn=problem.f_shifted,
+        )
+        cs = assembly3d._corners_3d(fem_values)
+        if cfg.diagnostics:
+            ok_flat = _pallas_solve_ok_3d(slack, bcv, cs)
+            diags = kkt.KKTDiagnostics(slack, bcv, ok_flat)
+        else:
+            zeros = jnp.zeros((E,), w.dtype)
+            diags = kkt.KKTDiagnostics(
+                zeros, zeros, jnp.all(jnp.isfinite(w), axis=-1)
+            )
     else:
-        w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+        f_rows, bc_rows, cs = _element_data_3d(
+            problem, cfg, xs, ys, zs, fem_values, t_int, spts
+        )
+        if problem.a_var is not None:
+            # Per-element operators from the shared parts + batched
+            # null-space QR (the 2D variable-coefficient route lifted).
+            vb: VarCoeff3DOperators = shared
+            D = _varcoeff_element_operators_3d(problem, cfg, xs, ys, zs,
+                                               vb, t_int)
+            w, diags = kkt.solve_batched(
+                D, vb.B, f_rows, bc_rows, cfg.gamma, ZP=(vb.Z, vb.Pbc),
+            )
+        else:
+            w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
     M = cfg.M
     shp = (cfg.nz, cfg.ny, cfg.nx)
     coeffs = w.reshape(*shp, M, M, M)

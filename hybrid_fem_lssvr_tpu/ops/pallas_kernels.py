@@ -501,8 +501,10 @@ def fused_enhance_stacked_2d(
     interpret: bool = False,
     with_diagnostics: bool = True,
     f_shifted_fn=None,
-    precision=None,  # None -> HIGHEST; pass jax.lax.Precision.HIGH to halve
-    # the MXU pass count (bf16x3, ~1.5e-7 rel) where the error budget allows
+    precision=None,  # None -> HIGHEST.  NOTE: Mosaic legalises only
+    # DEFAULT/HIGHEST on hardware (NUMERICS.md 21) — HIGH compiles only in
+    # interpret mode; the real pass-count lever is a manual bf16 hi/lo
+    # split (see the SNE kernel's NZ contraction)
 ):
     """Fused 2D enhancement with ONE stacked MXU contraction.
 
@@ -640,6 +642,191 @@ def fused_enhance_stacked_2d(
             transcendentals=4 * E if f_shifted_fn is not None else E * C2,
         ),
     )(dX, dY, n_pack, bxy_pack, u00, u10, u01, u11, O, ops.B)
+    if with_diagnostics:
+        wT, slack, bcv = outs
+        return wT.T, slack[0], bcv[0]
+    return outs[0].T, None, None
+
+
+@_mosaic_x64_safe
+def fused_enhance_stacked_3d(
+    fem_values: jnp.ndarray,  # [nz+1, ny+1, nx+1] nodal grid
+    ops: kkt.SharedOperators,  # must carry Pres / Qres
+    f_fn,  # rhs f(x, y, z)
+    g_fn,  # Dirichlet data g(x, y, z)
+    geom,  # (x0, hx, y0, hy, z0, hz) Python floats
+    nx: int,
+    ny: int,
+    nz: int,
+    t_int,  # [C] interior collocation offsets (reference coords)
+    spts,  # [S, 3] (tz, ty, tx) surface-trace points
+    tile: int = 8192,
+    interpret: bool = False,
+    with_diagnostics: bool = True,
+    f_shifted_fn=None,  # structured f(xl+dx, yl+dy, zl+dz) hook — without
+    # it the naive in-kernel f pays C^3 = 64 transcendental rows per tile,
+    # measured SLOWER than the XLA path at 64^3 (RESULTS.md).  No
+    # precision knob: Mosaic legalises only DEFAULT/HIGHEST dot
+    # precisions (NUMERICS.md 21), so HIGHEST is the only accurate option
+):
+    """Fused 3D enhancement with ONE stacked MXU contraction (the 3D lift
+    of ``fused_enhance_stacked_2d``).
+
+    Per element tile, entirely in VMEM: hex index -> (ez, ey, ex) ->
+    mapped collocation coordinates -> f(x, y, z) + trilinear FEM trace
+    (Dirichlet override on domain-boundary faces) -> the stacked
+    [w; e] = [Wf Wbc; Pres Qres] @ [f; bc] MXU dot -> slack/bc
+    diagnostics.  At M = C = 4 the stacked operator is [128, 120] — an
+    exactly-MXU-shaped single dot; the XLA path's [E, C^3] + [E, S] HBM
+    round trips (~250 MB at 64^3) disappear.  Measured (interleaved
+    head-to-head at 64^3, v5e): XLA 2.6e8 -> fused 4.2e8 elements/sec at
+    tile=8192 WITH the structured-rhs hook; withOUT the hook the naive
+    in-kernel f (64 transcendental rows/tile) makes the kernel ~1.2x
+    SLOWER than XLA — the hook is the whole win (RESULTS.md).
+    """
+    E = nx * ny * nz
+    if E % tile:
+        raise ValueError(f"E={E} not a multiple of tile={tile}")
+    if tile % 128:
+        raise ValueError(f"tile={tile} must be a multiple of 128 lanes")
+    if ops.Pres is None:
+        raise ValueError("ops has no residual operators; use a host "
+                         "precompute (precompute_shared_*_host)")
+    dtype = fem_values.dtype
+    x0, hx, y0, hy, z0, hz = geom
+    M3 = ops.Wf.shape[0]
+    C3 = ops.Pres.shape[0]
+    C = int(round(C3 ** (1.0 / 3.0)))
+    S = ops.Wbc.shape[1]
+
+    # 8 corner-value views, flattened z-major over hexes: [1, E] each,
+    # corner order a = 4cz + 2cy + cx (assembly3d._corners_3d).
+    sl = (slice(None, -1), slice(1, None))
+    u_corner = [
+        fem_values[sl[cz]][:, sl[cy]][:, :, sl[cx]].reshape(1, E)
+        for cz in range(2) for cy in range(2) for cx in range(2)
+    ]
+
+    t = jnp.asarray(t_int, dtype)
+    # In-element offsets of the C^3 collocation grid, flattened
+    # (cz, cy, cx) row-major (x fastest) to match prepare_shared_3d's t3
+    # ordering: [C^3, 1] each (jnp ops: t_int/spts may be traced).
+    dX = (jnp.tile(t, C * C)[:, None] + 1.0) * jnp.asarray(0.5 * hx, dtype)
+    dY = (jnp.tile(jnp.repeat(t, C), C)[:, None] + 1.0) * jnp.asarray(
+        0.5 * hy, dtype)
+    dZ = (jnp.repeat(t, C * C)[:, None] + 1.0) * jnp.asarray(0.5 * hz,
+                                                             dtype)
+    # Trace points: [S, 1] offsets + trilinear shape factors.
+    sp = jnp.asarray(spts, dtype)
+    tz = sp[:, 0][:, None]
+    ty = sp[:, 1][:, None]
+    tx = sp[:, 2][:, None]
+    n_pack = jnp.concatenate(
+        [0.125 * (1 + sxn * tx) * (1 + syn * ty) * (1 + szn * tz)
+         for szn in (-1.0, 1.0) for syn in (-1.0, 1.0)
+         for sxn in (-1.0, 1.0)],
+        axis=0,
+    )  # [8S, 1], corner order a = 4cz + 2cy + cx
+    bxyz_pack = jnp.concatenate(
+        [(tx + 1.0) * jnp.asarray(0.5 * hx, dtype),
+         (ty + 1.0) * jnp.asarray(0.5 * hy, dtype),
+         (tz + 1.0) * jnp.asarray(0.5 * hz, dtype),
+         (tx == -1.0).astype(dtype), (tx == 1.0).astype(dtype),
+         (ty == -1.0).astype(dtype), (ty == 1.0).astype(dtype),
+         (tz == -1.0).astype(dtype), (tz == 1.0).astype(dtype)],
+        axis=0,
+    )  # [9S, 1]
+    # The stacked operator (host-f64 fields, cast to run dtype).
+    top = jnp.concatenate([ops.Wf, ops.Wbc], axis=1)  # [M3, C3+S]
+    if with_diagnostics:
+        bottom = jnp.concatenate([ops.Pres, ops.Qres], axis=1)
+        O = jnp.concatenate([top, bottom], axis=0)  # [M3+C3, C3+S]
+    else:
+        O = top
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def kernel(dX_r, dY_r, dZ_r, n_r, bxyz_r, *rest):
+        u_refs = rest[:8]
+        o_ref, b_ref, w_ref = rest[8], rest[9], rest[10]
+        diag_refs = rest[11:]
+        i = pl.program_id(0)
+        e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + i * tile
+        nx32 = jnp.int32(nx)
+        ny32 = jnp.int32(ny)
+        ex = e_idx % nx32
+        ey = (e_idx // nx32) % ny32
+        ez = e_idx // (nx32 * ny32)
+        xl = jnp.asarray(x0, dtype) + ex.astype(dtype) * jnp.asarray(
+            hx, dtype)
+        yl = jnp.asarray(y0, dtype) + ey.astype(dtype) * jnp.asarray(
+            hy, dtype)
+        zl = jnp.asarray(z0, dtype) + ez.astype(dtype) * jnp.asarray(
+            hz, dtype)
+        # PDE rows: f at the C^3 interior points, [C^3, tile].  The
+        # structured hook evaluates transcendentals only on [1, tile] and
+        # [C^3, 1] factors (angle addition); the naive route pays them on
+        # the full [C^3, tile] product.
+        if f_shifted_fn is not None:
+            f = f_shifted_fn(xl, dX_r[:], yl, dY_r[:], zl, dZ_r[:])
+        else:
+            f = f_fn(xl + dX_r[:], yl + dY_r[:], zl + dZ_r[:])
+        f = f * jnp.ones((C3, tile), dtype)
+        # Trace rows: trilinear FEM trace + Dirichlet override on the
+        # domain-boundary faces.
+        trace = 0.0
+        for a in range(8):
+            trace = trace + n_r[a * S:(a + 1) * S] * u_refs[a][:]
+        xb = xl + bxyz_r[0:S]
+        yb = yl + bxyz_r[S:2 * S]
+        zb = zl + bxyz_r[2 * S:3 * S]
+        gv = g_fn(xb, yb, zb) * jnp.ones_like(trace)
+        mask = (
+            ((bxyz_r[3 * S:4 * S] > 0.5) & (ex == 0))
+            | ((bxyz_r[4 * S:5 * S] > 0.5) & (ex == nx32 - 1))
+            | ((bxyz_r[5 * S:6 * S] > 0.5) & (ey == 0))
+            | ((bxyz_r[6 * S:7 * S] > 0.5) & (ey == ny32 - 1))
+            | ((bxyz_r[7 * S:8 * S] > 0.5) & (ez == 0))
+            | ((bxyz_r[8 * S:9 * S] > 0.5) & (ez == jnp.int32(nz) - 1))
+        )
+        bc = jnp.where(mask, gv, trace)
+        z = jnp.concatenate([f, bc], axis=0)  # [C3+S, tile]
+        out = jnp.dot(o_ref[:], z, precision=hi,
+                      preferred_element_type=dtype)
+        w = out[:M3]
+        w_ref[:] = w
+        if with_diagnostics:
+            slack_ref, bcv_ref = diag_refs
+            slack_ref[:] = jnp.max(jnp.abs(out[M3:]), axis=0,
+                                   keepdims=True)
+            b_res = bc - jnp.dot(b_ref[:], w, precision=hi,
+                                 preferred_element_type=dtype)
+            bcv_ref[:] = jnp.max(jnp.abs(b_res), axis=0, keepdims=True)
+
+    grid = (E // tile,)
+    col = lambda i: (0, i)
+    out_shape = [jax.ShapeDtypeStruct((M3, E), dtype)]
+    out_specs = [pl.BlockSpec((M3, tile), col, memory_space=pltpu.VMEM)]
+    if with_diagnostics:
+        out_shape += [jax.ShapeDtypeStruct((1, E), dtype)] * 2
+        out_specs += [
+            pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+        ] * 2
+    repl = pl.BlockSpec(memory_space=pltpu.VMEM)
+    row_block = pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[repl] * 5 + [row_block] * 8 + [repl, repl],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E * (M3 + C3) * (C3 + S),
+            bytes_accessed=4 * (8 * E + E * M3 + 2 * E),
+            transcendentals=E * C3,
+        ),
+    )(dX, dY, dZ, n_pack, bxyz_pack, *u_corner, O, ops.B)
     if with_diagnostics:
         wT, slack, bcv = outs
         return wT.T, slack[0], bcv[0]

@@ -271,6 +271,40 @@ def test_fused_stacked_2d_matches_xla_path():
             assert 0.05 < r < 20.0, r
 
 
+def test_fused_stacked_3d_matches_xla_path():
+    """The 3D stacked-operator kernel (trilinear trace + face g-override +
+    one [M^3+C^3, C^3+S] MXU dot) equals the XLA shared path on both
+    homogeneous and inhomogeneous 3D Poisson."""
+    from hybrid_fem_lssvr_tpu.models import hybrid3d as h3
+    from hybrid_fem_lssvr_tpu.ops import kkt
+
+    for p in (h3.poisson_3d(), h3.poisson_3d_inhomogeneous()):
+        cfg = h3.Solver3DConfig(nx=4, ny=4, nz=8, M=4, n_colloc=4,
+                                dtype="float32", precond="jacobi")
+        shared, (t_int, spts) = h3.prepare_shared_3d(p, cfg)
+        assert shared.Pres is not None
+        xs = jnp.linspace(-1, 1, 5, dtype=jnp.float32)
+        zs = jnp.linspace(-1, 1, 9, dtype=jnp.float32)
+        fem, _ = h3.fem_solve_3d(p, cfg, xs, xs, zs)
+        f_rows, bc_rows, _ = h3._element_data_3d(p, cfg, xs, xs, zs, fem,
+                                                 t_int, spts)
+        w_ref, d_ref = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+        geom = (-1.0, 2 / 4, -1.0, 2 / 4, -1.0, 2 / 8)
+        for fs in (None, p.f_shifted):
+            w, slack, bcv = pk.fused_enhance_stacked_3d(
+                fem, shared, p.f, p.g, geom, 4, 4, 8, t_int, spts,
+                tile=128, interpret=True, f_shifted_fn=fs,
+            )
+            np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                                       atol=2e-5)
+            np.testing.assert_allclose(
+                np.asarray(bcv), np.asarray(d_ref.bc_violation), atol=1e-5
+            )
+            r = float(jnp.max(slack)) / max(
+                float(jnp.max(d_ref.max_slack)), 1e-30)
+            assert 0.05 < r < 20.0, r
+
+
 def test_fused_varcoeff_2d_matches_xla_path():
     """The fused 2D per-element-operator kernel (coefficient sampling +
     projected-column CGS2 QR in VMEM) equals the XLA batched null-space
