@@ -41,6 +41,7 @@ _FAST_TESTS = {
     "test_sharded.py::test_sharded_matches_single_device",
     "test_pallas.py::test_fused_matches_jnp_path",
     "test_pallas.py::test_fused_varcoeff_matches_xla_lse_path",
+    "test_pallas.py::test_fused_stacked_3d_matches_xla_path",
 }
 
 
