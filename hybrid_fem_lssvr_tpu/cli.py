@@ -244,6 +244,13 @@ def cmd_campaign(args):
                                 dtype=args.dtype, eval_points=2000,
                                 problem=name2d)
         cmd_run2d(ns)
+    # beyond-BASELINE breadth: the 3D hex families on the same pipeline
+    for name3d in ("poisson_3d", "helmholtz_3d",
+                   "variable_coeff_elliptic_3d"):
+        ns = argparse.Namespace(nx=16, ny=16, nz=16, M=4,
+                                dtype=args.dtype, eval_points=2000,
+                                problem=name3d)
+        cmd_run3d(ns)
 
 
 def cmd_runsharded(args):
@@ -444,7 +451,9 @@ def cmd_run3d(args):
     solver = HybridSolver3D(problem, cfg)
     rec = {}
     with profiling.timed(rec, "solve_sec"):
-        sol = solver.solve()
+        sol, _resumed = ckpt.load_or_solve(
+            getattr(args, "checkpoint", None), solver
+        )
         jax.block_until_ready(sol.coeffs)
     rng = np.random.default_rng(0)
     d = problem.domain

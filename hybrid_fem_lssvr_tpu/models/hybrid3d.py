@@ -261,10 +261,20 @@ class Solver3DConfig:
     cg_maxiter: int = 2000
     precond: str = "auto"  # 'auto' | 'jacobi' | 'mg' | 'shifted'
     backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (enhancement stage)
+    formulation: str = "primal"  # 'primal' | 'dual' (same QP; the dual
+    # precompute factorises the augmented quasi-definite kernel system —
+    # the 3D lift of Solver2DConfig.formulation; note the 3D dual system
+    # is C^3+S = 120 > M^3 = 64 at the defaults, so unlike 1D it is never
+    # the cheaper algebra — offered for API parity and as an independent
+    # derivation of the same affine map)
     diagnostics: bool = True
     dtype: Optional[str] = None
     fem_dtype: Optional[str] = None  # 'float64': coarse stage in
     # (TPU-emulated) f64 — elementwise/reduction ops only, TPU-legal
+
+    def __post_init__(self):
+        if self.formulation not in ("primal", "dual"):
+            raise ValueError(f"unknown formulation: {self.formulation!r}")
 
     def jnp_dtype(self):
         if self.dtype is not None:
@@ -389,7 +399,14 @@ def prepare_shared_3d(problem: Problem3D, cfg: Solver3DConfig):
     if problem.c != 0.0:
         Dt = Dt + problem.c * t3(V0, V0, V0)
 
-    shared = kkt.precompute_shared_lse_host(Dt, B, cfg.jnp_dtype())
+    if cfg.formulation == "dual":
+        # Genuine dual algebra (the augmented quasi-definite kernel
+        # system, factorised once in host f64) — same affine map, derived
+        # independently; primal==dual asserted in tests/test_poisson3d.py.
+        shared = kkt.precompute_shared_dual_host(Dt, B, cfg.gamma,
+                                                 cfg.jnp_dtype())
+    else:
+        shared = kkt.precompute_shared_lse_host(Dt, B, cfg.jnp_dtype())
     return shared, (jnp.asarray(t_int), jnp.asarray(spts))
 
 
@@ -797,7 +814,8 @@ def hybrid_solve_3d(problem: Problem3D, cfg: Solver3DConfig,
             D = _varcoeff_element_operators_3d(problem, cfg, xs, ys, zs,
                                                vb, t_int)
             w, diags = kkt.solve_batched(
-                D, vb.B, f_rows, bc_rows, cfg.gamma, ZP=(vb.Z, vb.Pbc),
+                D, vb.B, f_rows, bc_rows, cfg.gamma,
+                formulation=cfg.formulation, ZP=(vb.Z, vb.Pbc),
             )
         else:
             w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)

@@ -139,13 +139,20 @@ def load_solution(path: str, problem_name: str, cfg, solution_cls):
 def load_or_solve(path: Optional[str], solver, checkpointer=None):
     """Resume from ``path`` if compatible, else solve and checkpoint.
 
-    Works for both the 1D ``HybridSolver`` (Solution) and the 2D
-    ``HybridSolver2D`` (Solution2D) facades.  Pass an ``AsyncCheckpointer``
-    to overlap the save with subsequent work (caller owns its lifetime)."""
+    Works for the 1D ``HybridSolver`` (Solution), 2D ``HybridSolver2D``
+    (Solution2D) and 3D ``HybridSolver3D`` (Solution3D) facades.  Pass an
+    ``AsyncCheckpointer`` to overlap the save with subsequent work
+    (caller owns its lifetime)."""
     from ..models.hybrid import HybridSolver, Solution
-    from ..models.hybrid2d import Solution2D
+    from ..models.hybrid2d import HybridSolver2D, Solution2D
+    from ..models.hybrid3d import Solution3D
 
-    cls = Solution if isinstance(solver, HybridSolver) else Solution2D
+    if isinstance(solver, HybridSolver):
+        cls = Solution
+    elif isinstance(solver, HybridSolver2D):
+        cls = Solution2D
+    else:
+        cls = Solution3D
     name = solver.problem.name
     if path:
         sol = load_solution(path, name, solver.config, cls)

@@ -196,14 +196,21 @@ def test_cli_run2d(capsys):
     assert rec["linf_error"] < 0.1
 
 
-def test_cli_run3d(capsys):
+def test_cli_run3d(tmp_path, capsys):
     from hybrid_fem_lssvr_tpu import cli
 
-    cli.main(["run3d", "--nx", "8", "--ny", "8", "--nz", "8"])
+    ck = str(tmp_path / "ck3d_single")
+    args = ["run3d", "--nx", "8", "--ny", "8", "--nz", "8",
+            "--checkpoint", ck]
+    cli.main(args)
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["stage"] == "hybrid_solve_3d"
     assert rec["linf_error"] < 0.1
     assert rec["n_fallback"] == 0
+    # resume skips the solve and reproduces the same error norms
+    cli.main(args)
+    rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["linf_error"] == rec["linf_error"]
 
 
 def test_cli_run3d_sharded_with_resume(tmp_path, capsys):

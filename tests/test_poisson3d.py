@@ -366,6 +366,30 @@ def test_hybrid_3d_varcoeff_ad_grad_a():
     )
 
 
+def test_dual_formulation_3d_matches_primal():
+    """3D dual (augmented quasi-definite kernel algebra) solves the same
+    QP as the primal LSE path — 'both formulations behind one API' lifted
+    to hexes.  The dual system is C^3+S = 120 > M^3 at the defaults, so
+    (unlike 1D) it is never the cheaper algebra; it is an independent
+    derivation of the same affine map."""
+    r = np.random.default_rng(7)
+    xq, yq, zq = (r.uniform(-1, 1, 800) for _ in range(3))
+    for prob in (poisson_3d(), poisson_3d_inhomogeneous()):
+        base = dict(nx=4, ny=4, nz=4, M=4, n_colloc=4, precond="jacobi")
+        sp = HybridSolver3D(prob, Solver3DConfig(**base))
+        sd = HybridSolver3D(prob, Solver3DConfig(formulation="dual",
+                                                 **base))
+        solp, sold = sp.solve(), sd.solve()
+        assert bool(jnp.all(sold.solve_ok))
+        up = np.asarray(sp.evaluate_solution(xq, yq, zq))
+        ud = np.asarray(sd.evaluate_solution(xq, yq, zq))
+        # finite gamma vs the LSE limit (O(1/gamma)) + augmented-inverse
+        # extraction accuracy — both far below the coarse-stage error.
+        np.testing.assert_allclose(ud, up, atol=2e-5)
+    with pytest.raises(ValueError, match="formulation"):
+        Solver3DConfig(formulation="primel")
+
+
 def test_hybrid_3d_continuity_across_faces():
     """The trace pinning makes the enhanced field globally continuous:
     evaluate on both sides of an interior element face."""
