@@ -206,6 +206,29 @@ def cmd_adaptive2d(args):
         em.emit("adaptive2d_round", problem=problem.name, **rec)
 
 
+def cmd_adaptive3d(args):
+    from .models.hybrid3d import Solver3DConfig, get_problem_3d
+    from .models.hybrid3d_graded import adaptive_solve_3d
+
+    em = M.MetricsEmitter()
+    problem = get_problem_3d(getattr(args, "problem", "poisson_3d"))
+    cfg = Solver3DConfig(nx=args.nx, ny=args.ny, nz=args.nz, M=args.M,
+                         n_colloc=args.M, gamma=args.gamma,
+                         dtype=args.dtype, precond="jacobi",
+                         backend="xla")
+    ep = None
+    if problem.exact is not None:
+        rng = np.random.default_rng(0)
+        d = problem.domain
+        ep = (rng.uniform(d[0], d[1], args.eval_points),
+              rng.uniform(d[2], d[3], args.eval_points),
+              rng.uniform(d[4], d[5], args.eval_points))
+    res = adaptive_solve_3d(problem, cfg, rounds=args.rounds,
+                            refine_frac=args.refine_frac, eval_points=ep)
+    for rec in res.history:
+        em.emit("adaptive3d_round", problem=problem.name, **rec)
+
+
 def cmd_campaign(args):
     """Run every BASELINE.json workload config and emit one JSON line each:
     1) 1D Poisson primal (reference __main__ config),
@@ -551,6 +574,25 @@ def build_parser():
     sp.add_argument("--refine-frac", type=float, default=0.3)
     sp.add_argument("--eval-points", type=int, default=2000)
     sp.set_defaults(fn=cmd_adaptive2d)
+
+    sp = sub.add_parser(
+        "adaptive3d",
+        help="3D slack-driven tensor-product adaptivity (graded hexes)")
+    sp.add_argument("--problem", default="poisson_3d",
+                    choices=["poisson_3d", "poisson_3d_inhomogeneous",
+                             "helmholtz_3d", "advection_diffusion_3d",
+                             "variable_coeff_elliptic_3d"])
+    sp.add_argument("--nx", type=int, default=6)
+    sp.add_argument("--ny", type=int, default=6)
+    sp.add_argument("--nz", type=int, default=6)
+    sp.add_argument("--M", type=int, default=4)
+    sp.add_argument("--gamma", type=float, default=1e4)
+    sp.add_argument("--dtype", default=None,
+                    choices=[None, "float32", "float64"])
+    sp.add_argument("--rounds", type=int, default=2)
+    sp.add_argument("--refine-frac", type=float, default=0.3)
+    sp.add_argument("--eval-points", type=int, default=1000)
+    sp.set_defaults(fn=cmd_adaptive3d)
 
     sp = sub.add_parser(
         "runsharded",

@@ -596,12 +596,14 @@ def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
     nz = zs.shape[0] - 1
     E = nx * ny * nz
     t = jnp.asarray(t_int, dtype)
-    hx = xs[1] - xs[0]
-    hy = ys[1] - ys[0]
-    hz = zs[1] - zs[0]
-    xq = xs[:-1][:, None] + 0.5 * hx * (t[None, :] + 1.0)  # [nx, C]
-    yq = ys[:-1][:, None] + 0.5 * hy * (t[None, :] + 1.0)
-    zq = zs[:-1][:, None] + 0.5 * hz * (t[None, :] + 1.0)
+    # Per-element spacings [n]: identical values on a uniform mesh, and
+    # the same expressions serve the graded path (``hybrid3d_graded``).
+    hx = xs[1:] - xs[:-1]
+    hy = ys[1:] - ys[:-1]
+    hz = zs[1:] - zs[:-1]
+    xq = xs[:-1][:, None] + 0.5 * hx[:, None] * (t[None, :] + 1.0)
+    yq = ys[:-1][:, None] + 0.5 * hy[:, None] * (t[None, :] + 1.0)
+    zq = zs[:-1][:, None] + 0.5 * hz[:, None] * (t[None, :] + 1.0)
     # f built DIRECTLY on [nz, ny, nx, Cz, Cy, Cx] — rows (iz, iy, ix)
     # row-major, cols (cz, cy, cx) row-major, matching prepare_shared_3d's
     # t3 order.  (An earlier [nz, Cz, ny, Cy, nx, Cx] layout + 6-D
@@ -641,9 +643,9 @@ def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
     xm = 0.5 * (xs[1:] + xs[:-1])
     ym = 0.5 * (ys[1:] + ys[:-1])
     zm = 0.5 * (zs[1:] + zs[:-1])
-    xp = (xm[:, None] + 0.5 * hx * txp[None, :])[None, None, :, :]
-    yp = (ym[:, None] + 0.5 * hy * typ[None, :])[None, :, None, :]
-    zp = (zm[:, None] + 0.5 * hz * tzp[None, :])[:, None, None, :]
+    xp = (xm[:, None] + 0.5 * hx[:, None] * txp[None, :])[None, None, :, :]
+    yp = (ym[:, None] + 0.5 * hy[:, None] * typ[None, :])[None, :, None, :]
+    zp = (zm[:, None] + 0.5 * hz[:, None] * tzp[None, :])[:, None, None, :]
     on_bdry = (
         ((ex[None, None, :, None] == 0) & (txp == -1.0))
         | ((ex[None, None, :, None] == cfg.nx - 1) & (txp == 1.0))
@@ -684,12 +686,12 @@ def _varcoeff_element_operators_3d(problem: Problem3D,
     E = nx_l * ny_l * nz_l
     C = cfg.n_colloc
     t = jnp.asarray(t_int, dtype)
-    hx = xs[1] - xs[0]
-    hy = ys[1] - ys[0]
-    hz = zs[1] - zs[0]
-    xq = xs[:-1][:, None] + 0.5 * hx * (t[None, :] + 1.0)  # [nx_l, C]
-    yq = ys[:-1][:, None] + 0.5 * hy * (t[None, :] + 1.0)
-    zq = zs[:-1][:, None] + 0.5 * hz * (t[None, :] + 1.0)
+    hx = xs[1:] - xs[:-1]
+    hy = ys[1:] - ys[:-1]
+    hz = zs[1:] - zs[:-1]
+    xq = xs[:-1][:, None] + 0.5 * hx[:, None] * (t[None, :] + 1.0)
+    yq = ys[:-1][:, None] + 0.5 * hy[:, None] * (t[None, :] + 1.0)
+    zq = zs[:-1][:, None] + 0.5 * hz[:, None] * (t[None, :] + 1.0)
 
     def samp(fn):
         # [nz, ny, nx, Cz, Cy, Cx] -> rows (iz, iy, ix), cols (cz, cy,

@@ -112,6 +112,72 @@ def q1_varcoeff_parts_3d(hx: float, hy: float, hz: float,
     return np.stack(S), np.array(dxq), np.array(dyq), np.array(dzq)
 
 
+@functools.lru_cache(maxsize=None)
+def q1_reference_parts_3d(quad_order: int = 2):
+    """Reference-element 8x8 operator parts over [-1, 1]^3 (host f64):
+    ``Cxx`` = int dN/dxi dN/dxi (and Cyy/Czz per axis), ``Mh`` = int N N,
+    ``Chx/Chy/Chz`` = int N dN/daxis.  The physical local operator on an
+    hx x hy x hz hex is the exact per-element-scalar combination
+
+        K_e = a0 [ (hy hz / 2hx) Cxx + (hx hz / 2hy) Cyy
+                   + (hx hy / 2hz) Czz ] + c (hx hy hz / 8) Mh
+              + bx (hy hz / 4) Chx + by (hx hz / 4) Chy
+              + bz (hx hy / 4) Chz
+
+    (identity against ``q1_local_operator_3d`` asserted in
+    tests/test_graded3d.py) — so GRADED tensor-product hex meshes assemble
+    matrix-free through ``apply_stiffness_var_3d`` with these as the S_q
+    stack and the geometric scalars as the coefficient maps (the 3D lift
+    of ``assembly2d.q1_reference_parts``)."""
+    t, w = gauss_rule(quad_order)
+    t, w = np.array(t), np.array(w)
+    Cxx = np.zeros((8, 8))
+    Cyy = np.zeros((8, 8))
+    Czz = np.zeros((8, 8))
+    Mh = np.zeros((8, 8))
+    Chx = np.zeros((8, 8))
+    Chy = np.zeros((8, 8))
+    Chz = np.zeros((8, 8))
+    for zeta, wz in zip(t, w):
+        for eta, wy in zip(t, w):
+            for xi, wx in zip(t, w):
+                N, dxi, deta, dzeta = _q1_shape_3d(xi, eta, zeta)
+                w3 = wx * wy * wz
+                Cxx += w3 * np.outer(dxi, dxi)
+                Cyy += w3 * np.outer(deta, deta)
+                Czz += w3 * np.outer(dzeta, dzeta)
+                Mh += w3 * np.outer(N, N)
+                Chx += w3 * np.outer(N, dxi)
+                Chy += w3 * np.outer(N, deta)
+                Chz += w3 * np.outer(N, dzeta)
+    return Cxx, Cyy, Czz, Mh, Chx, Chy, Chz
+
+
+@functools.lru_cache(maxsize=None)
+def q1_reference_quad_parts_3d(quad_order: int = 2):
+    """Per-quadrature-point reference gradient products for graded
+    variable-coefficient hex stiffness: ``Sxx[q] = w_q dN/dxi dN/dxi``
+    (and Syy/Szz per axis) plus the reference coordinates ``tq [Q, 3]``
+    ((xi, eta, zeta)).  The physical per-element matrix for
+    -div(a grad u) on an hx x hy x hz hex is
+    ``K_e = sum_q a(x_q^e) [ (hy hz / 2hx) Sxx[q] + (hx hz / 2hy) Syy[q]
+    + (hx hy / 2hz) Szz[q] ]`` (3D lift of
+    ``assembly2d.q1_reference_quad_parts``)."""
+    t, w = gauss_rule(quad_order)
+    t, w = np.array(t), np.array(w)
+    Sxx, Syy, Szz, tq = [], [], [], []
+    for zeta, wz in zip(t, w):
+        for eta, wy in zip(t, w):
+            for xi, wx in zip(t, w):
+                _, dxi, deta, dzeta = _q1_shape_3d(xi, eta, zeta)
+                w3 = wx * wy * wz
+                Sxx.append(w3 * np.outer(dxi, dxi))
+                Syy.append(w3 * np.outer(deta, deta))
+                Szz.append(w3 * np.outer(dzeta, dzeta))
+                tq.append((xi, eta, zeta))
+    return np.stack(Sxx), np.stack(Syy), np.stack(Szz), np.array(tq)
+
+
 def coeff_maps_3d(xs, ys, zs, a_fn, dxq, dyq, dzq):
     """Sample a(x, y, z) at each element's quadrature points:
     [Q, nz, ny, nx]."""

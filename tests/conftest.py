@@ -42,6 +42,7 @@ _FAST_TESTS = {
     "test_pallas.py::test_fused_matches_jnp_path",
     "test_pallas.py::test_fused_varcoeff_matches_xla_lse_path",
     "test_pallas.py::test_fused_stacked_3d_matches_xla_path",
+    "test_graded3d.py::test_reference_parts_identity_3d",
 }
 
 

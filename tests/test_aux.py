@@ -298,6 +298,19 @@ def test_cli_adaptive2d(capsys):
     assert recs[1]["linf"] < 0.2
 
 
+def test_cli_adaptive3d(capsys):
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["adaptive3d", "--nx", "4", "--ny", "4", "--nz", "4",
+              "--M", "4", "--rounds", "1", "--eval-points", "300"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    recs = [json.loads(ln) for ln in lines
+            if '"adaptive3d_round"' in ln]
+    assert len(recs) == 2
+    assert recs[1]["elements"] > recs[0]["elements"]
+    assert recs[1]["linf"] < recs[0]["linf"]
+
+
 def test_cli_checkpoint_resume(tmp_path, capsys):
     from hybrid_fem_lssvr_tpu import cli
 
