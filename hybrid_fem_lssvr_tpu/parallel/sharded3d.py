@@ -311,6 +311,155 @@ def _dist_fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, d, n_dev,
     return u_bc + jnp.where(interior, res.x, 0.0), res
 
 
+def _dist_fem_solve_3d_graded(problem: Problem3D, cfg: Solver3DConfig,
+                              d, n_dev, axis, xs, ys, zs_loc, lay0):
+    """Distributed graded Q1 hex coarse solve on z-slabs: the
+    reference-part per-element-scalar assembly is slab-local by
+    construction (the geometric maps depend only on the local node
+    positions), so only the plane-halo exchange and the ownership-masked
+    inner products differ from the single-device graded solve.  Jacobi
+    preconditioning (multigrid needs nested uniform coarsenings — the
+    graded rule, as in ``hybrid3d_graded.fem_solve_3d_graded``)."""
+    from ..models.hybrid3d_graded import graded_fem_parts_3d
+
+    dtype = xs.dtype
+    nz_loc = zs_loc.shape[0] - 1
+    ny1, nx1 = ys.shape[0], xs.shape[0]
+    bx, by, bz = problem.b
+    Sq, a_maps = graded_fem_parts_3d(problem, xs, ys, zs_loc)
+
+    def apply_local(v):
+        return assembly3d.apply_stiffness_var_3d(v, Sq, a_maps)
+
+    diag_local = assembly3d.stiffness_var_diag_3d(
+        (nz_loc + 1, ny1, nx1), Sq, a_maps, dtype
+    )
+    spd = bx == 0.0 and by == 0.0 and bz == 0.0 and problem.c >= 0.0
+
+    g_lay = lay0 + jnp.arange(nz_loc + 1)
+    lay_int = (g_lay > 0) & (g_lay < cfg.nz)
+    yx_int = jnp.zeros((ny1, nx1), bool).at[1:-1, 1:-1].set(True)
+    interior = lay_int[:, None, None] & yx_int[None]
+    own = jnp.where((jnp.arange(nz_loc + 1) > 0) | (d == 0), 1.0, 0.0)
+    own = own.astype(dtype)[:, None, None]
+
+    def halo(v):
+        return _halo_add_3d(v, d, n_dev, axis)
+
+    b = halo(assembly3d.assemble_load_3d(xs, ys, zs_loc, problem.f))
+    X = xs[None, None, :]
+    Y = ys[None, :, None]
+    Z = zs_loc[:, None, None]
+    g_grid = problem.g(X, Y, Z) * jnp.ones((nz_loc + 1, ny1, nx1), dtype)
+    u_bc = jnp.where(interior, 0.0, g_grid)
+
+    def apply_full(v):
+        return halo(apply_local(v))
+
+    def apply_free(v):
+        return jnp.where(interior, apply_full(v * interior), 0.0)
+
+    def dist_dot(u, v):
+        return jax.lax.psum(jnp.sum(u * v * own), axis)
+
+    rhs = jnp.where(interior, b - apply_full(u_bc), 0.0)
+    diag = halo(diag_local)
+    M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+    solver = cg.cg if spd else cg.bicgstab
+    res = solver(apply_free, rhs, M_inv=M_inv, tol=tol,
+                 maxiter=cfg.cg_maxiter, dot_fn=dist_dot)
+    return u_bc + jnp.where(interior, res.x, 0.0), res
+
+
+def make_sharded_solve_3d_graded(problem: Problem3D, cfg: Solver3DConfig,
+                                 mesh, xs, ys, zs,
+                                 axis: str = ELEMENT_AXIS):
+    """Jitted multi-chip GRADED 3D solve: z-slabs of a non-uniform
+    tensor-product hex mesh (the distributed member of
+    ``models/hybrid3d_graded.py``; == single-device asserted in
+    tests/test_sharded3d.py).  The element-layer count ``len(zs) - 1``
+    must divide by the device count; spacings are arbitrary."""
+    import dataclasses
+
+    from ..models.hybrid3d_graded import (
+        _graded_element_operators_3d, prepare_shared_3d_graded,
+    )
+
+    n_dev = mesh.shape[axis]
+    nz = zs.shape[0] - 1
+    if nz % n_dev != 0:
+        raise ValueError(
+            f"nz={nz} element layers must divide by the {n_dev}-device "
+            f"mesh"
+        )
+    nz_loc = nz // n_dev
+    dtype = cfg.jnp_dtype()
+    cfg = dataclasses.replace(cfg, nx=xs.shape[0] - 1, ny=ys.shape[0] - 1,
+                              nz=nz)
+    gops, (t_int, spts) = prepare_shared_3d_graded(problem, cfg)
+    repl = jax.sharding.NamedSharding(mesh, P())
+    gops = jax.device_put(gops, repl)
+    t_int = jax.device_put(t_int, repl)
+    spts = jax.device_put(spts, repl)
+    xs_r = jax.device_put(jnp.asarray(xs, dtype), repl)
+    ys_r = jax.device_put(jnp.asarray(ys, dtype), repl)
+    zs_r = jax.device_put(jnp.asarray(zs, dtype), repl)
+
+    def local_step(gops, t_int, spts, xs, ys, zs):
+        d = jax.lax.axis_index(axis)
+        lay0 = d * nz_loc
+        zs_loc = jax.lax.dynamic_slice(zs, (lay0,), (nz_loc + 1,))
+        fem_loc, cg_res = _dist_fem_solve_3d_graded(
+            problem, cfg, d, n_dev, axis, xs, ys, zs_loc, lay0
+        )
+        f_rows, bc_rows, cs = _element_data_3d(
+            problem, cfg, xs, ys, zs_loc, fem_loc, t_int, spts,
+            layer_offset=lay0,
+        )
+        D = _graded_element_operators_3d(problem, cfg, xs, ys, zs_loc,
+                                         gops, t_int)
+        w, diags = kkt.solve_batched(
+            D, gops.B, f_rows, bc_rows, cfg.gamma,
+            formulation=cfg.formulation, ZP=(gops.Z, gops.Pbc),
+        )
+        M = cfg.M
+        coeffs = w.reshape(nz_loc, cfg.ny, cfg.nx, M, M, M)
+        fb = _trilinear_fallback_coeffs(cs, M)
+        ok = diags.solve_ok.reshape(nz_loc, cfg.ny, cfg.nx)
+        coeffs = jnp.where(
+            ok[..., None, None, None],
+            jnp.where(jnp.isfinite(coeffs), coeffs, 0.0), fb,
+        )
+        slack = diags.max_slack.reshape(nz_loc, cfg.ny, cfg.nx)
+        bcv = diags.bc_violation.reshape(nz_loc, cfg.ny, cfg.nx)
+        return (coeffs, fem_loc[None], ok, slack, bcv,
+                cg_res.iters.reshape(1).astype(jnp.int32),
+                cg_res.residual.reshape(1))
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(axis),) * 7,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run():
+        coeffs, fem_local, ok, slack, bcv, iters, res = sharded(
+            gops, t_int, spts, xs_r, ys_r, zs_r
+        )
+        return ShardedSolution3D(
+            coeffs, fem_local, ok, max_slack=slack, bc_violation=bcv,
+            cg_iters=iters, cg_residual=res,
+        )
+
+    return run
+
+
 def make_sharded_evaluate_3d(problem: Problem3D, cfg: Solver3DConfig, mesh,
                              axis: str = ELEMENT_AXIS):
     """Distributed 3D read path (mirrors ``make_sharded_evaluate_2d``):
