@@ -26,6 +26,20 @@ assert jax.device_count() == 8, jax.devices()
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-program caches after each test module.
+
+    The full suite (300+ tests, hundreds of XLA CPU compilations in one
+    process) segfaulted inside ``backend_compile`` three times in round 3
+    at ~60-75% through — every implicated test passes standalone, so the
+    crash tracks CUMULATIVE compile state, not any test.  Cross-module
+    jit reuse is minimal (each module jits its own closures), so clearing
+    between modules is cheap insurance."""
+    yield
+    jax.clear_caches()
+
 # Fast core subset (CLAUDE.md: `pytest -m fast`, ~8-10 min on a loaded box
 # vs ~45 for the full suite): whole modules covering the numerical core
 # (kkt/legendre/tridiag), end-to-end 1D parity, problem families, checks,
