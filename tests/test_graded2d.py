@@ -150,3 +150,23 @@ def test_graded_gradient_matches_exact(query):
     assert np.abs(np.asarray(uy) - ey).max() < 1.0
     # interior median error far tighter than the worst-element bound
     assert np.median(np.abs(np.asarray(ux) - ex)) < 0.05
+
+
+def test_graded_dual_equals_primal(query):
+    """Graded-mesh dual formulation == primal (same QP through the
+    augmented quasi-definite algebra; exercises cfg.formulation routing
+    on the per-element graded operators)."""
+    xq, yq = query
+    p = h2.get_problem_2d("poisson_2d")
+    n = 8
+    s = np.linspace(-1, 1, n + 1)
+    xs = np.sign(s) * np.abs(s) ** 1.3
+    sols = []
+    for form in ("primal", "dual"):
+        cfg = h2.Solver2DConfig(nx=n, ny=n, M=5, n_colloc=5,
+                                precond="jacobi", formulation=form)
+        sg = hg.HybridSolver2DGraded(p, cfg, xs, s)
+        sol = sg.solve()
+        assert bool(sol.solve_ok.all())
+        sols.append(np.asarray(sg.evaluate_solution(xq, yq)))
+    np.testing.assert_allclose(sols[1], sols[0], atol=1e-8)
