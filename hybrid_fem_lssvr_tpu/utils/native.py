@@ -218,3 +218,39 @@ def evaluate2d(x0, hx, nx, y0, hy, ny, coeffs, x, y) -> np.ndarray:
                        _dptr(coeffs), coeffs.shape[-1], _dptr(x), _dptr(y),
                        x.shape[0], _dptr(out))
     return out
+
+
+def _register_3d(lib):
+    lib.q1_apply3d_f64.restype = None
+    lib.evaluate3d_f64.restype = None
+
+
+def q1_apply3d(u, K_loc) -> np.ndarray:
+    """Matrix-free Q1 hex stiffness apply on a [nz1, ny1, nx1] node grid
+    (oracle for ``assembly3d.apply_stiffness_3d``)."""
+    lib = load()
+    assert lib is not None
+    _register_3d(lib)
+    u, K_loc = (np.ascontiguousarray(v, np.float64) for v in (u, K_loc))
+    nz1, ny1, nx1 = u.shape
+    out = np.empty((nz1, ny1, nx1))
+    lib.q1_apply3d_f64(_dptr(u), _dptr(K_loc), nz1, ny1, nx1, _dptr(out))
+    return out
+
+
+def evaluate3d(x0, hx, nx, y0, hy, ny, z0, hz, nz, coeffs, x, y,
+               z) -> np.ndarray:
+    """Tensor-Legendre evaluation on the uniform hex grid (clamped;
+    oracle for ``hybrid3d.evaluate_3d``)."""
+    lib = load()
+    assert lib is not None
+    _register_3d(lib)
+    coeffs, x, y, z = (np.ascontiguousarray(v, np.float64)
+                       for v in (coeffs, x, y, z))
+    out = np.empty(x.shape[0])
+    lib.evaluate3d_f64(ctypes.c_double(x0), ctypes.c_double(hx), nx,
+                       ctypes.c_double(y0), ctypes.c_double(hy), ny,
+                       ctypes.c_double(z0), ctypes.c_double(hz), nz,
+                       _dptr(coeffs), coeffs.shape[-1], _dptr(x),
+                       _dptr(y), _dptr(z), x.shape[0], _dptr(out))
+    return out

@@ -395,4 +395,76 @@ void evaluate2d_f64(double x0, double hx, int nx, double y0, double hy,
   }
 }
 
+// Matrix-free Q1 hex stiffness apply (oracle for
+// ops/assembly3d.apply_stiffness_3d): shared 8x8 local operator, corner
+// order a = 4*cz + 2*cy + cx (x fastest), node grid u[nz1, ny1, nx1].
+void q1_apply3d_f64(const double* u, const double* K_loc, int nz1,
+                    int ny1, int nx1, double* out) {
+  std::memset(out, 0, (size_t)nz1 * ny1 * nx1 * sizeof(double));
+  for (int ez = 0; ez + 1 < nz1; ++ez) {
+    for (int ey = 0; ey + 1 < ny1; ++ey) {
+      for (int ex = 0; ex + 1 < nx1; ++ex) {
+        int idx[8];
+        int a = 0;
+        for (int cz = 0; cz < 2; ++cz)
+          for (int cy = 0; cy < 2; ++cy)
+            for (int cx = 0; cx < 2; ++cx)
+              idx[a++] = ((ez + cz) * ny1 + (ey + cy)) * nx1 + (ex + cx);
+        for (a = 0; a < 8; ++a) {
+          double s = 0.0;
+          for (int b = 0; b < 8; ++b) s += K_loc[a * 8 + b] * u[idx[b]];
+          out[idx[a]] += s;
+        }
+      }
+    }
+  }
+}
+
+// Tensor-Legendre 3D evaluation (oracle for hybrid3d.evaluate_3d):
+// coeffs [nz, ny, nx, M, M, M] with (kz, ky, kx) ordering; clamps
+// outside the domain like the JAX path / the reference ``:198-209``.
+void evaluate3d_f64(double x0, double hx, int nx, double y0, double hy,
+                    int ny, double z0, double hz, int nz,
+                    const double* coeffs, int M, const double* x,
+                    const double* y, const double* z, int np_,
+                    double* out) {
+  std::vector<double> Px(M), Py(M), Pz(M);
+  for (int i = 0; i < np_; ++i) {
+    int ix = (int)std::floor((x[i] - x0) / hx);
+    int iy = (int)std::floor((y[i] - y0) / hy);
+    int iz = (int)std::floor((z[i] - z0) / hz);
+    if (ix < 0) ix = 0;
+    if (ix > nx - 1) ix = nx - 1;
+    if (iy < 0) iy = 0;
+    if (iy > ny - 1) iy = ny - 1;
+    if (iz < 0) iz = 0;
+    if (iz > nz - 1) iz = nz - 1;
+    const double tx = 2.0 * (x[i] - (x0 + ix * hx)) / hx - 1.0;
+    const double ty = 2.0 * (y[i] - (y0 + iy * hy)) / hy - 1.0;
+    const double tz = 2.0 * (z[i] - (z0 + iz * hz)) / hz - 1.0;
+    Px[0] = 1.0; if (M > 1) Px[1] = tx;
+    Py[0] = 1.0; if (M > 1) Py[1] = ty;
+    Pz[0] = 1.0; if (M > 1) Pz[1] = tz;
+    for (int k = 1; k + 1 < M; ++k) {
+      Px[k + 1] = ((2 * k + 1) * tx * Px[k] - k * Px[k - 1]) / (k + 1);
+      Py[k + 1] = ((2 * k + 1) * ty * Py[k] - k * Py[k - 1]) / (k + 1);
+      Pz[k + 1] = ((2 * k + 1) * tz * Pz[k] - k * Pz[k - 1]) / (k + 1);
+    }
+    const double* w =
+        coeffs + ((((size_t)iz * ny) + iy) * nx + ix) * M * M * M;
+    double acc = 0.0;
+    for (int kz = 0; kz < M; ++kz) {
+      double planeacc = 0.0;
+      for (int ky = 0; ky < M; ++ky) {
+        double rowacc = 0.0;
+        for (int kx = 0; kx < M; ++kx)
+          rowacc += w[(kz * M + ky) * M + kx] * Px[kx];
+        planeacc += Py[ky] * rowacc;
+      }
+      acc += Pz[kz] * planeacc;
+    }
+    out[i] = acc;
+  }
+}
+
 }  // extern "C"

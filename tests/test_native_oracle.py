@@ -202,3 +202,59 @@ def test_native_varcoeff_2d_pipeline_cross_validates_jax():
         np.asarray(bc_rows))
     w_jax = np.asarray(sol.coeffs).reshape(n * n, -1)
     np.testing.assert_allclose(w_native, w_jax, atol=1e-8)
+
+
+def test_native_q1_apply3d_matches_jax():
+    """Native matrix-free Q1 hex apply == ops.assembly3d (full operator:
+    anisotropic spacings, reaction + all three convection terms)."""
+    import jax.numpy as jnp
+
+    from hybrid_fem_lssvr_tpu.ops import assembly3d
+
+    rng = np.random.default_rng(5)
+    K_loc = assembly3d.q1_local_operator_3d(0.25, 0.5, 0.4, 1.7, 3.0,
+                                            0.5, -0.2, 0.8)
+    u = rng.normal(size=(6, 8, 7))
+    ref = np.asarray(assembly3d.apply_stiffness_3d(jnp.asarray(u),
+                                                   jnp.asarray(K_loc)))
+    got = native.q1_apply3d(u, K_loc)
+    np.testing.assert_allclose(got, ref, atol=1e-13)
+
+
+def test_native_3d_pipeline_cross_validates_jax():
+    """Independent 3D check: native bordered-LSE enhancement (the
+    size-generic enhance_lse2d kernel on [C^3, M^3]/[S, M^3] operators)
+    + native tensor evaluation == the JAX hybrid3d path (both f64),
+    cross-validating the enhancement algebra and the read path."""
+    import jax.numpy as jnp
+
+    from hybrid_fem_lssvr_tpu.models import hybrid3d as h3
+
+    p = h3.poisson_3d_inhomogeneous()
+    n = 6
+    cfg = h3.Solver3DConfig(nx=n, ny=n, nz=n, M=4, n_colloc=4,
+                            dtype="float64", precond="jacobi",
+                            cg_tol=1e-13, backend="xla")
+    s = h3.HybridSolver3D(p, cfg)
+    sol = s.solve()
+
+    shared, (t_int, spts) = h3.prepare_shared_3d(p, cfg)
+    f_rows, bc_rows, _ = h3._element_data_3d(
+        p, cfg, sol.xs, sol.ys, sol.zs, sol.fem_values, t_int, spts)
+    w_native = native.enhance_lse2d(np.asarray(shared.D),
+                                    np.asarray(shared.B),
+                                    np.asarray(f_rows),
+                                    np.asarray(bc_rows))
+    w_jax = np.asarray(sol.coeffs).reshape(n * n * n, -1)
+    np.testing.assert_allclose(w_native, w_jax, atol=1e-8)
+
+    rng = np.random.default_rng(17)
+    xq = rng.uniform(-1.1, 1.1, 500)
+    yq = rng.uniform(-1.1, 1.1, 500)
+    zq = rng.uniform(-1.1, 1.1, 500)
+    h = 2.0 / n
+    u_native = native.evaluate3d(
+        -1.0, h, n, -1.0, h, n, -1.0, h, n,
+        w_native.reshape(n, n, n, cfg.M, cfg.M, cfg.M), xq, yq, zq)
+    u_jax = np.asarray(s.evaluate_solution(xq, yq, zq))
+    np.testing.assert_allclose(u_native, u_jax, atol=1e-8)
