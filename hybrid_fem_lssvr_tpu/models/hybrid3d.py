@@ -582,14 +582,17 @@ def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
 
 
 def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
-                     fem_values, t_int, spts, layer_offset=0):
+                     fem_values, t_int, spts, layer_offset=0,
+                     row_offset=0):
     """Per-element collocation rhs [E, C^3] and boundary-trace values
     [E, S]: the FEM trilinear trace at the surface points, overridden by g
     on domain-boundary faces (the 3D lift of ``_element_data_2d``).
 
     ``zs``/``fem_values`` may be a local z-slab (``parallel/sharded3d``);
     ``layer_offset`` is then the slab's global first element layer
-    (possibly traced), used for the domain-boundary face masks."""
+    (possibly traced), used for the domain-boundary face masks.  For
+    2-axis (z, y) block sharding ``ys`` is likewise a local slice and
+    ``row_offset`` its global first element row."""
     dtype = xs.dtype
     C = cfg.n_colloc
     nx, ny = xs.shape[0] - 1, ys.shape[0] - 1
@@ -638,7 +641,7 @@ def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
     # Domain-boundary override: surface points on faces of boundary
     # elements take g exactly.
     ex = jnp.arange(nx)
-    ey = jnp.arange(ny)
+    ey = row_offset + jnp.arange(ny)  # GLOBAL element rows
     ez = layer_offset + jnp.arange(nz)  # GLOBAL element layers
     xm = 0.5 * (xs[1:] + xs[:-1])
     ym = 0.5 * (ys[1:] + ys[:-1])

@@ -47,3 +47,16 @@ def grid_mesh(n_dy: int, n_dx: int, devices: Optional[Sequence] = None
         devices = jax.devices()
     devices = np.asarray(devices[: n_dy * n_dx]).reshape(n_dy, n_dx)
     return Mesh(devices, GRID_AXES)
+
+
+GRID_AXES_3D = ("elz", "ely")
+
+
+def grid_mesh_3d(n_dz: int, n_dy: int, devices: Optional[Sequence] = None
+                 ) -> Mesh:
+    """2-axis mesh over (element-layer, element-row) blocks of a 3D hex
+    grid — z and y shard, x stays local (the 3D lift of ``grid_mesh``)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_dz * n_dy]).reshape(n_dz, n_dy)
+    return Mesh(devices, GRID_AXES_3D)

@@ -311,6 +311,396 @@ def _dist_fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, d, n_dev,
     return u_bc + jnp.where(interior, res.x, 0.0), res
 
 
+class ShardedSolution3DGrid(NamedTuple):
+    coeffs: jnp.ndarray  # [nz, ny, nx, M, M, M] sharded over (z, y) blocks
+    fem_local: jnp.ndarray  # [n_dz, n_dy, nzl+1, nyl+1, nx+1]
+    solve_ok: jnp.ndarray  # [nz, ny, nx]
+    max_slack: jnp.ndarray = None
+    bc_violation: jnp.ndarray = None
+    cg_iters: jnp.ndarray = None  # [n_dz, n_dy]
+    cg_residual: jnp.ndarray = None
+
+    def assemble_fem_grid(self):
+        """Stitch the overlapping (z, y) blocks into [nz+1, ny+1, nx+1]."""
+        import numpy as np
+
+        n_dz, n_dy, nzl1, nyl1, nx1 = self.fem_local.shape
+        nz_loc, ny_loc = nzl1 - 1, nyl1 - 1
+        grid = np.zeros((n_dz * nz_loc + 1, n_dy * ny_loc + 1, nx1))
+        fl = np.asarray(self.fem_local)
+        for dz in range(n_dz):
+            for dy in range(n_dy):
+                grid[dz * nz_loc:(dz + 1) * nz_loc + 1,
+                     dy * ny_loc:(dy + 1) * ny_loc + 1] = fl[dz, dy]
+        return grid
+
+
+def _halo_add_3d_grid(v, dz, dy, n_dz, n_dy, az, ay):
+    """Duplicated-interface sum for (z, y) block sharding of the node
+    grid [nzl+1, nyl+1, nx+1]: first/last z-plane shared with the
+    z-neighbour, first/last y-plane with the y-neighbour, each edge node
+    with three other devices.  The z exchange runs first; the y exchange
+    then runs on z-summed planes, so it carries the diagonal (edge)
+    contributions too (the ``_halo_add_2d`` nested-halo argument, lifted
+    one dimension)."""
+    up = [(i, (i - 1) % n_dz) for i in range(n_dz)]
+    dn = [(i, (i + 1) % n_dz) for i in range(n_dz)]
+    from_next = jax.lax.ppermute(v[0], az, up)
+    from_prev = jax.lax.ppermute(v[-1], az, dn)
+    v = v.at[-1].add(jnp.where(dz < n_dz - 1, from_next,
+                               jnp.zeros_like(from_next)))
+    v = v.at[0].add(jnp.where(dz > 0, from_prev,
+                              jnp.zeros_like(from_prev)))
+    upy = [(i, (i - 1) % n_dy) for i in range(n_dy)]
+    dny = [(i, (i + 1) % n_dy) for i in range(n_dy)]
+    from_below = jax.lax.ppermute(v[:, 0], ay, upy)
+    from_above = jax.lax.ppermute(v[:, -1], ay, dny)
+    v = v.at[:, -1].add(jnp.where(dy < n_dy - 1, from_below,
+                                  jnp.zeros_like(from_below)))
+    v = v.at[:, 0].add(jnp.where(dy > 0, from_above,
+                                 jnp.zeros_like(from_above)))
+    return v
+
+
+def _restrict_block_3d(res, dz, dy, n_dz, n_dy, az, ay):
+    """Full-weighting restriction of a (z, y) block residual
+    [nzl+1, nyl+1, nx+1] -> [nzl/2+1, nyl/2+1, nx/2+1].  The z halos are
+    fetched first; the y exchange then runs on the Z-EXTENDED array so the
+    edge entries it delivers are the diagonal neighbours' values (the
+    ``_restrict_block`` nested-halo trick).  The unsharded x axis and all
+    global-boundary sides extend with zeros (the interior residual
+    vanishes there)."""
+    up = [(i, (i + 1) % n_dz) for i in range(n_dz)]
+    dn = [(i, (i - 1) % n_dz) for i in range(n_dz)]
+    from_prev = jax.lax.ppermute(res[-2], az, up)  # z-neighbour below
+    from_next = jax.lax.ppermute(res[1], az, dn)  # z-neighbour above
+    from_prev = jnp.where(dz > 0, from_prev, jnp.zeros_like(from_prev))
+    from_next = jnp.where(dz < n_dz - 1, from_next,
+                          jnp.zeros_like(from_next))
+    r_ext = jnp.concatenate([from_prev[None], res, from_next[None]])
+    upy = [(i, (i + 1) % n_dy) for i in range(n_dy)]
+    dny = [(i, (i - 1) % n_dy) for i in range(n_dy)]
+    from_below = jax.lax.ppermute(r_ext[:, -2], ay, upy)
+    from_above = jax.lax.ppermute(r_ext[:, 1], ay, dny)
+    from_below = jnp.where(dy > 0, from_below, jnp.zeros_like(from_below))
+    from_above = jnp.where(dy < n_dy - 1, from_above,
+                           jnp.zeros_like(from_above))
+    c_ext = jnp.concatenate(
+        [from_below[:, None], r_ext, from_above[:, None]], axis=1
+    )  # [nzl+3, nyl+3, nx+1]
+    a = _fw_rows(c_ext)  # [nzl/2+1, nyl+3, nx+1]
+    b = jnp.moveaxis(_fw_rows(jnp.moveaxis(a, 1, 0)), 0, 1)
+    return jnp.moveaxis(
+        _fw_rows(jnp.pad(jnp.moveaxis(b, 2, 0),
+                         ((1, 1), (0, 0), (0, 0)))), 0, 2)
+
+
+def _gather_grid_3d_blocks(c_block, n_dz, n_dy, az, ay):
+    """all_gather overlapping coarse (z, y) blocks
+    [nzc_loc+1, nyc_loc+1, nxc+1] into the full replicated coarse grid
+    (y blocks within each z-slab first, then z-slabs)."""
+    cols = jax.lax.all_gather(c_block, ay)
+    parts = [cols[i, :, :-1] for i in range(n_dy)]
+    parts.append(cols[n_dy - 1, :, -1:])
+    z_slab = jnp.concatenate(parts, axis=1)  # [nzc_loc+1, nyc+1, nxc+1]
+    return _gather_grid_3d(z_slab, n_dz, az)
+
+
+def _serial_coarse_vcycle_3d(problem, precond, var, hx, hy, hz, dtype,
+                             cfg):
+    """Serial 3D V-cycle on the gathered half-resolution grid (shared by
+    the slab and grid distributed preconditioners): exact per-level
+    rediscretisation, c -> |c| when 'shifted'."""
+    c_eff = abs(problem.c) if precond == "shifted" else problem.c
+    bx, by, bz = problem.b
+    if var:
+        from ..models.hybrid3d import _varcoeff_mg_levels_3d
+
+        return multigrid.make_vcycle_3d(
+            cfg.nz // 2 + 1, cfg.ny // 2 + 1, cfg.nx // 2 + 1, None,
+            dtype,
+            apply_diag_for_level=_varcoeff_mg_levels_3d(
+                problem, hx, hy, hz, dtype, lvl_offset=1,
+                c_override=(c_eff if precond == "shifted" else None),
+            ),
+        )
+
+    def loc_for_level(lvl):
+        s = float(2 ** (lvl + 1))
+        return jnp.asarray(
+            assembly3d.q1_local_operator_3d(
+                hx * s, hy * s, hz * s, problem.a0, c_eff, bx, by, bz
+            ),
+            dtype,
+        )
+
+    return multigrid.make_vcycle_3d(
+        cfg.nz // 2 + 1, cfg.ny // 2 + 1, cfg.nx // 2 + 1,
+        loc_for_level(0), dtype, loc_for_level=loc_for_level,
+    )
+
+
+def make_sharded_solve_3d_grid(problem: Problem3D, cfg: Solver3DConfig,
+                               mesh, axes=None):
+    """Fully 2-axis-sharded 3D solve over a ``grid_mesh_3d``: both the
+    coarse Q1 hex CG (block-halo stiffness apply, ownership-masked psum
+    inner products over BOTH mesh axes, distributed V-cycle
+    preconditioning with block-halo restriction + gathered serial coarse
+    levels) and the enhancement (face masks driven by global layer AND
+    row offsets) run on [nz/Dz, ny/Dy, nx] blocks — the 3D lift of
+    ``sharded2d.make_sharded_solve_2d_grid``.  Requires cfg.nz % Dz == 0
+    and cfg.ny % Dy == 0."""
+    from .mesh import GRID_AXES_3D
+
+    if axes is None:
+        axes = GRID_AXES_3D
+    az, ay = axes
+    n_dz, n_dy = mesh.shape[az], mesh.shape[ay]
+    if cfg.nz % n_dz or cfg.ny % n_dy:
+        raise ValueError(
+            f"nz={cfg.nz} / ny={cfg.ny} must divide by the mesh "
+            f"({n_dz}, {n_dy})"
+        )
+    nz_loc, ny_loc = cfg.nz // n_dz, cfg.ny // n_dy
+    dtype = cfg.jnp_dtype()
+    shared_bundle = prepare_shared_3d(problem, cfg)
+    shared, (t_int, spts) = shared_bundle
+    repl = jax.sharding.NamedSharding(mesh, P())
+    shared = jax.device_put(shared, repl)
+    t_int = jax.device_put(t_int, repl)
+    spts = jax.device_put(spts, repl)
+    x0, x1, y0, y1, z0, z1 = problem.domain
+    hx = (x1 - x0) / cfg.nx
+    hy = (y1 - y0) / cfg.ny
+    hz = (z1 - z0) / cfg.nz
+    bx, by, bz = problem.b
+    var = problem.a_var is not None
+    spd = bx == 0.0 and by == 0.0 and bz == 0.0 and problem.c >= 0.0
+    nx1 = cfg.nx + 1
+
+    def local_step(shared, t_int, spts):
+        dz = jax.lax.axis_index(az)
+        dy = jax.lax.axis_index(ay)
+        lay0 = dz * nz_loc
+        row0 = dy * ny_loc
+        xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+        ys_loc = y0 + hy * (row0 + jnp.arange(ny_loc + 1, dtype=jnp.int32)
+                            ).astype(dtype)
+        zs_loc = z0 + hz * (lay0 + jnp.arange(nz_loc + 1, dtype=jnp.int32)
+                            ).astype(dtype)
+        shape1 = (nz_loc + 1, ny_loc + 1, nx1)
+        if var:
+            Sq_np, dxq, dyq, dzq = assembly3d.q1_varcoeff_parts_3d(
+                hx, hy, hz)
+            Sq = jnp.asarray(Sq_np, dtype)
+            a_maps = assembly3d.coeff_maps_3d(xs, ys_loc, zs_loc,
+                                              problem.a_var, dxq, dyq, dzq)
+            K_const = None
+            if problem.c != 0.0 or bx != 0.0 or by != 0.0 or bz != 0.0:
+                K_const = jnp.asarray(
+                    assembly3d.q1_local_operator_3d(hx, hy, hz, 0.0,
+                                                    problem.c, bx, by, bz),
+                    dtype,
+                )
+
+            def apply_local(v):
+                yv = assembly3d.apply_stiffness_var_3d(v, Sq, a_maps)
+                if K_const is not None:
+                    yv = yv + assembly3d.apply_stiffness_3d(v, K_const)
+                return yv
+
+            diag_local = assembly3d.stiffness_var_diag_3d(shape1, Sq,
+                                                          a_maps, dtype)
+            if K_const is not None:
+                diag_local = diag_local + assembly3d.stiffness_diag_3d(
+                    shape1, K_const, dtype)
+        else:
+            K_loc = jnp.asarray(
+                assembly3d.q1_local_operator_3d(hx, hy, hz, problem.a0,
+                                                problem.c, bx, by, bz),
+                dtype,
+            )
+
+            def apply_local(v):
+                return assembly3d.apply_stiffness_3d(v, K_loc)
+
+            diag_local = assembly3d.stiffness_diag_3d(shape1, K_loc, dtype)
+
+        g_lay = lay0 + jnp.arange(nz_loc + 1)
+        g_row = row0 + jnp.arange(ny_loc + 1)
+        x_int = jnp.zeros(nx1, bool).at[1:-1].set(True)
+        interior = (((g_lay > 0) & (g_lay < cfg.nz))[:, None, None]
+                    & ((g_row > 0) & (g_row < cfg.ny))[None, :, None]
+                    & x_int[None, None, :])
+        own = (jnp.where((jnp.arange(nz_loc + 1) > 0) | (dz == 0), 1.0,
+                         0.0).astype(dtype)[:, None, None]
+               * jnp.where((jnp.arange(ny_loc + 1) > 0) | (dy == 0), 1.0,
+                           0.0).astype(dtype)[None, :, None])
+
+        def halo(v):
+            return _halo_add_3d_grid(v, dz, dy, n_dz, n_dy, az, ay)
+
+        b = halo(assembly3d.assemble_load_3d(xs, ys_loc, zs_loc,
+                                             problem.f))
+        X = xs[None, None, :]
+        Y = ys_loc[None, :, None]
+        Z = zs_loc[:, None, None]
+        g_grid = problem.g(X, Y, Z) * jnp.ones(shape1, dtype)
+        u_bc = jnp.where(interior, 0.0, g_grid)
+
+        def apply_full(v):
+            return halo(apply_local(v))
+
+        def apply_free(v):
+            return jnp.where(interior, apply_full(v * interior), 0.0)
+
+        def dist_dot(u, v):
+            return jax.lax.psum(jnp.sum(u * v * own), (az, ay))
+
+        rhs = jnp.where(interior, b - apply_full(u_bc), 0.0)
+        diag = halo(diag_local)
+        precond = cfg.precond
+        if precond == "auto":
+            if (cfg.nz % (2 * n_dz) == 0 and cfg.ny % (2 * n_dy) == 0
+                    and cfg.nx % 2 == 0
+                    and min(cfg.nx, cfg.ny, cfg.nz) >= 8):
+                precond = "mg" if problem.c >= 0.0 else "shifted"
+            else:
+                precond = "jacobi"
+        if precond in ("mg", "shifted"):
+            if precond == "shifted":
+                c_pc = abs(problem.c)
+                if var:
+                    K_shift = None
+                    if c_pc != 0.0 or bx != 0.0 or by != 0.0 or bz != 0.0:
+                        K_shift = jnp.asarray(
+                            assembly3d.q1_local_operator_3d(
+                                hx, hy, hz, 0.0, c_pc, bx, by, bz),
+                            dtype,
+                        )
+
+                    def apply_pc_local(v):
+                        yv = assembly3d.apply_stiffness_var_3d(v, Sq,
+                                                               a_maps)
+                        if K_shift is not None:
+                            yv = yv + assembly3d.apply_stiffness_3d(
+                                v, K_shift)
+                        return yv
+
+                    diag_pc_l = assembly3d.stiffness_var_diag_3d(
+                        shape1, Sq, a_maps, dtype)
+                    if K_shift is not None:
+                        diag_pc_l = diag_pc_l \
+                            + assembly3d.stiffness_diag_3d(shape1, K_shift,
+                                                           dtype)
+                else:
+                    K_pc = jnp.asarray(
+                        assembly3d.q1_local_operator_3d(
+                            hx, hy, hz, problem.a0, c_pc, bx, by, bz),
+                        dtype,
+                    )
+
+                    def apply_pc_local(v):
+                        return assembly3d.apply_stiffness_3d(v, K_pc)
+
+                    diag_pc_l = assembly3d.stiffness_diag_3d(shape1, K_pc,
+                                                             dtype)
+
+                def apply_pc(v):
+                    return jnp.where(
+                        interior, halo(apply_pc_local(v * interior)), 0.0)
+
+                diag_pc = halo(diag_pc_l)
+            else:
+                apply_pc, diag_pc = apply_free, diag
+            serial_vcycle = _serial_coarse_vcycle_3d(
+                problem, precond, var, hx, hy, hz, dtype, cfg)
+            nzc_loc, nyc_loc = nz_loc // 2, ny_loc // 2
+            lay0c, row0c = lay0 // 2, row0 // 2
+            omega, nu = 0.8, 2
+
+            def smooth(u, r):
+                for _ in range(nu):
+                    u = u + omega * jnp.where(
+                        interior, (r - apply_pc(u)) / diag_pc, 0.0)
+                return u
+
+            def M_inv(r):
+                u = smooth(jnp.zeros_like(r), r)
+                res_f = jnp.where(interior, r - apply_pc(u), 0.0)
+                rc_blk = _restrict_block_3d(res_f, dz, dy, n_dz, n_dy,
+                                            az, ay)
+                rc_full = _gather_grid_3d_blocks(rc_blk, n_dz, n_dy,
+                                                 az, ay)
+                ec_full = serial_vcycle(rc_full)
+                z00 = jnp.zeros_like(lay0c)
+                ec_blk = jax.lax.dynamic_slice(
+                    ec_full, (lay0c, row0c, z00),
+                    (nzc_loc + 1, nyc_loc + 1, cfg.nx // 2 + 1),
+                )
+                u = u + jnp.where(
+                    interior, multigrid.prolong_trilinear(ec_blk), 0.0)
+                return smooth(u, r)
+        else:
+            M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+        tol = cfg.cg_tol
+        if tol is None:
+            tol = 100.0 * float(jnp.finfo(dtype).eps)
+        solver = cg.cg if spd else cg.bicgstab
+        res = solver(apply_free, rhs, M_inv=M_inv, tol=tol,
+                     maxiter=cfg.cg_maxiter, dot_fn=dist_dot)
+        fem_loc = u_bc + jnp.where(interior, res.x, 0.0)
+
+        f_rows, bc_rows, cs = _element_data_3d(
+            problem, cfg, xs, ys_loc, zs_loc, fem_loc, t_int, spts,
+            layer_offset=lay0, row_offset=row0,
+        )
+        if var:
+            from ..models.hybrid3d import _varcoeff_element_operators_3d
+
+            D = _varcoeff_element_operators_3d(
+                problem, cfg, xs, ys_loc, zs_loc, shared, t_int)
+            w, diags = kkt.solve_batched(
+                D, shared.B, f_rows, bc_rows, cfg.gamma,
+                ZP=(shared.Z, shared.Pbc),
+            )
+        else:
+            w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+        M = cfg.M
+        coeffs = w.reshape(nz_loc, ny_loc, cfg.nx, M, M, M)
+        fb = _trilinear_fallback_coeffs(cs, M)
+        ok = diags.solve_ok.reshape(nz_loc, ny_loc, cfg.nx)
+        coeffs = jnp.where(
+            ok[..., None, None, None],
+            jnp.where(jnp.isfinite(coeffs), coeffs, 0.0), fb,
+        )
+        slack = diags.max_slack.reshape(nz_loc, ny_loc, cfg.nx)
+        bcv = diags.bc_violation.reshape(nz_loc, ny_loc, cfg.nx)
+        return (coeffs, fem_loc[None, None], ok, slack, bcv,
+                res.iters.reshape(1, 1).astype(jnp.int32),
+                res.residual.reshape(1, 1))
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(az, ay), P(az, ay, None, None, None))
+        + (P(az, ay),) * 5,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run():
+        coeffs, fem_local, ok, slack, bcv, iters, cg_resid = sharded(
+            shared, t_int, spts
+        )
+        return ShardedSolution3DGrid(
+            coeffs, fem_local, ok, max_slack=slack, bc_violation=bcv,
+            cg_iters=iters, cg_residual=cg_resid,
+        )
+
+    return run
+
+
 def _dist_fem_solve_3d_graded(problem: Problem3D, cfg: Solver3DConfig,
                               d, n_dev, axis, xs, ys, zs_loc, lay0):
     """Distributed graded Q1 hex coarse solve on z-slabs: the
