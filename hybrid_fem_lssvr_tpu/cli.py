@@ -412,26 +412,38 @@ def cmd_run2d(args):
 
 
 def _run3d_sharded(problem, cfg, args, em):
-    """3D multi-chip solve: z-slab mesh, load_or_run checkpointing,
-    distributed read path for the error norms."""
+    """3D multi-chip solve: z-slab or (z, y) grid mesh, load_or_run
+    checkpointing, distributed read path for the error norms."""
     from .parallel import mesh as pmesh
     from .parallel.sharded3d import (
-        ShardedSolution3D, make_sharded_evaluate_3d, make_sharded_solve_3d,
+        ShardedSolution3D, ShardedSolution3DGrid, make_sharded_evaluate_3d,
+        make_sharded_evaluate_3d_grid, make_sharded_solve_3d,
+        make_sharded_solve_3d_grid,
     )
 
-    n_dev = args.devices or len(jax.devices())
-    m = pmesh.element_mesh(n_dev)
-    run = make_sharded_solve_3d(problem, cfg, m)
+    if args.mesh == "slab":
+        n_dev = args.devices or len(jax.devices())
+        m = pmesh.element_mesh(n_dev)
+        run = make_sharded_solve_3d(problem, cfg, m)
+        cls = ShardedSolution3D
+        make_ev = make_sharded_evaluate_3d
+        mesh_desc = f"slab:{n_dev}"
+    else:
+        dzm, dym = args.mesh_shape
+        m = pmesh.grid_mesh_3d(dzm, dym)
+        run = make_sharded_solve_3d_grid(problem, cfg, m)
+        cls = ShardedSolution3DGrid
+        make_ev = make_sharded_evaluate_3d_grid
+        mesh_desc = f"grid:{dzm}x{dym}"
     rec = {}
     with profiling.timed(rec, "solve_sec"):
         sol, resumed = ckpt.load_or_run(
-            getattr(args, "checkpoint", None), problem.name, cfg, run,
-            ShardedSolution3D,
+            getattr(args, "checkpoint", None), problem.name, cfg, run, cls
         )
         jax.block_until_ready(sol.coeffs)
     fields = dict(
         problem=problem.name,
-        mesh=f"slab:{n_dev}",
+        mesh=mesh_desc,
         elements=cfg.nx * cfg.ny * cfg.nz,
         M=cfg.M,
         solve_sec=rec["solve_sec"],
@@ -441,7 +453,7 @@ def _run3d_sharded(problem, cfg, args, em):
         n_fallback=int(jnp.sum(~jnp.asarray(sol.solve_ok))),
     )
     if problem.exact is not None:
-        ev = make_sharded_evaluate_3d(problem, cfg, m)
+        ev = make_ev(problem, cfg, m)
         rng = np.random.default_rng(0)
         d = problem.domain
         xq = rng.uniform(d[0], d[1], args.eval_points)
@@ -657,11 +669,14 @@ def build_parser():
     sp.add_argument("--precond", default="auto",
                     choices=["auto", "jacobi", "mg", "shifted"])
     sp.add_argument("--eval-points", type=int, default=2000)
-    sp.add_argument("--mesh", default="none", choices=["none", "slab"],
-                    help="multi-chip: z-slab sharding over the element "
-                    "layers")
+    sp.add_argument("--mesh", default="none",
+                    choices=["none", "slab", "grid"],
+                    help="multi-chip: z-slab or (z, y) block sharding")
     sp.add_argument("--devices", type=int, default=None,
                     help="device count for --mesh slab")
+    sp.add_argument("--mesh-shape", type=int, nargs=2, default=[2, 4],
+                    metavar=("DZ", "DY"),
+                    help="device grid for --mesh grid")
     sp.add_argument("--checkpoint", default=None)
     sp.set_defaults(fn=cmd_run3d)
     return p

@@ -1002,3 +1002,65 @@ def make_sharded_solve_3d(problem: Problem3D, cfg: Solver3DConfig, mesh,
         )
 
     return run
+
+
+def make_sharded_evaluate_3d_grid(problem: Problem3D, cfg: Solver3DConfig,
+                                  mesh, axes=None):
+    """Distributed read path for the (z, y) block-sharded solve: each
+    device evaluates the query points whose element falls in its
+    (layer-block, row-block); one psum over both axes assembles the
+    replicated result.  Clamp semantics match ``hybrid3d.evaluate_3d``."""
+    from ..ops import legendre
+    from .mesh import GRID_AXES_3D
+
+    if axes is None:
+        axes = GRID_AXES_3D
+    az, ay = axes
+    n_dz, n_dy = mesh.shape[az], mesh.shape[ay]
+    nz_loc, ny_loc = cfg.nz // n_dz, cfg.ny // n_dy
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = problem.domain
+    hx = (x1 - x0) / cfg.nx
+    hy = (y1 - y0) / cfg.ny
+    hz = (z1 - z0) / cfg.nz
+    M = cfg.M
+
+    def local_eval(coeffs_loc, x, y, z):
+        dz = jax.lax.axis_index(az)
+        dy = jax.lax.axis_index(ay)
+        ix = jnp.clip(((x - x0) / hx).astype(jnp.int32), 0, cfg.nx - 1)
+        iy = jnp.clip(((y - y0) / hy).astype(jnp.int32), 0, cfg.ny - 1)
+        iz = jnp.clip(((z - z0) / hz).astype(jnp.int32), 0, cfg.nz - 1)
+        mine = ((iz >= dz * nz_loc) & (iz < (dz + 1) * nz_loc)
+                & (iy >= dy * ny_loc) & (iy < (dy + 1) * ny_loc))
+        iz_l = jnp.clip(iz - dz * nz_loc, 0, nz_loc - 1)
+        iy_l = jnp.clip(iy - dy * ny_loc, 0, ny_loc - 1)
+        tx = 2.0 * (x - (jnp.asarray(x0, dtype)
+                         + ix.astype(dtype) * jnp.asarray(hx, dtype))) \
+            / hx - 1.0
+        ty = 2.0 * (y - (jnp.asarray(y0, dtype)
+                         + iy.astype(dtype) * jnp.asarray(hy, dtype))) \
+            / hy - 1.0
+        tz = 2.0 * (z - (jnp.asarray(z0, dtype)
+                         + iz.astype(dtype) * jnp.asarray(hz, dtype))) \
+            / hz - 1.0
+        (Vx,) = legendre.legendre_vandermonde(tx, M, num_derivs=0)
+        (Vy,) = legendre.legendre_vandermonde(ty, M, num_derivs=0)
+        (Vz,) = legendre.legendre_vandermonde(tz, M, num_derivs=0)
+        W = coeffs_loc[iz_l, iy_l, ix]
+        val = jnp.einsum("pk,pklm,pl,pm->p", Vz, W, Vy, Vx,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.psum(jnp.where(mine, val, 0.0), (az, ay))
+
+    sharded = jax.shard_map(
+        local_eval, mesh=mesh,
+        in_specs=(P(az, ay), P(), P(), P()), out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def evaluate(coeffs, x, y, z):
+        return sharded(coeffs, jnp.asarray(x, dtype),
+                       jnp.asarray(y, dtype), jnp.asarray(z, dtype))
+
+    return evaluate

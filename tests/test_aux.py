@@ -235,6 +235,28 @@ def test_cli_run3d_sharded_with_resume(tmp_path, capsys):
     assert rec2["linf_error"] < 0.1
 
 
+def test_cli_run3d_grid_mesh(tmp_path, capsys):
+    """run3d --mesh grid: (z, y) block sharding with the grid read path
+    and load_or_run resume."""
+    from hybrid_fem_lssvr_tpu import cli
+
+    ck = str(tmp_path / "ck3dg")
+    args = ["run3d", "--nx", "8", "--ny", "8", "--nz", "8", "--M", "4",
+            "--mesh", "grid", "--mesh-shape", "2", "4",
+            "--checkpoint", ck, "--eval-points", "500"]
+    cli.main(args)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "hybrid_solve_3d_sharded"
+    assert rec["mesh"] == "grid:2x4"
+    assert rec["linf_error"] < 0.1
+    assert rec["n_fallback"] == 0
+    assert rec["resumed"] is False
+    cli.main(args)
+    rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["resumed"] is True
+    assert rec2["linf_error"] < 0.1
+
+
 def test_cli_runsharded_with_resume(tmp_path, capsys):
     """Multi-chip 1D CLI on the 8 virtual devices: JSON metrics + error
     norms through the distributed read path; second invocation resumes
