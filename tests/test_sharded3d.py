@@ -241,3 +241,32 @@ def test_sharded_3d_grid_varcoeff_matches_single_device():
         np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=5e-7
     )
     assert bool(jnp.all(out.solve_ok))
+
+
+def test_sharded_3d_grid_evaluate_matches_local():
+    """Grid-sharded read path: psum over both mesh axes == single-device
+    ``evaluate_3d`` on the gathered coefficients (clamp semantics incl.
+    out-of-domain points)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import evaluate_3d
+    from hybrid_fem_lssvr_tpu.parallel.sharded3d import (
+        make_sharded_evaluate_3d_grid,
+    )
+
+    problem = poisson_3d_inhomogeneous()
+    cfg = Solver3DConfig(nx=4, ny=8, nz=4, M=4, n_colloc=4,
+                         precond="jacobi")
+    single = HybridSolver3D(problem, cfg)
+    sol = single.solve()
+    m = pmesh.grid_mesh_3d(2, 4)
+    out = make_sharded_solve_3d_grid(problem, cfg, m)()
+    ev = make_sharded_evaluate_3d_grid(problem, cfg, m)
+    rng = np.random.default_rng(2)
+    xq = rng.uniform(-1.2, 1.2, 300)
+    yq = rng.uniform(-1.2, 1.2, 300)
+    zq = rng.uniform(-1.2, 1.2, 300)
+    u_dist = ev(out.coeffs, xq, yq, zq)
+    dt = sol.xs.dtype
+    u_loc = evaluate_3d(sol, jnp.asarray(xq, dt), jnp.asarray(yq, dt),
+                        jnp.asarray(zq, dt))
+    np.testing.assert_allclose(np.asarray(u_dist), np.asarray(u_loc),
+                               atol=1e-9)
