@@ -319,6 +319,101 @@ def cmd_runsharded(args):
     em.emit("hybrid_solve_sharded", **fields)
 
 
+def _graded_axis_nodes(n: int, d0: float, d1: float, power: float):
+    """Power-law stretched node array on [d0, d1]: nodes cluster toward
+    the domain center for power > 1 (the RESULTS.md 'x^power-stretched'
+    family; power == 1 recovers linspace)."""
+    s = np.linspace(-1.0, 1.0, n + 1)
+    t = np.sign(s) * np.abs(s) ** power
+    return d0 + 0.5 * (t + 1.0) * (d1 - d0)
+
+
+def _run2d_graded(problem, cfg, args, em, xs, ys):
+    """Single-device graded-mesh 2D run (CLI mirror of
+    HybridSolver2DGraded; the sharded variant is _run2d_sharded_graded)."""
+    from .models.hybrid2d_graded import HybridSolver2DGraded
+
+    solver = HybridSolver2DGraded(problem, cfg, xs, ys)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = solver.solve()
+        jax.block_until_ready(sol.coeffs)
+    rng = np.random.default_rng(0)
+    xq = rng.uniform(problem.domain[0], problem.domain[1], args.eval_points)
+    yq = rng.uniform(problem.domain[2], problem.domain[3], args.eval_points)
+    linf, l2 = solver.errors(xq, yq)
+    em.emit(
+        "hybrid_solve_2d_graded",
+        problem=problem.name,
+        grading=args.grading,
+        elements=(len(xs) - 1) * (len(ys) - 1),
+        M=cfg.M,
+        solve_sec=rec["solve_sec"],
+        cg_iters=int(sol.cg_iters),
+        linf_error=float(linf),
+        l2_error=float(l2),
+        n_fallback=int(jnp.sum(~sol.solve_ok)),
+    )
+
+
+def _run2d_sharded_graded(problem, cfg, args, em, xs, ys):
+    """Multi-chip graded 2D run: y-slab sharding of the non-uniform
+    tensor-product mesh (README roadmap: distributed graded CLI), wired
+    through load_or_run checkpointing.  Error norms come from gathering
+    the slab coefficients and the graded searchsorted read path."""
+    from .models.hybrid2d import Solution2D
+    from .models.hybrid2d_graded import evaluate_2d_graded
+    from .parallel import mesh as pmesh
+    from .parallel.sharded2d import (ShardedSolution2D,
+                                     make_sharded_solve_2d_graded)
+
+    n_dev = args.devices or len(jax.devices())
+    m = pmesh.element_mesh(n_dev)
+    run = make_sharded_solve_2d_graded(problem, cfg, m, xs, ys)
+    name = f"{problem.name}-graded{args.grading:g}"
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol, resumed = ckpt.load_or_run(
+            getattr(args, "checkpoint", None), name, cfg, run,
+            ShardedSolution2D,
+        )
+        jax.block_until_ready(sol.coeffs)
+    fields = dict(
+        problem=problem.name,
+        mesh=f"slab:{n_dev}",
+        grading=args.grading,
+        elements=(len(xs) - 1) * (len(ys) - 1),
+        M=cfg.M,
+        solve_sec=rec["solve_sec"],
+        resumed=resumed,
+        cg_iters=int(jnp.max(jnp.asarray(sol.cg_iters))),
+        max_slack=float(jnp.max(jnp.asarray(sol.max_slack))),
+        n_fallback=int(jnp.sum(~jnp.asarray(sol.solve_ok))),
+    )
+    if problem.exact is not None:
+        dtype = cfg.jnp_dtype()
+        gathered = Solution2D(
+            xs=jnp.asarray(xs, dtype), ys=jnp.asarray(ys, dtype),
+            fem_values=jnp.asarray(sol.assemble_fem_grid(), dtype),
+            coeffs=jnp.asarray(np.asarray(sol.coeffs)),
+            cg_iters=sol.cg_iters, cg_residual=sol.cg_residual,
+            max_slack=sol.max_slack, bc_violation=sol.bc_violation,
+            solve_ok=sol.solve_ok,
+        )
+        rng = np.random.default_rng(0)
+        xq = rng.uniform(problem.domain[0], problem.domain[1],
+                         args.eval_points)
+        yq = rng.uniform(problem.domain[2], problem.domain[3],
+                         args.eval_points)
+        u = evaluate_2d_graded(gathered, jnp.asarray(xq, dtype),
+                               jnp.asarray(yq, dtype))
+        ue = problem.exact(jnp.asarray(xq, u.dtype),
+                           jnp.asarray(yq, u.dtype))
+        fields["linf_error"] = float(M.linf_error(u, ue))
+        fields["l2_error"] = float(M.l2_error(u, ue))
+    em.emit("hybrid_solve_2d_sharded_graded", **fields)
+
+
 def _run2d_sharded(problem, cfg, args, em):
     """2D multi-chip solve: y-slab or 2-axis grid mesh, load_or_run
     checkpointing, distributed read path for the error norms."""
@@ -385,7 +480,20 @@ def cmd_run2d(args):
                          fem_dtype=getattr(args, "fem_dtype", None),
                          varcoeff_method=getattr(args, "varcoeff_method",
                                                  "sne"))
-    if getattr(args, "mesh", "none") != "none":
+    grading = getattr(args, "grading", 1.0)
+    mesh = getattr(args, "mesh", "none")
+    if grading != 1.0:
+        if mesh == "grid":
+            raise SystemExit(
+                "--grading is supported with --mesh none|slab (graded "
+                "sharding is y-slab only)")
+        d = problem.domain
+        xs = _graded_axis_nodes(cfg.nx, d[0], d[1], grading)
+        ys = _graded_axis_nodes(cfg.ny, d[2], d[3], grading)
+        if mesh == "slab":
+            return _run2d_sharded_graded(problem, cfg, args, em, xs, ys)
+        return _run2d_graded(problem, cfg, args, em, xs, ys)
+    if mesh != "none":
         return _run2d_sharded(problem, cfg, args, em)
     solver = HybridSolver2D(problem, cfg)
     rec = {}
@@ -409,6 +517,97 @@ def cmd_run2d(args):
         l2_error=float(l2),
         n_fallback=int(jnp.sum(~sol.solve_ok)),
     )
+
+
+def _run3d_graded(problem, cfg, args, em, xs, ys, zs):
+    """Single-device graded hex-mesh 3D run (CLI mirror of
+    HybridSolver3DGraded)."""
+    from .models.hybrid3d_graded import HybridSolver3DGraded
+
+    solver = HybridSolver3DGraded(problem, cfg, xs, ys, zs)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = solver.solve()
+        jax.block_until_ready(sol.coeffs)
+    rng = np.random.default_rng(0)
+    d = problem.domain
+    xq = rng.uniform(d[0], d[1], args.eval_points)
+    yq = rng.uniform(d[2], d[3], args.eval_points)
+    zq = rng.uniform(d[4], d[5], args.eval_points)
+    linf, l2 = solver.errors(xq, yq, zq)
+    em.emit(
+        "hybrid_solve_3d_graded",
+        problem=problem.name,
+        grading=args.grading,
+        elements=(len(xs) - 1) * (len(ys) - 1) * (len(zs) - 1),
+        M=cfg.M,
+        solve_sec=rec["solve_sec"],
+        cg_iters=int(sol.cg_iters),
+        linf_error=float(linf),
+        l2_error=float(l2),
+        n_fallback=int(jnp.sum(~sol.solve_ok)),
+    )
+
+
+def _run3d_sharded_graded(problem, cfg, args, em, xs, ys, zs):
+    """Multi-chip graded 3D run: z-slab sharding of the non-uniform hex
+    mesh (README roadmap: distributed graded CLI) with load_or_run
+    checkpointing; error norms via the gathered graded read path."""
+    from .models.hybrid3d import Solution3D
+    from .models.hybrid3d_graded import evaluate_3d_graded
+    from .parallel import mesh as pmesh
+    from .parallel.sharded3d import (ShardedSolution3D,
+                                     make_sharded_solve_3d_graded)
+
+    n_dev = args.devices or len(jax.devices())
+    m = pmesh.element_mesh(n_dev)
+    run = make_sharded_solve_3d_graded(problem, cfg, m, np.asarray(xs),
+                                       np.asarray(ys), np.asarray(zs))
+    name = f"{problem.name}-graded{args.grading:g}"
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol, resumed = ckpt.load_or_run(
+            getattr(args, "checkpoint", None), name, cfg, run,
+            ShardedSolution3D,
+        )
+        jax.block_until_ready(sol.coeffs)
+    fields = dict(
+        problem=problem.name,
+        mesh=f"slab:{n_dev}",
+        grading=args.grading,
+        elements=(len(xs) - 1) * (len(ys) - 1) * (len(zs) - 1),
+        M=cfg.M,
+        solve_sec=rec["solve_sec"],
+        resumed=resumed,
+        cg_iters=int(jnp.max(jnp.asarray(sol.cg_iters))),
+        max_slack=float(jnp.max(jnp.asarray(sol.max_slack))),
+        n_fallback=int(jnp.sum(~jnp.asarray(sol.solve_ok))),
+    )
+    if problem.exact is not None:
+        dtype = cfg.jnp_dtype()
+        gathered = Solution3D(
+            xs=jnp.asarray(xs, dtype), ys=jnp.asarray(ys, dtype),
+            zs=jnp.asarray(zs, dtype),
+            fem_values=jnp.asarray(sol.assemble_fem_grid(), dtype),
+            coeffs=jnp.asarray(np.asarray(sol.coeffs)),
+            cg_iters=sol.cg_iters, cg_residual=sol.cg_residual,
+            max_slack=sol.max_slack, bc_violation=sol.bc_violation,
+            solve_ok=sol.solve_ok,
+        )
+        rng = np.random.default_rng(0)
+        d = problem.domain
+        xq = rng.uniform(d[0], d[1], args.eval_points)
+        yq = rng.uniform(d[2], d[3], args.eval_points)
+        zq = rng.uniform(d[4], d[5], args.eval_points)
+        u = evaluate_3d_graded(gathered, jnp.asarray(xq, dtype),
+                               jnp.asarray(yq, dtype),
+                               jnp.asarray(zq, dtype))
+        ue = problem.exact(jnp.asarray(xq, u.dtype),
+                           jnp.asarray(yq, u.dtype),
+                           jnp.asarray(zq, u.dtype))
+        fields["linf_error"] = float(M.linf_error(u, ue))
+        fields["l2_error"] = float(M.l2_error(u, ue))
+    em.emit("hybrid_solve_3d_sharded_graded", **fields)
 
 
 def _run3d_sharded(problem, cfg, args, em):
@@ -481,7 +680,21 @@ def cmd_run3d(args):
                          n_colloc=args.M, dtype=args.dtype,
                          precond=getattr(args, "precond", "auto"),
                          fem_dtype=getattr(args, "fem_dtype", None))
-    if getattr(args, "mesh", "none") != "none":
+    grading = getattr(args, "grading", 1.0)
+    mesh = getattr(args, "mesh", "none")
+    if grading != 1.0:
+        if mesh == "grid":
+            raise SystemExit(
+                "--grading is supported with --mesh none|slab (graded "
+                "sharding is z-slab only)")
+        d = problem.domain
+        xs = _graded_axis_nodes(cfg.nx, d[0], d[1], grading)
+        ys = _graded_axis_nodes(cfg.ny, d[2], d[3], grading)
+        zs = _graded_axis_nodes(cfg.nz, d[4], d[5], grading)
+        if mesh == "slab":
+            return _run3d_sharded_graded(problem, cfg, args, em, xs, ys, zs)
+        return _run3d_graded(problem, cfg, args, em, xs, ys, zs)
+    if mesh != "none":
         return _run3d_sharded(problem, cfg, args, em)
     solver = HybridSolver3D(problem, cfg)
     rec = {}
@@ -648,6 +861,10 @@ def build_parser():
     sp.add_argument("--mesh-shape", type=int, nargs=2, default=[2, 4],
                     metavar=("DY", "DX"),
                     help="device grid for --mesh grid")
+    sp.add_argument("--grading", type=float, default=1.0,
+                    help="power-law mesh grading exponent (1.0 = uniform; "
+                    "> 1 clusters nodes toward the domain center; works "
+                    "with --mesh none|slab)")
     sp.set_defaults(fn=cmd_run2d)
 
     sp = sub.add_parser(
@@ -677,6 +894,10 @@ def build_parser():
     sp.add_argument("--mesh-shape", type=int, nargs=2, default=[2, 4],
                     metavar=("DZ", "DY"),
                     help="device grid for --mesh grid")
+    sp.add_argument("--grading", type=float, default=1.0,
+                    help="power-law mesh grading exponent (1.0 = uniform; "
+                    "> 1 clusters nodes toward the domain center; works "
+                    "with --mesh none|slab)")
     sp.add_argument("--checkpoint", default=None)
     sp.set_defaults(fn=cmd_run3d)
     return p

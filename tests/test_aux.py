@@ -307,6 +307,50 @@ def test_cli_run2d_sharded_slab_and_grid(tmp_path, capsys):
     assert rec2["linf_error"] < 0.1
 
 
+def test_cli_run2d_graded_single_and_sharded(capsys):
+    """run2d --grading routes to the graded solvers (README roadmap:
+    distributed graded CLI); the slab-sharded variant reproduces the
+    single-device error norms."""
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["run2d", "--nx", "8", "--ny", "8", "--M", "4",
+              "--grading", "1.5", "--eval-points", "500"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "hybrid_solve_2d_graded"
+    assert rec["grading"] == 1.5
+    assert rec["n_fallback"] == 0
+
+    cli.main(["run2d", "--nx", "8", "--ny", "8", "--M", "4",
+              "--grading", "1.5", "--mesh", "slab", "--devices", "4",
+              "--eval-points", "500"])
+    rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["stage"] == "hybrid_solve_2d_sharded_graded"
+    assert rec2["mesh"] == "slab:4"
+    assert rec2["n_fallback"] == 0
+    assert abs(rec2["linf_error"] - rec["linf_error"]) < 1e-5
+
+
+def test_cli_run3d_graded_sharded_with_resume(tmp_path, capsys):
+    """run3d --grading --mesh slab: distributed graded hex solve through
+    the CLI with load_or_run resume."""
+    from hybrid_fem_lssvr_tpu import cli
+
+    ck = str(tmp_path / "ck3dgr")
+    args = ["run3d", "--nx", "6", "--ny", "6", "--nz", "8", "--M", "4",
+            "--grading", "1.5", "--mesh", "slab", "--devices", "4",
+            "--checkpoint", ck, "--eval-points", "500"]
+    cli.main(args)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "hybrid_solve_3d_sharded_graded"
+    assert rec["mesh"] == "slab:4"
+    assert rec["n_fallback"] == 0
+    assert rec["resumed"] is False
+    cli.main(args)
+    rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["resumed"] is True
+    assert rec2["linf_error"] == rec["linf_error"]
+
+
 def test_cli_adaptive2d(capsys):
     from hybrid_fem_lssvr_tpu import cli
 
