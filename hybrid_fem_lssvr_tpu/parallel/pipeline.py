@@ -40,11 +40,26 @@ from ..models.hybrid import (Solution, fem_solve, lssvr_enhance,
 STAGE_AXIS = "stage"
 
 
+DATA_AXIS = "data"
+
+
 def stage_mesh(n_stages: int = 2, devices=None):
     """A 1-axis ('stage',) mesh of the first ``n_stages`` devices."""
     if devices is None:
         devices = jax.devices()[:n_stages]
     return jax.sharding.Mesh(devices, (STAGE_AXIS,))
+
+
+def data_stage_mesh(n_data: int, n_stages: int = 2, devices=None):
+    """A ('data', 'stage') mesh: ``n_data`` independent 2-stage pipelines
+    (DP x PP composition — each data-group streams its own shard of the
+    load-case batch through its own FEM->enhancement stage pair)."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()[: n_data * n_stages]
+    dev = np.asarray(devices).reshape(n_data, n_stages)
+    return jax.sharding.Mesh(dev, (DATA_AXIS, STAGE_AXIS))
 
 
 def pipeline_schedule(n_micro: int, n_stages: int = 2):
@@ -63,15 +78,28 @@ def pipelined_family_solve(family, cfg, mesh, thetas: jnp.ndarray):
     ``Solution`` with a leading microbatch axis ``[B, ...]``, equal to the
     vmapped reference path (asserted in tests/test_pipeline.py).
 
-    thetas: [B] or [B, d] parameter batch; B static.
+    DP x PP composition: pass a ``('data', 'stage')`` mesh
+    (``data_stage_mesh``) and the load-case batch shards contiguously
+    over the data axis — each data-group runs an independent 2-stage
+    pipeline on its ``B / n_data`` cases.
+
+    thetas: [B] or [B, d] parameter batch; B static (divisible by the
+    data-axis size).
     """
     if mesh.shape[STAGE_AXIS] != 2:
         raise ValueError(
             f"the FEM->enhancement pipeline has 2 stages; got a "
             f"{mesh.shape[STAGE_AXIS]}-device '{STAGE_AXIS}' mesh"
         )
+    n_data = mesh.shape.get(DATA_AXIS, 1)
     dtype = cfg.jnp_dtype()
-    B = thetas.shape[0]
+    B_total = thetas.shape[0]
+    if B_total % n_data:
+        raise ValueError(
+            f"load-case batch {B_total} must divide by the "
+            f"{n_data}-group '{DATA_AXIS}' axis"
+        )
+    B = B_total // n_data  # microbatches per pipeline
     N = cfg.num_nodes
     E = N - 1
     M = cfg.M
@@ -117,25 +145,38 @@ def pipelined_family_solve(family, cfg, mesh, thetas: jnp.ndarray):
         act0 = jnp.zeros((N,), dtype)
         _, (results, fems) = jax.lax.scan(tick, act0,
                                           jnp.arange(ticks))
-        # Stack this device's per-tick outputs behind a leading axis of
-        # size 1 so out_specs P(stage) concatenates the two stages' rows.
-        leaves = [r[None] for r in results] + [fems[None]]
+        # Stack this device's per-tick outputs behind leading axes of
+        # size 1 so the out_specs concatenate data-group and stage rows.
+        lead = (1, 1) if has_data else (1,)
+        leaves = [r.reshape(lead + r.shape) for r in results]
+        leaves.append(fems.reshape(lead + fems.shape))
         return tuple(leaves)
 
+    has_data = DATA_AXIS in mesh.shape
+    spec = P(DATA_AXIS, STAGE_AXIS) if has_data else P(STAGE_AXIS)
     sharded = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(),),
-        out_specs=(P(STAGE_AXIS),) * 5,
+        in_specs=(P(DATA_AXIS) if has_data else P(),),
+        out_specs=(spec,) * 5,
         check_vma=False,
     )
-    w2, slack2, bcv2, ok2, fem2 = sharded(jnp.asarray(thetas))
-    # Row 1 = the enhancement stage's outputs; tick t holds microbatch
-    # t-1, so drop the warm-up bubble tick 0.
-    w, slack, bcv, ok = w2[1, 1:], slack2[1, 1:], bcv2[1, 1:], ok2[1, 1:]
+    outs = sharded(jnp.asarray(thetas))
+    if not has_data:
+        outs = tuple(o[None] for o in outs)  # fake data axis of size 1
+    w2, slack2, bcv2, ok2, fem2 = outs
+    # Stage row 1 = the enhancement stage's outputs; tick t holds
+    # microbatch t-1, so drop the warm-up bubble tick 0; then flatten the
+    # (data-group, local-microbatch) axes back to the contiguous batch.
+    def fold(a):  # [D, B, ...] -> [B_total, ...]
+        return a.reshape((B_total,) + a.shape[2:])
+
+    w, slack, bcv, ok = (fold(w2[:, 1, 1:]), fold(slack2[:, 1, 1:]),
+                         fold(bcv2[:, 1, 1:]), fold(ok2[:, 1, 1:]))
     # The fem ride-along permutes within tick t, so stage 1's record at
     # tick t is microbatch t's nodal values: ticks 0..B-1 align with the
     # enhancement rows above.
-    fem = fem2[1, :-1]
+    fem = fold(fem2[:, 1, :-1])
     x0, x1 = family.domain
-    nodes = jnp.broadcast_to(jnp.linspace(x0, x1, N, dtype=dtype), (B, N))
+    nodes = jnp.broadcast_to(jnp.linspace(x0, x1, N, dtype=dtype),
+                             (B_total, N))
     return Solution(nodes, fem, w, slack, bcv, ok)

@@ -56,6 +56,29 @@ def test_pipelined_advdiff_sweep_matches_vmapped():
     assert bool(jnp.all(sol.solve_ok))
 
 
+@pytest.mark.parametrize("n_data", [2, 4])
+def test_data_parallel_pipelines_match_vmapped(n_data):
+    """DP x PP composition: a ('data', 'stage') mesh runs n_data
+    independent 2-stage pipelines, each streaming its contiguous shard of
+    the load-case batch; results equal the single vmapped batch."""
+    family = batched.helmholtz_family()
+    cfg = SolverConfig(num_nodes=17, M=6, gamma=1e4)
+    thetas = jnp.linspace(0.5, 2.0, 2 * n_data)
+    ref = batched.solve_family(family, cfg, thetas)
+    mesh = pipeline.data_stage_mesh(n_data, 2)
+    sol = pipeline.pipelined_family_solve(family, cfg, mesh, thetas)
+    np.testing.assert_allclose(np.asarray(sol.coeffs),
+                               np.asarray(ref.coeffs), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sol.fem_values),
+                               np.asarray(ref.fem_values), atol=1e-12)
+    assert bool(jnp.all(sol.solve_ok))
+
+    with pytest.raises(ValueError, match="divide"):
+        pipeline.pipelined_family_solve(family, cfg, mesh,
+                                        jnp.linspace(0.5, 2.0,
+                                                     2 * n_data + 1))
+
+
 def test_pipeline_stage_isolation():
     """The schedule genuinely splits the work: with the enhancement
     stage's device removed from the mesh (1-stage mesh), the pipeline
