@@ -122,9 +122,7 @@ def fem_solve(problem: Problem1D, nodes: jnp.ndarray, cfg: SolverConfig):
         problem.f,
         quad_order=cfg.fem_quad_order,
     )
-    sub, main, sup, rhs = assembly.apply_dirichlet(
-        sub, main, sup, rhs, problem.g_left, problem.g_right
-    )
+    sub, main, sup, rhs = assembly.apply_bcs(sub, main, sup, rhs, problem)
     return tridiag.solve(sub, main, sup, rhs, method=cfg.tridiag_method)
 
 
@@ -149,11 +147,16 @@ def _element_data(problem: Problem1D, nodes, fem_values, cfg: SolverConfig,
     # Boundary elements pin to the global Dirichlet data instead of the FEM
     # value (reference ``:67-79``) — by construction these coincide after
     # Dirichlet enforcement; the explicit override mirrors the reference's
-    # semantics with a mask, not float equality (defect (b)).
-    g_l = jnp.asarray(problem.g_left, dtype)
-    g_r = jnp.asarray(problem.g_right, dtype)
-    u_left = u_left.at[0].set(jnp.where(touches_left, g_l, u_left[0]))
-    u_right = u_right.at[-1].set(jnp.where(touches_right, g_r, u_right[-1]))
+    # semantics with a mask, not float equality (defect (b)).  Neumann /
+    # Robin ends have no exact value to pin: keep the FEM nodal value
+    # (the flux data already entered via ``assembly.apply_bcs``).
+    if problem.bc_left == "dirichlet":
+        g_l = jnp.asarray(problem.g_left, dtype)
+        u_left = u_left.at[0].set(jnp.where(touches_left, g_l, u_left[0]))
+    if problem.bc_right == "dirichlet":
+        g_r = jnp.asarray(problem.g_right, dtype)
+        u_right = u_right.at[-1].set(
+            jnp.where(touches_right, g_r, u_right[-1]))
     bc = jnp.stack([u_left, u_right], axis=-1)  # [E, 2]
     return x_colloc, f_colloc, bc, h, u_left, u_right
 
@@ -230,12 +233,18 @@ def _dirichlet_consistent(problem, fem_values, touches_left=True,
 
     ``touches_left``/``touches_right`` may be traced booleans inside a
     sharded solve — only the edge devices' outermost nodes are global
-    boundary nodes; interior interfaces keep their FEM/SPIKE values."""
-    g_l = jnp.asarray(problem.g_left, fem_values.dtype)
-    g_r = jnp.asarray(problem.g_right, fem_values.dtype)
+    boundary nodes; interior interfaces keep their FEM/SPIKE values.
+    Non-Dirichlet (Neumann/Robin) ends keep their FEM value: there is no
+    exact boundary value to pin to — the flux data already shaped the FEM
+    solve through the natural boundary term (``assembly.apply_bcs``)."""
     fv = fem_values
-    fv = fv.at[0].set(jnp.where(touches_left, g_l, fv[0]))
-    return fv.at[-1].set(jnp.where(touches_right, g_r, fv[-1]))
+    if problem.bc_left == "dirichlet":
+        g_l = jnp.asarray(problem.g_left, fem_values.dtype)
+        fv = fv.at[0].set(jnp.where(touches_left, g_l, fv[0]))
+    if problem.bc_right == "dirichlet":
+        g_r = jnp.asarray(problem.g_right, fem_values.dtype)
+        fv = fv.at[-1].set(jnp.where(touches_right, g_r, fv[-1]))
+    return fv
 
 
 def _pallas_finalize(w, slack, bcv, u_left, u_right, cfg, cond=None):

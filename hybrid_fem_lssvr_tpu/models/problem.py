@@ -46,8 +46,18 @@ class Problem1D:
     b: Callable = _zero  # advection coefficient
     c: Callable = _zero  # reaction coefficient
     domain: Tuple[float, float] = (-1.0, 1.0)
-    g_left: float = 0.0  # Dirichlet data, reference ``:14-18``
+    g_left: float = 0.0  # boundary data (meaning set by bc_left/right)
     g_right: float = 0.0
+    # Boundary-condition type per end (the reference supports Dirichlet
+    # only, ``:14-18``).  "dirichlet": u = g.  "neumann": a u'·n = g with
+    # n the outward normal (natural BC — enters the weak form's boundary
+    # term; the FEM system keeps the assembled boundary row).  "robin":
+    # a u'·n + robin_alpha u = g.  Non-Dirichlet ends keep their FEM
+    # nodal value as the enhancement's pin (no exact-data override).
+    bc_left: str = "dirichlet"
+    bc_right: str = "dirichlet"
+    robin_alpha_left: float = 0.0
+    robin_alpha_right: float = 0.0
     exact: Optional[Callable] = None
     exact_dx: Optional[Callable] = None
     constant_coeffs: bool = False  # a, b, c independent of x

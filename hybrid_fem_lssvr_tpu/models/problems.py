@@ -202,12 +202,83 @@ def poisson_inhomogeneous() -> Problem1D:
     )
 
 
+def poisson_neumann() -> Problem1D:
+    """-u'' = pi^2 sin(pi x), u(-1) = 0 Dirichlet, u'(1) = -pi Neumann
+    (outward flux a u'·n = g_right = -pi); exact u = sin(pi x).
+
+    Exercises the natural-BC path (``assembly.apply_bcs``): the right
+    boundary row stays assembled, the enhancement pins the right boundary
+    element to the FEM nodal value (no exact-data override).  Beyond the
+    reference's scope (Dirichlet only, ``:14-18``)."""
+    pi = jnp.pi
+
+    def f_elem_factors(xl):
+        return [(pi**2) * jnp.sin(pi * xl), (pi**2) * jnp.cos(pi * xl)]
+
+    def f_colloc_factors(d):
+        import numpy as np
+
+        return [np.cos(np.pi * d), np.sin(np.pi * d)]
+
+    return Problem1D(
+        name="poisson_neumann",
+        f=lambda x: (pi**2) * jnp.sin(pi * x),
+        bc_right="neumann",
+        g_right=float(-jnp.pi),  # a u'(1)·(+1) = pi cos(pi) = -pi
+        exact=lambda x: jnp.sin(pi * x),
+        exact_dx=lambda x: pi * jnp.cos(pi * x),
+        constant_coeffs=True,
+        f_elem_factors=f_elem_factors,
+        f_colloc_factors=f_colloc_factors,
+        f_translation=_trig_translation,
+    )
+
+
+def robin_1d(alpha: float = 1.0) -> Problem1D:
+    """-u'' + u = (pi^2 + 1) cos(pi x), Robin a u'·n + alpha u = g at both
+    ends; exact u = cos(pi x) (u(+-1) = -1, u'(+-1) = 0 -> g = -alpha).
+
+    The exact solution is NONZERO at the boundary, so this certifies that
+    the enhancement's FEM-value pin at non-Dirichlet ends carries real
+    boundary information (not a masked zero)."""
+    pi = jnp.pi
+    amp = pi**2 + 1.0
+
+    def f_elem_factors(xl):
+        return [jnp.sin(pi * xl), jnp.cos(pi * xl)]
+
+    def f_colloc_factors(d):
+        import numpy as np
+
+        return [-amp * np.sin(np.pi * d), amp * np.cos(np.pi * d)]
+
+    return Problem1D(
+        name=f"robin_1d_alpha{alpha:g}",
+        f=lambda x: amp * jnp.cos(pi * x),
+        c=lambda x: jnp.ones_like(x),
+        bc_left="robin",
+        bc_right="robin",
+        robin_alpha_left=alpha,
+        robin_alpha_right=alpha,
+        g_left=-alpha,  # a u'·n + alpha u = 0 + alpha*(-1)
+        g_right=-alpha,
+        exact=lambda x: jnp.cos(pi * x),
+        exact_dx=lambda x: -pi * jnp.sin(pi * x),
+        constant_coeffs=True,
+        f_elem_factors=f_elem_factors,
+        f_colloc_factors=f_colloc_factors,
+        f_translation=_trig_translation,
+    )
+
+
 REGISTRY = {
     "poisson_1d": poisson_1d,
     "variable_coeff_elliptic": variable_coeff_elliptic,
     "helmholtz_1d": helmholtz_1d,
     "advection_diffusion_1d": advection_diffusion_1d,
     "poisson_inhomogeneous": poisson_inhomogeneous,
+    "poisson_neumann": poisson_neumann,
+    "robin_1d": robin_1d,
 }
 
 

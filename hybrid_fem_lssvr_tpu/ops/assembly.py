@@ -115,6 +115,42 @@ def apply_dirichlet(sub, main, sup, rhs, g_left, g_right):
     return sub, main, sup, rhs
 
 
+def apply_bcs(sub, main, sup, rhs, problem):
+    """Per-end boundary conditions (generalises ``apply_dirichlet``).
+
+    Dirichlet ends use the same row/column elimination as
+    ``apply_dirichlet``.  Neumann/Robin ends are *natural*: the assembled
+    boundary row stays (it is the weak form tested against the half hat
+    function), and the boundary term of -(a u')' integrated by parts,
+    [a u'·n] v(end) with n the outward normal, substitutes the data
+    a u'·n = g - alpha·u — so rhs[end] += g and the Robin alpha joins the
+    boundary diagonal.  The advection term b u' is not integrated by
+    parts (``assemble_p1``), so it contributes no boundary term.
+    """
+    dt = main.dtype
+    if problem.bc_left == "dirichlet":
+        g = jnp.asarray(problem.g_left, dt)
+        rhs = rhs.at[1].add(-sub[1] * g)
+        sub = sub.at[1].set(0.0)
+        main = main.at[0].set(1.0)
+        sup = sup.at[0].set(0.0)
+        rhs = rhs.at[0].set(g)
+    else:
+        main = main.at[0].add(jnp.asarray(problem.robin_alpha_left, dt))
+        rhs = rhs.at[0].add(jnp.asarray(problem.g_left, dt))
+    if problem.bc_right == "dirichlet":
+        g = jnp.asarray(problem.g_right, dt)
+        rhs = rhs.at[-2].add(-sup[-2] * g)
+        sup = sup.at[-2].set(0.0)
+        main = main.at[-1].set(1.0)
+        sub = sub.at[-1].set(0.0)
+        rhs = rhs.at[-1].set(g)
+    else:
+        main = main.at[-1].add(jnp.asarray(problem.robin_alpha_right, dt))
+        rhs = rhs.at[-1].add(jnp.asarray(problem.g_right, dt))
+    return sub, main, sup, rhs
+
+
 def element_contributions(nodes, a_fn, b_fn, c_fn, f_fn, quad_order: int = 3):
     """Per-element 2x2 stiffness blocks + 2-vector loads, unscattered.
 

@@ -175,6 +175,12 @@ def make_sharded_solve(problem: Problem1D, cfg: SolverConfig, mesh,
     E_loc = -(-E_total // n_dev)  # ceil: tail slabs carry dummy padding
     if E_loc < 2:
         raise ValueError("need at least 2 elements per device")
+    if problem.bc_left != "dirichlet" or problem.bc_right != "dirichlet":
+        raise NotImplementedError(
+            "the distributed 1D solve eliminates boundary unknowns "
+            "structurally (Dirichlet only); Neumann/Robin problems run "
+            "on the single-device path (models.hybrid.HybridSolver)"
+        )
     if cfg.fem_dtype is not None:
         from ..utils.checks import require_x64
 

@@ -128,3 +128,62 @@ def test_kernel_degree_sweep():
     # M>=6 saturates at the nodal floor
     assert abs(errs[8] - errs[10]) < 0.2 * errs[8]
     assert errs[2] > errs[8]  # M=2 cannot represent the interior solution
+
+
+def test_neumann_bc():
+    """Mixed Dirichlet/Neumann: -u'' = pi^2 sin(pi x), u(-1)=0,
+    u'(1) = -pi (natural BC via assembly.apply_bcs).  The Neumann nodal
+    values superconverge, so the hybrid floor tightens rapidly with h;
+    both formulations and the f32 shared path agree."""
+    p = problems.get("poisson_neumann")
+    errs = {}
+    for E in (8, 16, 32):
+        s = HybridSolver(p, SolverConfig(num_nodes=E + 1, M=8, gamma=1e4))
+        sol = s.solve()
+        linf, _ = s.errors(X)
+        errs[E] = float(linf)
+        assert bool(np.asarray(sol.solve_ok).all())
+    assert errs[16] < 0.05 * errs[8]
+    assert errs[32] < 0.05 * errs[16]
+    assert errs[32] < 1e-9
+    d = HybridSolver(p, SolverConfig(num_nodes=17, formulation="dual"))
+    d.solve()
+    linf_d, _ = d.errors(X)
+    assert abs(linf_d - errs[16]) < 1e-3 * errs[16] + 1e-12
+    f32 = HybridSolver(p, SolverConfig(num_nodes=17, dtype="float32"))
+    sol32 = f32.solve()
+    linf32, _ = f32.errors(X)
+    assert float(linf32) < 5e-6
+    assert bool(np.asarray(sol32.solve_ok).all())
+
+
+def test_robin_bc():
+    """Robin ends with NONZERO exact boundary values (u = cos(pi x)):
+    certifies the enhancement's FEM-value pin at non-Dirichlet ends
+    carries real boundary information.  Floor is the O(h^2) Robin nodal
+    error (same class as the c != 0 Helmholtz floor)."""
+    p = problems.get("robin_1d")
+    ue = np.cos(np.pi * X)
+    errs = {}
+    for E in (16, 32, 64):
+        s = HybridSolver(p, SolverConfig(num_nodes=E + 1, M=8, gamma=1e4))
+        sol = s.solve()
+        u = np.asarray(s.evaluate_solution(X))
+        errs[E] = float(np.abs(u - ue).max())
+        assert bool(np.asarray(sol.solve_ok).all())
+    order = np.log2(errs[16] / errs[32])
+    assert 1.7 < order < 2.3, (errs, order)
+    # boundary value is approximated (not pinned to exact data): the
+    # solve carries u(+-1) ~ -1 from the FEM trace
+    u_b = np.asarray(s.evaluate_solution(np.array([-1.0, 1.0])))
+    np.testing.assert_allclose(u_b, [-1.0, -1.0], atol=5 * errs[64])
+
+
+def test_sharded_rejects_non_dirichlet():
+    from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
+    from hybrid_fem_lssvr_tpu.parallel.sharded import make_sharded_solve
+
+    with pytest.raises(NotImplementedError, match="Dirichlet"):
+        make_sharded_solve(problems.get("poisson_neumann"),
+                           SolverConfig(num_nodes=33),
+                           pmesh.element_mesh(4))
