@@ -836,7 +836,8 @@ def build_parser():
                     choices=["poisson_2d", "poisson_2d_inhomogeneous",
                              "helmholtz_2d", "advection_diffusion_2d",
                              "reaction_diffusion_2d",
-                             "variable_coeff_elliptic_2d"])
+                             "variable_coeff_elliptic_2d",
+                             "poisson_2d_neumann", "robin_2d"])
     sp.add_argument("--nx", type=int, default=32)
     sp.add_argument("--ny", type=int, default=32)
     sp.add_argument("--M", type=int, default=6)

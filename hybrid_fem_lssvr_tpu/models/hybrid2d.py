@@ -45,6 +45,15 @@ class Problem2D:
     f: Callable  # f(x, y)
     g: Callable  # Dirichlet data g(x, y)
     domain: Tuple[float, float, float, float] = (-1.0, 1.0, -1.0, 1.0)
+    # Per-edge BC type (left, right, bottom, top): "dirichlet" (u = g,
+    # the reference's only mode), "neumann" (a0 du/dn = g_natural) or
+    # "robin" (a0 du/dn + robin_alpha u = g_natural).  Natural edges keep
+    # their boundary nodes as unknowns (weak boundary term assembled by
+    # ``fem_solve_2d``); the enhancement pins those element traces to the
+    # FEM trace instead of exact data.
+    bc_edges: Tuple[str, str, str, str] = ("dirichlet",) * 4
+    g_natural: Optional[Callable] = None  # natural data on non-Dirichlet edges
+    robin_alpha: float = 0.0
     exact: Optional[Callable] = None
     a0: float = 1.0  # diffusion coefficient (constant)
     c: float = 0.0  # reaction coefficient (c < 0: Helmholtz)
@@ -304,6 +313,45 @@ def variable_coeff_elliptic_2d() -> Problem2D:
     )
 
 
+def poisson_2d_neumann() -> Problem2D:
+    """-Lap u = 2 pi^2 sin sin with a Neumann right edge:
+    du/dn|_{x=1} = -pi sin(pi y); Dirichlet (g = 0) on the other three.
+    Exact u = sin(pi x) sin(pi y) — exercises the natural-BC weak
+    boundary term and the FEM-trace pin on the right-edge elements."""
+    pi = jnp.pi
+    return Problem2D(
+        name="poisson_2d_neumann",
+        f=lambda x, y: 2.0 * pi**2 * jnp.sin(pi * x) * jnp.sin(pi * y),
+        g=lambda x, y: jnp.zeros_like(x + y),
+        bc_edges=("dirichlet", "neumann", "dirichlet", "dirichlet"),
+        g_natural=lambda x, y: -pi * jnp.sin(pi * y) * jnp.ones_like(x),
+        exact=lambda x, y: jnp.sin(pi * x) * jnp.sin(pi * y),
+    )
+
+
+def robin_2d(alpha: float = 1.0) -> Problem2D:
+    """-Lap u + u = (2 pi^2 + 1) cos cos with Robin right and top edges
+    (du/dn + alpha u = g_natural; du/dn = 0 there, so g_natural =
+    alpha·u_exact), Dirichlet left and bottom.  Exact u = cos(pi x)
+    cos(pi y): nonzero boundary values including the free corner where
+    the two Robin edges meet."""
+    pi = jnp.pi
+
+    def u(x, y):
+        return jnp.cos(pi * x) * jnp.cos(pi * y)
+
+    return Problem2D(
+        name=f"robin_2d_alpha{alpha:g}",
+        f=lambda x, y: (2.0 * pi**2 + 1.0) * u(x, y),
+        g=u,
+        c=1.0,
+        bc_edges=("dirichlet", "robin", "dirichlet", "robin"),
+        g_natural=lambda x, y: alpha * u(x, y),
+        robin_alpha=alpha,
+        exact=u,
+    )
+
+
 _PROBLEMS_2D = {
     "poisson_2d": poisson_2d,
     "poisson_2d_inhomogeneous": poisson_2d_inhomogeneous,
@@ -311,6 +359,8 @@ _PROBLEMS_2D = {
     "advection_diffusion_2d": advection_diffusion_2d,
     "reaction_diffusion_2d": reaction_diffusion_2d,
     "variable_coeff_elliptic_2d": variable_coeff_elliptic_2d,
+    "poisson_2d_neumann": poisson_2d_neumann,
+    "robin_2d": robin_2d,
 }
 
 
@@ -579,6 +629,33 @@ def _varcoeff_mg_levels(problem: Problem2D, hx: float, hy: float, dtype,
     return apply_diag_for_level
 
 
+def _edge_mass_apply(g, h):
+    """Consistent P1 edge-mass product M @ g on a uniform edge: interior
+    rows h/6·(g_{i-1} + 4 g_i + g_{i+1}), end rows h/6·(2 g_end + g_nb) —
+    the exact integral of (P1 interpolant of g)·hat_i along the edge."""
+    core = (g[:-2] + 4.0 * g[1:-1] + g[2:]) * (h / 6.0)
+    e0 = ((2.0 * g[0] + g[1]) * (h / 6.0))[None]
+    e1 = ((g[-2] + 2.0 * g[-1]) * (h / 6.0))[None]
+    return jnp.concatenate([e0, core, e1])
+
+
+def _edge_mass_diag(n, h, dtype):
+    d = jnp.full((n,), 4.0 * h / 6.0, dtype)
+    return d.at[0].set(2.0 * h / 6.0).at[-1].set(2.0 * h / 6.0)
+
+
+# (edge index) -> grid slicing helpers for the four rectangle edges in
+# bc_edges order (left, right, bottom, top).
+def _edge_rows(v, e):
+    return [v[:, 0], v[:, -1], v[0, :], v[-1, :]][e]
+
+
+def _edge_add(arr, e, vals):
+    return [lambda: arr.at[:, 0].add(vals), lambda: arr.at[:, -1].add(vals),
+            lambda: arr.at[0, :].add(vals), lambda: arr.at[-1, :].add(vals)
+            ][e]()
+
+
 def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
     """Coarse Q1 nodal values on the grid via preconditioned CG (SPD
     operators) or BiCGStab (advection / indefinite Helmholtz)."""
@@ -621,7 +698,54 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
 
     b = assembly2d.assemble_load(xs, ys, problem.f)
     ny1, nx1 = ys.shape[0], xs.shape[0]
-    interior = jnp.zeros((ny1, nx1), bool).at[1:-1, 1:-1].set(True)
+    bcs = problem.bc_edges
+    mixed = any(t != "dirichlet" for t in bcs)
+    robin_edges = []
+    edge_h = (hy, hy, hx, hx)
+    if not mixed:
+        interior = jnp.zeros((ny1, nx1), bool).at[1:-1, 1:-1].set(True)
+    else:
+        # Natural (Neumann/Robin) edges keep their boundary nodes as
+        # unknowns; only Dirichlet edges are eliminated.  A corner between
+        # a Dirichlet and a natural edge is Dirichlet.
+        interior = jnp.ones((ny1, nx1), bool)
+        if bcs[0] == "dirichlet":
+            interior = interior.at[:, 0].set(False)
+        if bcs[1] == "dirichlet":
+            interior = interior.at[:, -1].set(False)
+        if bcs[2] == "dirichlet":
+            interior = interior.at[0, :].set(False)
+        if bcs[3] == "dirichlet":
+            interior = interior.at[-1, :].set(False)
+        # Weak boundary term of -(a0 Lap u) on natural edges:
+        # [a0 du/dn] v = (g_natural - robin_alpha u) v integrated along
+        # the edge -> consistent edge load into b, Robin edge mass into
+        # the operator.
+        edge_xy = ((jnp.full_like(ys, xs[0]), ys),
+                   (jnp.full_like(ys, xs[-1]), ys),
+                   (xs, jnp.full_like(xs, ys[0])),
+                   (xs, jnp.full_like(xs, ys[-1])))
+        robin_edges = []
+        for e, t in enumerate(bcs):
+            if t == "dirichlet":
+                continue
+            gx, gy = edge_xy[e]
+            gv = problem.g_natural(gx, gy) * jnp.ones_like(gx)
+            b = _edge_add(b, e, _edge_mass_apply(gv, edge_h[e]))
+            if t == "robin":
+                robin_edges.append(e)
+        if robin_edges:
+            alpha = problem.robin_alpha
+            base_apply = apply_op
+
+            def apply_op(v):
+                y = base_apply(v)
+                for e in robin_edges:
+                    y = _edge_add(
+                        y, e,
+                        alpha * _edge_mass_apply(_edge_rows(v, e),
+                                                 edge_h[e]))
+                return y
 
     X, Y = jnp.meshgrid(xs, ys)
     u_bc = jnp.where(interior, 0.0, problem.g(X, Y) * jnp.ones_like(X))
@@ -631,6 +755,13 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
 
     rhs = jnp.where(interior, b - apply_op(u_bc), 0.0)
     precond = cfg.precond
+    if mixed and precond in ("mg", "shifted", "adi"):
+        raise ValueError(
+            f"precond={precond!r} assumes all-Dirichlet edges; mixed-BC "
+            f"problems run with precond='jacobi' (or 'auto')"
+        )
+    if mixed and precond == "auto":
+        precond = "jacobi"
     if precond == "auto":
         # V-cycle needs 2-divisible grids; Jacobi-CG iterations grow O(N)
         # (measured 88/177/357 at n=32/64/128) so prefer multigrid.  For
@@ -712,6 +843,11 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
                                                         K_const, dtype)
         else:
             diag = assembly2d.stiffness_diag((ny1, nx1), K_loc, dtype)
+        for e in robin_edges:
+            diag = _edge_add(
+                diag, e,
+                problem.robin_alpha * _edge_mass_diag(
+                    ny1 if e < 2 else nx1, edge_h[e], dtype))
         M_inv = jnp.where(interior, 1.0 / diag, 1.0)
     tol = cfg.cg_tol
     if tol is None:
@@ -781,7 +917,17 @@ def _element_data_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys,
     on_top = (ey[:, None, None] == cfg.ny - 1) & (
         ty[None, None, :] == 1.0
     )
-    on_domain_bdry = on_left | on_right | on_bottom | on_top
+    # Natural (Neumann/Robin) edges have no exact boundary VALUE: those
+    # element traces keep the FEM bilinear trace (mirrors the 1D
+    # _dirichlet_consistent semantics); bc types are static strings.
+    on_edge = (on_left, on_right, on_bottom, on_top)
+    dirichlet_edges = [
+        m for m, t in zip(on_edge, problem.bc_edges) if t == "dirichlet"
+    ]
+    on_domain_bdry = functools.reduce(
+        jnp.logical_or, dirichlet_edges,
+        jnp.zeros_like(on_left),
+    )
     gvals = problem.g(xp, yp) * jnp.ones_like(trace)
     bc_rows = jnp.where(on_domain_bdry, gvals, trace)
     return (f_rows, bc_rows.reshape(ny_loc * nx_loc, -1),

@@ -67,6 +67,12 @@ def prepare_shared_2d_graded(problem: Problem2D, cfg: Solver2DConfig):
     """Host f64 precompute of the reference-coordinate operator parts
     (graded analog of ``prepare_shared_2d``; interior collocation points
     for the same corner-row reason)."""
+    if any(t != "dirichlet" for t in problem.bc_edges):
+        raise NotImplementedError(
+            "this path eliminates all boundary edges structurally "
+            "(Dirichlet only); mixed-BC problems run on the "
+            "single-device uniform path (HybridSolver2D)"
+        )
     M, C = cfg.M, cfg.n_colloc
     dtype = cfg.jnp_dtype()
     t_int = np.linspace(-1.0, 1.0, C + 2)[1:-1]

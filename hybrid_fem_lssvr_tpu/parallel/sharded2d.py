@@ -430,6 +430,12 @@ def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
     the same y-slabs (halo exchange per stiffness apply, psum inner
     products); ``False`` replicates the coarse stage on every device (no
     communication — fine while the coarse grid is small)."""
+    if any(t != "dirichlet" for t in problem.bc_edges):
+        raise NotImplementedError(
+            "this path eliminates all boundary edges structurally "
+            "(Dirichlet only); mixed-BC problems run on the "
+            "single-device uniform path (HybridSolver2D)"
+        )
     n_dev = mesh.shape[axis]
     ny_loc = -(-cfg.ny // n_dev)  # ceil: tail slabs carry masked padding
     ny_pad = n_dev * ny_loc
@@ -528,6 +534,12 @@ def make_sharded_solve_2d_graded(problem: Problem2D, cfg: Solver2DConfig,
     coarsening, so no V-cycle — same routing as the single-device graded
     path) followed by the per-element batched null-space enhancement with
     slab-global boundary masks.  Requires ny % n_devices == 0."""
+    if any(t != "dirichlet" for t in problem.bc_edges):
+        raise NotImplementedError(
+            "this path eliminates all boundary edges structurally "
+            "(Dirichlet only); mixed-BC problems run on the "
+            "single-device uniform path (HybridSolver2D)"
+        )
     import dataclasses
 
     from ..models.hybrid2d import _element_data_2d as _edata
@@ -762,6 +774,12 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
     the grid divides down — 'auto' mirrors the slab path's routing.
     Requires cfg.ny % Dy == 0 and cfg.nx % Dx == 0.  Returns a
     zero-argument jitted callable producing a ``ShardedSolution2DGrid``."""
+    if any(t != "dirichlet" for t in problem.bc_edges):
+        raise NotImplementedError(
+            "this path eliminates all boundary edges structurally "
+            "(Dirichlet only); mixed-BC problems run on the "
+            "single-device uniform path (HybridSolver2D)"
+        )
     from .mesh import GRID_AXES
 
     if axes is None:

@@ -415,3 +415,56 @@ def test_varcoeff_2d_primal_equals_dual(query):
         us[form] = np.asarray(s.evaluate_solution(
             jnp.asarray(xq), jnp.asarray(yq)))
     np.testing.assert_allclose(us["dual"], us["primal"], atol=2e-5)
+
+
+# ------------------------------------------------------- mixed 2D BCs
+
+
+@pytest.mark.parametrize("name", ["poisson_2d_neumann", "robin_2d"])
+def test_mixed_bc_2d_converges(query, name):
+    """Neumann/Robin edges (natural weak boundary term, free boundary
+    unknowns, FEM-trace pinning on natural-edge elements) converge at the
+    2D O(h^2) nodal floor, same class as the all-Dirichlet families."""
+    xq, yq = query
+    p = get_problem_2d(name)
+    errs = {}
+    for n in (8, 16, 32):
+        s = HybridSolver2D(p, Solver2DConfig(nx=n, ny=n, M=6, n_colloc=6))
+        sol = s.solve()
+        linf, _ = s.errors(xq, yq)
+        errs[n] = float(linf)
+        assert bool(np.asarray(sol.solve_ok).all())
+        assert int(sol.cg_iters) > 0
+    order = np.log2(errs[8] / errs[16])
+    assert 1.6 < order < 2.6, (errs, order)
+    assert errs[32] < 5e-3
+
+
+def test_robin_2d_free_corner_value():
+    """The corner where two Robin edges meet is a free unknown; the solve
+    must carry the exact nonzero corner value u(1,1) = 1 to O(h^2)."""
+    p = get_problem_2d("robin_2d")
+    s = HybridSolver2D(p, Solver2DConfig(nx=16, ny=16, M=6, n_colloc=6))
+    s.solve()
+    u = np.asarray(s.evaluate_solution(np.array([1.0]), np.array([1.0])))
+    assert abs(u[0] - 1.0) < 2e-2
+
+
+def test_mixed_bc_2d_rejects_dirichlet_only_paths():
+    from hybrid_fem_lssvr_tpu.models.hybrid2d_graded import (
+        prepare_shared_2d_graded,
+    )
+    from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
+    from hybrid_fem_lssvr_tpu.parallel.sharded2d import (
+        make_sharded_solve_2d,
+    )
+
+    p = get_problem_2d("poisson_2d_neumann")
+    cfg = Solver2DConfig(nx=8, ny=8, M=4, n_colloc=4)
+    with pytest.raises(NotImplementedError, match="Dirichlet"):
+        make_sharded_solve_2d(p, cfg, pmesh.element_mesh(4))
+    with pytest.raises(NotImplementedError, match="Dirichlet"):
+        prepare_shared_2d_graded(p, cfg)
+    with pytest.raises(ValueError, match="jacobi"):
+        HybridSolver2D(p, Solver2DConfig(nx=8, ny=8, M=4, n_colloc=4,
+                                         precond="mg")).solve()
