@@ -874,7 +874,8 @@ def build_parser():
     sp.add_argument("--problem", default="poisson_3d",
                     choices=["poisson_3d", "poisson_3d_inhomogeneous",
                              "helmholtz_3d", "advection_diffusion_3d",
-                             "variable_coeff_elliptic_3d"])
+                             "variable_coeff_elliptic_3d",
+                             "poisson_3d_neumann", "robin_3d"])
     sp.add_argument("--nx", type=int, default=16)
     sp.add_argument("--ny", type=int, default=16)
     sp.add_argument("--nz", type=int, default=16)

@@ -48,6 +48,15 @@ class Problem3D:
     f: Callable  # f(x, y, z)
     g: Callable  # Dirichlet data g(x, y, z)
     domain: Tuple[float, ...] = (-1.0, 1.0, -1.0, 1.0, -1.0, 1.0)
+    # Per-face BC type in domain order (xlo, xhi, ylo, yhi, zlo, zhi):
+    # "dirichlet" (u = g), "neumann" (a0 du/dn = g_natural) or "robin"
+    # (a0 du/dn + robin_alpha u = g_natural).  Natural faces keep their
+    # boundary nodes as unknowns (consistent Q1 face-mass boundary terms
+    # assembled by ``fem_solve_3d``); the enhancement pins those element
+    # traces to the FEM trace instead of exact data.
+    bc_faces: Tuple[str, ...] = ("dirichlet",) * 6
+    g_natural: Optional[Callable] = None
+    robin_alpha: float = 0.0
     exact: Optional[Callable] = None
     a0: float = 1.0
     c: float = 0.0  # reaction (c < 0: Helmholtz -> BiCGStab coarse stage)
@@ -229,12 +238,56 @@ def variable_coeff_elliptic_3d() -> Problem3D:
     )
 
 
+def poisson_3d_neumann() -> Problem3D:
+    """-Lap u = 3 pi^2 sin sin sin with a Neumann x-hi face:
+    du/dn|_{x=1} = -pi sin(pi y) sin(pi z); Dirichlet (g = 0) elsewhere.
+    Exact u = sin(pi x) sin(pi y) sin(pi z)."""
+    pi = jnp.pi
+    return Problem3D(
+        name="poisson_3d_neumann",
+        f=lambda x, y, z: 3.0 * pi**2 * jnp.sin(pi * x) * jnp.sin(pi * y)
+        * jnp.sin(pi * z),
+        g=lambda x, y, z: jnp.zeros_like(x + y + z),
+        bc_faces=("dirichlet", "neumann", "dirichlet", "dirichlet",
+                  "dirichlet", "dirichlet"),
+        g_natural=lambda x, y, z: -pi * jnp.sin(pi * y) * jnp.sin(pi * z)
+        * jnp.ones_like(x),
+        exact=lambda x, y, z: jnp.sin(pi * x) * jnp.sin(pi * y)
+        * jnp.sin(pi * z),
+    )
+
+
+def robin_3d(alpha: float = 1.0) -> Problem3D:
+    """-Lap u + u = (3 pi^2 + 1) cos cos cos with Robin x-hi and z-hi
+    faces (du/dn = 0 there, so g_natural = alpha·u_exact), Dirichlet on
+    the other four.  Exact u = cos cos cos: nonzero boundary values
+    including the free edge where the two Robin faces meet."""
+    pi = jnp.pi
+
+    def u(x, y, z):
+        return jnp.cos(pi * x) * jnp.cos(pi * y) * jnp.cos(pi * z)
+
+    return Problem3D(
+        name=f"robin_3d_alpha{alpha:g}",
+        f=lambda x, y, z: (3.0 * pi**2 + 1.0) * u(x, y, z),
+        g=u,
+        c=1.0,
+        bc_faces=("dirichlet", "robin", "dirichlet", "dirichlet",
+                  "dirichlet", "robin"),
+        g_natural=lambda x, y, z: alpha * u(x, y, z),
+        robin_alpha=alpha,
+        exact=u,
+    )
+
+
 _PROBLEMS_3D = {
     "poisson_3d": poisson_3d,
     "poisson_3d_inhomogeneous": poisson_3d_inhomogeneous,
     "helmholtz_3d": helmholtz_3d,
     "advection_diffusion_3d": advection_diffusion_3d,
     "variable_coeff_elliptic_3d": variable_coeff_elliptic_3d,
+    "poisson_3d_neumann": poisson_3d_neumann,
+    "robin_3d": robin_3d,
 }
 
 
@@ -458,6 +511,50 @@ def _varcoeff_mg_levels_3d(problem: Problem3D, hx: float, hy: float,
     return apply_diag_for_level
 
 
+def _mass1d_apply(g, h):
+    """Consistent P1 mass product along axis 0 of a 2D array (uniform
+    spacing h): interior h/6·(g_{i-1} + 4 g_i + g_{i+1}), half-hat ends."""
+    core = (g[:-2] + 4.0 * g[1:-1] + g[2:]) * (h / 6.0)
+    e0 = ((2.0 * g[0] + g[1]) * (h / 6.0))[None]
+    e1 = ((g[-2] + 2.0 * g[-1]) * (h / 6.0))[None]
+    return jnp.concatenate([e0, core, e1], axis=0)
+
+
+def _face_mass_apply(G, h0, h1):
+    """Q1 face mass M(h0) ⊗ M(h1) applied to a [n0, n1] face field —
+    the consistent integral of (Q1 interpolant of G)·hat along the face."""
+    return _mass1d_apply(_mass1d_apply(G, h0).T, h1).T
+
+
+def _mass1d_diag(n, h, dtype):
+    d = jnp.full((n,), 4.0 * h / 6.0, dtype)
+    return d.at[0].set(2.0 * h / 6.0).at[-1].set(2.0 * h / 6.0)
+
+
+# Face slicing helpers, bc_faces order (xlo, xhi, ylo, yhi, zlo, zhi).
+def _face_get(v, fc):
+    return [v[:, :, 0], v[:, :, -1], v[:, 0, :], v[:, -1, :],
+            v[0, :, :], v[-1, :, :]][fc]
+
+
+def _face_add(arr, fc, vals):
+    return [lambda: arr.at[:, :, 0].add(vals),
+            lambda: arr.at[:, :, -1].add(vals),
+            lambda: arr.at[:, 0, :].add(vals),
+            lambda: arr.at[:, -1, :].add(vals),
+            lambda: arr.at[0, :, :].add(vals),
+            lambda: arr.at[-1, :, :].add(vals)][fc]()
+
+
+def _face_set(arr, fc, vals):
+    return [lambda: arr.at[:, :, 0].set(vals),
+            lambda: arr.at[:, :, -1].set(vals),
+            lambda: arr.at[:, 0, :].set(vals),
+            lambda: arr.at[:, -1, :].set(vals),
+            lambda: arr.at[0, :, :].set(vals),
+            lambda: arr.at[-1, :, :].set(vals)][fc]()
+
+
 def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
     """Coarse Q1 nodal values on the hex grid via preconditioned CG
     (SPD) or BiCGStab (advection / indefinite Helmholtz)."""
@@ -501,9 +598,57 @@ def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
 
     b = assembly3d.assemble_load_3d(xs, ys, zs, problem.f)
     nz1, ny1, nx1 = zs.shape[0], ys.shape[0], xs.shape[0]
-    interior = jnp.zeros((nz1, ny1, nx1), bool).at[1:-1, 1:-1, 1:-1].set(
-        True
-    )
+    bcs = problem.bc_faces
+    mixed = any(t != "dirichlet" for t in bcs)
+    robin_faces = []
+    # per-face (h0, h1) spacings and node lengths of the [n0, n1] face grid
+    face_h = ((hz, hy), (hz, hy), (hz, hx), (hz, hx), (hy, hx), (hy, hx))
+    face_n = ((nz1, ny1), (nz1, ny1), (nz1, nx1), (nz1, nx1),
+              (ny1, nx1), (ny1, nx1))
+    if not mixed:
+        interior = jnp.zeros((nz1, ny1, nx1), bool
+                             ).at[1:-1, 1:-1, 1:-1].set(True)
+    else:
+        # Natural (Neumann/Robin) faces keep their boundary nodes as
+        # unknowns; only Dirichlet faces are eliminated (edges/corners
+        # shared with a Dirichlet face are Dirichlet).
+        interior = jnp.ones((nz1, ny1, nx1), bool)
+        for fc, t in enumerate(bcs):
+            if t == "dirichlet":
+                interior = _face_set(
+                    interior, fc,
+                    jnp.zeros(face_n[fc], bool))
+        # Weak boundary term of -(a0 Lap u) on natural faces:
+        # [a0 du/dn] v = (g_natural - robin_alpha u) v over the face.
+        face_xyz = (
+            (jnp.full((nz1, ny1), xs[0]), ys[None, :], zs[:, None]),
+            (jnp.full((nz1, ny1), xs[-1]), ys[None, :], zs[:, None]),
+            (xs[None, :], jnp.full((nz1, nx1), ys[0]), zs[:, None]),
+            (xs[None, :], jnp.full((nz1, nx1), ys[-1]), zs[:, None]),
+            (xs[None, :], ys[:, None], jnp.full((ny1, nx1), zs[0])),
+            (xs[None, :], ys[:, None], jnp.full((ny1, nx1), zs[-1])),
+        )
+        for fc, t in enumerate(bcs):
+            if t == "dirichlet":
+                continue
+            gx, gy, gz = face_xyz[fc]
+            gv = problem.g_natural(gx, gy, gz) * jnp.ones(face_n[fc],
+                                                          dtype)
+            b = _face_add(b, fc, _face_mass_apply(gv, *face_h[fc]))
+            if t == "robin":
+                robin_faces.append(fc)
+        if robin_faces:
+            alpha = problem.robin_alpha
+            base_apply = apply_op
+
+            def apply_op(v):
+                y = base_apply(v)
+                for fc in robin_faces:
+                    y = _face_add(
+                        y, fc,
+                        alpha * _face_mass_apply(_face_get(v, fc),
+                                                 *face_h[fc]))
+                return y
     X = xs[None, None, :]
     Y = ys[None, :, None]
     Z = zs[:, None, None]
@@ -516,6 +661,13 @@ def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
     rhs = jnp.where(interior, b - apply_op(u_bc), 0.0)
 
     precond = cfg.precond
+    if mixed and precond in ("mg", "shifted"):
+        raise ValueError(
+            f"precond={precond!r} assumes all-Dirichlet faces; mixed-BC "
+            f"problems run with precond='jacobi' (or 'auto')"
+        )
+    if mixed and precond == "auto":
+        precond = "jacobi"
     if precond == "auto":
         mg_ok = (
             cfg.nx % 2 == 0 and cfg.ny % 2 == 0 and cfg.nz % 2 == 0
@@ -570,6 +722,14 @@ def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
         else:
             diag = assembly3d.stiffness_diag_3d((nz1, ny1, nx1), K_loc,
                                                 dtype)
+        for fc in robin_faces:
+            n0, n1 = face_n[fc]
+            h0, h1 = face_h[fc]
+            diag = _face_add(
+                diag, fc,
+                problem.robin_alpha * jnp.outer(
+                    _mass1d_diag(n0, h0, dtype),
+                    _mass1d_diag(n1, h1, dtype)))
         M_inv = jnp.where(interior, 1.0 / diag, 1.0)
     tol = cfg.cg_tol
     if tol is None:
@@ -649,13 +809,20 @@ def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
     xp = (xm[:, None] + 0.5 * hx[:, None] * txp[None, :])[None, None, :, :]
     yp = (ym[:, None] + 0.5 * hy[:, None] * typ[None, :])[None, :, None, :]
     zp = (zm[:, None] + 0.5 * hz[:, None] * tzp[None, :])[:, None, None, :]
-    on_bdry = (
-        ((ex[None, None, :, None] == 0) & (txp == -1.0))
-        | ((ex[None, None, :, None] == cfg.nx - 1) & (txp == 1.0))
-        | ((ey[None, :, None, None] == 0) & (typ == -1.0))
-        | ((ey[None, :, None, None] == cfg.ny - 1) & (typ == 1.0))
-        | ((ez[:, None, None, None] == 0) & (tzp == -1.0))
-        | ((ez[:, None, None, None] == cfg.nz - 1) & (tzp == 1.0))
+    # Natural (Neumann/Robin) faces keep the FEM trilinear trace — no
+    # exact boundary VALUE exists there (bc types are static strings).
+    on_face = (
+        (ex[None, None, :, None] == 0) & (txp == -1.0),
+        (ex[None, None, :, None] == cfg.nx - 1) & (txp == 1.0),
+        (ey[None, :, None, None] == 0) & (typ == -1.0),
+        (ey[None, :, None, None] == cfg.ny - 1) & (typ == 1.0),
+        (ez[:, None, None, None] == 0) & (tzp == -1.0),
+        (ez[:, None, None, None] == cfg.nz - 1) & (tzp == 1.0),
+    )
+    on_bdry = functools.reduce(
+        jnp.logical_or,
+        [m for m, t in zip(on_face, problem.bc_faces) if t == "dirichlet"],
+        jnp.zeros_like(on_face[0]),
     )
     gvals = problem.g(xp, yp, zp) * jnp.ones_like(trace)
     bc_rows = jnp.where(on_bdry, gvals, trace)

@@ -66,6 +66,12 @@ def prepare_shared_3d_graded(problem: Problem3D, cfg: Solver3DConfig):
     """Host f64 precompute of the reference-coordinate operator parts
     (graded analog of ``prepare_shared_3d``; interior collocation points
     for the same face/edge/corner-row reason)."""
+    if any(t != "dirichlet" for t in problem.bc_faces):
+        raise NotImplementedError(
+            "this path eliminates all boundary faces structurally "
+            "(Dirichlet only); mixed-BC problems run on the "
+            "single-device uniform path (HybridSolver3D)"
+        )
     M, C = cfg.M, cfg.n_colloc
     dtype = cfg.jnp_dtype()
     t_int = np.linspace(-1.0, 1.0, C + 2)[1:-1]

@@ -450,6 +450,12 @@ def make_sharded_solve_3d_grid(problem: Problem3D, cfg: Solver3DConfig,
     row offsets) run on [nz/Dz, ny/Dy, nx] blocks — the 3D lift of
     ``sharded2d.make_sharded_solve_2d_grid``.  Requires cfg.nz % Dz == 0
     and cfg.ny % Dy == 0."""
+    if any(t != "dirichlet" for t in problem.bc_faces):
+        raise NotImplementedError(
+            "this path eliminates all boundary faces structurally "
+            "(Dirichlet only); mixed-BC problems run on the "
+            "single-device uniform path (HybridSolver3D)"
+        )
     from .mesh import GRID_AXES_3D
 
     if axes is None:
@@ -772,6 +778,12 @@ def make_sharded_solve_3d_graded(problem: Problem3D, cfg: Solver3DConfig,
     ``models/hybrid3d_graded.py``; == single-device asserted in
     tests/test_sharded3d.py).  The element-layer count ``len(zs) - 1``
     must divide by the device count; spacings are arbitrary."""
+    if any(t != "dirichlet" for t in problem.bc_faces):
+        raise NotImplementedError(
+            "this path eliminates all boundary faces structurally "
+            "(Dirichlet only); mixed-BC problems run on the "
+            "single-device uniform path (HybridSolver3D)"
+        )
     import dataclasses
 
     from ..models.hybrid3d_graded import (
@@ -916,6 +928,12 @@ def make_sharded_solve_3d(problem: Problem3D, cfg: Solver3DConfig, mesh,
     """Jitted multi-chip 3D solve; ``cfg.nz`` must divide by the device
     count (z-slab layout).  ``distributed_fem=False`` replicates the
     coarse stage on every device (no communication)."""
+    if any(t != "dirichlet" for t in problem.bc_faces):
+        raise NotImplementedError(
+            "this path eliminates all boundary faces structurally "
+            "(Dirichlet only); mixed-BC problems run on the "
+            "single-device uniform path (HybridSolver3D)"
+        )
     n_dev = mesh.shape[axis]
     if cfg.nz % n_dev != 0:
         raise ValueError(

@@ -465,3 +465,43 @@ def test_trilinear_fallback_exact_on_corners():
     np.testing.assert_allclose(
         vals, np.asarray(u).transpose(2, 1, 0).ravel(), atol=1e-12
     )
+
+
+@pytest.mark.parametrize("name", ["poisson_3d_neumann", "robin_3d"])
+def test_mixed_bc_3d_converges(query, name):
+    """Per-face Neumann/Robin (consistent Q1 face-mass boundary terms,
+    free natural-face unknowns, FEM-trace pinning) converge at the 3D
+    O(h^2) nodal floor."""
+    xq, yq, zq = query
+    p = get_problem_3d(name)
+    errs = {}
+    for n in (6, 12):
+        s = HybridSolver3D(p, Solver3DConfig(nx=n, ny=n, nz=n, M=4,
+                                             n_colloc=4))
+        sol = s.solve()
+        linf, _ = s.errors(xq, yq, zq)
+        errs[n] = float(linf)
+        assert bool(np.asarray(sol.solve_ok).all())
+    order = np.log2(errs[6] / errs[12])
+    assert 1.5 < order < 2.6, (errs, order)
+
+
+def test_mixed_bc_3d_rejects_dirichlet_only_paths():
+    from hybrid_fem_lssvr_tpu.models.hybrid3d_graded import (
+        prepare_shared_3d_graded,
+    )
+    from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
+    from hybrid_fem_lssvr_tpu.parallel.sharded3d import (
+        make_sharded_solve_3d,
+    )
+
+    p = get_problem_3d("poisson_3d_neumann")
+    cfg = Solver3DConfig(nx=4, ny=4, nz=8, M=3, n_colloc=3)
+    with pytest.raises(NotImplementedError, match="Dirichlet"):
+        make_sharded_solve_3d(p, cfg, pmesh.element_mesh(4))
+    with pytest.raises(NotImplementedError, match="Dirichlet"):
+        prepare_shared_3d_graded(p, cfg)
+    with pytest.raises(ValueError, match="jacobi"):
+        HybridSolver3D(p, Solver3DConfig(nx=8, ny=8, nz=8, M=3,
+                                         n_colloc=3,
+                                         precond="mg")).solve()
