@@ -254,15 +254,16 @@ def cmd_campaign(args):
         _run_one(problems.poisson_1d(),
                  SolverConfig(num_nodes=101, M=Mi, **base),
                  em, args.eval_points)
-    # configs 3-4
+    # configs 3-4 (+ mixed-BC breadth rows)
     for name in ("variable_coeff_elliptic", "helmholtz_1d",
-                 "advection_diffusion_1d"):
+                 "advection_diffusion_1d", "poisson_neumann", "robin_1d"):
         _run_one(problems.get(name), SolverConfig(num_nodes=65, **base),
                  em, args.eval_points)
     # config 5: 2D — Poisson plus the generalized constant-coefficient
     # families (Helmholtz, advection-diffusion) on the same pipeline
     for name2d in ("poisson_2d", "helmholtz_2d", "advection_diffusion_2d",
-                   "variable_coeff_elliptic_2d"):
+                   "variable_coeff_elliptic_2d", "poisson_2d_neumann",
+                   "robin_2d"):
         ns = argparse.Namespace(nx=32, ny=32, M=6, gamma=1e4,
                                 dtype=args.dtype, eval_points=2000,
                                 problem=name2d)
