@@ -277,6 +277,54 @@ def cmd_campaign(args):
         cmd_run3d(ns)
 
 
+def cmd_transient(args):
+    """Parabolic march (u_t + L u = f): theta-scheme P1 or the
+    LSSVR-enhanced Crank-Nicolson march, one lax.scan on device."""
+    from .models import transient as TR
+
+    if getattr(args, "x64", False):
+        jax.config.update("jax_enable_x64", True)
+    em = M.MetricsEmitter()
+    problem = TR.TRANSIENT_REGISTRY[args.problem]()
+    cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
+                       gamma=args.gamma, dtype=args.dtype)
+    tcfg = TR.TransientConfig(t_final=args.t_final, n_steps=args.n_steps,
+                              theta=args.theta, mass=args.mass)
+    march = TR.hybrid_march if args.enhanced else TR.fem_march
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = march(problem, cfg, tcfg)
+        jax.block_until_ready(sol.fem_values)
+    fields = dict(
+        problem=problem.name,
+        enhanced=args.enhanced,
+        mass=args.mass,
+        theta=args.theta,
+        elements=cfg.num_nodes - 1,
+        n_steps=args.n_steps,
+        t_final=args.t_final,
+        solve_sec=rec["solve_sec"],
+        steps_per_sec=args.n_steps / max(rec["solve_sec"], 1e-12),
+    )
+    if problem.exact is not None:
+        x = jnp.linspace(problem.elliptic.domain[0],
+                         problem.elliptic.domain[1], args.eval_points,
+                         dtype=sol.fem_values.dtype)
+        ue = problem.exact(x, tcfg.t_final)
+        if args.enhanced:
+            from .ops import eval as ev
+
+            u = ev.evaluate(sol.nodes, sol.coeffs, x)
+        else:
+            u = jnp.interp(x, sol.nodes, sol.fem_values)
+        fields["linf_error"] = float(M.linf_error(u, ue))
+        fields["l2_error"] = float(M.l2_error(u, ue))
+        ue_n = problem.exact(sol.nodes, tcfg.t_final)
+        fields["nodal_linf"] = float(
+            jnp.max(jnp.abs(sol.fem_values - ue_n)))
+    em.emit("transient_march", **fields)
+
+
 def cmd_runsharded(args):
     """Multi-chip 1D solve over the element mesh (SURVEY.md 2.3 DP/SP row),
     wired through ``load_or_run`` checkpointing so interrupted campaigns
@@ -819,6 +867,27 @@ def build_parser():
     sp.add_argument("--refine-frac", type=float, default=0.3)
     sp.add_argument("--eval-points", type=int, default=1000)
     sp.set_defaults(fn=cmd_adaptive3d)
+
+    sp = sub.add_parser(
+        "transient",
+        help="parabolic march u_t + L u = f (theta-scheme / enhanced CN)")
+    sp.add_argument("--problem", default="heat_1d",
+                    choices=["heat_1d", "heat_robin_1d"])
+    sp.add_argument("--num-nodes", type=int, default=33)
+    sp.add_argument("--M", type=int, default=8)
+    sp.add_argument("--gamma", type=float, default=1e4)
+    sp.add_argument("--t-final", type=float, default=0.5)
+    sp.add_argument("--n-steps", type=int, default=256)
+    sp.add_argument("--theta", type=float, default=0.5)
+    sp.add_argument("--mass", default="consistent",
+                    choices=["consistent", "numerov"])
+    sp.add_argument("--enhanced", action="store_true",
+                    help="LSSVR-enhanced CN march (spectral in space)")
+    sp.add_argument("--dtype", default=None,
+                    choices=[None, "float32", "float64"])
+    sp.add_argument("--x64", action="store_true")
+    sp.add_argument("--eval-points", type=int, default=401)
+    sp.set_defaults(fn=cmd_transient)
 
     sp = sub.add_parser(
         "runsharded",

@@ -1,0 +1,122 @@
+"""Transient (parabolic) extension: theta-scheme marches + the
+LSSVR-enhanced Crank-Nicolson march (models/transient.py).
+
+Theory encoded: CN is O(dt^2); consistent-mass P1 is O(h^2) at nodes
+(symbol error +h^2 k^4/12), the Numerov (1,10,1)/12 mass is O(h^4); the
+enhanced march's Linf floor equals the trace-providing march's NODAL
+error (the transient analog of the steady hybrid floor)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_fem_lssvr_tpu.models.hybrid import SolverConfig
+from hybrid_fem_lssvr_tpu.models.transient import (
+    TransientConfig, fem_march, heat_1d, heat_robin_1d, hybrid_march,
+)
+from hybrid_fem_lssvr_tpu.ops import eval as ev
+
+T = 0.5
+X = np.linspace(-1, 1, 401)
+
+
+def _nodal_err(problem, sol):
+    ue = problem.exact(sol.nodes, T)
+    return float(jnp.max(jnp.abs(sol.fem_values - ue)))
+
+
+def test_cn_is_second_order_in_time():
+    """dt-halving at fine h (Numerov keeps the h-floor out of the way)."""
+    p = heat_1d()
+    cfg = SolverConfig(num_nodes=129)
+    errs = {}
+    for n in (4, 8, 16):
+        sol = fem_march(p, cfg, TransientConfig(t_final=T, n_steps=n,
+                                                mass="numerov"))
+        errs[n] = _nodal_err(p, sol)
+    order = np.log2(errs[4] / errs[8])
+    assert 1.7 < order < 2.3, (errs, order)
+
+
+def test_backward_euler_is_first_order():
+    p = heat_1d()
+    cfg = SolverConfig(num_nodes=129)
+    errs = {}
+    for n in (8, 16):
+        sol = fem_march(p, cfg, TransientConfig(t_final=T, n_steps=n,
+                                                theta=1.0, mass="numerov"))
+        errs[n] = _nodal_err(p, sol)
+    order = np.log2(errs[8] / errs[16])
+    assert 0.7 < order < 1.3, (errs, order)
+
+
+def test_mass_orders_h2_consistent_h4_numerov():
+    """h-halving at tiny dt: consistent mass O(h^2), Numerov O(h^4)."""
+    p = heat_1d()
+    tc_c = TransientConfig(t_final=T, n_steps=2048)
+    tc_n = TransientConfig(t_final=T, n_steps=2048, mass="numerov")
+    e_c, e_n = {}, {}
+    for E in (8, 16):
+        e_c[E] = _nodal_err(p, fem_march(
+            p, SolverConfig(num_nodes=E + 1), tc_c))
+        e_n[E] = _nodal_err(p, fem_march(
+            p, SolverConfig(num_nodes=E + 1), tc_n))
+    assert 1.7 < np.log2(e_c[8] / e_c[16]) < 2.3, e_c
+    assert 3.5 < np.log2(e_n[8] / e_n[16]) < 4.5, e_n
+    assert e_n[16] < 0.15 * e_c[16]
+
+
+def test_hybrid_march_rides_the_nodal_floor():
+    """Enhanced CN march: Linf over the whole interval equals the
+    march's nodal error (not the P1 interpolant's interior error) —
+    >50x better than plain P1 at the same resolution."""
+    p = heat_1d()
+    cfg = SolverConfig(num_nodes=17, M=8, gamma=1e4)
+    tc = TransientConfig(t_final=T, n_steps=512, mass="numerov")
+    sol = hybrid_march(p, cfg, tc)
+    u = ev.evaluate(sol.nodes, sol.coeffs, jnp.asarray(X))
+    uex = np.asarray(p.exact(jnp.asarray(X), T))
+    linf = float(np.abs(np.asarray(u) - uex).max())
+    nodal = _nodal_err(p, sol)
+    assert linf < 3.0 * nodal + 1e-12, (linf, nodal)
+    # plain P1 interpolant at the same resolution
+    up1 = np.interp(X, np.asarray(sol.nodes), np.asarray(sol.fem_values))
+    p1_linf = float(np.abs(up1 - uex).max())
+    assert linf < p1_linf / 50.0, (linf, p1_linf)
+
+
+def test_transient_robin_march():
+    """Robin ends with time-independent data (decaying component has
+    zero value AND slope at the ends): consistent-mass CN converges at
+    O(h^2) with the natural-BC load in every step."""
+    p = heat_robin_1d()
+    errs = {}
+    for E in (16, 32):
+        sol = fem_march(p, SolverConfig(num_nodes=E + 1),
+                        TransientConfig(t_final=T, n_steps=1024))
+        errs[E] = _nodal_err(p, sol)
+    order = np.log2(errs[16] / errs[32])
+    assert 1.6 < order < 2.4, (errs, order)
+
+
+def test_transient_guards():
+    p = heat_robin_1d()
+    with pytest.raises(NotImplementedError, match="Dirichlet"):
+        fem_march(p, SolverConfig(num_nodes=17),
+                  TransientConfig(mass="numerov"))
+    with pytest.raises(ValueError, match="0.5"):
+        hybrid_march(heat_1d(), SolverConfig(num_nodes=17),
+                     TransientConfig(theta=1.0))
+
+
+def test_cli_transient(capsys):
+    import json
+
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["transient", "--num-nodes", "17", "--n-steps", "64",
+              "--mass", "numerov", "--enhanced"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "transient_march"
+    assert rec["linf_error"] < 5e-4
+    assert rec["linf_error"] < 3.0 * rec["nodal_linf"] + 1e-12
