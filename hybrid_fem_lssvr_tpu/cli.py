@@ -277,19 +277,72 @@ def cmd_campaign(args):
         cmd_run3d(ns)
 
 
+def _transient_2d(args, em, tcfg):
+    from .models import transient as TR
+    from .models.hybrid2d import Solution2D, evaluate_2d
+
+    problem = TR.heat_2d()
+    cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=args.M,
+                         gamma=args.gamma, dtype=args.dtype)
+    march = TR.hybrid_march_2d if args.enhanced else TR.fem_march_2d
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = march(problem, cfg, tcfg)
+        jax.block_until_ready(sol.fem_values)
+    fields = dict(
+        problem=problem.name,
+        enhanced=args.enhanced,
+        mass=tcfg.mass,
+        elements=cfg.nx * cfg.ny,
+        n_steps=tcfg.n_steps,
+        t_final=tcfg.t_final,
+        solve_sec=rec["solve_sec"],
+        cg_iters=int(sol.cg_iters),
+    )
+    if problem.exact is not None:
+        d = problem.elliptic.domain
+        rng = np.random.default_rng(0)
+        xq = jnp.asarray(rng.uniform(d[0], d[1], args.eval_points),
+                         sol.fem_values.dtype)
+        yq = jnp.asarray(rng.uniform(d[2], d[3], args.eval_points),
+                         sol.fem_values.dtype)
+        ue = problem.exact(xq, yq, tcfg.t_final)
+        if args.enhanced:
+            s2 = Solution2D(sol.xs, sol.ys, sol.fem_values, sol.coeffs,
+                            sol.cg_iters, 0.0, None, None, None)
+            u = evaluate_2d(s2, xq, yq)
+        else:
+            from .models.hybrid2d import _bilinear_fallback_coeffs
+
+            c = _bilinear_fallback_coeffs(
+                sol.fem_values[:-1, :-1], sol.fem_values[:-1, 1:],
+                sol.fem_values[1:, :-1], sol.fem_values[1:, 1:], 2)
+            s2 = Solution2D(sol.xs, sol.ys, sol.fem_values, c,
+                            sol.cg_iters, 0.0, None, None, None)
+            u = evaluate_2d(s2, xq, yq)
+        fields["linf_error"] = float(M.linf_error(u, ue))
+        fields["l2_error"] = float(M.l2_error(u, ue))
+        X, Y = jnp.meshgrid(sol.xs, sol.ys)
+        fields["nodal_linf"] = float(jnp.max(jnp.abs(
+            sol.fem_values - problem.exact(X, Y, tcfg.t_final))))
+    em.emit("transient_march_2d", **fields)
+
+
 def cmd_transient(args):
-    """Parabolic march (u_t + L u = f): theta-scheme P1 or the
+    """Parabolic march (u_t + L u = f): theta-scheme P1/Q1 or the
     LSSVR-enhanced Crank-Nicolson march, one lax.scan on device."""
     from .models import transient as TR
 
     if getattr(args, "x64", False):
         jax.config.update("jax_enable_x64", True)
     em = M.MetricsEmitter()
+    tcfg = TR.TransientConfig(t_final=args.t_final, n_steps=args.n_steps,
+                              theta=args.theta, mass=args.mass)
+    if args.dim == 2:
+        return _transient_2d(args, em, tcfg)
     problem = TR.TRANSIENT_REGISTRY[args.problem]()
     cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
                        gamma=args.gamma, dtype=args.dtype)
-    tcfg = TR.TransientConfig(t_final=args.t_final, n_steps=args.n_steps,
-                              theta=args.theta, mass=args.mass)
     march = TR.hybrid_march if args.enhanced else TR.fem_march
     rec = {}
     with profiling.timed(rec, "solve_sec"):
@@ -872,8 +925,11 @@ def build_parser():
         "transient",
         help="parabolic march u_t + L u = f (theta-scheme / enhanced CN)")
     sp.add_argument("--problem", default="heat_1d",
-                    choices=["heat_1d", "heat_robin_1d"])
+                    choices=["heat_1d", "heat_robin_1d", "heat_2d"])
+    sp.add_argument("--dim", type=int, default=1, choices=[1, 2])
     sp.add_argument("--num-nodes", type=int, default=33)
+    sp.add_argument("--nx", type=int, default=16)
+    sp.add_argument("--ny", type=int, default=16)
     sp.add_argument("--M", type=int, default=8)
     sp.add_argument("--gamma", type=float, default=1e4)
     sp.add_argument("--t-final", type=float, default=0.5)

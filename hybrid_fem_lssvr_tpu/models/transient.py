@@ -23,6 +23,18 @@ Two solvers:
   (``kkt.precompute_shared_host``) — the rhs itself is two more batched
   matmuls of the previous coefficients.  Spatial accuracy between nodes
   is spectral; the floor is the P1 march's nodal error + O(dt^2).
+
+2D mirrors both (``fem_march_2d`` / ``hybrid_march_2d``: per step one
+Jacobi-CG solve of the mass-dominated (M + th dt A) — measured 1-2
+iterations — plus, for the enhanced march, four batched MXU matmuls
+through the shared-LSE CN operator).  Floors differ by dimension: in 1D
+the element trace IS the nodal value, so the enhanced march inherits the
+march's nodal accuracy (O(h^4) with Numerov); in 2D the trace is the Q1
+bilinear edge interpolant, whose O(h^2) interpolation error bounds the
+enhanced Linf regardless of nodal superaccuracy (measured
+step-count-independent, same floor as the steady 2D enhancement) — the
+Numerov option still yields O(h^4) NODAL output in 2D (measured 16.3x
+per h-halving).
 """
 
 from __future__ import annotations
@@ -350,3 +362,268 @@ TRANSIENT_REGISTRY = {
     "heat_1d": heat_1d,
     "heat_robin_1d": heat_robin_1d,
 }
+
+
+# --------------------------------------------------------------- 2D
+
+
+@dataclasses.dataclass(frozen=True)
+class TransientProblem2D:
+    """u_t + L u = f(x, y, t) on a rectangle; L (and BCs) a Problem2D."""
+
+    name: str
+    elliptic: "object"  # models.hybrid2d.Problem2D
+    f: Callable  # f(x, y, t)
+    u0: Callable  # u0(x, y)
+    exact: Optional[Callable] = None  # exact(x, y, t)
+
+
+def _check_2d_dirichlet(p):
+    if any(t != "dirichlet" for t in p.bc_edges):
+        raise NotImplementedError(
+            "2D transient marches support all-Dirichlet edges")
+    if p.a_var is not None:
+        raise NotImplementedError(
+            "2D transient marches require constant coefficients")
+
+
+class TransientSolution2D(NamedTuple):
+    xs: jnp.ndarray
+    ys: jnp.ndarray
+    fem_values: jnp.ndarray  # [ny+1, nx+1] at t_final
+    coeffs: Optional[jnp.ndarray]  # [ny, nx, M, M] (hybrid_march_2d)
+    t_final: float
+    cg_iters: jnp.ndarray
+
+
+def _numerov_locals_2d(hx, hy, a0, c):
+    """Tensor Numerov local 4x4s: the Q1 local operator IS
+    kron(y-part, x-part) (verified against q1_local_operator), so the 1D
+    Numerov mass (h/12)·[[5,1],[1,5]] tensorises directly; per-axis
+    symbol kx^2/mu(kx) + ky^2/mu(ky) = kx^2 + ky^2 + O(h^4)."""
+    K1 = lambda h: (1.0 / h) * np.array([[1.0, -1.0], [-1.0, 1.0]])  # noqa: E731,E501
+    M1n = lambda h: (h / 12.0) * np.array([[5.0, 1.0], [1.0, 5.0]])  # noqa: E731,E501
+    K_M = np.kron(M1n(hy), M1n(hx))
+    K_A = (a0 * (np.kron(M1n(hy), K1(hx)) + np.kron(K1(hy), M1n(hx)))
+           + c * K_M)
+    return K_A, K_M
+
+
+def _fem_march_pieces_2d(p, cfg, tcfg):
+    from ..ops import assembly2d
+
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1 = p.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    dt = tcfg.t_final / tcfg.n_steps
+    th = tcfg.theta
+    if tcfg.mass == "numerov":
+        if p.b != (0.0, 0.0):
+            raise NotImplementedError("numerov mass requires b == 0")
+        K_A_np, K_M_np = _numerov_locals_2d(hx, hy, p.a0, p.c)
+        K_A = jnp.asarray(K_A_np, dtype)
+        K_M = jnp.asarray(K_M_np, dtype)
+    else:
+        K_A = jnp.asarray(
+            assembly2d.q1_local_operator(hx, hy, p.a0, p.c, *p.b), dtype)
+        K_M = jnp.asarray(assembly2d.q1_local_mass(hx, hy), dtype)
+    K_lhs = K_M + th * dt * K_A
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    interior = jnp.zeros((cfg.ny + 1, cfg.nx + 1), bool
+                         ).at[1:-1, 1:-1].set(True)
+    X, Y = jnp.meshgrid(xs, ys)
+    u_bc = jnp.where(interior, 0.0, p.g(X, Y) * jnp.ones_like(X))
+    diag = assembly2d.stiffness_diag((cfg.ny + 1, cfg.nx + 1), K_lhs,
+                                     dtype)
+    M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+    return (dtype, hx, hy, dt, th, K_A, K_M, K_lhs, xs, ys, interior,
+            u_bc, M_inv)
+
+
+def _fem_step_2d(problem, p, cfg, pieces, numerov=False):
+    """One theta-step closure: u^n (full grid incl. g boundary) -> u^{n+1}."""
+    from ..ops import assembly2d, cg
+
+    (dtype, hx, hy, dt, th, K_A, K_M, K_lhs, xs, ys, interior, u_bc,
+     M_inv) = pieces
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def apply_free(v):
+        return jnp.where(interior,
+                         assembly2d.apply_stiffness(v * interior, K_lhs),
+                         0.0)
+
+    if numerov:
+        X, Y = jnp.meshgrid(xs, ys)
+
+        def load_at(t):
+            # Numerov-weighted NODAL load (the (1,10,1)/12^2 tensor
+            # weights are part of the 4th-order consistency)
+            return assembly2d.apply_stiffness(
+                problem.f(X, Y, t) * jnp.ones_like(X), K_M)
+    else:
+        def load_at(t):
+            return assembly2d.assemble_load(
+                xs, ys, lambda x, y: problem.f(x, y, t))
+
+    def step(u, t):
+        load = th * load_at(t + dt) + (1.0 - th) * load_at(t)
+        r = (assembly2d.apply_stiffness(u, K_M)
+             - (1.0 - th) * dt * assembly2d.apply_stiffness(u, K_A)
+             + dt * load)
+        # boundary data is time-independent: lhs row for boundary nodes
+        # is handled by masking (solve for the interior increment over
+        # the Dirichlet lift)
+        rhs = jnp.where(interior, r - assembly2d.apply_stiffness(
+            u_bc, K_lhs), 0.0)
+        res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=tol,
+                    maxiter=cfg.cg_maxiter)
+        return u_bc + jnp.where(interior, res.x, 0.0), res.iters
+
+    return step
+
+
+def fem_march_2d(problem: TransientProblem2D, cfg, tcfg: TransientConfig):
+    """Q1 theta-scheme march on structured quads: per step one
+    Jacobi-preconditioned CG solve of (M + th dt A), the whole loop a
+    single lax.scan (all-Dirichlet edges, constant coefficients)."""
+    p = problem.elliptic
+    _check_2d_dirichlet(p)
+    pieces = _fem_march_pieces_2d(p, cfg, tcfg)
+    dtype, xs, ys, interior, u_bc = (pieces[0], pieces[8], pieces[9],
+                                     pieces[10], pieces[11])
+    dt = pieces[3]
+    step = _fem_step_2d(problem, p, cfg, pieces,
+                        numerov=tcfg.mass == 'numerov')
+    X, Y = jnp.meshgrid(xs, ys)
+    u0 = jnp.where(interior, problem.u0(X, Y) * jnp.ones_like(X), u_bc
+                   ).astype(dtype)
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * dt
+
+    def scan_step(u, t):
+        u1, iters = step(u, t)
+        return u1, iters
+
+    uN, iters = jax.lax.scan(scan_step, u0, ts)
+    return TransientSolution2D(xs, ys, uN, None, tcfg.t_final,
+                               jnp.max(iters))
+
+
+def hybrid_march_2d(problem: TransientProblem2D, cfg,
+                    tcfg: TransientConfig):
+    """LSSVR-enhanced 2D Crank-Nicolson march: per element a tensor-
+    Legendre polynomial advanced by collocating the CN update at interior
+    points with the trace pinned to the Q1 march (the 2D lift of
+    ``hybrid_march``).  D_CN = (2/dt)·Mass + D_L is shared across
+    elements, factorised once on the host in f64 via the null-space LSE
+    (the (2/dt) mass shift also removes the steady 2D Laplacian's
+    discrete-harmonic pathology), so each step is the Q1 CG step plus
+    four batched MXU matmuls."""
+    from ..ops import legendre as leg
+    from .hybrid2d import _boundary_coords, _element_data_2d
+
+    if tcfg.theta != 0.5:
+        raise ValueError("hybrid_march_2d collocates the Crank-Nicolson "
+                         "update; theta must be 0.5")
+    p = problem.elliptic
+    _check_2d_dirichlet(p)
+    pieces = _fem_march_pieces_2d(p, cfg, tcfg)
+    dtype, hx, hy, dt = pieces[0], pieces[1], pieces[2], pieces[3]
+    xs, ys, interior, u_bc = pieces[8], pieces[9], pieces[10], pieces[11]
+    M, C = cfg.M, cfg.n_colloc
+
+    # host f64 shared operators (interior collocation, trace pinning)
+    t_int = np.linspace(-1.0, 1.0, C + 2)[1:-1]
+    V0, V1, V2 = leg.vandermonde_host(t_int, M)
+    sx, sy = 2.0 / hx, 2.0 / hy
+    Mass = np.einsum("yk,xl->yxkl", V0, V0).reshape(C * C, M * M)
+    D_L = -p.a0 * (
+        sx * sx * np.einsum("yk,xl->yxkl", V0, V2)
+        + sy * sy * np.einsum("yk,xl->yxkl", V2, V0)
+    ).reshape(C * C, M * M)
+    bx, by = p.b
+    if bx != 0.0:
+        D_L = D_L + bx * sx * np.einsum(
+            "yk,xl->yxkl", V0, V1).reshape(C * C, M * M)
+    if by != 0.0:
+        D_L = D_L + by * sy * np.einsum(
+            "yk,xl->yxkl", V1, V0).reshape(C * C, M * M)
+    if p.c != 0.0:
+        D_L = D_L + p.c * Mass
+    D_CN = (2.0 / dt) * Mass + D_L
+    bpts = _boundary_coords(M)
+    V0y_b = leg.vandermonde_host(bpts[:, 0], M)[0]
+    V0x_b = leg.vandermonde_host(bpts[:, 1], M)[0]
+    B = np.einsum("pk,pl->pkl", V0y_b, V0x_b).reshape(-1, M * M)
+    shared = kkt.precompute_shared_lse_host(D_CN, B, dtype)
+    proj = kkt.precompute_shared_lse_host(Mass, B, dtype)  # u0 fit
+    R_op = jnp.asarray((2.0 / dt) * Mass - D_L, dtype)
+
+    # collocation coordinates, row-major (iy, ix) x (cy, cx) as in
+    # _element_data_2d / prepare_shared_2d
+    t_j = jnp.asarray(t_int, dtype)
+    xm = 0.5 * (xs[1:] + xs[:-1])
+    ym = 0.5 * (ys[1:] + ys[:-1])
+    xq = xm[:, None] + 0.5 * hx * t_j[None, :]  # [nx, C]
+    yq = ym[:, None] + 0.5 * hy * t_j[None, :]  # [ny, C]
+    E = cfg.nx * cfg.ny
+    hi = jax.lax.Precision.HIGHEST
+    t_int_j = jnp.asarray(t_int)
+    bpts_j = jnp.asarray(bpts)
+
+    def f_rows_at(t):
+        F = problem.f(xq[None, :, None, :], yq[:, None, :, None], t)
+        F = F * jnp.ones((cfg.ny, cfg.nx, C, C), dtype)
+        return F.reshape(E, C * C)
+
+    fem_step = _fem_step_2d(problem, p, cfg, pieces,
+                        numerov=tcfg.mass == 'numerov')
+
+    def scan_step(carry, t):
+        u, w = carry
+        u1, iters = fem_step(u, t)
+        _, bc_rows, _ = _element_data_2d(p, cfg, xs, ys, u1, t_int_j,
+                                         bpts_j)
+        rhs = (jnp.dot(w, R_op.T, precision=hi)
+               + f_rows_at(t) + f_rows_at(t + dt))
+        w1, _ = kkt.solve_primal_shared(shared, rhs, bc_rows)
+        return (u1, w1), iters
+
+    X, Y = jnp.meshgrid(xs, ys)
+    u0g = jnp.where(interior, problem.u0(X, Y) * jnp.ones_like(X), u_bc
+                    ).astype(dtype)
+    # initial per-element fit: values at interior colloc + trace of u0
+    F0 = problem.u0(xq[None, :, None, :] * jnp.ones((cfg.ny, 1, 1, 1)),
+                    yq[:, None, :, None] * jnp.ones((1, cfg.nx, 1, 1)))
+    f0_rows = (F0 * jnp.ones((cfg.ny, cfg.nx, C, C), dtype)
+               ).reshape(E, C * C)
+    _, bc0, _ = _element_data_2d(p, cfg, xs, ys, u0g, t_int_j, bpts_j)
+    w0, _ = kkt.solve_primal_shared(proj, f0_rows, bc0)
+    dt_j = jnp.asarray(dt, dtype)
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * dt_j
+    (uN, wN), iters = jax.lax.scan(scan_step, (u0g, w0), ts)
+    return TransientSolution2D(
+        xs, ys, uN, wN.reshape(cfg.ny, cfg.nx, M, M), tcfg.t_final,
+        jnp.max(iters))
+
+
+def heat_2d() -> TransientProblem2D:
+    """u_t - Lap u = (2 pi^2 - 1) e^{-t} sin sin, u = 0 on the boundary;
+    exact u = e^{-t} sin(pi x) sin(pi y)."""
+    pi = jnp.pi
+    from .hybrid2d import poisson_2d
+
+    return TransientProblem2D(
+        name="heat_2d",
+        elliptic=dataclasses.replace(poisson_2d(),
+                                     name="heat_2d_operator"),
+        f=lambda x, y, t: (2.0 * pi**2 - 1.0) * jnp.exp(-t)
+        * jnp.sin(pi * x) * jnp.sin(pi * y),
+        u0=lambda x, y: jnp.sin(pi * x) * jnp.sin(pi * y),
+        exact=lambda x, y, t: jnp.exp(-t) * jnp.sin(pi * x)
+        * jnp.sin(pi * y),
+    )

@@ -120,3 +120,69 @@ def test_cli_transient(capsys):
     assert rec["stage"] == "transient_march"
     assert rec["linf_error"] < 5e-4
     assert rec["linf_error"] < 3.0 * rec["nodal_linf"] + 1e-12
+
+
+def test_fem_march_2d_orders():
+    """2D CN march: consistent mass O(h^2) nodal, tensor Numerov mass
+    O(h^4) nodal (per-axis symbol kx^2/mu + ky^2/mu)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import Solver2DConfig
+    from hybrid_fem_lssvr_tpu.models.transient import (fem_march_2d,
+                                                       heat_2d)
+
+    p = heat_2d()
+    e_c, e_n = {}, {}
+    for n in (8, 16):
+        cfg = Solver2DConfig(nx=n, ny=n, M=4, n_colloc=4)
+        for mass, errs in (("consistent", e_c), ("numerov", e_n)):
+            sol = fem_march_2d(p, cfg, TransientConfig(
+                t_final=T, n_steps=256, mass=mass))
+            X, Y = np.meshgrid(np.asarray(sol.xs), np.asarray(sol.ys))
+            ue = np.asarray(p.exact(X, Y, T))
+            errs[n] = float(np.abs(np.asarray(sol.fem_values) - ue).max())
+            assert int(sol.cg_iters) <= 8  # mass-dominated system
+    assert 1.7 < np.log2(e_c[8] / e_c[16]) < 2.4, e_c
+    assert 3.4 < np.log2(e_n[8] / e_n[16]) < 4.6, e_n
+
+
+def test_hybrid_march_2d_matches_steady_floor():
+    """2D enhanced CN march: Linf floor is the Q1 bilinear TRACE error
+    O(h^2) (step-count independent; the 2D analog of the steady
+    enhancement floor — nodal superaccuracy cannot pass through an edge
+    interpolant)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import (Solution2D,
+                                                      Solver2DConfig,
+                                                      evaluate_2d)
+    from hybrid_fem_lssvr_tpu.models.transient import (heat_2d,
+                                                       hybrid_march_2d)
+
+    p = heat_2d()
+    rng = np.random.default_rng(3)
+    xq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    yq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    uex = np.asarray(p.exact(xq, yq, T))
+    errs = {}
+    for n in (8, 16):
+        cfg = Solver2DConfig(nx=n, ny=n, M=6, n_colloc=6)
+        hs = hybrid_march_2d(p, cfg, TransientConfig(
+            t_final=T, n_steps=128, mass="numerov"))
+        s2 = Solution2D(hs.xs, hs.ys, hs.fem_values, hs.coeffs,
+                        hs.cg_iters, 0.0, None, None, None)
+        u = evaluate_2d(s2, xq, yq)
+        errs[n] = float(np.abs(np.asarray(u) - uex).max())
+    order = np.log2(errs[8] / errs[16])
+    assert 1.5 < order < 2.5, (errs, order)
+    assert errs[16] < 2e-2
+
+
+def test_cli_transient_2d(capsys):
+    import json
+
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["transient", "--dim", "2", "--nx", "8", "--ny", "8",
+              "--M", "4", "--n-steps", "32", "--mass", "numerov",
+              "--enhanced", "--eval-points", "500"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "transient_march_2d"
+    assert rec["linf_error"] < 0.1
+    assert rec["nodal_linf"] < 5e-3
