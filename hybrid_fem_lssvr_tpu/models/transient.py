@@ -513,30 +513,21 @@ def fem_march_2d(problem: TransientProblem2D, cfg, tcfg: TransientConfig):
                                jnp.max(iters))
 
 
-def hybrid_march_2d(problem: TransientProblem2D, cfg,
-                    tcfg: TransientConfig):
-    """LSSVR-enhanced 2D Crank-Nicolson march: per element a tensor-
-    Legendre polynomial advanced by collocating the CN update at interior
-    points with the trace pinned to the Q1 march (the 2D lift of
-    ``hybrid_march``).  D_CN = (2/dt)·Mass + D_L is shared across
-    elements, factorised once on the host in f64 via the null-space LSE
-    (the (2/dt) mass shift also removes the steady 2D Laplacian's
-    discrete-harmonic pathology), so each step is the Q1 CG step plus
-    four batched MXU matmuls."""
+def _shared_cn_ops_2d(p, cfg, dt):
+    """Host f64 shared CN operators for the 2D enhanced march:
+    (shared LSE map of D_CN = (2/dt)·Mass + D_L, projection map of Mass
+    for the u0 fit, rhs operator (2/dt)·Mass - D_L, t_int, bpts).  The
+    (2/dt) mass shift also removes the steady 2D Laplacian's
+    discrete-harmonic pathology, so the plain LSE factorisation is
+    well-posed."""
     from ..ops import legendre as leg
-    from .hybrid2d import _boundary_coords, _element_data_2d
+    from .hybrid2d import _boundary_coords
 
-    if tcfg.theta != 0.5:
-        raise ValueError("hybrid_march_2d collocates the Crank-Nicolson "
-                         "update; theta must be 0.5")
-    p = problem.elliptic
-    _check_2d_dirichlet(p)
-    pieces = _fem_march_pieces_2d(p, cfg, tcfg)
-    dtype, hx, hy, dt = pieces[0], pieces[1], pieces[2], pieces[3]
-    xs, ys, interior, u_bc = pieces[8], pieces[9], pieces[10], pieces[11]
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1 = p.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
     M, C = cfg.M, cfg.n_colloc
-
-    # host f64 shared operators (interior collocation, trace pinning)
     t_int = np.linspace(-1.0, 1.0, C + 2)[1:-1]
     V0, V1, V2 = leg.vandermonde_host(t_int, M)
     sx, sy = 2.0 / hx, 2.0 / hy
@@ -562,6 +553,29 @@ def hybrid_march_2d(problem: TransientProblem2D, cfg,
     shared = kkt.precompute_shared_lse_host(D_CN, B, dtype)
     proj = kkt.precompute_shared_lse_host(Mass, B, dtype)  # u0 fit
     R_op = jnp.asarray((2.0 / dt) * Mass - D_L, dtype)
+    return shared, proj, R_op, t_int, bpts
+
+
+def hybrid_march_2d(problem: TransientProblem2D, cfg,
+                    tcfg: TransientConfig):
+    """LSSVR-enhanced 2D Crank-Nicolson march: per element a tensor-
+    Legendre polynomial advanced by collocating the CN update at interior
+    points with the trace pinned to the Q1 march (the 2D lift of
+    ``hybrid_march``).  D_CN = (2/dt)·Mass + D_L is shared across
+    elements, factorised once on the host in f64 via the null-space LSE,
+    so each step is the Q1 CG step plus four batched MXU matmuls."""
+    from .hybrid2d import _element_data_2d
+
+    if tcfg.theta != 0.5:
+        raise ValueError("hybrid_march_2d collocates the Crank-Nicolson "
+                         "update; theta must be 0.5")
+    p = problem.elliptic
+    _check_2d_dirichlet(p)
+    pieces = _fem_march_pieces_2d(p, cfg, tcfg)
+    dtype, hx, hy, dt = pieces[0], pieces[1], pieces[2], pieces[3]
+    xs, ys, interior, u_bc = pieces[8], pieces[9], pieces[10], pieces[11]
+    M, C = cfg.M, cfg.n_colloc
+    shared, proj, R_op, t_int, bpts = _shared_cn_ops_2d(p, cfg, dt)
 
     # collocation coordinates, row-major (iy, ix) x (cy, cx) as in
     # _element_data_2d / prepare_shared_2d

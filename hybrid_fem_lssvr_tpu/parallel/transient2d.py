@@ -1,0 +1,203 @@
+"""Distributed 2D transient marches: y-slab sharding of the theta-scheme
+and the LSSVR-enhanced Crank-Nicolson march (models/transient.py), the
+whole time loop one ``lax.scan`` INSIDE ``shard_map`` — per step one
+distributed Jacobi-CG solve of the mass-dominated (M + th dt A) (halo
+exchange per stiffness apply, ownership-masked psum inner products, the
+``sharded2d`` machinery) plus, for the enhanced march, the batched
+shared-LSE CN solve on this slab's element rows.
+
+== the single-device marches asserted in tests/test_transient.py."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..models.transient import (TransientConfig, TransientProblem2D,
+                                TransientSolution2D, _check_2d_dirichlet,
+                                _numerov_locals_2d, _shared_cn_ops_2d)
+from ..ops import assembly2d, cg, kkt
+from .sharded import ELEMENT_AXIS
+from .sharded2d import _halo_add
+
+
+def make_sharded_transient_2d(problem: TransientProblem2D, cfg,
+                              tcfg: TransientConfig, mesh,
+                              axis: str = ELEMENT_AXIS,
+                              enhanced: bool = True):
+    """Zero-argument jitted callable -> TransientSolution2D with
+    fem_values [n_dev, ny_loc+1, nx+1] slabs (stitch with
+    ``assemble_fem_grid``-style concatenation) and, when ``enhanced``,
+    coeffs [ny, nx, M, M] sharded over element rows.  Requires
+    ny % n_devices == 0 and all-Dirichlet edges."""
+    p = problem.elliptic
+    _check_2d_dirichlet(p)
+    if enhanced and tcfg.theta != 0.5:
+        raise ValueError("the enhanced march collocates Crank-Nicolson; "
+                         "theta must be 0.5")
+    n_dev = mesh.shape[axis]
+    if cfg.ny % n_dev:
+        raise ValueError(f"ny={cfg.ny} must divide by devices={n_dev}")
+    ny_loc = cfg.ny // n_dev
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1 = p.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    dt = tcfg.t_final / tcfg.n_steps
+    th = tcfg.theta
+    numerov = tcfg.mass == "numerov"
+    if numerov:
+        if p.b != (0.0, 0.0):
+            raise NotImplementedError("numerov mass requires b == 0")
+        import numpy as np
+
+        K_A_np, K_M_np = _numerov_locals_2d(hx, hy, p.a0, p.c)
+        K_A = jnp.asarray(np.asarray(K_A_np), dtype)
+        K_M = jnp.asarray(np.asarray(K_M_np), dtype)
+    else:
+        K_A = jnp.asarray(
+            assembly2d.q1_local_operator(hx, hy, p.a0, p.c, *p.b), dtype)
+        K_M = jnp.asarray(assembly2d.q1_local_mass(hx, hy), dtype)
+    K_lhs = K_M + th * dt * K_A
+    K_rhs = K_M - (1.0 - th) * dt * K_A
+    repl = jax.sharding.NamedSharding(mesh, P())
+    if enhanced:
+        shared, proj, R_op, t_int, bpts = _shared_cn_ops_2d(p, cfg, dt)
+        shared = jax.device_put(shared, repl)
+        proj = jax.device_put(proj, repl)
+        R_op = jax.device_put(R_op, repl)
+        t_int_j = jax.device_put(jnp.asarray(t_int), repl)
+        bpts_j = jax.device_put(jnp.asarray(bpts), repl)
+    else:
+        shared = proj = R_op = t_int_j = bpts_j = jnp.zeros((1,), dtype)
+    hi = jax.lax.Precision.HIGHEST
+    C = cfg.n_colloc
+    M = cfg.M
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def local_step(shared, proj, R_op, t_int, bpts):
+        d = jax.lax.axis_index(axis)
+        xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+        ys = y0 + hy * jnp.arange(cfg.ny + 1, dtype=dtype)
+        row0 = d * ny_loc
+        ys_loc = jax.lax.dynamic_slice(ys, (row0,), (ny_loc + 1,))
+        nx1 = cfg.nx + 1
+        g_row = row0 + jnp.arange(ny_loc + 1)
+        row_int = (g_row > 0) & (g_row < cfg.ny)
+        col_int = jnp.zeros(nx1, bool).at[1:-1].set(True)
+        interior = row_int[:, None] & col_int[None, :]
+        own = jnp.where((jnp.arange(ny_loc + 1) > 0) | (d == 0), 1.0,
+                        0.0).astype(dtype)[:, None]
+        X, Y = jnp.meshgrid(xs, ys_loc)
+        u_bc = jnp.where(interior, 0.0, p.g(X, Y) * jnp.ones_like(X))
+
+        def halo(v):
+            return _halo_add(v, d, n_dev, axis)
+
+        def apply_free(v):
+            return jnp.where(
+                interior,
+                halo(assembly2d.apply_stiffness(v * interior, K_lhs)),
+                0.0)
+
+        def dist_dot(u, v):
+            return jax.lax.psum(jnp.sum(u * v * own), axis)
+
+        diag = halo(assembly2d.stiffness_diag((ny_loc + 1, nx1), K_lhs,
+                                              dtype))
+        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+        bc_term = jnp.where(
+            interior, halo(assembly2d.apply_stiffness(u_bc, K_lhs)), 0.0)
+
+        if numerov:
+            def load_at(t):
+                return assembly2d.apply_stiffness(
+                    problem.f(X, Y, t) * jnp.ones_like(X), K_M)
+        else:
+            def load_at(t):
+                return assembly2d.assemble_load(
+                    xs, ys_loc, lambda x, y: problem.f(x, y, t))
+
+        # enhanced-march slab collocation coordinates (row-major
+        # (iy, ix) x (cy, cx), matching _element_data_2d)
+        if enhanced:
+            from ..models.hybrid2d import _element_data_2d
+
+            t_j = jnp.asarray(t_int, dtype)
+            xm = 0.5 * (xs[1:] + xs[:-1])
+            ym = 0.5 * (ys_loc[1:] + ys_loc[:-1])
+            xq = xm[:, None] + 0.5 * hx * t_j[None, :]
+            yq = ym[:, None] + 0.5 * hy * t_j[None, :]
+            E_loc = cfg.nx * ny_loc
+
+            def f_rows_at(t):
+                F = problem.f(xq[None, :, None, :],
+                              yq[:, None, :, None], t)
+                F = F * jnp.ones((ny_loc, cfg.nx, C, C), dtype)
+                return F.reshape(E_loc, C * C)
+
+        def fem_step(u, t):
+            r = (halo(assembly2d.apply_stiffness(u, K_rhs))
+                 + dt * halo(th * load_at(t + dt)
+                             + (1.0 - th) * load_at(t)))
+            rhs = jnp.where(interior, r, 0.0) - bc_term
+            rhs = jnp.where(interior, rhs, 0.0)
+            res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=tol,
+                        maxiter=cfg.cg_maxiter, dot_fn=dist_dot)
+            return u_bc + jnp.where(interior, res.x, 0.0), res.iters
+
+        def scan_step(carry, t):
+            u, w = carry
+            u1, iters = fem_step(u, t)
+            if enhanced:
+                _, bc_rows, _ = _element_data_2d(
+                    p, cfg, xs, ys_loc, u1, t_int, bpts,
+                    row_offset=row0)
+                rhs = (jnp.dot(w, R_op.T, precision=hi)
+                       + f_rows_at(t) + f_rows_at(t + dt))
+                w1, _ = kkt.solve_primal_shared(shared, rhs, bc_rows)
+            else:
+                w1 = w
+            return (u1, w1), iters
+
+        u0g = jnp.where(interior,
+                        problem.u0(X, Y) * jnp.ones_like(X), u_bc
+                        ).astype(dtype)
+        if enhanced:
+            F0 = problem.u0(xq[None, :, None, :] * jnp.ones(
+                (ny_loc, 1, 1, 1)), yq[:, None, :, None] * jnp.ones(
+                    (1, cfg.nx, 1, 1)))
+            f0 = (F0 * jnp.ones((ny_loc, cfg.nx, C, C), dtype)
+                  ).reshape(E_loc, C * C)
+            _, bc0, _ = _element_data_2d(p, cfg, xs, ys_loc, u0g,
+                                         t_int, bpts, row_offset=row0)
+            w0, _ = kkt.solve_primal_shared(proj, f0, bc0)
+        else:
+            w0 = jnp.zeros((cfg.nx * ny_loc, M * M), dtype)
+        ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt,
+                                                                 dtype)
+        (uN, wN), iters = jax.lax.scan(scan_step, (u0g, w0), ts)
+        return (wN.reshape(ny_loc, cfg.nx, M, M), uN[None],
+                jnp.max(iters).reshape(1))
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(axis),) * 3,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run():
+        coeffs, fem_local, iters = sharded(shared, proj, R_op, t_int_j,
+                                           bpts_j)
+        xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+        ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+        return TransientSolution2D(
+            xs, ys, fem_local, coeffs if enhanced else None,
+            tcfg.t_final, jnp.max(iters))
+
+    return run

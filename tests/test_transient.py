@@ -186,3 +186,36 @@ def test_cli_transient_2d(capsys):
     assert rec["stage"] == "transient_march_2d"
     assert rec["linf_error"] < 0.1
     assert rec["nodal_linf"] < 5e-3
+
+
+@pytest.mark.parametrize("enhanced", [True, False])
+def test_sharded_transient_2d_matches_single_device(enhanced):
+    """Distributed y-slab transient march (scan INSIDE shard_map, one
+    distributed CG per step) == the single-device march to machine eps,
+    both the enhanced CN and the plain theta-scheme variants."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import Solver2DConfig
+    from hybrid_fem_lssvr_tpu.models.transient import (fem_march_2d,
+                                                       heat_2d,
+                                                       hybrid_march_2d)
+    from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
+    from hybrid_fem_lssvr_tpu.parallel.transient2d import (
+        make_sharded_transient_2d,
+    )
+
+    p = heat_2d()
+    cfg = Solver2DConfig(nx=8, ny=8, M=4, n_colloc=4)
+    tc = TransientConfig(t_final=0.25, n_steps=16,
+                         mass="numerov" if enhanced else "consistent")
+    single = (hybrid_march_2d if enhanced else fem_march_2d)(p, cfg, tc)
+    out = make_sharded_transient_2d(p, cfg, tc, pmesh.element_mesh(4),
+                                    enhanced=enhanced)()
+    fl = np.asarray(out.fem_values)
+    n_dev, nloc1, nx1 = fl.shape
+    grid = np.zeros((n_dev * (nloc1 - 1) + 1, nx1))
+    for dd in range(n_dev):
+        grid[dd * (nloc1 - 1):(dd + 1) * (nloc1 - 1) + 1] = fl[dd]
+    np.testing.assert_allclose(grid, np.asarray(single.fem_values),
+                               atol=1e-12)
+    if enhanced:
+        np.testing.assert_allclose(np.asarray(out.coeffs),
+                                   np.asarray(single.coeffs), atol=1e-12)
