@@ -661,13 +661,54 @@ def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
     rhs = jnp.where(interior, b - apply_op(u_bc), 0.0)
 
     precond = cfg.precond
-    if mixed and precond in ("mg", "shifted"):
-        raise ValueError(
-            f"precond={precond!r} assumes all-Dirichlet faces; mixed-BC "
-            f"problems run with precond='jacobi' (or 'auto')"
-        )
-    if mixed and precond == "auto":
-        precond = "jacobi"
+    if mixed:
+        if precond == "shifted":
+            raise ValueError(
+                "precond='shifted' assumes all-Dirichlet faces; mixed-BC "
+                "problems run with precond='mg'|'jacobi' (or 'auto')"
+            )
+        mg_ok3 = (cfg.nx % 2 == 0 and cfg.ny % 2 == 0 and cfg.nz % 2 == 0
+                  and min(cfg.nx, cfg.ny, cfg.nz) >= 8
+                  and problem.c >= 0.0 and not var)
+        if precond == "auto":
+            precond = "mg" if mg_ok3 else "jacobi"
+        if precond == "mg":
+            if not mg_ok3:
+                raise ValueError(
+                    "mixed-BC 'mg' needs even >= 8 grids, c >= 0 and "
+                    "constant coefficients; use precond='jacobi'"
+                )
+            # Composite preconditioner: all-Dirichlet V-cycle on the
+            # inner subspace + Jacobi on natural-face unknowns (the 3D
+            # analog of the 2D mixed-BC 'mg' route).
+            from ..ops import multigrid
+
+            inner = jnp.zeros((nz1, ny1, nx1), bool
+                              ).at[1:-1, 1:-1, 1:-1].set(True)
+            diag_m = assembly3d.stiffness_diag_3d((nz1, ny1, nx1), K_loc,
+                                                  dtype)
+            for fc in robin_faces:
+                n0, n1 = face_n[fc]
+                h0, h1 = face_h[fc]
+                diag_m = _face_add(
+                    diag_m, fc,
+                    problem.robin_alpha * jnp.outer(
+                        _mass1d_diag(n0, h0, dtype),
+                        _mass1d_diag(n1, h1, dtype)))
+            vcyc = multigrid.make_vcycle_3d(nz1, ny1, nx1, K_loc, dtype)
+
+            def M_inv(r):
+                return (jnp.where(inner, vcyc(r * inner), 0.0)
+                        + jnp.where(interior & ~inner, r / diag_m, 0.0))
+
+            tol = cfg.cg_tol
+            if tol is None:
+                tol = 100.0 * float(jnp.finfo(dtype).eps)
+            solver = cg.cg if spd else cg.bicgstab
+            res = solver(apply_free, rhs, M_inv=M_inv, tol=tol,
+                         maxiter=cfg.cg_maxiter)
+            u = u_bc + jnp.where(interior, res.x, 0.0)
+            return u, res
     if precond == "auto":
         mg_ok = (
             cfg.nx % 2 == 0 and cfg.ny % 2 == 0 and cfg.nz % 2 == 0

@@ -465,6 +465,27 @@ def test_mixed_bc_2d_rejects_dirichlet_only_paths():
         make_sharded_solve_2d(p, cfg, pmesh.element_mesh(4))
     with pytest.raises(NotImplementedError, match="Dirichlet"):
         prepare_shared_2d_graded(p, cfg)
-    with pytest.raises(ValueError, match="jacobi"):
+    with pytest.raises(ValueError, match="Dirichlet"):
         HybridSolver2D(p, Solver2DConfig(nx=8, ny=8, M=4, n_colloc=4,
-                                         precond="mg")).solve()
+                                         precond="shifted")).solve()
+
+
+def test_mixed_bc_composite_mg_beats_jacobi(query):
+    """Mixed-BC 'mg' = all-Dirichlet V-cycle on the inner subspace +
+    Jacobi on the natural-edge unknowns: same solution as plain Jacobi-CG
+    to 1e-12, ~3x fewer iterations at 32^2 (auto routes to it)."""
+    xq, yq = query
+    p = get_problem_2d("robin_2d")
+    cfg_j = Solver2DConfig(nx=32, ny=32, M=4, n_colloc=4,
+                           precond="jacobi")
+    cfg_m = Solver2DConfig(nx=32, ny=32, M=4, n_colloc=4, precond="mg")
+    sj = HybridSolver2D(p, cfg_j)
+    sj.solve()
+    sm = HybridSolver2D(p, cfg_m)
+    sol_m = sm.solve()
+    np.testing.assert_allclose(np.asarray(sm.solution.fem_values),
+                               np.asarray(sj.solution.fem_values),
+                               atol=1e-11)
+    assert int(sol_m.cg_iters) < 0.6 * int(sj.solution.cg_iters)
+    linf, _ = sm.errors(xq, yq)
+    assert float(linf) < 5e-3

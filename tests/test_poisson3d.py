@@ -505,3 +505,22 @@ def test_mixed_bc_3d_rejects_dirichlet_only_paths():
         HybridSolver3D(p, Solver3DConfig(nx=8, ny=8, nz=8, M=3,
                                          n_colloc=3,
                                          precond="mg")).solve()
+
+
+def test_mixed_bc_3d_composite_mg(query):
+    """Mixed-BC 'mg' (all-Dirichlet V-cycle on the inner subspace +
+    Jacobi on natural-face unknowns) == jacobi solution, fewer
+    iterations; 'auto' routes to it on MG-compatible grids."""
+    xq, yq, zq = query
+    p = get_problem_3d("robin_3d")
+    cj = Solver3DConfig(nx=8, ny=8, nz=8, M=4, n_colloc=4,
+                        precond="jacobi")
+    cm = Solver3DConfig(nx=8, ny=8, nz=8, M=4, n_colloc=4, precond="mg")
+    sj = HybridSolver3D(p, cj)
+    sj.solve()
+    sm = HybridSolver3D(p, cm)
+    sol = sm.solve()
+    np.testing.assert_allclose(np.asarray(sm.solution.fem_values),
+                               np.asarray(sj.solution.fem_values),
+                               atol=1e-10)
+    assert int(sol.cg_iters) < int(sj.solution.cg_iters)
