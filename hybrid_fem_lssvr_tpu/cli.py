@@ -328,6 +328,51 @@ def _transient_2d(args, em, tcfg):
     em.emit("transient_march_2d", **fields)
 
 
+def _transient_3d(args, em, tcfg):
+    from .models import transient as TR
+    from .models.hybrid3d import Solution3D, Solver3DConfig, evaluate_3d
+
+    problem = TR.heat_3d()
+    cfg = Solver3DConfig(nx=args.nx, ny=args.ny, nz=args.nz, M=args.M,
+                         n_colloc=args.M, dtype=args.dtype)
+    march = TR.hybrid_march_3d if args.enhanced else TR.fem_march_3d
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = march(problem, cfg, tcfg)
+        jax.block_until_ready(sol.fem_values)
+    fields = dict(
+        problem=problem.name,
+        enhanced=args.enhanced,
+        mass=tcfg.mass,
+        elements=cfg.nx * cfg.ny * cfg.nz,
+        n_steps=tcfg.n_steps,
+        t_final=tcfg.t_final,
+        solve_sec=rec["solve_sec"],
+        cg_iters=int(sol.cg_iters),
+    )
+    if problem.exact is not None:
+        d = problem.elliptic.domain
+        rng = np.random.default_rng(0)
+        dt_ = sol.fem_values.dtype
+        xq = jnp.asarray(rng.uniform(d[0], d[1], args.eval_points), dt_)
+        yq = jnp.asarray(rng.uniform(d[2], d[3], args.eval_points), dt_)
+        zq = jnp.asarray(rng.uniform(d[4], d[5], args.eval_points), dt_)
+        ue = problem.exact(xq, yq, zq, tcfg.t_final)
+        if args.enhanced:
+            s3 = Solution3D(sol.xs, sol.ys, sol.zs, sol.fem_values,
+                            sol.coeffs, sol.cg_iters, 0.0, None, None,
+                            None)
+            u = evaluate_3d(s3, xq, yq, zq)
+            fields["linf_error"] = float(M.linf_error(u, ue))
+            fields["l2_error"] = float(M.l2_error(u, ue))
+        X = sol.xs[None, None, :]
+        Y = sol.ys[None, :, None]
+        Z = sol.zs[:, None, None]
+        fields["nodal_linf"] = float(jnp.max(jnp.abs(
+            sol.fem_values - problem.exact(X, Y, Z, tcfg.t_final))))
+    em.emit("transient_march_3d", **fields)
+
+
 def cmd_transient(args):
     """Parabolic march (u_t + L u = f): theta-scheme P1/Q1 or the
     LSSVR-enhanced Crank-Nicolson march, one lax.scan on device."""
@@ -338,6 +383,8 @@ def cmd_transient(args):
     em = M.MetricsEmitter()
     tcfg = TR.TransientConfig(t_final=args.t_final, n_steps=args.n_steps,
                               theta=args.theta, mass=args.mass)
+    if args.dim == 3:
+        return _transient_3d(args, em, tcfg)
     if args.dim == 2:
         return _transient_2d(args, em, tcfg)
     problem = TR.TRANSIENT_REGISTRY[args.problem]()
@@ -925,11 +972,13 @@ def build_parser():
         "transient",
         help="parabolic march u_t + L u = f (theta-scheme / enhanced CN)")
     sp.add_argument("--problem", default="heat_1d",
-                    choices=["heat_1d", "heat_robin_1d", "heat_2d"])
-    sp.add_argument("--dim", type=int, default=1, choices=[1, 2])
+                    choices=["heat_1d", "heat_robin_1d", "heat_2d",
+                             "heat_3d"])
+    sp.add_argument("--dim", type=int, default=1, choices=[1, 2, 3])
     sp.add_argument("--num-nodes", type=int, default=33)
     sp.add_argument("--nx", type=int, default=16)
     sp.add_argument("--ny", type=int, default=16)
+    sp.add_argument("--nz", type=int, default=16)
     sp.add_argument("--M", type=int, default=8)
     sp.add_argument("--gamma", type=float, default=1e4)
     sp.add_argument("--t-final", type=float, default=0.5)

@@ -641,3 +641,302 @@ def heat_2d() -> TransientProblem2D:
         exact=lambda x, y, t: jnp.exp(-t) * jnp.sin(pi * x)
         * jnp.sin(pi * y),
     )
+
+
+# --------------------------------------------------------------- 3D
+
+
+@dataclasses.dataclass(frozen=True)
+class TransientProblem3D:
+    """u_t + L u = f(x, y, z, t) on a box; L (and BCs) a Problem3D."""
+
+    name: str
+    elliptic: "object"  # models.hybrid3d.Problem3D
+    f: Callable  # f(x, y, z, t)
+    u0: Callable  # u0(x, y, z)
+    exact: Optional[Callable] = None  # exact(x, y, z, t)
+
+
+class TransientSolution3D(NamedTuple):
+    xs: jnp.ndarray
+    ys: jnp.ndarray
+    zs: jnp.ndarray
+    fem_values: jnp.ndarray  # [nz+1, ny+1, nx+1] at t_final
+    coeffs: Optional[jnp.ndarray]  # [nz, ny, nx, M, M, M]
+    t_final: float
+    cg_iters: jnp.ndarray
+
+
+def _check_3d_dirichlet(p):
+    if any(t != "dirichlet" for t in p.bc_faces):
+        raise NotImplementedError(
+            "3D transient marches support all-Dirichlet faces")
+    if p.a_var is not None:
+        raise NotImplementedError(
+            "3D transient marches require constant coefficients")
+
+
+def _locals_3d(hx, hy, hz, p, mass):
+    """Local 8x8 (K_A, K_M): the Q1 hex operators are exact tensor
+    products of the 1D P1 matrices (assembly3d), so the Numerov
+    (1,10,1)/12 mass tensorises like 2D."""
+    from ..ops import assembly3d
+
+    k1 = lambda h: (1.0 / h) * np.array([[1.0, -1.0], [-1.0, 1.0]])  # noqa: E731,E501
+    m1c = lambda h: (h / 6.0) * np.array([[2.0, 1.0], [1.0, 2.0]])  # noqa: E731,E501
+    m1n = lambda h: (h / 12.0) * np.array([[5.0, 1.0], [1.0, 5.0]])  # noqa: E731,E501
+
+    def kron3(a, b, c):
+        return np.kron(a, np.kron(b, c))
+
+    if mass == "numerov":
+        if p.b != (0.0, 0.0, 0.0):
+            raise NotImplementedError("numerov mass requires b == 0")
+        mz, my, mx = m1n(hz), m1n(hy), m1n(hx)
+        K_M = kron3(mz, my, mx)
+        K_A = p.a0 * (kron3(mz, my, k1(hx)) + kron3(mz, k1(hy), mx)
+                      + kron3(k1(hz), my, mx)) + p.c * K_M
+    else:
+        K_M = kron3(m1c(hz), m1c(hy), m1c(hx))
+        K_A = np.asarray(assembly3d.q1_local_operator_3d(
+            hx, hy, hz, p.a0, p.c, *p.b))
+    return K_A, K_M
+
+
+def fem_march_3d(problem: TransientProblem3D, cfg,
+                 tcfg: TransientConfig):
+    """Q1 hex theta-scheme march (3D lift of ``fem_march_2d``): per step
+    one Jacobi-CG solve of the mass-dominated system, one lax.scan."""
+    from ..ops import assembly3d, cg
+
+    p = problem.elliptic
+    _check_3d_dirichlet(p)
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = p.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    hz = float((z1 - z0) / cfg.nz)
+    dt = tcfg.t_final / tcfg.n_steps
+    th = tcfg.theta
+    K_A_np, K_M_np = _locals_3d(hx, hy, hz, p, tcfg.mass)
+    K_A = jnp.asarray(K_A_np, dtype)
+    K_M = jnp.asarray(K_M_np, dtype)
+    K_lhs = K_M + th * dt * K_A
+    K_rhs = K_M - (1.0 - th) * dt * K_A
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    zs = jnp.linspace(z0, z1, cfg.nz + 1, dtype=dtype)
+    nz1, ny1, nx1 = cfg.nz + 1, cfg.ny + 1, cfg.nx + 1
+    interior = jnp.zeros((nz1, ny1, nx1), bool
+                         ).at[1:-1, 1:-1, 1:-1].set(True)
+    X = xs[None, None, :]
+    Y = ys[None, :, None]
+    Z = zs[:, None, None]
+    ones = jnp.ones((nz1, ny1, nx1), dtype)
+    u_bc = jnp.where(interior, 0.0, p.g(X, Y, Z) * ones)
+    diag = assembly3d.stiffness_diag_3d((nz1, ny1, nx1), K_lhs, dtype)
+    M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+    bc_term = jnp.where(interior,
+                        assembly3d.apply_stiffness_3d(u_bc, K_lhs), 0.0)
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def apply_free(v):
+        return jnp.where(
+            interior,
+            assembly3d.apply_stiffness_3d(v * interior, K_lhs), 0.0)
+
+    if tcfg.mass == "numerov":
+        def load_at(t):
+            return assembly3d.apply_stiffness_3d(
+                problem.f(X, Y, Z, t) * ones, K_M)
+    else:
+        def load_at(t):
+            return assembly3d.assemble_load_3d(
+                xs, ys, zs, lambda x, y, z: problem.f(x, y, z, t))
+
+    def step(u, t):
+        r = (assembly3d.apply_stiffness_3d(u, K_rhs)
+             + dt * (th * load_at(t + dt) + (1.0 - th) * load_at(t)))
+        rhs = jnp.where(interior, r, 0.0) - bc_term
+        res = cg.cg(apply_free, jnp.where(interior, rhs, 0.0),
+                    M_inv=M_inv, tol=tol, maxiter=cfg.cg_maxiter)
+        return u_bc + jnp.where(interior, res.x, 0.0), res.iters
+
+    u0g = jnp.where(interior, problem.u0(X, Y, Z) * ones, u_bc
+                    ).astype(dtype)
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
+    uN, iters = jax.lax.scan(step, u0g, ts)
+    return TransientSolution3D(xs, ys, zs, uN, None, tcfg.t_final,
+                               jnp.max(iters))
+
+
+def hybrid_march_3d(problem: TransientProblem3D, cfg,
+                    tcfg: TransientConfig):
+    """LSSVR-enhanced 3D CN march: per-hex tensor-Legendre polynomial
+    advanced by collocating the CN update at interior points, trace
+    pinned to the Q1 hex march at the surface points (3D lift of
+    ``hybrid_march_2d``; the enhanced Linf floor is the trilinear TRACE
+    error O(h^2), same mechanism as 2D)."""
+    from ..ops import legendre as leg
+    from .hybrid3d import _element_data_3d, _surface_coords
+
+    if tcfg.theta != 0.5:
+        raise ValueError("hybrid_march_3d collocates the Crank-Nicolson "
+                         "update; theta must be 0.5")
+    p = problem.elliptic
+    _check_3d_dirichlet(p)
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = p.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    hz = float((z1 - z0) / cfg.nz)
+    dt = tcfg.t_final / tcfg.n_steps
+    M, C = cfg.M, cfg.n_colloc
+    t_int = np.linspace(-1.0, 1.0, C + 2)[1:-1]
+    V0, V1, V2 = leg.vandermonde_host(t_int, M)
+    sx, sy, sz = 2.0 / hx, 2.0 / hy, 2.0 / hz
+
+    def t3(Az, Ay, Ax):
+        return np.einsum("zk,yl,xm->zyxklm", Az, Ay, Ax).reshape(
+            C * C * C, M * M * M)
+
+    Mass = t3(V0, V0, V0)
+    D_L = -p.a0 * (sx * sx * t3(V0, V0, V2) + sy * sy * t3(V0, V2, V0)
+                   + sz * sz * t3(V2, V0, V0))
+    bx, by, bz = p.b
+    if bx != 0.0:
+        D_L = D_L + bx * sx * t3(V0, V0, V1)
+    if by != 0.0:
+        D_L = D_L + by * sy * t3(V0, V1, V0)
+    if bz != 0.0:
+        D_L = D_L + bz * sz * t3(V1, V0, V0)
+    if p.c != 0.0:
+        D_L = D_L + p.c * Mass
+    D_CN = (2.0 / dt) * Mass + D_L
+    spts = _surface_coords(M)
+    Vz_b = leg.vandermonde_host(spts[:, 0], M)[0]
+    Vy_b = leg.vandermonde_host(spts[:, 1], M)[0]
+    Vx_b = leg.vandermonde_host(spts[:, 2], M)[0]
+    B = np.einsum("pk,pl,pm->pklm", Vz_b, Vy_b, Vx_b).reshape(
+        -1, M * M * M)
+    shared = kkt.precompute_shared_lse_host(D_CN, B, dtype)
+    proj = kkt.precompute_shared_lse_host(Mass, B, dtype)
+    R_op = jnp.asarray((2.0 / dt) * Mass - D_L, dtype)
+
+    # FEM march pieces (trace provider) — reuse the fem_march_3d step by
+    # marching both states in one scan
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    zs = jnp.linspace(z0, z1, cfg.nz + 1, dtype=dtype)
+    t_j = jnp.asarray(t_int, dtype)
+    xq = xs[:-1][:, None] + 0.5 * hx * (t_j[None, :] + 1.0)  # [nx, C]
+    yq = ys[:-1][:, None] + 0.5 * hy * (t_j[None, :] + 1.0)
+    zq = zs[:-1][:, None] + 0.5 * hz * (t_j[None, :] + 1.0)
+    E = cfg.nx * cfg.ny * cfg.nz
+    hi = jax.lax.Precision.HIGHEST
+    ones6 = jnp.ones((cfg.nz, cfg.ny, cfg.nx, C, C, C), dtype)
+
+    def f_rows_at(t):
+        F = problem.f(
+            xq[None, None, :, None, None, :],
+            yq[None, :, None, None, :, None],
+            zq[:, None, None, :, None, None], t)
+        return (F * ones6).reshape(E, C * C * C)
+
+    # one combined scan: Q1 march + enhanced coefficients
+    from ..ops import assembly3d
+    from .hybrid3d import Solver3DConfig  # noqa: F401 (doc pointer)
+
+    K_A_np, K_M_np = _locals_3d(hx, hy, hz, p, tcfg.mass)
+    K_A = jnp.asarray(K_A_np, dtype)
+    K_M = jnp.asarray(K_M_np, dtype)
+    K_lhs = K_M + 0.5 * dt * K_A
+    K_rhs = K_M - 0.5 * dt * K_A
+    nz1, ny1, nx1 = cfg.nz + 1, cfg.ny + 1, cfg.nx + 1
+    interior = jnp.zeros((nz1, ny1, nx1), bool
+                         ).at[1:-1, 1:-1, 1:-1].set(True)
+    X = xs[None, None, :]
+    Y = ys[None, :, None]
+    Z = zs[:, None, None]
+    ones = jnp.ones((nz1, ny1, nx1), dtype)
+    u_bc = jnp.where(interior, 0.0, p.g(X, Y, Z) * ones)
+    diag = assembly3d.stiffness_diag_3d((nz1, ny1, nx1), K_lhs, dtype)
+    M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+    bc_term = jnp.where(interior,
+                        assembly3d.apply_stiffness_3d(u_bc, K_lhs), 0.0)
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def apply_free(v):
+        return jnp.where(
+            interior,
+            assembly3d.apply_stiffness_3d(v * interior, K_lhs), 0.0)
+
+    if tcfg.mass == "numerov":
+        def load_at(t):
+            return assembly3d.apply_stiffness_3d(
+                problem.f(X, Y, Z, t) * ones, K_M)
+    else:
+        def load_at(t):
+            return assembly3d.assemble_load_3d(
+                xs, ys, zs, lambda x, y, z: problem.f(x, y, z, t))
+
+    from ..ops import cg
+
+    t_int_j = jnp.asarray(t_int)
+    spts_j = jnp.asarray(spts)
+
+    def scan_step(carry, t):
+        u, w = carry
+        r = (assembly3d.apply_stiffness_3d(u, K_rhs)
+             + dt * 0.5 * (load_at(t + dt) + load_at(t)))
+        rhs = jnp.where(interior, r, 0.0) - bc_term
+        res = cg.cg(apply_free, jnp.where(interior, rhs, 0.0),
+                    M_inv=M_inv, tol=tol, maxiter=cfg.cg_maxiter)
+        u1 = u_bc + jnp.where(interior, res.x, 0.0)
+        _, bc_rows, _ = _element_data_3d(p, cfg, xs, ys, zs, u1,
+                                         t_int_j, spts_j)
+        rhs_w = (jnp.dot(w, R_op.T, precision=hi)
+                 + f_rows_at(t) + f_rows_at(t + dt))
+        w1, _ = kkt.solve_primal_shared(shared, rhs_w, bc_rows)
+        return (u1, w1), res.iters
+
+    u0g = jnp.where(interior, problem.u0(X, Y, Z) * ones, u_bc
+                    ).astype(dtype)
+    F0 = problem.u0(xq[None, None, :, None, None, :]
+                    * jnp.ones((cfg.nz, cfg.ny, 1, 1, 1, 1)),
+                    yq[None, :, None, None, :, None]
+                    * jnp.ones((cfg.nz, 1, cfg.nx, 1, 1, 1)),
+                    zq[:, None, None, :, None, None]
+                    * jnp.ones((1, cfg.ny, cfg.nx, 1, 1, 1)))
+    f0 = (F0 * ones6).reshape(E, C * C * C)
+    _, bc0, _ = _element_data_3d(p, cfg, xs, ys, zs, u0g, t_int_j,
+                                 spts_j)
+    w0, _ = kkt.solve_primal_shared(proj, f0, bc0)
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
+    (uN, wN), iters = jax.lax.scan(scan_step, (u0g, w0), ts)
+    return TransientSolution3D(
+        xs, ys, zs, uN, wN.reshape(cfg.nz, cfg.ny, cfg.nx, M, M, M),
+        tcfg.t_final, jnp.max(iters))
+
+
+def heat_3d() -> TransientProblem3D:
+    """u_t - Lap u = (3 pi^2 - 1) e^{-t} sin sin sin, u = 0 on the
+    boundary; exact u = e^{-t} sin(pi x) sin(pi y) sin(pi z)."""
+    pi = jnp.pi
+    from .hybrid3d import poisson_3d
+
+    return TransientProblem3D(
+        name="heat_3d",
+        elliptic=dataclasses.replace(poisson_3d(),
+                                     name="heat_3d_operator"),
+        f=lambda x, y, z, t: (3.0 * pi**2 - 1.0) * jnp.exp(-t)
+        * jnp.sin(pi * x) * jnp.sin(pi * y) * jnp.sin(pi * z),
+        u0=lambda x, y, z: jnp.sin(pi * x) * jnp.sin(pi * y)
+        * jnp.sin(pi * z),
+        exact=lambda x, y, z, t: jnp.exp(-t) * jnp.sin(pi * x)
+        * jnp.sin(pi * y) * jnp.sin(pi * z),
+    )

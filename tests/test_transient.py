@@ -219,3 +219,52 @@ def test_sharded_transient_2d_matches_single_device(enhanced):
     if enhanced:
         np.testing.assert_allclose(np.asarray(out.coeffs),
                                    np.asarray(single.coeffs), atol=1e-12)
+
+
+def test_fem_march_3d_numerov_beats_consistent():
+    """3D hex CN march: the tensor Numerov mass cuts nodal error ~2
+    orders at 12^3 (O(h^4) vs O(h^2) class); CG stays at 1-2 iterations
+    (mass-dominated)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import Solver3DConfig
+    from hybrid_fem_lssvr_tpu.models.transient import (fem_march_3d,
+                                                       heat_3d)
+
+    p = heat_3d()
+    cfg = Solver3DConfig(nx=8, ny=8, nz=8, M=4, n_colloc=4)
+    errs = {}
+    for mass in ("consistent", "numerov"):
+        sol = fem_march_3d(p, cfg, TransientConfig(
+            t_final=0.25, n_steps=64, mass=mass))
+        X = np.asarray(sol.xs)[None, None, :]
+        Y = np.asarray(sol.ys)[None, :, None]
+        Z = np.asarray(sol.zs)[:, None, None]
+        ue = np.asarray(p.exact(X, Y, Z, 0.25))
+        errs[mass] = float(np.abs(np.asarray(sol.fem_values) - ue).max())
+        assert int(sol.cg_iters) <= 8
+    assert errs["numerov"] < 0.05 * errs["consistent"], errs
+
+
+def test_hybrid_march_3d_trace_floor():
+    """3D enhanced CN march: Linf floor is the trilinear trace error
+    O(h^2), matching the steady 3D enhancement's floor class."""
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import (Solution3D,
+                                                      Solver3DConfig,
+                                                      evaluate_3d)
+    from hybrid_fem_lssvr_tpu.models.transient import (heat_3d,
+                                                       hybrid_march_3d)
+
+    p = heat_3d()
+    rng = np.random.default_rng(5)
+    q = [jnp.asarray(rng.uniform(-1, 1, 1500)) for _ in range(3)]
+    uex = np.asarray(p.exact(*q, 0.25))
+    errs = {}
+    for n in (6, 12):
+        cfg = Solver3DConfig(nx=n, ny=n, nz=n, M=4, n_colloc=4)
+        hs = hybrid_march_3d(p, cfg, TransientConfig(
+            t_final=0.25, n_steps=32, mass="numerov"))
+        s3 = Solution3D(hs.xs, hs.ys, hs.zs, hs.fem_values, hs.coeffs,
+                        hs.cg_iters, 0.0, None, None, None)
+        u = evaluate_3d(s3, *q)
+        errs[n] = float(np.abs(np.asarray(u) - uex).max())
+    order = np.log2(errs[6] / errs[12])
+    assert 1.4 < order < 2.6, (errs, order)
