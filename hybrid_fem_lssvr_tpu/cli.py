@@ -275,6 +275,12 @@ def cmd_campaign(args):
                                 dtype=args.dtype, eval_points=2000,
                                 problem=name3d)
         cmd_run3d(ns)
+    # transient breadth: the enhanced 1D CN march (Numerov traces)
+    ns = argparse.Namespace(dim=1, problem="heat_1d", num_nodes=33, M=8,
+                            gamma=1e4, t_final=0.5, n_steps=256,
+                            theta=0.5, mass="numerov", enhanced=True,
+                            dtype=args.dtype, eval_points=401)
+    cmd_transient(ns)
 
 
 def _transient_2d(args, em, tcfg):
