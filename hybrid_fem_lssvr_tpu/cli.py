@@ -431,6 +431,43 @@ def cmd_transient(args):
     em.emit("transient_march", **fields)
 
 
+def cmd_nonlinear(args):
+    """Semilinear elliptic solve -a0 u'' + s(u) = f: Newton at the FEM
+    level and at the element-polynomial level (models/nonlinear.py)."""
+    from .models import nonlinear as NL
+
+    if getattr(args, "x64", False):
+        jax.config.update("jax_enable_x64", True)
+    em = M.MetricsEmitter()
+    problem = {"cubic_1d": NL.cubic_1d,
+               "bratu_1d": NL.bratu_1d}[args.problem]()
+    cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
+                       gamma=args.gamma, dtype=args.dtype)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = NL.hybrid_solve_semilinear(problem, cfg,
+                                         scheme=args.scheme)
+        jax.block_until_ready(sol.coeffs)
+    fields = dict(
+        problem=problem.name,
+        scheme=args.scheme,
+        elements=cfg.num_nodes - 1,
+        M=cfg.M,
+        solve_sec=rec["solve_sec"],
+        newton_residual=float(sol.newton_residuals[-1]),
+        colloc_residual=float(sol.colloc_residual),
+        n_fallback=int(jnp.sum(~jnp.asarray(sol.solve_ok))),
+    )
+    if problem.exact is not None:
+        x = jnp.linspace(problem.domain[0], problem.domain[1],
+                         args.eval_points, dtype=sol.fem_values.dtype)
+        u = NL.evaluate_semilinear(sol, x)
+        ue = problem.exact(x)
+        fields["linf_error"] = float(M.linf_error(u, ue))
+        fields["l2_error"] = float(M.l2_error(u, ue))
+    em.emit("semilinear_solve", **fields)
+
+
 def cmd_runsharded(args):
     """Multi-chip 1D solve over the element mesh (SURVEY.md 2.3 DP/SP row),
     wired through ``load_or_run`` checkpointing so interrupted campaigns
@@ -999,6 +1036,24 @@ def build_parser():
     sp.add_argument("--x64", action="store_true")
     sp.add_argument("--eval-points", type=int, default=401)
     sp.set_defaults(fn=cmd_transient)
+
+    sp = sub.add_parser(
+        "nonlinear",
+        help="semilinear elliptic -a0 u'' + s(u) = f (two-level Newton)")
+    sp.add_argument("--problem", default="cubic_1d",
+                    choices=["cubic_1d", "bratu_1d"])
+    sp.add_argument("--num-nodes", type=int, default=33)
+    sp.add_argument("--M", type=int, default=8)
+    sp.add_argument("--gamma", type=float, default=1e4)
+    sp.add_argument("--scheme", default="p1",
+                    choices=["p1", "numerov"],
+                    help="FEM rows: P1 (O(h^2) nodal) or compact Numerov "
+                    "(O(h^4) nodal)")
+    sp.add_argument("--dtype", default=None,
+                    choices=[None, "float32", "float64"])
+    sp.add_argument("--x64", action="store_true")
+    sp.add_argument("--eval-points", type=int, default=401)
+    sp.set_defaults(fn=cmd_nonlinear)
 
     sp = sub.add_parser(
         "runsharded",

@@ -1,0 +1,252 @@
+"""Semilinear elliptic problems: -a0 u'' + s(u) = f via Newton at BOTH
+levels (beyond-reference capability; the reference is linear 1D Poisson
+only, ``Hybrid-FEM-LSSVR.py:8-18``).
+
+Stage 1 — FEM Newton: each iteration assembles the linearised operator
+-a0 w'' + s'(u_k) w with the reaction FIELD sampled from the current P1
+iterate (``assembly.assemble_p1`` takes coefficient callables; the field
+enters as a jnp.interp closure), solves the tridiagonal correction, and
+updates.  A fixed small iteration count inside ``lax.scan`` keeps the
+whole loop one compiled program (Newton is quadratic: 6 iterations take
+a smooth problem to f64 roundoff).
+
+Stage 2 — element-level Newton enhancement: per element the polynomial
+coefficients w solve the NONLINEAR collocation system
+-a0 u''(x_j) + s(u(x_j)) = f(x_j) with endpoint traces pinned to the
+FEM nodal values.  Each Newton step is one batched null-space LSE solve
+(``kkt.solve_batched`` with per-element D_k = -a0 (2/h)^2 V2 +
+diag(s'(u_j)) V0) — the nonlinearity is evaluated EXACTLY at the
+collocation points from the current polynomial, so the interior keeps
+spectral accuracy and the hybrid Linf floor stays the FEM nodal error,
+exactly as in the linear case.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import assembly, kkt, legendre, tridiag
+from .hybrid import SolverConfig
+
+HI = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class SemilinearProblem1D:
+    """-a0 u'' + s(u) = f on (x0, x1), Dirichlet u = g at both ends."""
+
+    name: str
+    s: Callable  # nonlinearity s(u)
+    ds: Callable  # s'(u)
+    f: Callable  # rhs f(x)
+    a0: float = 1.0
+    domain: Tuple[float, float] = (-1.0, 1.0)
+    g_left: float = 0.0
+    g_right: float = 0.0
+    exact: Optional[Callable] = None
+
+
+def bratu_1d(lam: float = 1.0) -> SemilinearProblem1D:
+    """-u'' + lam e^u = f manufactured so u = sin(pi x) (a stabilised
+    Bratu-type nonlinearity: +lam e^u is monotone, so Newton converges
+    globally from zero)."""
+    pi = jnp.pi
+    return SemilinearProblem1D(
+        name=f"bratu_1d_lam{lam:g}",
+        s=lambda u: lam * jnp.exp(u),
+        ds=lambda u: lam * jnp.exp(u),
+        f=lambda x: pi**2 * jnp.sin(pi * x)
+        + lam * jnp.exp(jnp.sin(pi * x)),
+        exact=lambda x: jnp.sin(pi * x),
+    )
+
+
+def cubic_1d() -> SemilinearProblem1D:
+    """-u'' + u^3 = f manufactured so u = sin(pi x)."""
+    pi = jnp.pi
+    return SemilinearProblem1D(
+        name="cubic_1d",
+        s=lambda u: u**3,
+        ds=lambda u: 3.0 * u**2,
+        f=lambda x: pi**2 * jnp.sin(pi * x) + jnp.sin(pi * x) ** 3,
+        exact=lambda x: jnp.sin(pi * x),
+    )
+
+
+class SemilinearSolution(NamedTuple):
+    nodes: jnp.ndarray
+    fem_values: jnp.ndarray  # [N] converged Newton iterate
+    coeffs: jnp.ndarray  # [E, M]
+    newton_residuals: jnp.ndarray  # [n_newton] FEM-level |R|_inf history
+    colloc_residual: jnp.ndarray  # scalar: final max |PDE residual|
+    solve_ok: jnp.ndarray  # [E]
+
+
+def fem_newton(problem: SemilinearProblem1D, cfg: SolverConfig,
+               n_newton: int = 8, scheme: str = "p1"):
+    """Converged Newton iterate (one compiled lax.scan).
+
+    ``scheme="p1"``: consistent P1 FEM rows — O(h^2) nodal (the s(u)
+    mass term breaks the linear-Poisson Green-function nodal exactness,
+    measured).  ``scheme="numerov"``: the compact rows
+    -a0 delta^2 u / h^2 + (1, 10, 1)/12 · (s(u) - f) = 0 — O(h^4) nodal
+    (the steady analog of TransientConfig.mass="numerov")."""
+    if scheme == "numerov":
+        return _numerov_newton(problem, cfg, n_newton)
+    dtype = cfg.jnp_dtype()
+    x0, x1 = problem.domain
+    nodes = jnp.linspace(x0, x1, cfg.num_nodes, dtype=dtype)
+    zero_f = lambda x: jnp.zeros_like(x)  # noqa: E731
+    sub0, main0, sup0, _ = assembly.assemble_p1(
+        nodes, lambda x: problem.a0 * jnp.ones_like(x), None, None,
+        zero_f, quad_order=cfg.fem_quad_order)
+    _, _, _, b = assembly.assemble_p1(
+        nodes, None, None, None, problem.f,
+        quad_order=cfg.fem_quad_order)
+    g_l = jnp.asarray(problem.g_left, dtype)
+    g_r = jnp.asarray(problem.g_right, dtype)
+    free = jnp.ones_like(nodes, bool).at[0].set(False).at[-1].set(False)
+
+    def tri_apply(sub, main, sup, u):
+        return (main * u
+                + sub * jnp.concatenate([u[:1] * 0, u[:-1]])
+                + sup * jnp.concatenate([u[1:], u[:1] * 0]))
+
+    def newton_step(u, _):
+        # residual R(u) = A0 u + int s(u_h) v - b  (free rows)
+        _, _, _, load_s = assembly.assemble_p1(
+            nodes, None, None, None,
+            lambda x: problem.s(jnp.interp(x, nodes, u)),
+            quad_order=cfg.fem_quad_order)
+        R = jnp.where(free, tri_apply(sub0, main0, sup0, u) + load_s - b,
+                      0.0)
+        # Jacobian: A0 + mass-weighted s'(u_h) field
+        sub_c, main_c, sup_c, _ = assembly.assemble_p1(
+            nodes, None, None,
+            lambda x: problem.ds(jnp.interp(x, nodes, u)), zero_f,
+            quad_order=cfg.fem_quad_order)
+        sub_j = jnp.where(free, sub0 + sub_c, 0.0)
+        sup_j = jnp.where(free, sup0 + sup_c, 0.0)
+        main_j = jnp.where(free, main0 + main_c, 1.0)
+        # boundary columns: delta = 0 there, so just zero the couplings
+        sub_j = sub_j.at[-1].set(0.0)
+        sup_j = sup_j.at[0].set(0.0)
+        delta = tridiag.solve(sub_j, main_j, sup_j, R,
+                              method=cfg.tridiag_method)
+        return u - jnp.where(free, delta, 0.0), jnp.max(jnp.abs(R))
+
+    u0 = jnp.zeros_like(nodes).at[0].set(g_l).at[-1].set(g_r)
+    u, residuals = jax.lax.scan(newton_step, u0, None, length=n_newton)
+    return nodes, u, residuals
+
+
+def _numerov_newton(problem: SemilinearProblem1D, cfg: SolverConfig,
+                    n_newton: int = 8):
+    """Compact 4th-order Newton: rows
+    -a0 (u_{i-1} - 2 u_i + u_{i+1})/h^2
+    + (s(u)_{i-1} + 10 s(u)_i + s(u)_{i+1})/12
+    = (f_{i-1} + 10 f_i + f_{i+1})/12  at interior nodes."""
+    dtype = cfg.jnp_dtype()
+    x0, x1 = problem.domain
+    N = cfg.num_nodes
+    nodes = jnp.linspace(x0, x1, N, dtype=dtype)
+    h = nodes[1] - nodes[0]
+    f_n = problem.f(nodes) * jnp.ones_like(nodes)
+    g_l = jnp.asarray(problem.g_left, dtype)
+    g_r = jnp.asarray(problem.g_right, dtype)
+    free = jnp.ones_like(nodes, bool).at[0].set(False).at[-1].set(False)
+
+    def w112(v):  # (1, 10, 1)/12 weighting (interior rows only used)
+        vm = jnp.concatenate([v[:1] * 0, v[:-1]])
+        vp = jnp.concatenate([v[1:], v[:1] * 0])
+        return (vm + 10.0 * v + vp) / 12.0
+
+    def d2(v):
+        vm = jnp.concatenate([v[:1] * 0, v[:-1]])
+        vp = jnp.concatenate([v[1:], v[:1] * 0])
+        return (vm - 2.0 * v + vp) / (h * h)
+
+    def newton_step(u, _):
+        R = jnp.where(free,
+                      -problem.a0 * d2(u) + w112(problem.s(u))
+                      - w112(f_n), 0.0)
+        c = problem.ds(u)
+        cm = jnp.concatenate([c[:1] * 0, c[:-1]])
+        cp = jnp.concatenate([c[1:], c[:1] * 0])
+        a = problem.a0 / (h * h)
+        sub = jnp.where(free, -a + cm / 12.0, 0.0).at[-1].set(0.0)
+        sup = jnp.where(free, -a + cp / 12.0, 0.0).at[0].set(0.0)
+        main = jnp.where(free, 2.0 * a + 10.0 * c / 12.0, 1.0)
+        delta = tridiag.solve(sub, main, sup, R,
+                              method=cfg.tridiag_method)
+        return u - jnp.where(free, delta, 0.0), jnp.max(jnp.abs(R))
+
+    u0 = jnp.zeros_like(nodes).at[0].set(g_l).at[-1].set(g_r)
+    u, residuals = jax.lax.scan(newton_step, u0, None, length=n_newton)
+    return nodes, u, residuals
+
+
+def hybrid_solve_semilinear(problem: SemilinearProblem1D,
+                            cfg: SolverConfig, n_newton: int = 8,
+                            n_newton_elem: int = 5, scheme: str = "p1"):
+    """Full semilinear hybrid solve: FEM Newton + element-level Newton
+    enhancement (module docstring)."""
+    dtype = cfg.jnp_dtype()
+    nodes, fem_values, fem_res = fem_newton(problem, cfg, n_newton,
+                                            scheme=scheme)
+    E = cfg.num_nodes - 1
+    M, C = cfg.M, cfg.n_colloc
+    h = nodes[1] - nodes[0]
+    # host f64 reference-coordinate operators
+    V0h, V1h, V2h = legendre.collocation_vandermonde_host(M, C)
+    B = np.stack([V0h[0], V0h[-1]])
+    Z, Pbc = kkt.nullspace_host(B)
+    V0 = jnp.asarray(V0h, dtype)
+    D2 = jnp.asarray(V2h, dtype)
+    Bj = jnp.asarray(B, dtype)
+    Zj = jnp.asarray(Z, dtype)
+    Pj = jnp.asarray(Pbc, dtype)
+    scale2 = (2.0 / h) ** 2
+    t = legendre.collocation_points(C, dtype=dtype)
+    xl = nodes[:-1]
+    xc = xl[:, None] + 0.5 * h * (t[None, :] + 1.0)  # [E, C]
+    f_c = problem.f(xc) * jnp.ones_like(xc)
+    g_l = jnp.asarray(problem.g_left, dtype)
+    g_r = jnp.asarray(problem.g_right, dtype)
+    u_left = fem_values[:-1].at[0].set(g_l)
+    u_right = fem_values[1:].at[-1].set(g_r)
+    bc = jnp.stack([u_left, u_right], axis=-1)
+
+    # start from the P1 interpolant's Legendre coefficients
+    w = kkt.linear_fallback_coeffs(u_left, u_right, M)
+
+    def elem_newton(w, _):
+        u_c = jnp.einsum("ck,ek->ec", V0, w, precision=HI)  # [E, C]
+        c_field = problem.ds(u_c)
+        # linearised collocation operator rows: -a0 (2/h)^2 V2 + c V0
+        D = (-problem.a0 * scale2) * D2[None] \
+            + c_field[..., None] * V0[None]
+        rhs = f_c - problem.s(u_c) + c_field * u_c
+        w1, diags = kkt.solve_batched(D, Bj, rhs, bc, cfg.gamma,
+                                      ZP=(Zj, Pj))
+        return w1, diags
+
+    w, diags_hist = jax.lax.scan(elem_newton, w, None,
+                                 length=n_newton_elem)
+    # final nonlinear collocation residual (the real convergence check)
+    u_c = jnp.einsum("ck,ek->ec", V0, w, precision=HI)
+    upp = scale2 * jnp.einsum("ck,ek->ec", D2, w, precision=HI)
+    res = jnp.max(jnp.abs(-problem.a0 * upp + problem.s(u_c) - f_c))
+    ok = jax.tree_util.tree_map(lambda a: a[-1], diags_hist).solve_ok
+    return SemilinearSolution(nodes, fem_values, w, fem_res, res, ok)
+
+
+def evaluate_semilinear(sol: SemilinearSolution, x):
+    from ..ops import eval as ev
+
+    return ev.evaluate(sol.nodes, sol.coeffs, x)

@@ -50,6 +50,7 @@ _FAST_MODULES = {
     "test_kkt.py", "test_legendre.py", "test_tridiag.py",
     "test_poisson1d.py", "test_problems.py", "test_checks.py",
     "test_aux.py", "test_pipeline.py", "test_transient.py",
+    "test_nonlinear.py",
 }
 _FAST_TESTS = {
     "test_sharded.py::test_sharded_matches_single_device",

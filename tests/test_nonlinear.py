@@ -1,0 +1,88 @@
+"""Semilinear elliptic solves (models/nonlinear.py): Newton at the FEM
+level AND at the element-polynomial level.  Theory encoded: FEM Newton is
+quadratic; the hybrid Linf floor equals the Newton iterate's NODAL error
+(O(h^2) for P1 — the s(u) mass term breaks linear-Poisson nodal
+exactness — and O(h^4) for the compact Numerov rows)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_fem_lssvr_tpu.models.hybrid import SolverConfig
+from hybrid_fem_lssvr_tpu.models.nonlinear import (
+    bratu_1d, cubic_1d, evaluate_semilinear, hybrid_solve_semilinear,
+)
+
+X = np.linspace(-1, 1, 401)
+UE = np.sin(np.pi * X)
+
+
+def _solve(prob, E, **kw):
+    sol = hybrid_solve_semilinear(
+        prob, SolverConfig(num_nodes=E + 1, M=8, gamma=1e4), **kw)
+    u = evaluate_semilinear(sol, jnp.asarray(X))
+    return sol, float(np.abs(np.asarray(u) - UE).max())
+
+
+@pytest.mark.parametrize("prob", [cubic_1d(), bratu_1d()])
+def test_newton_quadratic_and_h2_floor(prob):
+    sol, linf = _solve(prob, 16)
+    r = np.asarray(sol.newton_residuals)
+    # quadratic contraction until roundoff
+    assert r[1] < 0.3 * r[0] and r[2] < 0.1 * r[1] and r[3] < 1e-5
+    assert r[-1] < 1e-12
+    assert bool(np.asarray(sol.solve_ok).all())
+    assert float(sol.colloc_residual) < 1e-6
+    # hybrid == nodal floor
+    nodal = float(np.abs(np.asarray(sol.fem_values)
+                         - np.sin(np.pi * np.asarray(sol.nodes))).max())
+    assert linf < 1.5 * nodal + 1e-12
+    _, linf32 = _solve(prob, 32)
+    assert 1.6 < np.log2(linf / linf32) < 2.4  # O(h^2)
+
+
+@pytest.mark.parametrize("prob", [cubic_1d(), bratu_1d()])
+def test_numerov_newton_h4(prob):
+    """Compact Numerov rows: O(h^4) nodal, the hybrid rides it (measured
+    16.3x per h-halving; 122x better than P1 at E=32)."""
+    _, e16 = _solve(prob, 16, scheme="numerov")
+    _, e32 = _solve(prob, 32, scheme="numerov")
+    assert 3.4 < np.log2(e16 / e32) < 4.6, (e16, e32)
+    assert e32 < 1e-5
+
+
+def test_semilinear_reduces_to_linear():
+    """s == 0 must reproduce the linear Poisson hybrid solve."""
+    import dataclasses
+
+    from hybrid_fem_lssvr_tpu import HybridSolver, problems
+    from hybrid_fem_lssvr_tpu.models.nonlinear import SemilinearProblem1D
+
+    pi = jnp.pi
+    prob = SemilinearProblem1D(
+        name="poisson_as_semilinear",
+        s=lambda u: 0.0 * u,
+        ds=lambda u: 0.0 * u,
+        f=lambda x: pi**2 * jnp.sin(pi * x),
+        exact=lambda x: jnp.sin(pi * x),
+    )
+    sol, linf = _solve(prob, 24)
+    lin = HybridSolver(problems.poisson_1d(),
+                       SolverConfig(num_nodes=25, M=8, gamma=1e4))
+    lin.solve()
+    linf_lin, _ = lin.errors(X)
+    assert abs(linf - float(linf_lin)) < 1e-9
+
+
+def test_cli_nonlinear(capsys):
+    import json
+
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["nonlinear", "--problem", "bratu_1d", "--num-nodes", "17",
+              "--scheme", "numerov"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "semilinear_solve"
+    assert rec["linf_error"] < 2e-4
+    assert rec["newton_residual"] < 1e-12
+    assert rec["n_fallback"] == 0
