@@ -379,6 +379,44 @@ def _transient_3d(args, em, tcfg):
     em.emit("transient_march_3d", **fields)
 
 
+def _wave_1d(args, em, tcfg):
+    from .models import transient as TR
+
+    problem = TR.wave_1d()
+    cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
+                       gamma=args.gamma, dtype=args.dtype)
+    march = TR.hybrid_wave_march if args.enhanced else TR.wave_march
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol, vN = march(problem, cfg, tcfg)
+        jax.block_until_ready(sol.fem_values)
+    fields = dict(
+        problem=problem.name,
+        enhanced=args.enhanced,
+        mass=tcfg.mass,
+        elements=cfg.num_nodes - 1,
+        n_steps=tcfg.n_steps,
+        t_final=tcfg.t_final,
+        solve_sec=rec["solve_sec"],
+    )
+    if problem.exact is not None:
+        x = jnp.linspace(problem.elliptic.domain[0],
+                         problem.elliptic.domain[1], args.eval_points,
+                         dtype=sol.fem_values.dtype)
+        ue = problem.exact(x, tcfg.t_final)
+        if args.enhanced:
+            from .ops import eval as ev
+
+            u = ev.evaluate(sol.nodes, sol.coeffs, x)
+        else:
+            u = jnp.interp(x, sol.nodes, sol.fem_values)
+        fields["linf_error"] = float(M.linf_error(u, ue))
+        ue_n = problem.exact(sol.nodes, tcfg.t_final)
+        fields["nodal_linf"] = float(
+            jnp.max(jnp.abs(sol.fem_values - ue_n)))
+    em.emit("wave_march", **fields)
+
+
 def cmd_transient(args):
     """Parabolic march (u_t + L u = f): theta-scheme P1/Q1 or the
     LSSVR-enhanced Crank-Nicolson march, one lax.scan on device."""
@@ -393,6 +431,8 @@ def cmd_transient(args):
         return _transient_3d(args, em, tcfg)
     if args.dim == 2:
         return _transient_2d(args, em, tcfg)
+    if args.problem == "wave_1d":
+        return _wave_1d(args, em, tcfg)
     problem = TR.TRANSIENT_REGISTRY[args.problem]()
     cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
                        gamma=args.gamma, dtype=args.dtype)
@@ -1016,7 +1056,7 @@ def build_parser():
         help="parabolic march u_t + L u = f (theta-scheme / enhanced CN)")
     sp.add_argument("--problem", default="heat_1d",
                     choices=["heat_1d", "heat_robin_1d", "heat_2d",
-                             "heat_3d"])
+                             "heat_3d", "wave_1d"])
     sp.add_argument("--dim", type=int, default=1, choices=[1, 2, 3])
     sp.add_argument("--num-nodes", type=int, default=33)
     sp.add_argument("--nx", type=int, default=16)

@@ -940,3 +940,194 @@ def heat_3d() -> TransientProblem3D:
         exact=lambda x, y, z, t: jnp.exp(-t) * jnp.sin(pi * x)
         * jnp.sin(pi * y) * jnp.sin(pi * z),
     )
+
+
+# --------------------------------------------------------------- waves
+
+
+@dataclasses.dataclass(frozen=True)
+class WaveProblem1D:
+    """u_tt + L u = f(x, t); L (and BCs) a Problem1D; initial (u0, v0)."""
+
+    name: str
+    elliptic: Problem1D
+    f: Callable  # f(x, t)
+    u0: Callable
+    v0: Callable
+    exact: Optional[Callable] = None  # exact(x, t)
+
+
+def wave_1d() -> WaveProblem1D:
+    """Free vibration u_tt = u_xx, u(+-1) = 0, u0 = sin(pi x), v0 = 0;
+    exact u = cos(pi t) sin(pi x) (f = 0 — also the energy-conservation
+    oracle for Newmark beta = 1/4)."""
+    pi = jnp.pi
+    from .problems import poisson_1d
+
+    return WaveProblem1D(
+        name="wave_1d",
+        elliptic=dataclasses.replace(poisson_1d(),
+                                     name="wave_1d_operator"),
+        f=lambda x, t: jnp.zeros_like(x),
+        u0=lambda x: jnp.sin(pi * x),
+        v0=lambda x: jnp.zeros_like(x),
+        exact=lambda x, t: jnp.cos(pi * t) * jnp.sin(pi * x),
+    )
+
+
+def wave_march(problem: WaveProblem1D, cfg: SolverConfig,
+               tcfg: TransientConfig, beta: float = 0.25,
+               gamma_n: float = 0.5):
+    """Newmark-beta march for u_tt + L u = f (unconditionally stable at
+    beta = 1/4, gamma = 1/2; O(dt^2)): per step one tridiagonal solve of
+    (M + beta dt^2 A) for the new acceleration.  ``tcfg.mass`` selects
+    the consistent or Numerov mass exactly as in ``fem_march``."""
+    p = problem.elliptic
+    dtype = cfg.jnp_dtype()
+    nodes = uniform_nodes(p, cfg.num_nodes, dtype)
+    dt = tcfg.t_final / tcfg.n_steps
+    if tcfg.mass == "numerov":
+        A, Mm, ell, load = _numerov_setup(p, nodes, problem.f)
+    else:
+        A, Mm, ell = _operator_and_mass(p, nodes, cfg)
+        load = lambda t: _load(nodes, problem.f, t,  # noqa: E731
+                               cfg.fem_quad_order)
+    lhs = tuple(m + beta * dt * dt * a for m, a in zip(Mm, A))
+    lhs = _dirichlet_rows(p, lhs, None, None)
+    g_l = jnp.asarray(p.g_left, dtype)
+    g_r = jnp.asarray(p.g_right, dtype)
+    free = jnp.ones_like(nodes, bool)
+    if p.bc_left == "dirichlet":
+        free = free.at[0].set(False)
+    if p.bc_right == "dirichlet":
+        free = free.at[-1].set(False)
+
+    def accel(u, t):
+        # M a = F - A u  (free rows; boundary rows a = 0 since the
+        # Dirichlet data is time-independent)
+        rhs = jnp.where(free, load(t) + ell - _tri_apply(*A, u), 0.0)
+        Ml = _dirichlet_rows(p, Mm, None, None)
+        return tridiag.solve(*Ml, rhs, method=cfg.tridiag_method)
+
+    def step(carry, t):
+        u, v, a = carry
+        pred_u = u + dt * v + 0.5 * dt * dt * (1.0 - 2.0 * beta) * a
+        rhs = jnp.where(free,
+                        load(t + dt) + ell - _tri_apply(*A, pred_u), 0.0)
+        a1 = tridiag.solve(*lhs, rhs, method=cfg.tridiag_method)
+        u1 = pred_u + beta * dt * dt * a1
+        v1 = v + dt * ((1.0 - gamma_n) * a + gamma_n * a1)
+        if p.bc_left == "dirichlet":
+            u1 = u1.at[0].set(g_l)
+        if p.bc_right == "dirichlet":
+            u1 = u1.at[-1].set(g_r)
+        return (u1, v1, a1), None
+
+    u0 = problem.u0(nodes).astype(dtype)
+    if p.bc_left == "dirichlet":
+        u0 = u0.at[0].set(g_l)
+    if p.bc_right == "dirichlet":
+        u0 = u0.at[-1].set(g_r)
+    v0 = jnp.where(free, problem.v0(nodes), 0.0).astype(dtype)
+    a0 = accel(u0, jnp.asarray(0.0, dtype))
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
+    (uN, vN, _), _ = jax.lax.scan(step, (u0, v0, a0), ts)
+    return TransientSolution(nodes, uN, None, tcfg.t_final), vN
+
+
+def hybrid_wave_march(problem: WaveProblem1D, cfg: SolverConfig,
+                      tcfg: TransientConfig, beta: float = 0.25,
+                      gamma_n: float = 0.5):
+    """LSSVR-enhanced Newmark march: the element polynomials carry
+    (u, v, a) coefficient triples; each step collocates
+    a^{n+1} + L u^{n+1} = f^{n+1} with the Newmark closure
+    u^{n+1} = pred + beta dt^2 a^{n+1}, i.e. ONE shared-operator solve
+    for the acceleration coefficients with
+    D = V0 + beta dt^2 D_L and trace pinning transferred to the
+    acceleration: a_trace = (u_fem_trace - pred_trace)/(beta dt^2)."""
+    p = problem.elliptic
+    if p.bc_left != "dirichlet" or p.bc_right != "dirichlet":
+        raise NotImplementedError("hybrid_wave_march supports Dirichlet "
+                                  "ends")
+    if not p.constant_coeffs:
+        raise NotImplementedError("hybrid_wave_march shares its operator "
+                                  "(constant coefficients only)")
+    dtype = cfg.jnp_dtype()
+    nodes = uniform_nodes(p, cfg.num_nodes, dtype)
+    E = cfg.num_nodes - 1
+    M, C = cfg.M, cfg.n_colloc
+    dt = tcfg.t_final / tcfg.n_steps
+    x0d, x1d = p.domain
+    h = (x1d - x0d) / (cfg.num_nodes - 1)
+    V0h, V1h, V2h = legendre.collocation_vandermonde_host(M, C)
+    t_np = np.linspace(-1.0, 1.0, C)
+    xc_np = x0d + (t_np + 1.0) * 0.5 * h
+    a2, a1c, a0c = p.colloc_coeffs(jnp.asarray(xc_np))
+    a2, a1c, a0c = (np.asarray(v, np.float64) for v in (a2, a1c, a0c))
+    scale = 2.0 / h
+    D_L64 = (a2[:, None] * scale**2 * V2h + a1c[:, None] * scale * V1h
+             + a0c[:, None] * V0h)
+    D_NM = V0h + beta * dt * dt * D_L64
+    B = np.stack([V0h[0], V0h[-1]])
+    shared = kkt.precompute_shared_host(D_NM, B, cfg.gamma, dtype)
+    W0pinv = jnp.asarray(np.linalg.pinv(V0h), dtype)
+    D_L = jnp.asarray(D_L64, dtype)
+    Bj = jnp.asarray(B, dtype)
+    hi = jax.lax.Precision.HIGHEST
+
+    # FEM Newmark march (trace provider) reusing wave_march pieces
+    if tcfg.mass == "numerov":
+        A, Mm, ell, load = _numerov_setup(p, nodes, problem.f)
+    else:
+        A, Mm, ell = _operator_and_mass(p, nodes, cfg)
+        load = lambda t: _load(nodes, problem.f, t,  # noqa: E731
+                               cfg.fem_quad_order)
+    lhs = tuple(m + beta * dt * dt * a for m, a in zip(Mm, A))
+    lhs = _dirichlet_rows(p, lhs, None, None)
+    g_l = jnp.asarray(p.g_left, dtype)
+    g_r = jnp.asarray(p.g_right, dtype)
+    free = jnp.ones_like(nodes, bool).at[0].set(False).at[-1].set(False)
+    tc = legendre.collocation_points(C, dtype=dtype)
+    xl = nodes[:-1]
+    xc = xl[:, None] + 0.5 * h * (tc[None, :] + 1.0)
+
+    def step(carry, t):
+        u, v, a, wu, wv, wa = carry
+        # FEM Newmark step
+        pred_u = u + dt * v + 0.5 * dt * dt * (1.0 - 2.0 * beta) * a
+        rhs = jnp.where(free,
+                        load(t + dt) + ell - _tri_apply(*A, pred_u), 0.0)
+        a1 = tridiag.solve(*lhs, rhs, method=cfg.tridiag_method)
+        u1 = pred_u + beta * dt * dt * a1
+        v1 = v + dt * ((1.0 - gamma_n) * a + gamma_n * a1)
+        u1 = u1.at[0].set(g_l).at[-1].set(g_r)
+        # element polynomials: collocated Newmark acceleration solve
+        w_pred = wu + dt * wv + 0.5 * dt * dt * (1.0 - 2.0 * beta) * wa
+        f_rows = (problem.f(xc, t + dt)
+                  - jnp.dot(w_pred, D_L.T, precision=hi))
+        u1_l = u1[:-1].at[0].set(g_l)
+        u1_r = u1[1:].at[-1].set(g_r)
+        pred_tr = jnp.dot(w_pred, Bj.T, precision=hi)  # [E, 2]
+        bc = (jnp.stack([u1_l, u1_r], axis=-1) - pred_tr) / (
+            beta * dt * dt)
+        wa1, _ = kkt.solve_primal_shared(shared, f_rows, bc)
+        wu1 = w_pred + beta * dt * dt * wa1
+        wv1 = wv + dt * ((1.0 - gamma_n) * wa + gamma_n * wa1)
+        return (u1, v1, a1, wu1, wv1, wa1), None
+
+    u0 = problem.u0(nodes).astype(dtype).at[0].set(g_l).at[-1].set(g_r)
+    v0 = jnp.where(free, problem.v0(nodes), 0.0).astype(dtype)
+    rhs0 = jnp.where(free, load(jnp.asarray(0.0, dtype)) + ell
+                     - _tri_apply(*A, u0), 0.0)
+    Ml = _dirichlet_rows(p, Mm, None, None)
+    a0 = tridiag.solve(*Ml, rhs0, method=cfg.tridiag_method)
+    wu0 = jnp.dot(problem.u0(xc).astype(dtype), W0pinv.T, precision=hi)
+    wv0 = jnp.dot(problem.v0(xc).astype(dtype) * jnp.ones_like(xc),
+                  W0pinv.T, precision=hi)
+    # initial acceleration polynomials from the PDE: a0 = f - L u0
+    fa0 = problem.f(xc, 0.0) - jnp.dot(wu0, D_L.T, precision=hi)
+    wa0 = jnp.dot(fa0, W0pinv.T, precision=hi)
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
+    (uN, vN, _, wuN, _, _), _ = jax.lax.scan(
+        step, (u0, v0, a0, wu0, wv0, wa0), ts)
+    return TransientSolution(nodes, uN, wuN, tcfg.t_final), vN
