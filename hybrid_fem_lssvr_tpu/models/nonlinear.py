@@ -250,3 +250,180 @@ def evaluate_semilinear(sol: SemilinearSolution, x):
     from ..ops import eval as ev
 
     return ev.evaluate(sol.nodes, sol.coeffs, x)
+
+
+# --------------------------------------------------------------- 2D
+
+
+@dataclasses.dataclass(frozen=True)
+class SemilinearProblem2D:
+    """-a0 Lap u + s(u) = f on a rectangle, Dirichlet u = g."""
+
+    name: str
+    s: Callable
+    ds: Callable
+    f: Callable  # f(x, y)
+    g: Callable  # Dirichlet data
+    a0: float = 1.0
+    domain: Tuple[float, float, float, float] = (-1.0, 1.0, -1.0, 1.0)
+    exact: Optional[Callable] = None
+
+
+def cubic_2d() -> SemilinearProblem2D:
+    """-Lap u + u^3 = f manufactured so u = sin(pi x) sin(pi y)."""
+    pi = jnp.pi
+
+    def u(x, y):
+        return jnp.sin(pi * x) * jnp.sin(pi * y)
+
+    return SemilinearProblem2D(
+        name="cubic_2d",
+        s=lambda v: v**3,
+        ds=lambda v: 3.0 * v**2,
+        f=lambda x, y: 2.0 * pi**2 * u(x, y) + u(x, y) ** 3,
+        g=lambda x, y: jnp.zeros_like(x + y),
+        exact=u,
+    )
+
+
+class SemilinearSolution2D(NamedTuple):
+    xs: jnp.ndarray
+    ys: jnp.ndarray
+    fem_values: jnp.ndarray
+    coeffs: jnp.ndarray  # [ny, nx, M, M]
+    newton_residuals: jnp.ndarray
+    colloc_residual: jnp.ndarray
+    solve_ok: jnp.ndarray
+
+
+def hybrid_solve_semilinear_2d(problem: SemilinearProblem2D, cfg,
+                               n_newton: int = 8, n_newton_elem: int = 5):
+    """2D two-level Newton (lift of ``hybrid_solve_semilinear``).
+
+    FEM level: matrix-free Q1 with the nonlinearity mass-LUMPED at the
+    nodes (R = A0 u + m·(s(u) - f) with m the lumped Q1 mass — the
+    standard O(h^2) scheme; lumping keeps the Jacobian apply matrix-free:
+    J v = A0 v + m s'(u) v, solved by Jacobi-CG inside a lax.scan Newton
+    loop).  Element level: Newton on the nonlinear collocation system
+    with the nonlinearity evaluated exactly at interior collocation
+    points; each step one batched null-space LSE solve with per-element
+    D = -a0·Lap_rows + diag(s'(u_j))·Mass_rows."""
+    from ..ops import assembly2d, cg
+    from .hybrid2d import _boundary_coords, _element_data_2d
+
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1 = problem.domain
+    nx, ny = cfg.nx, cfg.ny
+    hx = float((x1 - x0) / nx)
+    hy = float((y1 - y0) / ny)
+    xs = jnp.linspace(x0, x1, nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, ny + 1, dtype=dtype)
+    K0 = jnp.asarray(assembly2d.q1_local_operator(hx, hy, problem.a0,
+                                                  0.0, 0.0, 0.0), dtype)
+    interior = jnp.zeros((ny + 1, nx + 1), bool).at[1:-1, 1:-1].set(True)
+    X, Y = jnp.meshgrid(xs, ys)
+    u_bc = jnp.where(interior, 0.0, problem.g(X, Y) * jnp.ones_like(X))
+    m = hx * hy  # lumped Q1 mass at interior nodes
+    f_n = problem.f(X, Y) * jnp.ones_like(X)
+    diag0 = assembly2d.stiffness_diag((ny + 1, nx + 1), K0, dtype)
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def newton_step(u, _):
+        R = jnp.where(interior,
+                      assembly2d.apply_stiffness(u, K0)
+                      + m * (problem.s(u) - f_n), 0.0)
+        c = problem.ds(u)
+
+        def J_apply(v):
+            return jnp.where(
+                interior,
+                assembly2d.apply_stiffness(v * interior, K0)
+                + m * c * (v * interior), 0.0)
+
+        M_inv = jnp.where(interior, 1.0 / (diag0 + m * c), 1.0)
+        res = cg.cg(J_apply, R, M_inv=M_inv, tol=tol,
+                    maxiter=cfg.cg_maxiter)
+        return u - jnp.where(interior, res.x, 0.0), jnp.max(jnp.abs(R))
+
+    u0 = u_bc
+    fem, fem_res = jax.lax.scan(newton_step, u0, None, length=n_newton)
+
+    # element-level Newton: shared host reference parts
+    M_, C = cfg.M, cfg.n_colloc
+    t_int = np.linspace(-1.0, 1.0, C + 2)[1:-1]
+    V0h, _, V2h = legendre.vandermonde_host(t_int, M_)
+    sx, sy = 2.0 / hx, 2.0 / hy
+    Lap = (sx * sx * np.einsum("yk,xl->yxkl", V0h, V2h)
+           + sy * sy * np.einsum("yk,xl->yxkl", V2h, V0h)
+           ).reshape(C * C, M_ * M_)
+    Mass = np.einsum("yk,xl->yxkl", V0h, V0h).reshape(C * C, M_ * M_)
+    bpts = _boundary_coords(M_)
+    V0y_b = legendre.vandermonde_host(bpts[:, 0], M_)[0]
+    V0x_b = legendre.vandermonde_host(bpts[:, 1], M_)[0]
+    B = np.einsum("pk,pl->pkl", V0y_b, V0x_b).reshape(-1, M_ * M_)
+    Z, Pbc = kkt.nullspace_host(B)
+    proj = kkt.precompute_shared_lse_host(Mass, B, dtype)
+    Lap_j = jnp.asarray(-problem.a0 * Lap, dtype)
+    Mass_j = jnp.asarray(Mass, dtype)
+    Bj = jnp.asarray(B, dtype)
+    Zj = jnp.asarray(Z, dtype)
+    Pj = jnp.asarray(Pbc, dtype)
+    E = nx * ny
+    t_int_j = jnp.asarray(t_int)
+    bpts_j = jnp.asarray(bpts)
+    # f at interior collocation + traces from the converged FEM grid
+    _, bc_rows, corners = _element_data_2d(
+        _P2DStub(problem), cfg, xs, ys, fem, t_int_j, bpts_j)
+    t_j = jnp.asarray(t_int, dtype)
+    xm = 0.5 * (xs[1:] + xs[:-1])
+    ym = 0.5 * (ys[1:] + ys[:-1])
+    xq = xm[:, None] + 0.5 * hx * t_j[None, :]
+    yq = ym[:, None] + 0.5 * hy * t_j[None, :]
+    F = problem.f(xq[None, :, None, :], yq[:, None, :, None])
+    f_rows = (F * jnp.ones((ny, nx, C, C), dtype)).reshape(E, C * C)
+    # initial fit: bilinear interpolant projected through the Mass map
+    from .hybrid2d import _bilinear_fallback_coeffs
+
+    w = _bilinear_fallback_coeffs(*corners, M_).reshape(E, M_ * M_)
+    # pad the bilinear coeffs [2, 2] into the [M, M] layout
+    # (_bilinear_fallback_coeffs already returns [ny, nx, M, M])
+
+    def elem_newton(w, _):
+        u_c = jnp.dot(w, Mass_j.T, precision=HI)  # values at colloc
+        c_field = problem.ds(u_c)
+        D = Lap_j[None] + c_field[..., None] * Mass_j[None]
+        rhs = f_rows - problem.s(u_c) + c_field * u_c
+        w1, diags = kkt.solve_batched(D, Bj, rhs, bc_rows, cfg.gamma,
+                                      ZP=(Zj, Pj))
+        return w1, diags
+
+    w, diags_hist = jax.lax.scan(elem_newton, w, None,
+                                 length=n_newton_elem)
+    u_c = jnp.dot(w, Mass_j.T, precision=HI)
+    lap_u = jnp.dot(w, Lap_j.T, precision=HI)
+    res = jnp.max(jnp.abs(lap_u + problem.s(u_c) - f_rows))
+    ok = jax.tree_util.tree_map(lambda a: a[-1], diags_hist).solve_ok
+    return SemilinearSolution2D(xs, ys, fem,
+                                w.reshape(ny, nx, M_, M_), fem_res, res,
+                                ok.reshape(ny, nx))
+
+
+class _P2DStub:
+    """Adapter exposing the Problem2D attributes _element_data_2d needs
+    (f is evaluated there but discarded by the caller; bc_edges all
+    Dirichlet)."""
+
+    def __init__(self, p):
+        self.f = p.f
+        self.g = p.g
+        self.bc_edges = ("dirichlet",) * 4
+
+
+def evaluate_semilinear_2d(sol: SemilinearSolution2D, x, y):
+    from .hybrid2d import Solution2D, evaluate_2d
+
+    s2 = Solution2D(sol.xs, sol.ys, sol.fem_values, sol.coeffs,
+                    0, 0.0, None, None, None)
+    return evaluate_2d(s2, x, y)

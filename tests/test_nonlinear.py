@@ -86,3 +86,31 @@ def test_cli_nonlinear(capsys):
     assert rec["linf_error"] < 2e-4
     assert rec["newton_residual"] < 1e-12
     assert rec["n_fallback"] == 0
+
+
+def test_semilinear_2d_converges():
+    """2D two-level Newton (cubic nonlinearity): quadratic FEM Newton,
+    O(h^2) hybrid convergence (the lumped-nonlinearity Q1 scheme's nodal
+    floor; the element-level colloc residual is an LSQ floor scaling
+    with (2/h)^2, not a convergence certificate)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import Solver2DConfig
+    from hybrid_fem_lssvr_tpu.models.nonlinear import (
+        cubic_2d, evaluate_semilinear_2d, hybrid_solve_semilinear_2d,
+    )
+
+    p = cubic_2d()
+    rng = np.random.default_rng(2)
+    xq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    yq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    uex = np.asarray(p.exact(xq, yq))
+    errs = {}
+    for n in (8, 16):
+        sol = hybrid_solve_semilinear_2d(
+            p, Solver2DConfig(nx=n, ny=n, M=6, n_colloc=6))
+        u = evaluate_semilinear_2d(sol, xq, yq)
+        errs[n] = float(np.abs(np.asarray(u) - uex).max())
+        r = np.asarray(sol.newton_residuals)
+        assert r[3] < 1e-6 and r[-1] < 1e-12  # quadratic contraction
+        assert bool(np.asarray(sol.solve_ok).all())
+    order = np.log2(errs[8] / errs[16])
+    assert 1.6 < order < 2.6, (errs, order)
