@@ -772,27 +772,18 @@ def fem_march_3d(problem: TransientProblem3D, cfg,
                                jnp.max(iters))
 
 
-def hybrid_march_3d(problem: TransientProblem3D, cfg,
-                    tcfg: TransientConfig):
-    """LSSVR-enhanced 3D CN march: per-hex tensor-Legendre polynomial
-    advanced by collocating the CN update at interior points, trace
-    pinned to the Q1 hex march at the surface points (3D lift of
-    ``hybrid_march_2d``; the enhanced Linf floor is the trilinear TRACE
-    error O(h^2), same mechanism as 2D)."""
+def _shared_cn_ops_3d(p, cfg, dt):
+    """Host f64 shared CN operators for the 3D enhanced march (the 3D
+    lift of ``_shared_cn_ops_2d``): (shared LSE map of D_CN, projection
+    map of Mass, rhs operator (2/dt)·Mass - D_L, t_int, spts)."""
     from ..ops import legendre as leg
-    from .hybrid3d import _element_data_3d, _surface_coords
+    from .hybrid3d import _surface_coords
 
-    if tcfg.theta != 0.5:
-        raise ValueError("hybrid_march_3d collocates the Crank-Nicolson "
-                         "update; theta must be 0.5")
-    p = problem.elliptic
-    _check_3d_dirichlet(p)
     dtype = cfg.jnp_dtype()
     x0, x1, y0, y1, z0, z1 = p.domain
     hx = float((x1 - x0) / cfg.nx)
     hy = float((y1 - y0) / cfg.ny)
     hz = float((z1 - z0) / cfg.nz)
-    dt = tcfg.t_final / tcfg.n_steps
     M, C = cfg.M, cfg.n_colloc
     t_int = np.linspace(-1.0, 1.0, C + 2)[1:-1]
     V0, V1, V2 = leg.vandermonde_host(t_int, M)
@@ -824,6 +815,31 @@ def hybrid_march_3d(problem: TransientProblem3D, cfg,
     shared = kkt.precompute_shared_lse_host(D_CN, B, dtype)
     proj = kkt.precompute_shared_lse_host(Mass, B, dtype)
     R_op = jnp.asarray((2.0 / dt) * Mass - D_L, dtype)
+    return shared, proj, R_op, t_int, spts
+
+
+def hybrid_march_3d(problem: TransientProblem3D, cfg,
+                    tcfg: TransientConfig):
+    """LSSVR-enhanced 3D CN march: per-hex tensor-Legendre polynomial
+    advanced by collocating the CN update at interior points, trace
+    pinned to the Q1 hex march at the surface points (3D lift of
+    ``hybrid_march_2d``; the enhanced Linf floor is the trilinear TRACE
+    error O(h^2), same mechanism as 2D)."""
+    from .hybrid3d import _element_data_3d
+
+    if tcfg.theta != 0.5:
+        raise ValueError("hybrid_march_3d collocates the Crank-Nicolson "
+                         "update; theta must be 0.5")
+    p = problem.elliptic
+    _check_3d_dirichlet(p)
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = p.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    hz = float((z1 - z0) / cfg.nz)
+    dt = tcfg.t_final / tcfg.n_steps
+    M, C = cfg.M, cfg.n_colloc
+    shared, proj, R_op, t_int, spts = _shared_cn_ops_3d(p, cfg, dt)
 
     # FEM march pieces (trace provider) — reuse the fem_march_3d step by
     # marching both states in one scan
@@ -847,7 +863,6 @@ def hybrid_march_3d(problem: TransientProblem3D, cfg,
 
     # one combined scan: Q1 march + enhanced coefficients
     from ..ops import assembly3d
-    from .hybrid3d import Solver3DConfig  # noqa: F401 (doc pointer)
 
     K_A_np, K_M_np = _locals_3d(hx, hy, hz, p, tcfg.mass)
     K_A = jnp.asarray(K_A_np, dtype)

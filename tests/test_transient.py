@@ -328,3 +328,35 @@ def test_hybrid_wave_march_floor():
     p1_linf = float(np.abs(up1 - uex).max())
     assert linf < p1_linf / 20.0, (linf, p1_linf)
     assert linf < 5e-3
+
+
+@pytest.mark.parametrize("enhanced", [True, False])
+def test_sharded_transient_3d_matches_single_device(enhanced):
+    """Distributed z-slab 3D transient march == single-device to machine
+    eps (3D lift of the 2D distributed march)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import Solver3DConfig
+    from hybrid_fem_lssvr_tpu.models.transient import (fem_march_3d,
+                                                       heat_3d,
+                                                       hybrid_march_3d)
+    from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
+    from hybrid_fem_lssvr_tpu.parallel.transient3d import (
+        make_sharded_transient_3d,
+    )
+
+    p = heat_3d()
+    cfg = Solver3DConfig(nx=4, ny=4, nz=8, M=3, n_colloc=3)
+    tc = TransientConfig(t_final=0.2, n_steps=8,
+                         mass="numerov" if enhanced else "consistent")
+    single = (hybrid_march_3d if enhanced else fem_march_3d)(p, cfg, tc)
+    out = make_sharded_transient_3d(p, cfg, tc, pmesh.element_mesh(4),
+                                    enhanced=enhanced)()
+    fl = np.asarray(out.fem_values)
+    n_dev, nloc1, ny1, nx1 = fl.shape
+    grid = np.zeros((n_dev * (nloc1 - 1) + 1, ny1, nx1))
+    for dd in range(n_dev):
+        grid[dd * (nloc1 - 1):(dd + 1) * (nloc1 - 1) + 1] = fl[dd]
+    np.testing.assert_allclose(grid, np.asarray(single.fem_values),
+                               atol=1e-12)
+    if enhanced:
+        np.testing.assert_allclose(np.asarray(out.coeffs),
+                                   np.asarray(single.coeffs), atol=1e-12)
