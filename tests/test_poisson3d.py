@@ -501,10 +501,10 @@ def test_mixed_bc_3d_rejects_dirichlet_only_paths():
         make_sharded_solve_3d(p, cfg, pmesh.element_mesh(4))
     with pytest.raises(NotImplementedError, match="Dirichlet"):
         prepare_shared_3d_graded(p, cfg)
-    with pytest.raises(ValueError, match="jacobi"):
+    with pytest.raises(ValueError, match="Dirichlet"):
         HybridSolver3D(p, Solver3DConfig(nx=8, ny=8, nz=8, M=3,
                                          n_colloc=3,
-                                         precond="mg")).solve()
+                                         precond="shifted")).solve()
 
 
 def test_mixed_bc_3d_composite_mg(query):
