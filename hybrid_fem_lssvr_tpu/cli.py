@@ -283,10 +283,35 @@ def cmd_campaign(args):
     cmd_transient(ns)
 
 
+def _wave_2d(args, em, tcfg):
+    from .models import transient as TR
+
+    problem = TR.wave_2d()
+    cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=args.M,
+                         gamma=args.gamma, dtype=args.dtype)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol, vN = TR.wave_march_2d(problem, cfg, tcfg)
+        jax.block_until_ready(sol.fem_values)
+    fields = dict(
+        problem=problem.name, mass=tcfg.mass,
+        elements=cfg.nx * cfg.ny, n_steps=tcfg.n_steps,
+        t_final=tcfg.t_final, solve_sec=rec["solve_sec"],
+        cg_iters=int(sol.cg_iters),
+    )
+    if problem.exact is not None:
+        X, Y = jnp.meshgrid(sol.xs, sol.ys)
+        fields["nodal_linf"] = float(jnp.max(jnp.abs(
+            sol.fem_values - problem.exact(X, Y, tcfg.t_final))))
+    em.emit("wave_march_2d", **fields)
+
+
 def _transient_2d(args, em, tcfg):
     from .models import transient as TR
     from .models.hybrid2d import Solution2D, evaluate_2d
 
+    if args.problem == "wave_2d":
+        return _wave_2d(args, em, tcfg)
     problem = TR.heat_2d()
     cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=args.M,
                          gamma=args.gamma, dtype=args.dtype)
@@ -1056,7 +1081,7 @@ def build_parser():
         help="parabolic march u_t + L u = f (theta-scheme / enhanced CN)")
     sp.add_argument("--problem", default="heat_1d",
                     choices=["heat_1d", "heat_robin_1d", "heat_2d",
-                             "heat_3d", "wave_1d"])
+                             "heat_3d", "wave_1d", "wave_2d"])
     sp.add_argument("--dim", type=int, default=1, choices=[1, 2, 3])
     sp.add_argument("--num-nodes", type=int, default=33)
     sp.add_argument("--nx", type=int, default=16)

@@ -1146,3 +1146,113 @@ def hybrid_wave_march(problem: WaveProblem1D, cfg: SolverConfig,
     (uN, vN, _, wuN, _, _), _ = jax.lax.scan(
         step, (u0, v0, a0, wu0, wv0, wa0), ts)
     return TransientSolution(nodes, uN, wuN, tcfg.t_final), vN
+
+
+@dataclasses.dataclass(frozen=True)
+class WaveProblem2D:
+    """u_tt + L u = f(x, y, t); L (and BCs) a Problem2D."""
+
+    name: str
+    elliptic: "object"
+    f: Callable
+    u0: Callable
+    v0: Callable
+    exact: Optional[Callable] = None  # exact(x, y, t)
+
+
+def wave_2d() -> WaveProblem2D:
+    """Free vibration u_tt = Lap u, u0 = sin sin, v0 = 0; exact
+    u = cos(sqrt(2) pi t) sin(pi x) sin(pi y)."""
+    pi = jnp.pi
+    from .hybrid2d import poisson_2d
+
+    om = jnp.sqrt(2.0) * pi
+    return WaveProblem2D(
+        name="wave_2d",
+        elliptic=dataclasses.replace(poisson_2d(),
+                                     name="wave_2d_operator"),
+        f=lambda x, y, t: jnp.zeros_like(x + y),
+        u0=lambda x, y: jnp.sin(pi * x) * jnp.sin(pi * y),
+        v0=lambda x, y: jnp.zeros_like(x + y),
+        exact=lambda x, y, t: jnp.cos(om * t) * jnp.sin(pi * x)
+        * jnp.sin(pi * y),
+    )
+
+
+def wave_march_2d(problem: WaveProblem2D, cfg, tcfg: TransientConfig,
+                  beta: float = 0.25, gamma_n: float = 0.5):
+    """Newmark-beta march on Q1 quads (2D lift of ``wave_march``): per
+    step one Jacobi-CG solve of (M + beta dt^2 A) for the acceleration;
+    consistent or tensor-Numerov mass via ``tcfg.mass``."""
+    from ..ops import assembly2d, cg
+
+    p = problem.elliptic
+    _check_2d_dirichlet(p)
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1 = p.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    dt = tcfg.t_final / tcfg.n_steps
+    if tcfg.mass == "numerov":
+        if p.b != (0.0, 0.0):
+            raise NotImplementedError("numerov mass requires b == 0")
+        K_A_np, K_M_np = _numerov_locals_2d(hx, hy, p.a0, p.c)
+        K_A = jnp.asarray(K_A_np, dtype)
+        K_M = jnp.asarray(K_M_np, dtype)
+    else:
+        K_A = jnp.asarray(
+            assembly2d.q1_local_operator(hx, hy, p.a0, p.c, *p.b), dtype)
+        K_M = jnp.asarray(assembly2d.q1_local_mass(hx, hy), dtype)
+    K_lhs = K_M + beta * dt * dt * K_A
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    interior = jnp.zeros((cfg.ny + 1, cfg.nx + 1), bool
+                         ).at[1:-1, 1:-1].set(True)
+    X, Y = jnp.meshgrid(xs, ys)
+    u_bc = jnp.where(interior, 0.0, p.g(X, Y) * jnp.ones_like(X))
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def free_solve(K, rhs):
+        def apply_free(v):
+            return jnp.where(
+                interior,
+                assembly2d.apply_stiffness(v * interior, K), 0.0)
+
+        diag = assembly2d.stiffness_diag((cfg.ny + 1, cfg.nx + 1), K,
+                                         dtype)
+        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+        res = cg.cg(apply_free, jnp.where(interior, rhs, 0.0),
+                    M_inv=M_inv, tol=tol, maxiter=cfg.cg_maxiter)
+        return jnp.where(interior, res.x, 0.0), res.iters
+
+    if tcfg.mass == "numerov":
+        def load_at(t):
+            return assembly2d.apply_stiffness(
+                problem.f(X, Y, t) * jnp.ones_like(X), K_M)
+    else:
+        def load_at(t):
+            return assembly2d.assemble_load(
+                xs, ys, lambda x, y: problem.f(x, y, t))
+
+    def step(carry, t):
+        u, v, a = carry
+        pred = u + dt * v + 0.5 * dt * dt * (1.0 - 2.0 * beta) * a
+        rhs = load_at(t + dt) - assembly2d.apply_stiffness(pred, K_A)
+        a1, iters = free_solve(K_lhs, rhs)
+        u1 = u_bc + jnp.where(interior, pred + beta * dt * dt * a1, 0.0)
+        v1 = v + dt * ((1.0 - gamma_n) * a + gamma_n * a1)
+        return (u1, v1, a1), iters
+
+    u0g = jnp.where(interior, problem.u0(X, Y) * jnp.ones_like(X), u_bc
+                    ).astype(dtype)
+    v0g = jnp.where(interior, problem.v0(X, Y) * jnp.ones_like(X), 0.0
+                    ).astype(dtype)
+    rhs0 = load_at(jnp.asarray(0.0, dtype)) \
+        - assembly2d.apply_stiffness(u0g, K_A)
+    a0g, _ = free_solve(K_M, rhs0)
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
+    (uN, vN, _), iters = jax.lax.scan(step, (u0g, v0g, a0g), ts)
+    return TransientSolution2D(xs, ys, uN, None, tcfg.t_final,
+                               jnp.max(iters)), vN

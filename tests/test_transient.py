@@ -360,3 +360,28 @@ def test_sharded_transient_3d_matches_single_device(enhanced):
     if enhanced:
         np.testing.assert_allclose(np.asarray(out.coeffs),
                                    np.asarray(single.coeffs), atol=1e-12)
+
+
+def test_wave_march_2d_orders():
+    """2D Newmark free vibration (u = cos(sqrt(2) pi t) sin sin):
+    tensor-Numerov mass keeps O(h^4) nodal dispersion for waves too;
+    consistent mass is O(h^2)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import Solver2DConfig
+    from hybrid_fem_lssvr_tpu.models.transient import (wave_2d,
+                                                       wave_march_2d)
+
+    p = wave_2d()
+    Tw = 0.6
+    errs = {}
+    for mass in ("consistent", "numerov"):
+        for n in (8, 16):
+            sol, _v = wave_march_2d(
+                p, Solver2DConfig(nx=n, ny=n, M=4, n_colloc=4),
+                TransientConfig(t_final=Tw, n_steps=256, mass=mass))
+            X, Y = np.meshgrid(np.asarray(sol.xs), np.asarray(sol.ys))
+            ue = np.asarray(p.exact(X, Y, Tw))
+            errs[mass, n] = float(
+                np.abs(np.asarray(sol.fem_values) - ue).max())
+    assert errs["numerov", 8] < 0.1 * errs["consistent", 8], errs
+    order = np.log2(errs["numerov", 8] / errs["numerov", 16])
+    assert 3.3 < order < 4.7, (errs, order)
