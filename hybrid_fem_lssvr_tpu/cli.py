@@ -616,10 +616,9 @@ def _run2d_graded(problem, cfg, args, em, xs, ys):
 def _run2d_sharded_graded(problem, cfg, args, em, xs, ys):
     """Multi-chip graded 2D run: y-slab sharding of the non-uniform
     tensor-product mesh (README roadmap: distributed graded CLI), wired
-    through load_or_run checkpointing.  Error norms come from gathering
-    the slab coefficients and the graded searchsorted read path."""
-    from .models.hybrid2d import Solution2D
-    from .models.hybrid2d_graded import evaluate_2d_graded
+    through load_or_run checkpointing.  Error norms come from the
+    DISTRIBUTED graded read path (searchsorted on the replicated node
+    arrays, local-slab evaluation, psum)."""
     from .parallel import mesh as pmesh
     from .parallel.sharded2d import (ShardedSolution2D,
                                      make_sharded_solve_2d_graded)
@@ -648,22 +647,15 @@ def _run2d_sharded_graded(problem, cfg, args, em, xs, ys):
         n_fallback=int(jnp.sum(~jnp.asarray(sol.solve_ok))),
     )
     if problem.exact is not None:
-        dtype = cfg.jnp_dtype()
-        gathered = Solution2D(
-            xs=jnp.asarray(xs, dtype), ys=jnp.asarray(ys, dtype),
-            fem_values=jnp.asarray(sol.assemble_fem_grid(), dtype),
-            coeffs=jnp.asarray(np.asarray(sol.coeffs)),
-            cg_iters=sol.cg_iters, cg_residual=sol.cg_residual,
-            max_slack=sol.max_slack, bc_violation=sol.bc_violation,
-            solve_ok=sol.solve_ok,
-        )
+        from .parallel.sharded2d import make_sharded_evaluate_2d_graded
+
         rng = np.random.default_rng(0)
         xq = rng.uniform(problem.domain[0], problem.domain[1],
                          args.eval_points)
         yq = rng.uniform(problem.domain[2], problem.domain[3],
                          args.eval_points)
-        u = evaluate_2d_graded(gathered, jnp.asarray(xq, dtype),
-                               jnp.asarray(yq, dtype))
+        ev = make_sharded_evaluate_2d_graded(cfg, m, xs, ys)
+        u = ev(jnp.asarray(np.asarray(sol.coeffs)), xq, yq)
         ue = problem.exact(jnp.asarray(xq, u.dtype),
                            jnp.asarray(yq, u.dtype))
         fields["linf_error"] = float(M.linf_error(u, ue))
@@ -809,9 +801,7 @@ def _run3d_graded(problem, cfg, args, em, xs, ys, zs):
 def _run3d_sharded_graded(problem, cfg, args, em, xs, ys, zs):
     """Multi-chip graded 3D run: z-slab sharding of the non-uniform hex
     mesh (README roadmap: distributed graded CLI) with load_or_run
-    checkpointing; error norms via the gathered graded read path."""
-    from .models.hybrid3d import Solution3D
-    from .models.hybrid3d_graded import evaluate_3d_graded
+    checkpointing; error norms via the distributed graded read path."""
     from .parallel import mesh as pmesh
     from .parallel.sharded3d import (ShardedSolution3D,
                                      make_sharded_solve_3d_graded)
@@ -841,24 +831,17 @@ def _run3d_sharded_graded(problem, cfg, args, em, xs, ys, zs):
         n_fallback=int(jnp.sum(~jnp.asarray(sol.solve_ok))),
     )
     if problem.exact is not None:
-        dtype = cfg.jnp_dtype()
-        gathered = Solution3D(
-            xs=jnp.asarray(xs, dtype), ys=jnp.asarray(ys, dtype),
-            zs=jnp.asarray(zs, dtype),
-            fem_values=jnp.asarray(sol.assemble_fem_grid(), dtype),
-            coeffs=jnp.asarray(np.asarray(sol.coeffs)),
-            cg_iters=sol.cg_iters, cg_residual=sol.cg_residual,
-            max_slack=sol.max_slack, bc_violation=sol.bc_violation,
-            solve_ok=sol.solve_ok,
-        )
+        from .parallel.sharded3d import make_sharded_evaluate_3d_graded
+
         rng = np.random.default_rng(0)
         d = problem.domain
         xq = rng.uniform(d[0], d[1], args.eval_points)
         yq = rng.uniform(d[2], d[3], args.eval_points)
         zq = rng.uniform(d[4], d[5], args.eval_points)
-        u = evaluate_3d_graded(gathered, jnp.asarray(xq, dtype),
-                               jnp.asarray(yq, dtype),
-                               jnp.asarray(zq, dtype))
+        ev = make_sharded_evaluate_3d_graded(cfg, m, np.asarray(xs),
+                                             np.asarray(ys),
+                                             np.asarray(zs))
+        u = ev(jnp.asarray(np.asarray(sol.coeffs)), xq, yq, zq)
         ue = problem.exact(jnp.asarray(xq, u.dtype),
                            jnp.asarray(yq, u.dtype),
                            jnp.asarray(zq, u.dtype))

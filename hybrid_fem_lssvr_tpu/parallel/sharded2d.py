@@ -1038,3 +1038,58 @@ def make_sharded_evaluate_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
         return sharded(coeffs, jnp.asarray(x, dtype), jnp.asarray(y, dtype))
 
     return evaluate
+
+
+def make_sharded_evaluate_2d_graded(cfg: Solver2DConfig, mesh, xs, ys,
+                                    axis: str = ELEMENT_AXIS):
+    """Distributed read path for the GRADED y-slab solve: the node arrays
+    are replicated data, so each device searchsorts the global arrays,
+    masks to its own element rows, evaluates against its LOCAL coefficient
+    shard, and one psum assembles the result (clamp semantics match
+    ``hybrid2d_graded.evaluate_2d_graded``).  Requires
+    ny % n_devices == 0 (the graded solve's own constraint)."""
+    from ..ops import legendre
+
+    n_dev = mesh.shape[axis]
+    nx = xs.shape[0] - 1
+    ny = ys.shape[0] - 1
+    if ny % n_dev:
+        raise ValueError(f"graded ny={ny} must divide by devices={n_dev}")
+    ny_loc = ny // n_dev
+    dtype = cfg.jnp_dtype()
+    M = cfg.M
+    xs_j = jnp.asarray(xs, dtype)
+    ys_j = jnp.asarray(ys, dtype)
+
+    def local_eval(coeffs_loc, x, y):
+        d = jax.lax.axis_index(axis)
+        ix = jnp.clip(jnp.searchsorted(xs_j, x, side="right") - 1, 0,
+                      nx - 1)
+        iy = jnp.clip(jnp.searchsorted(ys_j, y, side="right") - 1, 0,
+                      ny - 1)
+        lo = d * ny_loc
+        mine = (iy >= lo) & (iy < lo + ny_loc)
+        iy_loc = jnp.clip(iy - lo, 0, ny_loc - 1)
+        tx = (2.0 * x - xs_j[ix] - xs_j[ix + 1]) / (xs_j[ix + 1]
+                                                    - xs_j[ix])
+        ty = (2.0 * y - ys_j[iy] - ys_j[iy + 1]) / (ys_j[iy + 1]
+                                                    - ys_j[iy])
+        (Vx,) = legendre.legendre_vandermonde(tx, M, num_derivs=0)
+        (Vy,) = legendre.legendre_vandermonde(ty, M, num_derivs=0)
+        W = coeffs_loc[iy_loc, ix]
+        val = jnp.einsum("pk,pkl,pl->p", Vy, W, Vx,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.psum(jnp.where(mine, val, 0.0), axis)
+
+    sharded = jax.shard_map(
+        local_eval, mesh=mesh,
+        in_specs=(P(axis), P(), P()), out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def evaluate(coeffs, x, y):
+        return sharded(coeffs, jnp.asarray(x, dtype),
+                       jnp.asarray(y, dtype))
+
+    return evaluate

@@ -1082,3 +1082,64 @@ def make_sharded_evaluate_3d_grid(problem: Problem3D, cfg: Solver3DConfig,
                        jnp.asarray(y, dtype), jnp.asarray(z, dtype))
 
     return evaluate
+
+
+def make_sharded_evaluate_3d_graded(cfg: Solver3DConfig, mesh, xs, ys,
+                                    zs, axis: str = ELEMENT_AXIS):
+    """Distributed read path for the GRADED z-slab solve (3D lift of
+    ``sharded2d.make_sharded_evaluate_2d_graded``): searchsorted on the
+    replicated node arrays, local-slab tensor-Legendre evaluation, one
+    psum.  Requires nz % n_devices == 0."""
+    from ..ops import legendre
+
+    n_dev = mesh.shape[axis]
+    nx = xs.shape[0] - 1
+    ny = ys.shape[0] - 1
+    nz = zs.shape[0] - 1
+    if nz % n_dev:
+        raise ValueError(f"graded nz={nz} must divide by devices={n_dev}")
+    nz_loc = nz // n_dev
+    dtype = cfg.jnp_dtype()
+    M = cfg.M
+    xs_j = jnp.asarray(xs, dtype)
+    ys_j = jnp.asarray(ys, dtype)
+    zs_j = jnp.asarray(zs, dtype)
+
+    def local_eval(coeffs_loc, x, y, z):
+        d = jax.lax.axis_index(axis)
+        ix = jnp.clip(jnp.searchsorted(xs_j, x, side="right") - 1, 0,
+                      nx - 1)
+        iy = jnp.clip(jnp.searchsorted(ys_j, y, side="right") - 1, 0,
+                      ny - 1)
+        iz = jnp.clip(jnp.searchsorted(zs_j, z, side="right") - 1, 0,
+                      nz - 1)
+        lo = d * nz_loc
+        mine = (iz >= lo) & (iz < lo + nz_loc)
+        iz_loc = jnp.clip(iz - lo, 0, nz_loc - 1)
+        tx = (2.0 * x - xs_j[ix] - xs_j[ix + 1]) / (xs_j[ix + 1]
+                                                    - xs_j[ix])
+        ty = (2.0 * y - ys_j[iy] - ys_j[iy + 1]) / (ys_j[iy + 1]
+                                                    - ys_j[iy])
+        tz = (2.0 * z - zs_j[iz] - zs_j[iz + 1]) / (zs_j[iz + 1]
+                                                    - zs_j[iz])
+        (Vx,) = legendre.legendre_vandermonde(tx, M, num_derivs=0)
+        (Vy,) = legendre.legendre_vandermonde(ty, M, num_derivs=0)
+        (Vz,) = legendre.legendre_vandermonde(tz, M, num_derivs=0)
+        W = coeffs_loc[iz_loc, iy, ix]  # [P, M, M, M]
+        hi = jax.lax.Precision.HIGHEST
+        val = jnp.einsum("pk,pklm,pl,pm->p", Vz, W, Vy, Vx,
+                         precision=hi)
+        return jax.lax.psum(jnp.where(mine, val, 0.0), axis)
+
+    sharded = jax.shard_map(
+        local_eval, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()), out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def evaluate(coeffs, x, y, z):
+        return sharded(coeffs, jnp.asarray(x, dtype),
+                       jnp.asarray(y, dtype), jnp.asarray(z, dtype))
+
+    return evaluate

@@ -388,3 +388,37 @@ def test_grid_sharded_evaluate_matches_single_device(shape):
     dtype = sol.xs.dtype
     u_ref = evaluate_2d(sol, jnp.asarray(x, dtype), jnp.asarray(y, dtype))
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-9)
+
+
+def test_graded_distributed_evaluate_matches_local():
+    """Distributed graded read path (searchsorted on replicated node
+    arrays, local-slab evaluation, psum) == the local graded evaluator,
+    including out-of-domain clamps."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import get_problem_2d
+    from hybrid_fem_lssvr_tpu.models.hybrid2d_graded import (
+        HybridSolver2DGraded,
+    )
+    from hybrid_fem_lssvr_tpu.parallel.sharded2d import (
+        make_sharded_evaluate_2d_graded, make_sharded_solve_2d_graded,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def graded(n):
+        w = rng.uniform(0.5, 2.0, n)
+        t = np.concatenate([[0.0], np.cumsum(w)])
+        return -1.0 + 2.0 * t / t[-1]
+
+    xs, ys = graded(10), graded(8)
+    problem = get_problem_2d("poisson_2d")
+    cfg = Solver2DConfig(nx=10, ny=8, M=4, n_colloc=4, precond="jacobi")
+    m = pmesh.element_mesh(4)
+    out = make_sharded_solve_2d_graded(problem, cfg, m, xs, ys)()
+    single = HybridSolver2DGraded(problem, cfg, xs, ys)
+    single.solve()
+    xq = rng.uniform(-1.2, 1.2, 500)  # includes clamped queries
+    yq = rng.uniform(-1.2, 1.2, 500)
+    ev = make_sharded_evaluate_2d_graded(cfg, m, xs, ys)
+    u_dist = np.asarray(ev(out.coeffs, xq, yq))
+    u_loc = np.asarray(single.evaluate_solution(xq, yq))
+    np.testing.assert_allclose(u_dist, u_loc, atol=5e-7)

@@ -270,3 +270,35 @@ def test_sharded_3d_grid_evaluate_matches_local():
                         jnp.asarray(zq, dt))
     np.testing.assert_allclose(np.asarray(u_dist), np.asarray(u_loc),
                                atol=1e-9)
+
+
+def test_graded_3d_distributed_evaluate_matches_local():
+    """3D distributed graded read path == the local graded evaluator."""
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import get_problem_3d
+    from hybrid_fem_lssvr_tpu.models.hybrid3d_graded import (
+        HybridSolver3DGraded,
+    )
+    from hybrid_fem_lssvr_tpu.parallel.sharded3d import (
+        make_sharded_evaluate_3d_graded, make_sharded_solve_3d_graded,
+    )
+
+    rng = np.random.default_rng(3)
+
+    def graded(n):
+        w = rng.uniform(0.5, 2.0, n)
+        t = np.concatenate([[0.0], np.cumsum(w)])
+        return -1.0 + 2.0 * t / t[-1]
+
+    xs, ys, zs = graded(4), graded(4), graded(8)
+    problem = get_problem_3d("poisson_3d")
+    cfg = Solver3DConfig(nx=4, ny=4, nz=8, M=3, n_colloc=3,
+                         precond="jacobi")
+    m = pmesh.element_mesh(4)
+    out = make_sharded_solve_3d_graded(problem, cfg, m, xs, ys, zs)()
+    single = HybridSolver3DGraded(problem, cfg, xs, ys, zs)
+    single.solve()
+    q = [rng.uniform(-1.2, 1.2, 400) for _ in range(3)]
+    ev = make_sharded_evaluate_3d_graded(cfg, m, xs, ys, zs)
+    u_dist = np.asarray(ev(out.coeffs, *q))
+    u_loc = np.asarray(single.evaluate_solution(*q))
+    np.testing.assert_allclose(u_dist, u_loc, atol=5e-7)
