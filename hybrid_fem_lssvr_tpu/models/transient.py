@@ -1256,3 +1256,111 @@ def wave_march_2d(problem: WaveProblem2D, cfg, tcfg: TransientConfig,
     (uN, vN, _), iters = jax.lax.scan(step, (u0g, v0g, a0g), ts)
     return TransientSolution2D(xs, ys, uN, None, tcfg.t_final,
                                jnp.max(iters)), vN
+
+
+@dataclasses.dataclass(frozen=True)
+class WaveProblem3D:
+    """u_tt + L u = f(x, y, z, t); L (and BCs) a Problem3D."""
+
+    name: str
+    elliptic: "object"
+    f: Callable
+    u0: Callable
+    v0: Callable
+    exact: Optional[Callable] = None
+
+
+def wave_3d() -> WaveProblem3D:
+    """Free vibration u_tt = Lap u on the cube; exact
+    u = cos(sqrt(3) pi t) sin sin sin."""
+    pi = jnp.pi
+    from .hybrid3d import poisson_3d
+
+    om = jnp.sqrt(3.0) * pi
+    return WaveProblem3D(
+        name="wave_3d",
+        elliptic=dataclasses.replace(poisson_3d(),
+                                     name="wave_3d_operator"),
+        f=lambda x, y, z, t: jnp.zeros_like(x + y + z),
+        u0=lambda x, y, z: jnp.sin(pi * x) * jnp.sin(pi * y)
+        * jnp.sin(pi * z),
+        v0=lambda x, y, z: jnp.zeros_like(x + y + z),
+        exact=lambda x, y, z, t: jnp.cos(om * t) * jnp.sin(pi * x)
+        * jnp.sin(pi * y) * jnp.sin(pi * z),
+    )
+
+
+def wave_march_3d(problem: WaveProblem3D, cfg, tcfg: TransientConfig,
+                  beta: float = 0.25, gamma_n: float = 0.5):
+    """Newmark-beta march on Q1 hexes (3D lift of ``wave_march_2d``)."""
+    from ..ops import assembly3d, cg
+
+    p = problem.elliptic
+    _check_3d_dirichlet(p)
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = p.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    hz = float((z1 - z0) / cfg.nz)
+    dt = tcfg.t_final / tcfg.n_steps
+    K_A_np, K_M_np = _locals_3d(hx, hy, hz, p, tcfg.mass)
+    K_A = jnp.asarray(K_A_np, dtype)
+    K_M = jnp.asarray(K_M_np, dtype)
+    K_lhs = K_M + beta * dt * dt * K_A
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    zs = jnp.linspace(z0, z1, cfg.nz + 1, dtype=dtype)
+    nz1, ny1, nx1 = cfg.nz + 1, cfg.ny + 1, cfg.nx + 1
+    interior = jnp.zeros((nz1, ny1, nx1), bool
+                         ).at[1:-1, 1:-1, 1:-1].set(True)
+    X = xs[None, None, :]
+    Y = ys[None, :, None]
+    Z = zs[:, None, None]
+    ones = jnp.ones((nz1, ny1, nx1), dtype)
+    u_bc = jnp.where(interior, 0.0, p.g(X, Y, Z) * ones)
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def free_solve(K, rhs):
+        def apply_free(v):
+            return jnp.where(
+                interior,
+                assembly3d.apply_stiffness_3d(v * interior, K), 0.0)
+
+        diag = assembly3d.stiffness_diag_3d((nz1, ny1, nx1), K, dtype)
+        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+        res = cg.cg(apply_free, jnp.where(interior, rhs, 0.0),
+                    M_inv=M_inv, tol=tol, maxiter=cfg.cg_maxiter)
+        return jnp.where(interior, res.x, 0.0), res.iters
+
+    if tcfg.mass == "numerov":
+        def load_at(t):
+            return assembly3d.apply_stiffness_3d(
+                problem.f(X, Y, Z, t) * ones, K_M)
+    else:
+        def load_at(t):
+            return assembly3d.assemble_load_3d(
+                xs, ys, zs, lambda x, y, z: problem.f(x, y, z, t))
+
+    def step(carry, t):
+        u, v, a = carry
+        pred = u + dt * v + 0.5 * dt * dt * (1.0 - 2.0 * beta) * a
+        rhs = load_at(t + dt) - assembly3d.apply_stiffness_3d(pred, K_A)
+        a1, iters = free_solve(K_lhs, rhs)
+        u1 = u_bc + jnp.where(interior,
+                              pred + beta * dt * dt * a1, 0.0)
+        v1 = v + dt * ((1.0 - gamma_n) * a + gamma_n * a1)
+        return (u1, v1, a1), iters
+
+    u0g = jnp.where(interior, problem.u0(X, Y, Z) * ones, u_bc
+                    ).astype(dtype)
+    v0g = jnp.where(interior, problem.v0(X, Y, Z) * ones, 0.0
+                    ).astype(dtype)
+    rhs0 = load_at(jnp.asarray(0.0, dtype)) \
+        - assembly3d.apply_stiffness_3d(u0g, K_A)
+    a0g, _ = free_solve(K_M, rhs0)
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
+    (uN, vN, _), iters = jax.lax.scan(step, (u0g, v0g, a0g), ts)
+    return TransientSolution3D(xs, ys, zs, uN, None, tcfg.t_final,
+                               jnp.max(iters)), vN
