@@ -533,6 +533,45 @@ def cmd_nonlinear(args):
     em.emit("semilinear_solve", **fields)
 
 
+def cmd_eig(args):
+    """Sturm-Liouville eigenpairs: FEM inverse subspace iteration +
+    LSSVR-enhanced eigenfunctions with Rayleigh-quotient eigenvalues
+    (models/eigen.py — beyond the reference's source-problem-only scope)."""
+    from .models import eigen as EIG
+
+    if getattr(args, "x64", False):
+        jax.config.update("jax_enable_x64", True)
+    em = M.MetricsEmitter()
+    problem = problems.get(args.problem)
+    cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
+                       gamma=args.gamma, dtype=args.dtype)
+    ecfg = EIG.EigenConfig(k=args.k, iters=args.iters, mass=args.mass,
+                           rq_iters=args.rq_iters)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = EIG.hybrid_eigensolve(problem, cfg, ecfg)
+        jax.block_until_ready(sol.coeffs)
+    fields = dict(
+        problem=problem.name,
+        elements=cfg.num_nodes - 1,
+        M=cfg.M,
+        k=args.k,
+        mass=args.mass,
+        solve_sec=rec["solve_sec"],
+        fem_lams=[float(v) for v in np.asarray(sol.fem.lams)],
+        enhanced_lams=[float(v) for v in np.asarray(sol.lams)],
+        max_residual=float(jnp.max(sol.fem.residuals)),
+        n_fallback=int(jnp.sum(~jnp.asarray(sol.solve_ok))),
+    )
+    if args.exact_c0 is not None:
+        ex = EIG.exact_eigenvalues(problem, args.k, c0=args.exact_c0)
+        fields["fem_lam_err"] = [
+            float(v) for v in np.abs(np.asarray(sol.fem.lams) - ex)]
+        fields["enhanced_lam_err"] = [
+            float(v) for v in np.abs(np.asarray(sol.lams) - ex)]
+    em.emit("eigensolve", **fields)
+
+
 def cmd_runsharded(args):
     """Multi-chip 1D solve over the element mesh (SURVEY.md 2.3 DP/SP row),
     wired through ``load_or_run`` checkpointing so interrupted campaigns
@@ -1102,6 +1141,26 @@ def build_parser():
     sp.add_argument("--x64", action="store_true")
     sp.add_argument("--eval-points", type=int, default=401)
     sp.set_defaults(fn=cmd_nonlinear)
+
+    sp = sub.add_parser(
+        "eig",
+        help="Sturm-Liouville eigenpairs (FEM pencil + enhanced "
+        "Rayleigh-quotient eigenvalues)")
+    sp.add_argument("--problem", default="poisson_1d")
+    sp.add_argument("--num-nodes", type=int, default=33)
+    sp.add_argument("--M", type=int, default=8)
+    sp.add_argument("--gamma", type=float, default=1e4)
+    sp.add_argument("--k", type=int, default=4)
+    sp.add_argument("--iters", type=int, default=40)
+    sp.add_argument("--mass", default="consistent",
+                    choices=["consistent", "numerov"])
+    sp.add_argument("--rq-iters", type=int, default=2)
+    sp.add_argument("--dtype", default=None,
+                    choices=[None, "float32", "float64"])
+    sp.add_argument("--x64", action="store_true")
+    sp.add_argument("--exact-c0", type=float, default=None,
+                    help="emit eigenvalue errors vs (j pi/L)^2 + c0")
+    sp.set_defaults(fn=cmd_eig)
 
     sp = sub.add_parser(
         "runsharded",

@@ -1,0 +1,323 @@
+"""Sturm–Liouville eigenvalue family: A u = lambda M u, hybrid-enhanced.
+
+The reference prototype (``/root/reference/1D-Possion/Hybrid-FEM-LSSVR.py``)
+solves only source problems -u'' = f.  This module extends the same
+two-level hybrid scheme to the symmetric eigenproblem
+
+    L u = -(a(x) u')' + c(x) u = lambda u   on (x0, x1),   u(x0)=u(x1)=0,
+
+which the per-element machinery supports verbatim: given a FEM eigenpair
+(lambda_h, u_h), each element solves the reference's constrained QP
+(``Hybrid-FEM-LSSVR.py:20-105``) for the *shifted* operator L - lambda_h
+with zero right-hand side and traces pinned to the FEM nodal eigenvector —
+i.e. ``lssvr_enhance`` on a derived ``Problem1D`` with
+``c <- c - lambda_h`` and ``f <- 0``.
+
+Pipeline (all stages batched / TPU-resident; the tiny K x K Rayleigh–Ritz
+is host-side numpy, like the other setup-time f64 precomputes):
+
+1. ``fem_eigensolve`` — generalized tridiagonal eigenproblem on interior
+   dofs via inverse subspace iteration: V <- A^{-1} (M V) (one multi-column
+   Thomas solve per step), M-orthonormalisation through a Cholesky of the
+   K x K Gram, then one host Rayleigh–Ritz extraction.  ``mass`` selects
+   the consistent P1 mass (eigenvalue error O(h^2)) or the Numerov
+   (1, 10, 1)/12 mass (O(h^4) dispersion, constant coefficients).
+2. ``enhance_eigenpair`` — the derived-problem LSSVR enhancement above.
+3. ``rayleigh_quotient`` — exact-quadrature Rayleigh quotient of the
+   enhanced piecewise polynomial; because the quotient's error is
+   *quadratic* in the eigenfunction error, the enhanced lambda lands far
+   below the FEM dispersion floor.
+4. ``hybrid_eigensolve`` — per-pair fixed-point: enhance with the current
+   lambda, re-estimate via the quotient (``rq_iters`` rounds).
+
+On a uniform mesh the discrete eigenvectors of the (consistent or
+Numerov) tridiagonal pencil are exactly the sampled sines, so for
+-u'' = lambda u ALL the discrete error sits in lambda_h — the enhanced
+quotient is then limited only by the shifted-operator enhancement floor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import assembly, legendre, tridiag
+from .hybrid import SolverConfig, lssvr_enhance, prepare_shared_host, \
+    uniform_nodes
+from .problem import Problem1D, _zero
+
+
+@dataclasses.dataclass(frozen=True)
+class EigenConfig:
+    """Eigensolver knobs (validated, frozen — like every config here)."""
+
+    k: int = 4  # number of smallest eigenpairs
+    iters: int = 40  # inverse subspace iterations
+    mass: str = "consistent"  # 'consistent' | 'numerov'
+    rq_iters: int = 2  # enhancement <-> Rayleigh-quotient rounds
+    oversample: int = 2  # extra subspace vectors (guard the K-th pair)
+
+    def __post_init__(self):
+        if self.k < 1:
+            raise ValueError(f"k must be >= 1, got {self.k}")
+        if self.iters < 1:
+            raise ValueError(f"iters must be >= 1, got {self.iters}")
+        if self.mass not in ("consistent", "numerov"):
+            raise ValueError(f"unknown mass: {self.mass!r}")
+        if self.rq_iters < 0:
+            raise ValueError(f"rq_iters must be >= 0, got {self.rq_iters}")
+        if self.oversample < 0:
+            raise ValueError(
+                f"oversample must be >= 0, got {self.oversample}")
+
+
+class EigenSolution(NamedTuple):
+    nodes: jnp.ndarray  # [N]
+    lams: jnp.ndarray  # [K] Rayleigh–Ritz eigenvalues, ascending
+    vectors: jnp.ndarray  # [N, K] M-orthonormal nodal eigenvectors
+    residuals: jnp.ndarray  # [K] ||A v - lam M v||_inf diagnostics
+
+
+class HybridEigenSolution(NamedTuple):
+    fem: EigenSolution
+    coeffs: jnp.ndarray  # [K, E, M] per-element Legendre coefficients
+    lams: jnp.ndarray  # [K] enhanced (Rayleigh-quotient) eigenvalues
+    solve_ok: jnp.ndarray  # [K, E] enhancement fallback mask
+
+
+def _check_symmetric_dirichlet(problem: Problem1D, nodes):
+    if problem.bc_left != "dirichlet" or problem.bc_right != "dirichlet":
+        raise NotImplementedError(
+            "eigensolver requires Dirichlet ends (natural-BC eigenproblems "
+            "need the boundary mass terms in the pencil)")
+    if problem.b is not None and problem.b is not _zero:
+        if bool(np.any(np.asarray(problem.b(nodes)) != 0.0)):
+            raise NotImplementedError(
+                "eigensolver requires b == 0 (symmetric pencil)")
+
+
+def _pencil(problem: Problem1D, nodes, cfg: SolverConfig, mass: str):
+    """Interior-dof diagonals of the stiffness/mass pencil (A, M)."""
+    zero_f = lambda x: jnp.zeros_like(x)  # noqa: E731
+    if mass == "numerov":
+        from .transient import _numerov_setup
+
+        A, Mm, _, _ = _numerov_setup(
+            problem, nodes, lambda x, t: jnp.zeros_like(x))
+    else:
+        sub_a, main_a, sup_a, _ = assembly.assemble_p1(
+            nodes, problem.a, None, problem.c, zero_f,
+            quad_order=cfg.fem_quad_order)
+        sub_m, main_m, sup_m, _ = assembly.assemble_p1(
+            nodes, None, None, lambda x: jnp.ones_like(x), zero_f,
+            quad_order=cfg.fem_quad_order)
+        A = (sub_a, main_a, sup_a)
+        Mm = (sub_m, main_m, sup_m)
+
+    def interior(trip):
+        sub, main, sup = trip
+        return (sub[1:-1].at[0].set(0.0), main[1:-1],
+                sup[1:-1].at[-1].set(0.0))
+
+    return interior(A), interior(Mm)
+
+
+def _tri_matvec(trip, V):
+    """Tridiagonal multi-vector product, V: [n, K]."""
+    sub, main, sup = trip
+    up = jnp.concatenate([V[1:], jnp.zeros_like(V[:1])])
+    dn = jnp.concatenate([jnp.zeros_like(V[:1]), V[:-1]])
+    return main[:, None] * V + sub[:, None] * dn + sup[:, None] * up
+
+
+def _m_orthonormalize(Mt, V):
+    """V <- V R^{-1} with R = chol(V^T M V)^T (Cholesky QR in the M inner
+    product; K x K, well-conditioned after the first iteration)."""
+    G = V.T @ _tri_matvec(Mt, V)
+    L = jnp.linalg.cholesky(0.5 * (G + G.T))
+    return jax.scipy.linalg.solve_triangular(
+        L, V.T, lower=True).T
+
+
+def fem_eigensolve(problem: Problem1D, cfg: SolverConfig,
+                   ecfg: EigenConfig = EigenConfig(),
+                   nodes: Optional[jnp.ndarray] = None) -> EigenSolution:
+    """K smallest eigenpairs of the P1 (or Numerov) pencil.
+
+    Deterministic sine-sheet start (the exact eigenvectors of the
+    constant-coefficient pencil on a uniform mesh), ``ecfg.iters`` inverse
+    subspace iterations, host Rayleigh–Ritz.
+    """
+    dtype = cfg.jnp_dtype()
+    if nodes is None:
+        nodes = uniform_nodes(problem, cfg.num_nodes, dtype)
+    _check_symmetric_dirichlet(problem, nodes)
+    At, Mt = _pencil(problem, nodes, cfg, ecfg.mass)
+
+    x0, x1 = problem.domain
+    L = x1 - x0
+    K = ecfg.k
+    Ks = K + ecfg.oversample
+    n = nodes.shape[0] - 2
+    if Ks > n:
+        raise ValueError(
+            f"k + oversample = {Ks} exceeds interior dofs ({n})")
+    xi = nodes[1:-1]
+    js = jnp.arange(1, Ks + 1, dtype=dtype)
+    V0 = jnp.sin(jnp.pi * js[None, :] * (xi[:, None] - x0) / L)
+
+    def step(V, _):
+        W = tridiag.thomas(*At, _tri_matvec(Mt, V))
+        return _m_orthonormalize(Mt, W), None
+
+    @jax.jit
+    def _iterate(V):
+        V, _ = jax.lax.scan(step, _m_orthonormalize(Mt, V),
+                            None, length=ecfg.iters)
+        H = V.T @ _tri_matvec(At, V)
+        G = V.T @ _tri_matvec(Mt, V)
+        return V, 0.5 * (H + H.T), 0.5 * (G + G.T)
+
+    V, H, G = _iterate(V0)
+    # Host Rayleigh–Ritz on the K_s x K_s projected pencil (setup-class
+    # f64 work, same policy as prepare_shared_host).
+    Hn = np.asarray(H, np.float64)
+    Gn = np.asarray(G, np.float64)
+    Ln = np.linalg.cholesky(Gn)
+    Hs = np.linalg.solve(Ln, np.linalg.solve(Ln, Hn).T).T
+    w, S = np.linalg.eigh(0.5 * (Hs + Hs.T))
+    Q = np.linalg.solve(Ln.T, S)[:, :K]
+    lams = jnp.asarray(w[:K], dtype)
+    Vr = V @ jnp.asarray(Q, dtype)  # [n, K], M-orthonormal
+    # Sign convention: positive slope at the left end (u[1] > 0), matching
+    # sqrt(2/L) sin(j pi (x - x0)/L).
+    sign = jnp.where(Vr[0] >= 0, 1.0, -1.0).astype(dtype)
+    Vr = Vr * sign[None, :]
+    res = jnp.max(
+        jnp.abs(_tri_matvec(At, Vr) - lams[None, :] * _tri_matvec(Mt, Vr)),
+        axis=0)
+    vecs = jnp.zeros((nodes.shape[0], K), dtype).at[1:-1, :].set(Vr)
+    return EigenSolution(nodes, lams, vecs, res)
+
+
+def _shifted_problem(problem: Problem1D, lam: float) -> Problem1D:
+    """The enhancement's derived source problem: (L - lam) p = 0 with the
+    FEM eigenvector traces as Dirichlet pins."""
+    base_c = problem.c
+    return dataclasses.replace(
+        problem,
+        name=f"{problem.name}_eig_shift",
+        f=_zero,
+        c=lambda x: base_c(x) - lam,
+        g_left=0.0,
+        g_right=0.0,
+        f_shifted=None,
+        f_elem_factors=None,
+        f_colloc_factors=None,
+        f_translation=None,
+        exact=None,
+        exact_dx=None,
+    )
+
+
+def enhance_eigenpair(problem: Problem1D, nodes, lam: float, u_nodal,
+                      cfg: SolverConfig):
+    """Per-element LSSVR fit of the shifted homogeneous operator, traces
+    pinned to the FEM nodal eigenvector (reference constraint structure,
+    ``Hybrid-FEM-LSSVR.py:62-79``, with f = 0 and c -> c - lam)."""
+    shifted = _shifted_problem(problem, float(lam))
+    shared = prepare_shared_host(shifted, cfg)
+    x0, x1 = problem.domain
+    h = (x1 - x0) / (cfg.num_nodes - 1)
+    geom = (x0, h) if shifted.constant_coeffs else None
+    return lssvr_enhance(shifted, nodes, u_nodal, cfg,
+                         shared_ops=shared, uniform_geom=geom)
+
+
+def _quadrature_forms(problem: Problem1D, nodes, coeffs, cfg: SolverConfig):
+    """(int a p'^2 + c p^2, int p^2) over the piecewise polynomial, by
+    per-element Gauss quadrature exact for the polynomial terms (degree
+    2M-2 -> M+1 points; coefficient variation is smooth)."""
+    dtype = coeffs.dtype
+    q = cfg.M + 2
+    tq, wq = np.polynomial.legendre.leggauss(q)
+    t = jnp.asarray(tq, dtype)
+    w = jnp.asarray(wq, dtype)
+    V0, V1 = legendre.legendre_vandermonde(t, cfg.M, num_derivs=1)
+    xl, xr = nodes[:-1], nodes[1:]
+    h = (xr - xl)[:, None]  # [E, 1]
+    xq = 0.5 * (xl + xr)[:, None] + 0.5 * h * t[None, :]  # [E, Q]
+    P = coeffs @ V0.T  # [E, Q]
+    dP = (coeffs @ V1.T) * (2.0 / h)
+    a = problem.a(xq) * jnp.ones_like(xq)
+    c = problem.c(xq) * jnp.ones_like(xq)
+    dx = 0.5 * h * w[None, :]
+    num = jnp.sum(dx * (a * dP**2 + c * P**2))
+    den = jnp.sum(dx * P**2)
+    return num, den
+
+
+def rayleigh_quotient(problem: Problem1D, nodes, coeffs, cfg: SolverConfig):
+    """lambda* — the quotient's error is quadratic in the eigenfunction
+    error, which is what buys the enhanced eigenvalues their floor."""
+    num, den = _quadrature_forms(problem, nodes, coeffs, cfg)
+    return num / den
+
+
+def hybrid_eigensolve(problem: Problem1D, cfg: SolverConfig,
+                      ecfg: EigenConfig = EigenConfig()
+                      ) -> HybridEigenSolution:
+    """FEM eigensolve, then per-pair enhancement with Rayleigh-quotient
+    eigenvalue refinement.
+
+    Each round enhances with the current lambda estimate (a host float —
+    it enters the setup-time shared-operator precompute) and re-reads
+    lambda from the enhanced polynomial's quotient; the quotient error is
+    quadratic in the eigenfunction error, so one round already drops far
+    below the FEM dispersion floor and ``rq_iters=2`` is saturated.
+    """
+    fem = fem_eigensolve(problem, cfg, ecfg)
+    coeffs_all, lams, oks = [], [], []
+    for j in range(ecfg.k):
+        lam = float(fem.lams[j])
+        u = fem.vectors[:, j]
+        coeffs, diags = None, None
+        for _ in range(max(1, ecfg.rq_iters)):
+            coeffs, diags = enhance_eigenpair(problem, fem.nodes, lam, u,
+                                              cfg)
+            lam = float(rayleigh_quotient(problem, fem.nodes, coeffs, cfg))
+        # Output convention: unit CONTINUOUS L2 norm (the discrete
+        # M-normalisation of the nodal vector carries an O(h^2) amplitude
+        # factor that would otherwise dominate the pointwise error of the
+        # enhanced polynomial).
+        _, den = _quadrature_forms(problem, fem.nodes, coeffs, cfg)
+        coeffs_all.append(coeffs / jnp.sqrt(den))
+        lams.append(lam)
+        oks.append(diags.solve_ok)
+    return HybridEigenSolution(
+        fem,
+        jnp.stack(coeffs_all),
+        jnp.asarray(lams, fem.lams.dtype),
+        jnp.stack(oks),
+    )
+
+
+def evaluate_eigenfunction(sol: HybridEigenSolution, j: int, x):
+    """Enhanced eigenfunction j at query points x (clamped read path, same
+    semantics as the source-problem evaluator)."""
+    from ..ops import eval as ev
+
+    return ev.evaluate(sol.fem.nodes, sol.coeffs[j], x)
+
+
+def exact_eigenvalues(problem: Problem1D, k: int, c0: float = 0.0):
+    """(j pi / L)^2 + c0 for the constant-coefficient pencil — the test
+    oracle for poisson/helmholtz-type problems."""
+    x0, x1 = problem.domain
+    L = x1 - x0
+    j = np.arange(1, k + 1)
+    return (j * np.pi / L) ** 2 + c0
