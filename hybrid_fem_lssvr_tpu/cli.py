@@ -542,19 +542,35 @@ def cmd_eig(args):
     if getattr(args, "x64", False):
         jax.config.update("jax_enable_x64", True)
     em = M.MetricsEmitter()
-    problem = problems.get(args.problem)
-    cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
-                       gamma=args.gamma, dtype=args.dtype)
     ecfg = EIG.EigenConfig(k=args.k, iters=args.iters, mass=args.mass,
                            rq_iters=args.rq_iters)
     rec = {}
-    with profiling.timed(rec, "solve_sec"):
-        sol = EIG.hybrid_eigensolve(problem, cfg, ecfg)
-        jax.block_until_ready(sol.coeffs)
+    if args.dim == 2:
+        name = ("poisson_2d" if args.problem == "poisson_1d"
+                else args.problem)  # dim-appropriate default
+        problem = get_problem_2d(name)
+        cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=args.M2,
+                             gamma=args.gamma, dtype=args.dtype)
+        with profiling.timed(rec, "solve_sec"):
+            sol = EIG.hybrid_eigensolve_2d(problem, cfg, ecfg)
+            jax.block_until_ready(sol.coeffs)
+        elements = cfg.nx * cfg.ny
+        exact = EIG.exact_eigenvalues_2d(problem, args.k)
+    else:
+        problem = problems.get(args.problem)
+        cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
+                           gamma=args.gamma, dtype=args.dtype)
+        with profiling.timed(rec, "solve_sec"):
+            sol = EIG.hybrid_eigensolve(problem, cfg, ecfg)
+            jax.block_until_ready(sol.coeffs)
+        elements = cfg.num_nodes - 1
+        exact = (None if args.exact_c0 is None
+                 else EIG.exact_eigenvalues(problem, args.k,
+                                            c0=args.exact_c0))
     fields = dict(
         problem=problem.name,
-        elements=cfg.num_nodes - 1,
-        M=cfg.M,
+        dim=args.dim,
+        elements=elements,
         k=args.k,
         mass=args.mass,
         solve_sec=rec["solve_sec"],
@@ -563,12 +579,11 @@ def cmd_eig(args):
         max_residual=float(jnp.max(sol.fem.residuals)),
         n_fallback=int(jnp.sum(~jnp.asarray(sol.solve_ok))),
     )
-    if args.exact_c0 is not None:
-        ex = EIG.exact_eigenvalues(problem, args.k, c0=args.exact_c0)
+    if exact is not None:
         fields["fem_lam_err"] = [
-            float(v) for v in np.abs(np.asarray(sol.fem.lams) - ex)]
+            float(v) for v in np.abs(np.asarray(sol.fem.lams) - exact)]
         fields["enhanced_lam_err"] = [
-            float(v) for v in np.abs(np.asarray(sol.lams) - ex)]
+            float(v) for v in np.abs(np.asarray(sol.lams) - exact)]
     em.emit("eigensolve", **fields)
 
 
@@ -1147,8 +1162,13 @@ def build_parser():
         help="Sturm-Liouville eigenpairs (FEM pencil + enhanced "
         "Rayleigh-quotient eigenvalues)")
     sp.add_argument("--problem", default="poisson_1d")
+    sp.add_argument("--dim", type=int, default=1, choices=[1, 2])
     sp.add_argument("--num-nodes", type=int, default=33)
+    sp.add_argument("--nx", type=int, default=16)
+    sp.add_argument("--ny", type=int, default=16)
     sp.add_argument("--M", type=int, default=8)
+    sp.add_argument("--M2", type=int, default=6,
+                    help="per-dimension basis size for --dim 2")
     sp.add_argument("--gamma", type=float, default=1e4)
     sp.add_argument("--k", type=int, default=4)
     sp.add_argument("--iters", type=int, default=40)

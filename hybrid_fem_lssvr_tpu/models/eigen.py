@@ -60,6 +60,12 @@ class EigenConfig:
     mass: str = "consistent"  # 'consistent' | 'numerov'
     rq_iters: int = 2  # enhancement <-> Rayleigh-quotient rounds
     oversample: int = 2  # extra subspace vectors (guard the K-th pair)
+    # 2D/3D: tangential-interpolation stencil width for the element-edge
+    # trace lift (>= 2; 0 disables and keeps the O(h^2) bilinear trace).
+    # Lifting is what lets the enhanced quotient beat the FEM dispersion
+    # floor in 2D — it is only valid because eigenvector NODAL values are
+    # high-order (exact on tensor pencils), unlike source-problem solves.
+    trace_lift: int = 6
 
     def __post_init__(self):
         if self.k < 1:
@@ -321,3 +327,301 @@ def exact_eigenvalues(problem: Problem1D, k: int, c0: float = 0.0):
     L = x1 - x0
     j = np.arange(1, k + 1)
     return (j * np.pi / L) ** 2 + c0
+
+
+# ---------------------------------------------------------------------------
+# 2D: -a0 Lap(u) + c u = lambda u on the rectangle, all-Dirichlet.
+#
+# The reaction term shifts the pencil EXACTLY (A(c) = A(0) + c Mass), so the
+# iteration always runs on the SPD a0-Laplacian pencil and adds c afterwards
+# — Helmholtz (c < 0) costs nothing extra and CG stays applicable.
+# ---------------------------------------------------------------------------
+
+
+class EigenSolution2D(NamedTuple):
+    xs: jnp.ndarray  # [nx+1]
+    ys: jnp.ndarray  # [ny+1]
+    lams: jnp.ndarray  # [K] ascending (includes the +c shift)
+    vectors: jnp.ndarray  # [K, ny+1, nx+1] Mass-orthonormal nodal grids
+    residuals: jnp.ndarray  # [K] ||A v - mu M v||_inf of the SPD pencil
+
+
+class HybridEigenSolution2D(NamedTuple):
+    fem: EigenSolution2D
+    coeffs: jnp.ndarray  # [K, ny, nx, M, M]
+    lams: jnp.ndarray  # [K] enhanced (Rayleigh-quotient) eigenvalues
+    solve_ok: jnp.ndarray  # [K, ny, nx]
+
+
+def _check_2d_eligible(p):
+    if any(t != "dirichlet" for t in p.bc_edges):
+        raise NotImplementedError(
+            "2D eigensolver requires all-Dirichlet edges")
+    if p.b != (0.0, 0.0):
+        raise NotImplementedError(
+            "2D eigensolver requires b == 0 (symmetric pencil)")
+    if p.a_var is not None:
+        raise NotImplementedError(
+            "2D eigensolver requires constant diffusion")
+
+
+def _mode_table(p, Ks: int):
+    """First Ks tensor modes (i, j) of the a0-Laplacian, ascending."""
+    x0, x1, y0, y1 = p.domain
+    Lx, Ly = x1 - x0, y1 - y0
+    cand = [(p.a0 * np.pi**2 * (i**2 / Lx**2 + j**2 / Ly**2), i, j)
+            for i in range(1, Ks + 2) for j in range(1, Ks + 2)]
+    cand.sort()
+    return cand[:Ks], (x0, Lx, y0, Ly)
+
+
+def fem_eigensolve_2d(problem, cfg, ecfg: EigenConfig = EigenConfig()
+                      ) -> EigenSolution2D:
+    """K smallest eigenpairs of the Q1 (or tensor-Numerov) pencil on the
+    structured grid: inverse subspace iteration with an MG-CG (or
+    Jacobi-CG) inner solve, scan over subspace columns, host
+    Rayleigh–Ritz."""
+    from ..ops import assembly2d, cg, multigrid
+
+    _check_2d_eligible(problem)
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1 = problem.domain
+    nx, ny = cfg.nx, cfg.ny
+    hx = float((x1 - x0) / nx)
+    hy = float((y1 - y0) / ny)
+    xs = jnp.linspace(x0, x1, nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, ny + 1, dtype=dtype)
+    if ecfg.mass == "numerov":
+        from .transient import _numerov_locals_2d
+
+        K_A_np, K_M_np = _numerov_locals_2d(hx, hy, problem.a0, 0.0)
+        K_A = jnp.asarray(K_A_np, dtype)
+        K_M = jnp.asarray(K_M_np, dtype)
+    else:
+        K_A = jnp.asarray(
+            assembly2d.q1_local_operator(hx, hy, problem.a0, 0.0, 0.0, 0.0),
+            dtype)
+        K_M = jnp.asarray(assembly2d.q1_local_mass(hx, hy), dtype)
+    interior = jnp.zeros((ny + 1, nx + 1), bool).at[1:-1, 1:-1].set(True)
+
+    def apply_free(v):
+        return jnp.where(interior,
+                         assembly2d.apply_stiffness(v * interior, K_A), 0.0)
+
+    def apply_mass(v):
+        return assembly2d.apply_stiffness(v, K_M)
+
+    mg_ok = nx % 2 == 0 and ny % 2 == 0 and min(nx, ny) >= 8
+    if mg_ok:
+        M_inv = multigrid.make_vcycle(ny + 1, nx + 1, K_A, dtype)
+    else:
+        M_inv = 1.0 / assembly2d.stiffness_diag((ny + 1, nx + 1), K_A,
+                                                dtype)
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    K = ecfg.k
+    Ks = K + ecfg.oversample
+    modes, (mx0, Lx, my0, Ly) = _mode_table(problem, Ks)
+    X, Y = jnp.meshgrid(xs, ys)
+    V0 = jnp.stack([
+        jnp.sin(i * jnp.pi * (X - mx0) / Lx)
+        * jnp.sin(j * jnp.pi * (Y - my0) / Ly)
+        for _, i, j in modes
+    ])  # [Ks, ny+1, nx+1]
+    V0 = V0 * interior[None]
+
+    def dotg(Af, Bf):
+        return jnp.einsum("kij,lij->kl", Af, Bf)
+
+    def orthonormalize(V):
+        MV = jax.vmap(apply_mass)(V)
+        G = dotg(V, MV)
+        L = jnp.linalg.cholesky(0.5 * (G + G.T))
+        Vf = V.reshape(Ks, -1)
+        Vf = jax.scipy.linalg.solve_triangular(L, Vf, lower=True)
+        return Vf.reshape(V.shape)
+
+    def col_solve(carry, v):
+        rhs = jnp.where(interior, apply_mass(v), 0.0)
+        res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=tol,
+                    maxiter=cfg.cg_maxiter)
+        return carry, res.x
+
+    def step(V, _):
+        _, W = jax.lax.scan(col_solve, 0, V)
+        return orthonormalize(W), None
+
+    @jax.jit
+    def _iterate(V):
+        V, _ = jax.lax.scan(step, orthonormalize(V), None,
+                            length=ecfg.iters)
+        AV = jax.vmap(apply_free)(V)
+        MV = jax.vmap(apply_mass)(V)
+        H = dotg(V, AV)
+        G = dotg(V, MV)
+        return V, 0.5 * (H + H.T), 0.5 * (G + G.T)
+
+    V, H, G = _iterate(V0)
+    Hn = np.asarray(H, np.float64)
+    Gn = np.asarray(G, np.float64)
+    Ln = np.linalg.cholesky(Gn)
+    Hs = np.linalg.solve(Ln, np.linalg.solve(Ln, Hn).T).T
+    w, S = np.linalg.eigh(0.5 * (Hs + Hs.T))
+    Q = np.linalg.solve(Ln.T, S)[:, :K]
+    mus = jnp.asarray(w[:K], dtype)
+    Vr = jnp.einsum("kij,kl->lij", V, jnp.asarray(Q, dtype))  # [K, ., .]
+    sign = jnp.where(Vr[:, 1, 1] >= 0, 1.0, -1.0).astype(dtype)
+    Vr = Vr * sign[:, None, None]
+    AV = jax.vmap(apply_free)(Vr)
+    MV = jax.vmap(lambda v: jnp.where(interior, apply_mass(v), 0.0))(Vr)
+    res = jnp.max(jnp.abs(AV - mus[:, None, None] * MV), axis=(1, 2))
+    lams = mus + jnp.asarray(problem.c, dtype)  # exact reaction shift
+    return EigenSolution2D(xs, ys, lams, Vr, res)
+
+
+def _lift_weights(n_nodes: int, t_pts, stencil: int = 6):
+    """Static Lagrange interpolation of grid-line nodal values to element
+    edge points: for element b, interpolate through ``stencil`` consecutive
+    nodes (one-sided near the boundary) at local coords t in [-1, 1].
+
+    Returns numpy (idx [n_el, stencil] node indices, w [n_el, P, stencil]).
+    The interpolation reproduces nodal values exactly (Lagrange), so
+    homogeneous Dirichlet lines lift to exactly zero with no special-casing.
+    """
+    n_el = n_nodes - 1
+    s = min(stencil, n_nodes)
+    starts = np.clip(np.arange(n_el) - (s - 1) // 2, 0, n_nodes - s)
+    idx = starts[:, None] + np.arange(s)[None, :]
+    t_pts = np.asarray(t_pts, np.float64)
+    w = np.empty((n_el, t_pts.shape[0], s))
+    nodes = np.arange(s, dtype=np.float64)
+    for b in range(n_el):
+        xi = (b - starts[b]) + 0.5 * (t_pts + 1.0)  # stencil-local coords
+        for j in range(s):
+            others = np.delete(nodes, j)
+            w[b, :, j] = np.prod(
+                (xi[:, None] - others[None, :]) / (nodes[j] - others),
+                axis=1)
+    return idx, w
+
+
+def _lifted_trace_2d(fem, M: int, nx: int, ny: int, stencil: int = 6):
+    """[E, 4M-4] element-edge trace values from HIGH-ORDER tangential
+    interpolation of the nodal grid along each edge's grid line — replaces
+    the O(h^2) bilinear trace that caps the 2D enhancement floor.  Valid
+    whenever the nodal values are themselves high-order (the eigen family:
+    exact sampled eigenvectors on the tensor pencil).
+
+    Row order matches ``hybrid2d._boundary_coords``: bottom M points
+    (ty=-1), top M, left tb[1:-1], right tb[1:-1].
+    """
+    dtype = fem.dtype
+    tb = np.linspace(-1.0, 1.0, M)
+    idxx, wxf = _lift_weights(nx + 1, tb, stencil)
+    idxy, wyi = _lift_weights(ny + 1, tb[1:-1], stencil)
+    wx = jnp.asarray(wxf, dtype)
+    wy = jnp.asarray(wyi, dtype)
+    Ux = fem[:, idxx]  # [ny+1, nx, S] tangential windows on each row
+    bottom = jnp.einsum("bmj,abj->abm", wx, Ux[:-1])  # rows 0..ny-1
+    top = jnp.einsum("bmj,abj->abm", wx, Ux[1:])
+    Uy = fem[idxy]  # [ny, S, nx+1] windows down each column
+    left = jnp.einsum("amj,ajb->abm", wy, Uy[:, :, :-1])
+    right = jnp.einsum("amj,ajb->abm", wy, Uy[:, :, 1:])
+    rows = jnp.concatenate([bottom, top, left, right], axis=-1)
+    return rows.reshape(ny * nx, 4 * M - 4)
+
+
+def _shifted_problem_2d(problem, lam: float):
+    zero2 = lambda x, y: jnp.zeros_like(x + y)  # noqa: E731
+    return dataclasses.replace(
+        problem,
+        name=f"{problem.name}_eig_shift",
+        f=zero2,
+        g=zero2,
+        c=problem.c - lam,
+        exact=None,
+        f_shifted=None,
+        f_elem_factors=None,
+        f_colloc_factors=None,
+    )
+
+
+def _quadrature_forms_2d(problem, xs, ys, coeffs, cfg):
+    """(int a0 |grad p|^2 + c p^2, int p^2) by tensor Gauss quadrature."""
+    dtype = coeffs.dtype
+    q = cfg.M + 2
+    tq, wq = np.polynomial.legendre.leggauss(q)
+    t = jnp.asarray(tq, dtype)
+    w = jnp.asarray(wq, dtype)
+    V0, V1 = legendre.legendre_vandermonde(t, cfg.M, num_derivs=1)
+    hx = float(xs[1] - xs[0])
+    hy = float(ys[1] - ys[0])
+    # coeffs: [ny, nx, M(ky), M(kx)]
+    P = jnp.einsum("abkl,qk,rl->abqr", coeffs, V0, V0)  # value at (tq_y q, tq_x r)
+    Px = jnp.einsum("abkl,qk,rl->abqr", coeffs, V0, V1) * (2.0 / hx)
+    Py = jnp.einsum("abkl,qk,rl->abqr", coeffs, V1, V0) * (2.0 / hy)
+    dA = (hx / 2.0) * (hy / 2.0) * (w[:, None] * w[None, :])
+    num = jnp.sum(dA[None, None] * (problem.a0 * (Px**2 + Py**2)
+                                    + problem.c * P**2))
+    den = jnp.sum(dA[None, None] * P**2)
+    return num, den
+
+
+def rayleigh_quotient_2d(problem, xs, ys, coeffs, cfg):
+    num, den = _quadrature_forms_2d(problem, xs, ys, coeffs, cfg)
+    return num / den
+
+
+def hybrid_eigensolve_2d(problem, cfg, ecfg: EigenConfig = EigenConfig()
+                         ) -> HybridEigenSolution2D:
+    """2D analog of ``hybrid_eigensolve``: FEM pencil eigenpairs, then
+    per-pair enhancement on the shifted operator c -> c - lambda with the
+    eigenvector grid as the trace data, eigenvalue re-read from the
+    enhanced polynomial's Rayleigh quotient."""
+    from .hybrid2d import enhance_2d, prepare_shared_2d
+
+    fem = fem_eigensolve_2d(problem, cfg, ecfg)
+    coeffs_all, lams, oks = [], [], []
+    for j in range(ecfg.k):
+        lam = float(fem.lams[j])
+        u = fem.vectors[j]
+        bc_rows = None
+        if ecfg.trace_lift >= 2:
+            bc_rows = _lifted_trace_2d(u, cfg.M, cfg.nx, cfg.ny,
+                                       stencil=ecfg.trace_lift)
+        coeffs, diags = None, None
+        for _ in range(max(1, ecfg.rq_iters)):
+            shifted = _shifted_problem_2d(problem, lam)
+            bundle = prepare_shared_2d(shifted, cfg)
+            coeffs, diags, _ = enhance_2d(shifted, cfg, fem.xs, fem.ys, u,
+                                          bundle, bc_rows_override=bc_rows)
+            lam = float(rayleigh_quotient_2d(problem, fem.xs, fem.ys,
+                                             coeffs, cfg))
+        _, den = _quadrature_forms_2d(problem, fem.xs, fem.ys, coeffs, cfg)
+        coeffs_all.append(coeffs / jnp.sqrt(den))
+        lams.append(lam)
+        oks.append(diags.solve_ok.reshape(cfg.ny, cfg.nx))
+    return HybridEigenSolution2D(
+        fem,
+        jnp.stack(coeffs_all),
+        jnp.asarray(lams, fem.lams.dtype),
+        jnp.stack(oks),
+    )
+
+
+def evaluate_eigenfunction_2d(sol: HybridEigenSolution2D, j: int, x, y):
+    from .hybrid2d import Solution2D, evaluate_2d
+
+    stub = Solution2D(
+        xs=sol.fem.xs, ys=sol.fem.ys, fem_values=sol.fem.vectors[j],
+        coeffs=sol.coeffs[j], cg_iters=None, cg_residual=None,
+        max_slack=None, bc_violation=None, solve_ok=sol.solve_ok[j])
+    return evaluate_2d(stub, x, y)
+
+
+def exact_eigenvalues_2d(problem, k: int):
+    """Sorted a0 pi^2 (i^2/Lx^2 + j^2/Ly^2) + c — the rectangle oracle."""
+    modes, _ = _mode_table(problem, k)
+    return np.array([m[0] for m in modes]) + problem.c

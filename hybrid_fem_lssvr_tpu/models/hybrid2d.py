@@ -1065,8 +1065,36 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
         fem_values = fem_values.astype(dtype)
     else:
         fem_values, cg_res = fem_solve_2d(problem, cfg, xs, ys)
+    coeffs, diags, cond = enhance_2d(problem, cfg, xs, ys, fem_values,
+                                     shared_bundle)
+    return Solution2D(
+        xs=xs, ys=ys, fem_values=fem_values, coeffs=coeffs,
+        cg_iters=cg_res.iters, cg_residual=cg_res.residual,
+        max_slack=diags.max_slack.reshape(cfg.ny, cfg.nx),
+        bc_violation=diags.bc_violation.reshape(cfg.ny, cfg.nx),
+        solve_ok=diags.solve_ok.reshape(cfg.ny, cfg.nx),
+        cond_estimate=cond,
+    )
+
+
+def enhance_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys, fem_values,
+               shared_bundle, bc_rows_override=None):
+    """Enhancement stage in isolation: per-element tensor-Legendre fit of
+    the operator against arbitrary nodal trace data (the second half of
+    ``hybrid_solve_2d``, reusable by the eigenvalue family where the trace
+    is a FEM eigenvector rather than a source-problem solve).
+
+    ``bc_rows_override``: [E, 4M-4] trace values replacing the FEM bilinear
+    edge trace (the eigen family's high-order lifted traces,
+    ``models/eigen.py::_lifted_trace_2d``); forces the XLA path.
+    """
+    shared, (t_int, bpts) = shared_bundle
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1 = problem.domain
+    hx = (x1 - x0) / cfg.nx
+    hy = (y1 - y0) / cfg.ny
     E = cfg.nx * cfg.ny
-    backend = cfg.backend
+    backend = cfg.backend if bc_rows_override is None else "xla"
     if backend == "auto":
         from ..ops import pallas_kernels as pk
 
@@ -1084,8 +1112,6 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
     if backend == "pallas":
         from ..ops import pallas_kernels as pk
 
-        hx = (x1 - x0) / cfg.nx
-        hy = (y1 - y0) / cfg.ny
         if problem.a_var is not None:
             sx, sy = 2.0 / hx, 2.0 / hy
             w, slack, bcv = pk.fused_enhance_varcoeff_2d(
@@ -1136,6 +1162,8 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
         f_rows, bc_rows, corners = _element_data_2d(
             problem, cfg, xs, ys, fem_values, t_int, bpts
         )
+        if bc_rows_override is not None:
+            bc_rows = bc_rows_override
         if problem.a_var is not None:
             # Per-element operators: sample the coefficient fields at each
             # element's collocation grid and assemble D_e from the shared
@@ -1157,15 +1185,9 @@ def hybrid_solve_2d(problem: Problem2D, cfg: Solver2DConfig,
     coeffs = jnp.where(
         ok[..., None, None], jnp.where(jnp.isfinite(coeffs), coeffs, 0.0), fb
     )
-    return Solution2D(
-        xs=xs, ys=ys, fem_values=fem_values, coeffs=coeffs,
-        cg_iters=cg_res.iters, cg_residual=cg_res.residual,
-        max_slack=diags.max_slack.reshape(cfg.ny, cfg.nx),
-        bc_violation=diags.bc_violation.reshape(cfg.ny, cfg.nx),
-        solve_ok=ok,
-        cond_estimate=(diags.cond_estimate if problem.a_var is not None
-                       else shared.cond),
-    )
+    cond = (diags.cond_estimate if problem.a_var is not None
+            else shared.cond)
+    return coeffs, diags, cond
 
 
 def evaluate_2d(sol: Solution2D, x: jnp.ndarray, y: jnp.ndarray):

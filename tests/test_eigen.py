@@ -144,6 +144,110 @@ def test_validation_rejects_advection_and_natural_bcs():
         eigen.fem_eigensolve(pn, cfg, EigenConfig(k=1))
 
 
+# --------------------------------------------------------------------------
+# 2D
+# --------------------------------------------------------------------------
+
+from hybrid_fem_lssvr_tpu.models.hybrid2d import (Solver2DConfig,  # noqa: E402
+                                                  helmholtz_2d, poisson_2d)
+
+
+def test_fem_eigenvalues_2d_orders():
+    p = poisson_2d()
+    errs = {}
+    for n in (8, 16):
+        for mass in ("consistent", "numerov"):
+            cfg = Solver2DConfig(nx=n, ny=n, M=6, dtype="float64")
+            sol = eigen.fem_eigensolve_2d(
+                p, cfg, EigenConfig(k=2, iters=12, mass=mass))
+            ex = eigen.exact_eigenvalues_2d(p, 2)
+            errs[(n, mass)] = np.abs(np.asarray(sol.lams) - ex)
+    oc = np.log2(errs[(8, "consistent")] / errs[(16, "consistent")])
+    on = np.log2(errs[(8, "numerov")] / errs[(16, "numerov")])
+    assert np.all(oc > 1.7) and np.all(oc < 2.3), oc
+    assert np.all(on > 3.6) and np.all(on < 4.4), on
+
+
+def test_enhanced_eigenvalues_2d_trace_lift_beats_fem_floor():
+    """With the high-order lifted trace the enhanced quotient lands 7+
+    orders below the FEM dispersion floor (degenerate pair included)."""
+    p = poisson_2d()
+    cfg = Solver2DConfig(nx=16, ny=16, M=6, dtype="float64")
+    sol = eigen.hybrid_eigensolve_2d(p, cfg, EigenConfig(k=4, iters=15))
+    ex = eigen.exact_eigenvalues_2d(p, 4)
+    fem_err = np.abs(np.asarray(sol.fem.lams) - ex)
+    enh_err = np.abs(np.asarray(sol.lams) - ex)
+    assert np.all(np.asarray(sol.solve_ok))
+    assert np.all(fem_err > 1e-2)
+    assert np.all(enh_err < 1e-6), enh_err
+    assert enh_err[0] < 1e-9, enh_err
+
+
+def test_enhanced_eigenvalues_2d_without_lift_stay_at_trace_floor():
+    """Control experiment: bilinear traces cap the quotient at O(h^2) —
+    documents WHY the lift exists."""
+    p = poisson_2d()
+    cfg = Solver2DConfig(nx=16, ny=16, M=6, dtype="float64")
+    sol = eigen.hybrid_eigensolve_2d(
+        p, cfg, EigenConfig(k=1, iters=15, trace_lift=0))
+    ex = eigen.exact_eigenvalues_2d(p, 1)
+    enh_err = np.abs(np.asarray(sol.lams) - ex)
+    assert enh_err[0] > 1e-4  # stuck at the bilinear-trace floor
+
+
+def test_helmholtz_2d_exact_reaction_shift():
+    """c < 0 shifts the pencil exactly (A(c) = A(0) + c Mass): the
+    iteration runs on the SPD Laplacian and the shift costs nothing."""
+    p = helmholtz_2d()
+    assert p.c < 0
+    cfg = Solver2DConfig(nx=16, ny=16, M=6, dtype="float64")
+    sol = eigen.hybrid_eigensolve_2d(p, cfg, EigenConfig(k=2, iters=15))
+    ex = eigen.exact_eigenvalues_2d(p, 2)
+    assert np.all(np.abs(np.asarray(sol.lams) - ex) < 1e-6)
+
+
+def test_enhanced_eigenfunction_2d_beats_q1_interpolant():
+    p = poisson_2d()
+    cfg = Solver2DConfig(nx=16, ny=16, M=6, dtype="float64")
+    sol = eigen.hybrid_eigensolve_2d(p, cfg, EigenConfig(k=1, iters=15))
+    rng = np.random.default_rng(7)
+    xq = jnp.asarray(rng.uniform(-1, 1, 1500))
+    yq = jnp.asarray(rng.uniform(-1, 1, 1500))
+    u = np.asarray(eigen.evaluate_eigenfunction_2d(sol, 0, xq, yq))
+    # ground state on (-1,1)^2, unit L2: sin(pi(x+1)/2) sin(pi(y+1)/2)
+    ue = (np.sin(np.pi * (np.asarray(xq) + 1) / 2)
+          * np.sin(np.pi * (np.asarray(yq) + 1) / 2))
+    assert np.max(np.abs(u - ue)) < 1e-5  # Q1 interpolant is ~1e-2
+
+
+def test_eigensolve_2d_rejects_nonsymmetric():
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import (
+        advection_diffusion_2d, robin_2d)
+    cfg = Solver2DConfig(nx=8, ny=8, M=6, dtype="float64")
+    with pytest.raises(NotImplementedError):
+        eigen.fem_eigensolve_2d(advection_diffusion_2d(), cfg,
+                                EigenConfig(k=1))
+    with pytest.raises(NotImplementedError):
+        eigen.fem_eigensolve_2d(robin_2d(), cfg, EigenConfig(k=1))
+
+
+def test_lift_weights_reproduce_polynomials():
+    """The lift is Lagrange: degree-(S-1) polynomial samples interpolate
+    exactly, including the one-sided boundary stencils."""
+    from hybrid_fem_lssvr_tpu.models.eigen import _lift_weights
+    n_nodes = 12
+    xs = np.linspace(0.0, 1.0, n_nodes)
+    h = xs[1] - xs[0]
+    poly = lambda x: 1.0 + x + x**2 - 2 * x**3 + 0.5 * x**4 + x**5  # noqa
+    vals = poly(xs)
+    t = np.linspace(-1.0, 1.0, 6)
+    idx, w = _lift_weights(n_nodes, t, stencil=6)
+    for b in range(n_nodes - 1):
+        x_pts = xs[b] + 0.5 * (t + 1.0) * h
+        got = w[b] @ vals[idx[b]]
+        assert np.max(np.abs(got - poly(x_pts))) < 1e-12
+
+
 def test_eigenconfig_validation():
     with pytest.raises(ValueError):
         EigenConfig(k=0)
