@@ -58,6 +58,8 @@ _FAST_TESTS = {
     "test_pallas.py::test_fused_varcoeff_matches_xla_lse_path",
     "test_pallas.py::test_fused_stacked_3d_matches_xla_path",
     "test_graded3d.py::test_reference_parts_identity_3d",
+    "test_eigen.py::test_enhanced_eigenvalues_hit_f64_floor",
+    "test_eigen.py::test_lift_weights_reproduce_polynomials",
 }
 
 
