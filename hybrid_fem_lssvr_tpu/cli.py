@@ -782,7 +782,9 @@ def cmd_run2d(args):
                          precond=getattr(args, "precond", "auto"),
                          fem_dtype=getattr(args, "fem_dtype", None),
                          varcoeff_method=getattr(args, "varcoeff_method",
-                                                 "sne"))
+                                                 "sne"),
+                         coarse=getattr(args, "coarse", "q1"),
+                         trace_lift=getattr(args, "trace_lift", 0))
     grading = getattr(args, "grading", 1.0)
     mesh = getattr(args, "mesh", "none")
     if grading != 1.0:
@@ -1229,6 +1231,14 @@ def build_parser():
                     help="power-law mesh grading exponent (1.0 = uniform; "
                     "> 1 clusters nodes toward the domain center; works "
                     "with --mesh none|slab)")
+    sp.add_argument("--coarse", default="q1", choices=["q1", "compact"],
+                    help="coarse scheme: Q1 weak form (O(h^2) nodal) or "
+                    "tensor-Numerov compact (O(h^4) nodal; constant "
+                    "coefficients, b=0, all-Dirichlet, uniform mesh)")
+    sp.add_argument("--trace-lift", type=int, default=0,
+                    help="tangential Lagrange lift stencil for element "
+                    "traces (0 = bilinear; 6 with --coarse compact gives "
+                    "an O(h^4) hybrid solution)")
     sp.set_defaults(fn=cmd_run2d)
 
     sp = sub.add_parser(

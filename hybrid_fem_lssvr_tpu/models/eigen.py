@@ -481,56 +481,9 @@ def fem_eigensolve_2d(problem, cfg, ecfg: EigenConfig = EigenConfig()
     return EigenSolution2D(xs, ys, lams, Vr, res)
 
 
-def _lift_weights(n_nodes: int, t_pts, stencil: int = 6):
-    """Static Lagrange interpolation of grid-line nodal values to element
-    edge points: for element b, interpolate through ``stencil`` consecutive
-    nodes (one-sided near the boundary) at local coords t in [-1, 1].
-
-    Returns numpy (idx [n_el, stencil] node indices, w [n_el, P, stencil]).
-    The interpolation reproduces nodal values exactly (Lagrange), so
-    homogeneous Dirichlet lines lift to exactly zero with no special-casing.
-    """
-    n_el = n_nodes - 1
-    s = min(stencil, n_nodes)
-    starts = np.clip(np.arange(n_el) - (s - 1) // 2, 0, n_nodes - s)
-    idx = starts[:, None] + np.arange(s)[None, :]
-    t_pts = np.asarray(t_pts, np.float64)
-    w = np.empty((n_el, t_pts.shape[0], s))
-    nodes = np.arange(s, dtype=np.float64)
-    for b in range(n_el):
-        xi = (b - starts[b]) + 0.5 * (t_pts + 1.0)  # stencil-local coords
-        for j in range(s):
-            others = np.delete(nodes, j)
-            w[b, :, j] = np.prod(
-                (xi[:, None] - others[None, :]) / (nodes[j] - others),
-                axis=1)
-    return idx, w
-
-
-def _lifted_trace_2d(fem, M: int, nx: int, ny: int, stencil: int = 6):
-    """[E, 4M-4] element-edge trace values from HIGH-ORDER tangential
-    interpolation of the nodal grid along each edge's grid line — replaces
-    the O(h^2) bilinear trace that caps the 2D enhancement floor.  Valid
-    whenever the nodal values are themselves high-order (the eigen family:
-    exact sampled eigenvectors on the tensor pencil).
-
-    Row order matches ``hybrid2d._boundary_coords``: bottom M points
-    (ty=-1), top M, left tb[1:-1], right tb[1:-1].
-    """
-    dtype = fem.dtype
-    tb = np.linspace(-1.0, 1.0, M)
-    idxx, wxf = _lift_weights(nx + 1, tb, stencil)
-    idxy, wyi = _lift_weights(ny + 1, tb[1:-1], stencil)
-    wx = jnp.asarray(wxf, dtype)
-    wy = jnp.asarray(wyi, dtype)
-    Ux = fem[:, idxx]  # [ny+1, nx, S] tangential windows on each row
-    bottom = jnp.einsum("bmj,abj->abm", wx, Ux[:-1])  # rows 0..ny-1
-    top = jnp.einsum("bmj,abj->abm", wx, Ux[1:])
-    Uy = fem[idxy]  # [ny, S, nx+1] windows down each column
-    left = jnp.einsum("amj,ajb->abm", wy, Uy[:, :, :-1])
-    right = jnp.einsum("amj,ajb->abm", wy, Uy[:, :, 1:])
-    rows = jnp.concatenate([bottom, top, left, right], axis=-1)
-    return rows.reshape(ny * nx, 4 * M - 4)
+# _lift_weights / _lifted_trace_2d moved to models/hybrid2d.py (shared with
+# the steady coarse='compact' + trace_lift path); re-imported here.
+from .hybrid2d import _lifted_trace_2d  # noqa: E402
 
 
 def _shifted_problem_2d(problem, lam: float):

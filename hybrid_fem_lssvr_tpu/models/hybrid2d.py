@@ -404,10 +404,24 @@ class Solver2DConfig:
     fem_dtype: Optional[str] = None  # 'float64' runs the coarse CG stage in
     # (TPU-emulated) f64 — all MG/CG ops are elementwise so this works on
     # TPU (requires jax_enable_x64); same kappa-growth rationale as 1D
+    coarse: str = "q1"  # 'q1' (O(h^2) nodal) | 'compact' (tensor-Numerov
+    # 9-point scheme A u = M f_nodal, O(h^4) nodal — requires uniform mesh,
+    # constant diffusion, b == 0, all-Dirichlet edges; the steady analog of
+    # TransientConfig.mass='numerov')
+    trace_lift: int = 0  # 0: bilinear FEM element trace (O(h^2) — the
+    # enhancement floor of the q1 coarse).  >= 2: tangential Lagrange
+    # interpolation of nodal grid lines with this stencil width (6 typical)
+    # — with coarse='compact' the O(h^4) nodal values carry through to an
+    # O(h^4) hybrid solution (same lift as the eigen family's
+    # ``_lifted_trace_2d``; forces the XLA enhancement backend)
 
     def __post_init__(self):
         if self.formulation not in ("primal", "dual"):
             raise ValueError(f"unknown formulation: {self.formulation!r}")
+        if self.coarse not in ("q1", "compact"):
+            raise ValueError(f"unknown coarse scheme: {self.coarse!r}")
+        if self.trace_lift == 1 or self.trace_lift < 0:
+            raise ValueError("trace_lift must be 0 or >= 2")
 
     def jnp_dtype(self):
         if self.dtype is not None:
@@ -439,6 +453,64 @@ def _boundary_coords(M: int):
     pts += [(ty, -1.0) for ty in tb[1:-1]]  # left edge sans corners
     pts += [(ty, 1.0) for ty in tb[1:-1]]  # right edge sans corners
     return np.array(pts)  # [4M-4, 2]
+
+
+def _lift_weights(n_nodes: int, t_pts, stencil: int = 6):
+    """Static Lagrange interpolation of grid-line nodal values to element
+    edge points: for element b, interpolate through ``stencil`` consecutive
+    nodes (one-sided near the boundary) at local coords t in [-1, 1].
+
+    Returns numpy (idx [n_el, stencil] node indices, w [n_el, P, stencil]).
+    The interpolation reproduces nodal values exactly (Lagrange), so
+    homogeneous Dirichlet lines lift to exactly zero with no special-casing.
+    """
+    n_el = n_nodes - 1
+    s = min(stencil, n_nodes)
+    starts = np.clip(np.arange(n_el) - (s - 1) // 2, 0, n_nodes - s)
+    idx = starts[:, None] + np.arange(s)[None, :]
+    t_pts = np.asarray(t_pts, np.float64)
+    w = np.empty((n_el, t_pts.shape[0], s))
+    nodes = np.arange(s, dtype=np.float64)
+    for b in range(n_el):
+        xi = (b - starts[b]) + 0.5 * (t_pts + 1.0)  # stencil-local coords
+        for j in range(s):
+            others = np.delete(nodes, j)
+            w[b, :, j] = np.prod(
+                (xi[:, None] - others[None, :]) / (nodes[j] - others),
+                axis=1)
+    return idx, w
+
+
+def _lifted_trace_2d(fem, M: int, nx: int, ny: int, stencil: int = 6):
+    """[E, 4M-4] element-edge trace values from HIGH-ORDER tangential
+    interpolation of the nodal grid along each edge's grid line — replaces
+    the O(h^2) bilinear trace that caps the 2D enhancement floor.  Valid
+    whenever the nodal values are themselves high-order: the eigen family
+    (exact sampled eigenvectors on the tensor pencil) and the steady
+    ``coarse='compact'`` scheme (O(h^4) nodal).
+
+    Row order matches ``_boundary_coords``: bottom M points (ty=-1), top M,
+    left tb[1:-1], right tb[1:-1].
+    """
+    dtype = fem.dtype
+    tb = np.linspace(-1.0, 1.0, M)
+    idxx, wxf = _lift_weights(nx + 1, tb, stencil)
+    idxy, wyi = _lift_weights(ny + 1, tb[1:-1], stencil)
+    wx = jnp.asarray(wxf, dtype)
+    wy = jnp.asarray(wyi, dtype)
+    # HIGHEST: these contractions hit the MXU on TPU, and the default bf16
+    # passes would put a ~4e-4 relative error straight onto the trace —
+    # swamping the O(h^4) nodal accuracy the lift exists to preserve
+    # (measured: 3.3e-3 vs 8.6e-6 hybrid Linf at 32^2 f32).
+    hi = jax.lax.Precision.HIGHEST
+    Ux = fem[:, idxx]  # [ny+1, nx, S] tangential windows on each row
+    bottom = jnp.einsum("bmj,abj->abm", wx, Ux[:-1], precision=hi)
+    top = jnp.einsum("bmj,abj->abm", wx, Ux[1:], precision=hi)
+    Uy = fem[idxy]  # [ny, S, nx+1] windows down each column
+    left = jnp.einsum("amj,ajb->abm", wy, Uy[:, :, :-1], precision=hi)
+    right = jnp.einsum("amj,ajb->abm", wy, Uy[:, :, 1:], precision=hi)
+    rows = jnp.concatenate([bottom, top, left, right], axis=-1)
+    return rows.reshape(ny * nx, 4 * M - 4)
 
 
 class VarCoeff2DOperators(NamedTuple):
@@ -664,6 +736,27 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
     hy = float((problem.domain[3] - problem.domain[2]) / cfg.ny)
     bx, by = problem.b
     var = problem.a_var is not None
+    compact = cfg.coarse == "compact"
+    if compact:
+        if var:
+            raise ValueError(
+                "coarse='compact' needs constant diffusion (a_var is set); "
+                "use coarse='q1'")
+        if bx != 0.0 or by != 0.0:
+            raise ValueError("coarse='compact' requires b == (0, 0)")
+        if any(t != "dirichlet" for t in problem.bc_edges):
+            raise ValueError(
+                "coarse='compact' requires all-Dirichlet edges (the "
+                "Numerov rhs weighting assumes value-pinned boundaries)")
+
+    def _local_op_np(hx_, hy_, c_):
+        """Shared local 4x4 at spacing (hx_, hy_) — Q1 weak form, or the
+        tensor-Numerov compact operator (same 9-point sparsity, so the
+        whole matrix-free/MG machinery below is scheme-agnostic)."""
+        if compact:
+            return assembly2d.q1_numerov_locals(hx_, hy_, problem.a0, c_)[0]
+        return assembly2d.q1_local_operator(hx_, hy_, problem.a0, c_, bx, by)
+
     if var:
         # Per-element stiffness K_e = sum_q a(x_q) S_q; reaction/advection
         # terms stay shared (constant coefficients) and compose additively.
@@ -684,11 +777,7 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
                 y = y + assembly2d.apply_stiffness(v, K_const)
             return y
     else:
-        K_loc = jnp.asarray(
-            assembly2d.q1_local_operator(hx, hy, problem.a0, problem.c,
-                                         bx, by),
-            dtype,
-        )
+        K_loc = jnp.asarray(_local_op_np(hx, hy, problem.c), dtype)
 
         def apply_op(v):
             return assembly2d.apply_stiffness(v, K_loc)
@@ -696,7 +785,17 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
     # c < 0 (Helmholtz shifts eigenvalues down), so route those to BiCGStab.
     spd = bx == 0.0 and by == 0.0 and problem.c >= 0.0
 
-    b = assembly2d.assemble_load(xs, ys, problem.f)
+    if compact:
+        # Numerov-weighted load M f_nodal (nodal samples, not quadrature):
+        # the pair (A, M f) is what makes the scheme O(h^4).
+        K_M = jnp.asarray(
+            assembly2d.q1_numerov_locals(hx, hy, problem.a0, problem.c)[1],
+            dtype)
+        Xl, Yl = jnp.meshgrid(xs, ys)
+        F_nodes = problem.f(Xl, Yl) * jnp.ones_like(Xl)
+        b = assembly2d.apply_stiffness(F_nodes, K_M)
+    else:
+        b = assembly2d.assemble_load(xs, ys, problem.f)
     ny1, nx1 = ys.shape[0], xs.shape[0]
     bcs = problem.bc_edges
     mixed = any(t != "dirichlet" for t in bcs)
@@ -832,11 +931,7 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
             def loc_for_level_shifted(lvl):
                 s = float(2 ** lvl)
                 return jnp.asarray(
-                    assembly2d.q1_local_operator(
-                        hx * s, hy * s, problem.a0, abs(problem.c), bx, by
-                    ),
-                    dtype,
-                )
+                    _local_op_np(hx * s, hy * s, abs(problem.c)), dtype)
 
             M_inv = multigrid.make_vcycle(
                 ny1, nx1, loc_for_level_shifted(0), dtype,
@@ -861,11 +956,7 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
             def loc_for_level(lvl):
                 s = float(2 ** lvl)
                 return jnp.asarray(
-                    assembly2d.q1_local_operator(
-                        hx * s, hy * s, problem.a0, problem.c, bx, by
-                    ),
-                    dtype,
-                )
+                    _local_op_np(hx * s, hy * s, problem.c), dtype)
 
             M_inv = multigrid.make_vcycle(ny1, nx1, K_loc, dtype,
                                           loc_for_level=loc_for_level)
@@ -899,7 +990,8 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
 
 
 def _element_data_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys,
-                     fem_values, t_int, bpts, row_offset=0, col_offset=0):
+                     fem_values, t_int, bpts, row_offset=0, col_offset=0,
+                     trace_lift: int = 0):
     """Per-element collocation rhs [E, C^2] (interior points) and
     boundary-trace values [E, 4M-4] (FEM bilinear trace, overridden by g on
     domain-boundary edges).
@@ -908,6 +1000,11 @@ def _element_data_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys,
     ``row_offset`` is the slab's global first element row (possibly traced),
     used for the domain-boundary masks.  ``col_offset`` likewise for 2-axis
     block sharding (``parallel.sharded2d.make_sharded_solve_2d_grid``).
+
+    ``trace_lift >= 2`` replaces the bilinear trace with the tangential
+    Lagrange lift (``_lifted_trace_2d``; full-grid callers only — the lift
+    windows need whole grid lines, so sharded slabs keep the bilinear
+    trace).  Domain-boundary points still take g exactly.
     """
     dtype = xs.dtype
     C = cfg.n_colloc
@@ -936,10 +1033,15 @@ def _element_data_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys,
     N10 = 0.25 * (1 + tx) * (1 - ty)
     N01 = 0.25 * (1 - tx) * (1 + ty)
     N11 = 0.25 * (1 + tx) * (1 + ty)
-    trace = (
-        u00[..., None] * N00 + u10[..., None] * N10
-        + u01[..., None] * N01 + u11[..., None] * N11
-    )  # [ny, nx, K]
+    if trace_lift >= 2:
+        trace = _lifted_trace_2d(
+            fem_values, cfg.M, nx_loc, ny_loc, stencil=trace_lift
+        ).reshape(ny_loc, nx_loc, -1)  # [ny, nx, K] (bpts order)
+    else:
+        trace = (
+            u00[..., None] * N00 + u10[..., None] * N10
+            + u01[..., None] * N01 + u11[..., None] * N11
+        )  # [ny, nx, K]
 
     # Domain-boundary override: boundary points on edges of boundary elements
     # take g(x, y) exactly (reference ``:67-79`` semantics, masked).
@@ -1094,7 +1196,12 @@ def enhance_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys, fem_values,
     hx = (x1 - x0) / cfg.nx
     hy = (y1 - y0) / cfg.ny
     E = cfg.nx * cfg.ny
-    backend = cfg.backend if bc_rows_override is None else "xla"
+    # Lifted traces (explicit override, or cfg.trace_lift) are computed on
+    # the host-XLA path; the fused Pallas kernels build the bilinear trace
+    # in-kernel.
+    use_lift = bc_rows_override is None and cfg.trace_lift >= 2
+    backend = (cfg.backend
+               if bc_rows_override is None and not use_lift else "xla")
     if backend == "auto":
         from ..ops import pallas_kernels as pk
 
@@ -1160,7 +1267,8 @@ def enhance_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys, fem_values,
             )
     else:
         f_rows, bc_rows, corners = _element_data_2d(
-            problem, cfg, xs, ys, fem_values, t_int, bpts
+            problem, cfg, xs, ys, fem_values, t_int, bpts,
+            trace_lift=cfg.trace_lift if use_lift else 0,
         )
         if bc_rows_override is not None:
             bc_rows = bc_rows_override

@@ -397,16 +397,11 @@ class TransientSolution2D(NamedTuple):
 
 
 def _numerov_locals_2d(hx, hy, a0, c):
-    """Tensor Numerov local 4x4s: the Q1 local operator IS
-    kron(y-part, x-part) (verified against q1_local_operator), so the 1D
-    Numerov mass (h/12)·[[5,1],[1,5]] tensorises directly; per-axis
-    symbol kx^2/mu(kx) + ky^2/mu(ky) = kx^2 + ky^2 + O(h^4)."""
-    K1 = lambda h: (1.0 / h) * np.array([[1.0, -1.0], [-1.0, 1.0]])  # noqa: E731,E501
-    M1n = lambda h: (h / 12.0) * np.array([[5.0, 1.0], [1.0, 5.0]])  # noqa: E731,E501
-    K_M = np.kron(M1n(hy), M1n(hx))
-    K_A = (a0 * (np.kron(M1n(hy), K1(hx)) + np.kron(K1(hy), M1n(hx)))
-           + c * K_M)
-    return K_A, K_M
+    """Tensor Numerov local 4x4s — shared with the steady coarse='compact'
+    option; see ``ops.assembly2d.q1_numerov_locals``."""
+    from ..ops.assembly2d import q1_numerov_locals
+
+    return q1_numerov_locals(hx, hy, a0, c)
 
 
 def _fem_march_pieces_2d(p, cfg, tcfg):

@@ -100,6 +100,22 @@ def q1_local_operator(hx: float, hy: float, a0: float = 1.0, c: float = 0.0,
     return A
 
 
+def q1_numerov_locals(hx: float, hy: float, a0: float = 1.0, c: float = 0.0):
+    """Tensor-Numerov local 4x4s (K_A, K_M) for -a0 Lap u + c u on a uniform
+    grid: the Q1 local operator is kron(y-part, x-part), so the 1D Numerov
+    mass (h/12)·[[5,1],[1,5]] tensorises directly.  The assembled pair gives
+    the compact O(h^4) scheme A u = M f_nodal (per-axis symbol
+    kx^2/mu(kx) + ky^2/mu(ky) = kx^2 + ky^2 + O(h^4)); shared by the
+    transient marches (``models/transient.py``) and the steady
+    ``coarse='compact'`` option (``models/hybrid2d.py``)."""
+    K1 = lambda h: (1.0 / h) * np.array([[1.0, -1.0], [-1.0, 1.0]])  # noqa: E731,E501
+    M1n = lambda h: (h / 12.0) * np.array([[5.0, 1.0], [1.0, 5.0]])  # noqa: E731,E501
+    K_M = np.kron(M1n(hy), M1n(hx))
+    K_A = (a0 * (np.kron(M1n(hy), K1(hx)) + np.kron(K1(hy), M1n(hx)))
+           + c * K_M)
+    return K_A, K_M
+
+
 @functools.lru_cache(maxsize=None)
 def q1_varcoeff_parts(hx: float, hy: float, quad_order: int = 2):
     """Per-quadrature-point gradient-product matrices for variable-

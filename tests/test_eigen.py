@@ -234,7 +234,7 @@ def test_eigensolve_2d_rejects_nonsymmetric():
 def test_lift_weights_reproduce_polynomials():
     """The lift is Lagrange: degree-(S-1) polynomial samples interpolate
     exactly, including the one-sided boundary stencils."""
-    from hybrid_fem_lssvr_tpu.models.eigen import _lift_weights
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import _lift_weights
     n_nodes = 12
     xs = np.linspace(0.0, 1.0, n_nodes)
     h = xs[1] - xs[0]
