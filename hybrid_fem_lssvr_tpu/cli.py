@@ -975,7 +975,9 @@ def cmd_run3d(args):
     cfg = Solver3DConfig(nx=args.nx, ny=args.ny, nz=args.nz, M=args.M,
                          n_colloc=args.M, dtype=args.dtype,
                          precond=getattr(args, "precond", "auto"),
-                         fem_dtype=getattr(args, "fem_dtype", None))
+                         fem_dtype=getattr(args, "fem_dtype", None),
+                         coarse=getattr(args, "coarse", "q1"),
+                         trace_lift=getattr(args, "trace_lift", 0))
     grading = getattr(args, "grading", 1.0)
     mesh = getattr(args, "mesh", "none")
     if grading != 1.0:
@@ -1274,6 +1276,14 @@ def build_parser():
                     "> 1 clusters nodes toward the domain center; works "
                     "with --mesh none|slab)")
     sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--coarse", default="q1", choices=["q1", "compact"],
+                    help="coarse scheme: Q1 weak form (O(h^2) nodal) or "
+                    "tensor-Numerov compact (O(h^4) nodal; constant "
+                    "coefficients, b=0, all-Dirichlet, uniform mesh)")
+    sp.add_argument("--trace-lift", type=int, default=0,
+                    help="tensor-Lagrange plane-lift stencil for element "
+                    "surface traces (0 = trilinear; 6 with --coarse "
+                    "compact gives an O(h^4) hybrid solution)")
     sp.set_defaults(fn=cmd_run3d)
     return p
 

@@ -324,10 +324,23 @@ class Solver3DConfig:
     dtype: Optional[str] = None
     fem_dtype: Optional[str] = None  # 'float64': coarse stage in
     # (TPU-emulated) f64 — elementwise/reduction ops only, TPU-legal
+    coarse: str = "q1"  # 'q1' (O(h^2) nodal) | 'compact' (tensor-Numerov
+    # 27-point scheme A u = M f_nodal, O(h^4) nodal — constant
+    # coefficients, b == 0, all-Dirichlet faces, uniform mesh; the 3D
+    # analog of Solver2DConfig.coarse)
+    trace_lift: int = 0  # 0: trilinear FEM element trace.  >= 2: tensor-
+    # Lagrange interpolation of each surface point's grid PLANE with this
+    # stencil width per axis (6 typical) — with coarse='compact' the
+    # O(h^4) nodal values carry to an O(h^4) hybrid solution (3D analog
+    # of the 2D ``trace_lift``; forces the XLA enhancement backend)
 
     def __post_init__(self):
         if self.formulation not in ("primal", "dual"):
             raise ValueError(f"unknown formulation: {self.formulation!r}")
+        if self.coarse not in ("q1", "compact"):
+            raise ValueError(f"unknown coarse scheme: {self.coarse!r}")
+        if self.trace_lift == 1 or self.trace_lift < 0:
+            raise ValueError("trace_lift must be 0 or >= 2")
 
     def jnp_dtype(self):
         if self.dtype is not None:
@@ -365,6 +378,73 @@ def _surface_coords(M: int):
                 if on_surf:
                     pts.append((tz, ty, tx))
     return np.array(pts)  # [M^3 - (M-2)^3, 3]
+
+
+def _surface_indices(M: int):
+    """(iz, iy, ix) integer indices of ``_surface_coords`` in the SAME
+    order (lexicographic over the M^3 tensor grid, surface points only)."""
+    idx = []
+    for iz in range(M):
+        for iy in range(M):
+            for ix in range(M):
+                if iz in (0, M - 1) or iy in (0, M - 1) or ix in (0, M - 1):
+                    idx.append((iz, iy, ix))
+    return idx
+
+
+def _lifted_trace_3d(fem, M: int, nx: int, ny: int, nz: int,
+                     stencil: int = 6):
+    """[E, S] element surface-trace values from tensor-Lagrange
+    interpolation of the nodal grid within each surface point's grid
+    PLANE — replaces the O(h^2) trilinear trace that caps the 3D
+    enhancement floor (the 3D lift of ``hybrid2d._lifted_trace_2d``;
+    valid whenever the nodal values are high-order, e.g. the
+    ``coarse='compact'`` scheme).
+
+    Every surface point of the M^3 tensor grid lies in at least one grid
+    plane of its element (z-faces first, then y-, then x- for shared
+    edge/corner points — all equally O(h^stencil)-consistent choices);
+    in-plane values come from two successive 1D lifts.  Row order matches
+    ``_surface_coords``.
+    """
+    from .hybrid2d import _lift_weights
+
+    dtype = fem.dtype
+    tb = np.linspace(-1.0, 1.0, M)
+    idxx, wx_np = _lift_weights(nx + 1, tb, stencil)
+    idxy, wy_np = _lift_weights(ny + 1, tb, stencil)
+    idxz, wz_np = _lift_weights(nz + 1, tb, stencil)
+    wx = jnp.asarray(wx_np, dtype)
+    wy = jnp.asarray(wy_np, dtype)
+    wz = jnp.asarray(wz_np, dtype)
+    # HIGHEST: bf16 MXU passes would put ~4e-4 on the trace (the 2D
+    # lesson, RESULTS.md compact section).
+    hi = jax.lax.Precision.HIGHEST
+    # x-lift: [nz+1, ny+1, nx+1] -> Ax [nz+1, ny+1, nx, Mx]
+    Ux = fem[:, :, idxx]
+    Ax = jnp.einsum("bmj,cabj->cabm", wx, Ux, precision=hi)
+    # y-lift of Ax -> Axy [nz+1, ny, nx, My, Mx] (z-face planes)
+    Uxy = Ax[:, idxy]  # [nz+1, ny, S, nx, Mx]
+    Axy = jnp.einsum("amj,cajbn->cabmn", wy, Uxy, precision=hi)
+    # z-lift of Ax -> Axz [nz, ny+1, nx, Mz, Mx] (y-face planes)
+    Uxz = Ax[idxz]  # [nz, S, ny+1, nx, Mx]
+    Axz = jnp.einsum("cmj,cjabn->cabmn", wz, Uxz, precision=hi)
+    # y-lift then z-lift of fem -> Ayz [nz, ny, nx+1, Mz, My] (x-faces)
+    Uy = fem[:, idxy]  # [nz+1, ny, S, nx+1]
+    Ay = jnp.einsum("amj,cajb->cabm", wy, Uy, precision=hi)
+    Uyz = Ay[idxz]  # [nz, S, ny, nx+1, My]
+    Ayz = jnp.einsum("cmj,cjabn->cabmn", wz, Uyz, precision=hi)
+    lo_hi = (slice(0, -1), slice(1, None))
+    cols = []
+    for iz, iy, ix in _surface_indices(M):
+        if iz in (0, M - 1):
+            cols.append(Axy[lo_hi[iz == M - 1], :, :, iy, ix])
+        elif iy in (0, M - 1):
+            cols.append(Axz[:, lo_hi[iy == M - 1], :, iz, ix])
+        else:
+            cols.append(Ayz[:, :, lo_hi[ix == M - 1], iz, iy])
+    rows = jnp.stack(cols, axis=-1)  # [nz, ny, nx, S]
+    return rows.reshape(nz * ny * nx, -1)
 
 
 class VarCoeff3DOperators(NamedTuple):
@@ -564,6 +644,29 @@ def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
     hz = float((problem.domain[5] - problem.domain[4]) / cfg.nz)
     bx, by, bz = problem.b
     var = problem.a_var is not None
+    compact = cfg.coarse == "compact"
+    if compact:
+        if var:
+            raise ValueError(
+                "coarse='compact' needs constant diffusion (a_var is "
+                "set); use coarse='q1'")
+        if bx != 0.0 or by != 0.0 or bz != 0.0:
+            raise ValueError("coarse='compact' requires b == (0, 0, 0)")
+        if any(t != "dirichlet" for t in problem.bc_faces):
+            raise ValueError(
+                "coarse='compact' requires all-Dirichlet faces (the "
+                "Numerov rhs weighting assumes value-pinned boundaries)")
+
+    def _local_op_np(hx_, hy_, hz_, c_):
+        """Shared local 8x8 at spacing (hx_, hy_, hz_) — Q1 weak form or
+        the tensor-Numerov compact operator (same 27-point sparsity, so
+        the matrix-free/MG machinery below is scheme-agnostic)."""
+        if compact:
+            return assembly3d.q1_numerov_locals_3d(
+                hx_, hy_, hz_, problem.a0, c_)[0]
+        return assembly3d.q1_local_operator_3d(
+            hx_, hy_, hz_, problem.a0, c_, bx, by, bz)
+
     if var:
         # Per-element stiffness K_e = sum_q a(x_q) S_q; constant
         # reaction/advection terms compose additively.
@@ -585,18 +688,26 @@ def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
                 y = y + assembly3d.apply_stiffness_3d(v, K_const)
             return y
     else:
-        K_loc = jnp.asarray(
-            assembly3d.q1_local_operator_3d(hx, hy, hz, problem.a0,
-                                            problem.c, bx, by, bz),
-            dtype,
-        )
+        K_loc = jnp.asarray(_local_op_np(hx, hy, hz, problem.c), dtype)
 
         def apply_op(v):
             return assembly3d.apply_stiffness_3d(v, K_loc)
 
     spd = bx == 0.0 and by == 0.0 and bz == 0.0 and problem.c >= 0.0
 
-    b = assembly3d.assemble_load_3d(xs, ys, zs, problem.f)
+    if compact:
+        # Numerov-weighted load M f_nodal (nodal samples, not quadrature)
+        # — the pair (A, M f) is what makes the scheme O(h^4).
+        K_M = jnp.asarray(
+            assembly3d.q1_numerov_locals_3d(hx, hy, hz, problem.a0,
+                                            problem.c)[1], dtype)
+        F_nodes = problem.f(xs[None, None, :], ys[None, :, None],
+                            zs[:, None, None])
+        F_nodes = F_nodes * jnp.ones(
+            (zs.shape[0], ys.shape[0], xs.shape[0]), dtype)
+        b = assembly3d.apply_stiffness_3d(F_nodes, K_M)
+    else:
+        b = assembly3d.assemble_load_3d(xs, ys, zs, problem.f)
     nz1, ny1, nx1 = zs.shape[0], ys.shape[0], xs.shape[0]
     bcs = problem.bc_faces
     mixed = any(t != "dirichlet" for t in bcs)
@@ -740,12 +851,7 @@ def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
             def loc_for_level(lvl):
                 s = float(2 ** lvl)
                 return jnp.asarray(
-                    assembly3d.q1_local_operator_3d(
-                        hx * s, hy * s, hz * s, problem.a0, c_eff,
-                        bx, by, bz
-                    ),
-                    dtype,
-                )
+                    _local_op_np(hx * s, hy * s, hz * s, c_eff), dtype)
 
             M_inv = multigrid.make_vcycle_3d(
                 nz1, ny1, nx1, loc_for_level(0), dtype,
@@ -784,7 +890,7 @@ def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
 
 def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
                      fem_values, t_int, spts, layer_offset=0,
-                     row_offset=0):
+                     row_offset=0, trace_lift: int = 0):
     """Per-element collocation rhs [E, C^3] and boundary-trace values
     [E, S]: the FEM trilinear trace at the surface points, overridden by g
     on domain-boundary faces (the 3D lift of ``_element_data_2d``).
@@ -793,7 +899,12 @@ def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
     ``layer_offset`` is then the slab's global first element layer
     (possibly traced), used for the domain-boundary face masks.  For
     2-axis (z, y) block sharding ``ys`` is likewise a local slice and
-    ``row_offset`` its global first element row."""
+    ``row_offset`` its global first element row.
+
+    ``trace_lift >= 2`` replaces the trilinear trace with the tensor-
+    Lagrange plane lift (``_lifted_trace_3d``; full-grid callers only —
+    the lift windows need whole grid planes, so sharded slabs keep the
+    trilinear trace).  Domain-boundary points still take g exactly."""
     dtype = xs.dtype
     C = cfg.n_colloc
     nx, ny = xs.shape[0] - 1, ys.shape[0] - 1
@@ -829,15 +940,20 @@ def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
     w1 = ((1 - txp), (1 + txp))
     w2 = ((1 - typ), (1 + typ))
     w3 = ((1 - tzp), (1 + tzp))
-    trace = 0.0
-    a = 0
-    for cz in range(2):
-        for cy in range(2):
-            for cx in range(2):
-                N = 0.125 * w3[cz] * w2[cy] * w1[cx]  # [S]
-                trace = trace + cs[a][..., None] * N
-                a += 1
-    # trace: [nz, ny, nx, S]
+    if trace_lift >= 2:
+        trace = _lifted_trace_3d(
+            fem_values, cfg.M, nx, ny, nz, stencil=trace_lift
+        ).reshape(nz, ny, nx, -1)  # [nz, ny, nx, S] (spts order)
+    else:
+        trace = 0.0
+        a = 0
+        for cz in range(2):
+            for cy in range(2):
+                for cx in range(2):
+                    N = 0.125 * w3[cz] * w2[cy] * w1[cx]  # [S]
+                    trace = trace + cs[a][..., None] * N
+                    a += 1
+        # trace: [nz, ny, nx, S]
 
     # Domain-boundary override: surface points on faces of boundary
     # elements take g exactly.
@@ -981,7 +1097,10 @@ def hybrid_solve_3d(problem: Problem3D, cfg: Solver3DConfig,
         fem_values, cg_res = fem_solve_3d(problem, cfg, xs, ys, zs)
 
     E = cfg.nx * cfg.ny * cfg.nz
-    backend = cfg.backend
+    # Lifted traces are computed on the host-XLA path; the fused Pallas
+    # kernel builds the trilinear trace in-kernel.
+    use_lift = cfg.trace_lift >= 2
+    backend = cfg.backend if not use_lift else "xla"
     if backend == "auto":
         from ..ops import pallas_kernels as pk
 
@@ -1018,7 +1137,8 @@ def hybrid_solve_3d(problem: Problem3D, cfg: Solver3DConfig,
             )
     else:
         f_rows, bc_rows, cs = _element_data_3d(
-            problem, cfg, xs, ys, zs, fem_values, t_int, spts
+            problem, cfg, xs, ys, zs, fem_values, t_int, spts,
+            trace_lift=cfg.trace_lift if use_lift else 0,
         )
         if problem.a_var is not None:
             # Per-element operators from the shared parts + batched

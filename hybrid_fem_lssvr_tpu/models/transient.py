@@ -677,9 +677,7 @@ def _locals_3d(hx, hy, hz, p, mass):
     (1,10,1)/12 mass tensorises like 2D."""
     from ..ops import assembly3d
 
-    k1 = lambda h: (1.0 / h) * np.array([[1.0, -1.0], [-1.0, 1.0]])  # noqa: E731,E501
     m1c = lambda h: (h / 6.0) * np.array([[2.0, 1.0], [1.0, 2.0]])  # noqa: E731,E501
-    m1n = lambda h: (h / 12.0) * np.array([[5.0, 1.0], [1.0, 5.0]])  # noqa: E731,E501
 
     def kron3(a, b, c):
         return np.kron(a, np.kron(b, c))
@@ -687,10 +685,7 @@ def _locals_3d(hx, hy, hz, p, mass):
     if mass == "numerov":
         if p.b != (0.0, 0.0, 0.0):
             raise NotImplementedError("numerov mass requires b == 0")
-        mz, my, mx = m1n(hz), m1n(hy), m1n(hx)
-        K_M = kron3(mz, my, mx)
-        K_A = p.a0 * (kron3(mz, my, k1(hx)) + kron3(mz, k1(hy), mx)
-                      + kron3(k1(hz), my, mx)) + p.c * K_M
+        K_A, K_M = assembly3d.q1_numerov_locals_3d(hx, hy, hz, p.a0, p.c)
     else:
         K_M = kron3(m1c(hz), m1c(hy), m1c(hx))
         K_A = np.asarray(assembly3d.q1_local_operator_3d(

@@ -67,6 +67,26 @@ def q1_local_operator_3d(hx: float, hy: float, hz: float, a0: float = 1.0,
     return K
 
 
+def q1_numerov_locals_3d(hx: float, hy: float, hz: float, a0: float = 1.0,
+                         c: float = 0.0):
+    """Tensor-Numerov local 8x8s (K_A, K_M) for -a0 Lap u + c u on a hex:
+    the 1D Numerov mass (h/12)·[[5,1],[1,5]] tensorises exactly like the
+    2D pair (``assembly2d.q1_numerov_locals``).  The assembled scheme
+    A u = M f_nodal is O(h^4) at the nodes; shared by the 3D transient
+    marches (``models/transient.py::_locals_3d``) and the steady
+    ``Solver3DConfig(coarse='compact')`` option."""
+    m1n = lambda h: (h / 12.0) * np.array([[5.0, 1.0], [1.0, 5.0]])  # noqa: E731,E501
+
+    def t3(Az, Ay, Ax):
+        return np.kron(Az, np.kron(Ay, Ax))
+
+    mz, my, mx = m1n(hz), m1n(hy), m1n(hx)
+    K_M = t3(mz, my, mx)
+    K_A = (a0 * (t3(mz, my, _k1(hx)) + t3(mz, _k1(hy), mx)
+                 + t3(_k1(hz), my, mx)) + c * K_M)
+    return K_A, K_M
+
+
 def _q1_shape_3d(xi, eta, zeta):
     """Q1 hex shape functions and reference-space gradients at one point,
     corner order a = 4cz + 2cy + cx (x fastest)."""
