@@ -504,30 +504,67 @@ def cmd_nonlinear(args):
     if getattr(args, "x64", False):
         jax.config.update("jax_enable_x64", True)
     em = M.MetricsEmitter()
-    problem = {"cubic_1d": NL.cubic_1d,
-               "bratu_1d": NL.bratu_1d}[args.problem]()
-    cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
-                       gamma=args.gamma, dtype=args.dtype)
     rec = {}
-    with profiling.timed(rec, "solve_sec"):
-        sol = NL.hybrid_solve_semilinear(problem, cfg,
-                                         scheme=args.scheme)
-        jax.block_until_ready(sol.coeffs)
+    if args.problem.endswith("_2d"):
+        problem = {"cubic_2d": NL.cubic_2d}[args.problem]()
+        cfg2 = Solver2DConfig(nx=args.nx, ny=args.ny, M=args.M2,
+                              n_colloc=args.M2, gamma=args.gamma,
+                              dtype=args.dtype)
+        with profiling.timed(rec, "solve_sec"):
+            sol = NL.hybrid_solve_semilinear_2d(problem, cfg2)
+            jax.block_until_ready(sol.coeffs)
+        elements, M_basis = cfg2.nx * cfg2.ny, cfg2.M
+    elif args.problem.endswith("_3d"):
+        from .models.hybrid3d import Solver3DConfig
+
+        problem = {"cubic_3d": NL.cubic_3d}[args.problem]()
+        cfg3 = Solver3DConfig(nx=args.nx, ny=args.ny, nz=args.nz,
+                              M=args.M3, n_colloc=args.M3,
+                              gamma=args.gamma, dtype=args.dtype)
+        with profiling.timed(rec, "solve_sec"):
+            sol = NL.hybrid_solve_semilinear_3d(problem, cfg3)
+            jax.block_until_ready(sol.coeffs)
+        elements, M_basis = cfg3.nx * cfg3.ny * cfg3.nz, cfg3.M
+    else:
+        problem = {"cubic_1d": NL.cubic_1d,
+                   "bratu_1d": NL.bratu_1d}[args.problem]()
+        cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
+                           gamma=args.gamma, dtype=args.dtype)
+        with profiling.timed(rec, "solve_sec"):
+            sol = NL.hybrid_solve_semilinear(problem, cfg,
+                                             scheme=args.scheme)
+            jax.block_until_ready(sol.coeffs)
+        elements, M_basis = cfg.num_nodes - 1, cfg.M
     fields = dict(
         problem=problem.name,
         scheme=args.scheme,
-        elements=cfg.num_nodes - 1,
-        M=cfg.M,
+        elements=elements,
+        M=M_basis,
         solve_sec=rec["solve_sec"],
         newton_residual=float(sol.newton_residuals[-1]),
         colloc_residual=float(sol.colloc_residual),
         n_fallback=int(jnp.sum(~jnp.asarray(sol.solve_ok))),
     )
     if problem.exact is not None:
-        x = jnp.linspace(problem.domain[0], problem.domain[1],
-                         args.eval_points, dtype=sol.fem_values.dtype)
-        u = NL.evaluate_semilinear(sol, x)
-        ue = problem.exact(x)
+        dt = sol.fem_values.dtype
+        if args.problem.endswith("_2d"):
+            q = jnp.linspace(problem.domain[0], problem.domain[1],
+                             args.eval_points, dtype=dt)
+            X, Y = jnp.meshgrid(q, q)
+            u = NL.evaluate_semilinear_2d(sol, X.ravel(), Y.ravel())
+            ue = problem.exact(X.ravel(), Y.ravel())
+        elif args.problem.endswith("_3d"):
+            q = jnp.linspace(problem.domain[0], problem.domain[1],
+                             min(args.eval_points, 33), dtype=dt)
+            X, Y, Z = jnp.meshgrid(q, q, q)
+            u = NL.evaluate_semilinear_3d(sol, X.ravel(), Y.ravel(),
+                                          Z.ravel())
+            ue = problem.exact(X.ravel(), Y.ravel(), Z.ravel())
+        else:
+            x = jnp.linspace(problem.domain[0], problem.domain[1],
+                             args.eval_points, dtype=dt)
+            u = NL.evaluate_semilinear(sol, x)
+            ue = problem.exact(x)
         fields["linf_error"] = float(M.linf_error(u, ue))
         fields["l2_error"] = float(M.l2_error(u, ue))
     em.emit("semilinear_solve", **fields)
@@ -545,7 +582,21 @@ def cmd_eig(args):
     ecfg = EIG.EigenConfig(k=args.k, iters=args.iters, mass=args.mass,
                            rq_iters=args.rq_iters)
     rec = {}
-    if args.dim == 2:
+    if args.dim == 3:
+        from .models.hybrid3d import Solver3DConfig, get_problem_3d
+
+        name = ("poisson_3d" if args.problem == "poisson_1d"
+                else args.problem)  # dim-appropriate default
+        problem = get_problem_3d(name)
+        cfg = Solver3DConfig(nx=args.nx, ny=args.ny, nz=args.nz,
+                             M=args.M3, n_colloc=args.M3,
+                             gamma=args.gamma, dtype=args.dtype)
+        with profiling.timed(rec, "solve_sec"):
+            sol = EIG.hybrid_eigensolve_3d(problem, cfg, ecfg)
+            jax.block_until_ready(sol.coeffs)
+        elements = cfg.nx * cfg.ny * cfg.nz
+        exact = EIG.exact_eigenvalues_3d(problem, args.k)
+    elif args.dim == 2:
         name = ("poisson_2d" if args.problem == "poisson_1d"
                 else args.problem)  # dim-appropriate default
         problem = get_problem_2d(name)
@@ -1145,11 +1196,20 @@ def build_parser():
 
     sp = sub.add_parser(
         "nonlinear",
-        help="semilinear elliptic -a0 u'' + s(u) = f (two-level Newton)")
+        help="semilinear elliptic -a0 Lap u + s(u) = f (two-level Newton; "
+        "1D/2D/3D by problem suffix)")
     sp.add_argument("--problem", default="cubic_1d",
-                    choices=["cubic_1d", "bratu_1d"])
+                    choices=["cubic_1d", "bratu_1d", "cubic_2d",
+                             "cubic_3d"])
     sp.add_argument("--num-nodes", type=int, default=33)
+    sp.add_argument("--nx", type=int, default=16)
+    sp.add_argument("--ny", type=int, default=16)
+    sp.add_argument("--nz", type=int, default=8)
     sp.add_argument("--M", type=int, default=8)
+    sp.add_argument("--M2", type=int, default=6,
+                    help="per-dimension basis size for *_2d problems")
+    sp.add_argument("--M3", type=int, default=4,
+                    help="per-dimension basis size for *_3d problems")
     sp.add_argument("--gamma", type=float, default=1e4)
     sp.add_argument("--scheme", default="p1",
                     choices=["p1", "numerov"],
@@ -1166,13 +1226,16 @@ def build_parser():
         help="Sturm-Liouville eigenpairs (FEM pencil + enhanced "
         "Rayleigh-quotient eigenvalues)")
     sp.add_argument("--problem", default="poisson_1d")
-    sp.add_argument("--dim", type=int, default=1, choices=[1, 2])
+    sp.add_argument("--dim", type=int, default=1, choices=[1, 2, 3])
     sp.add_argument("--num-nodes", type=int, default=33)
     sp.add_argument("--nx", type=int, default=16)
     sp.add_argument("--ny", type=int, default=16)
+    sp.add_argument("--nz", type=int, default=8)
     sp.add_argument("--M", type=int, default=8)
     sp.add_argument("--M2", type=int, default=6,
                     help="per-dimension basis size for --dim 2")
+    sp.add_argument("--M3", type=int, default=4,
+                    help="per-dimension basis size for --dim 3")
     sp.add_argument("--gamma", type=float, default=1e4)
     sp.add_argument("--k", type=int, default=4)
     sp.add_argument("--iters", type=int, default=40)

@@ -578,3 +578,277 @@ def exact_eigenvalues_2d(problem, k: int):
     """Sorted a0 pi^2 (i^2/Lx^2 + j^2/Ly^2) + c — the rectangle oracle."""
     modes, _ = _mode_table(problem, k)
     return np.array([m[0] for m in modes]) + problem.c
+
+
+# ---------------------------------------------------------------------------
+# 3D: -a0 Lap u + c u = lambda u on a box, Q1 hex (or tensor-Numerov) pencil
+# on the structured grid.  Same architecture as 2D lifted tensorially: the
+# iteration always runs on the SPD a0-Laplacian pencil (c added exactly
+# afterwards), inner solves are MG-CG, trace data for the enhancement comes
+# from the tensor-Lagrange PLANE lift (hybrid3d._lifted_trace_3d) — valid
+# because eigenvector nodal values of the tensor pencils are high-order.
+# ---------------------------------------------------------------------------
+
+
+class EigenSolution3D(NamedTuple):
+    xs: jnp.ndarray  # [nx+1]
+    ys: jnp.ndarray  # [ny+1]
+    zs: jnp.ndarray  # [nz+1]
+    lams: jnp.ndarray  # [K] ascending (includes the +c shift)
+    vectors: jnp.ndarray  # [K, nz+1, ny+1, nx+1] M-orthonormal nodal grids
+    residuals: jnp.ndarray  # [K] ||A v - mu M v||_inf of the SPD pencil
+
+
+class HybridEigenSolution3D(NamedTuple):
+    fem: EigenSolution3D
+    coeffs: jnp.ndarray  # [K, nz, ny, nx, M, M, M]
+    lams: jnp.ndarray  # [K] enhanced (Rayleigh-quotient) eigenvalues
+    solve_ok: jnp.ndarray  # [K, nz, ny, nx]
+
+
+def _check_3d_eligible(p):
+    if any(t != "dirichlet" for t in p.bc_faces):
+        raise NotImplementedError(
+            "3D eigensolver requires all-Dirichlet faces")
+    if p.b != (0.0, 0.0, 0.0):
+        raise NotImplementedError(
+            "3D eigensolver requires b == 0 (symmetric pencil)")
+    if p.a_var is not None:
+        raise NotImplementedError(
+            "3D eigensolver requires constant diffusion")
+
+
+def _mode_table_3d(p, Ks: int):
+    """First Ks tensor modes (i, j, k) of the a0-Laplacian, ascending."""
+    x0, x1, y0, y1, z0, z1 = p.domain
+    Lx, Ly, Lz = x1 - x0, y1 - y0, z1 - z0
+    r = range(1, Ks + 2)
+    cand = [
+        (p.a0 * np.pi**2 * (i**2 / Lx**2 + j**2 / Ly**2 + k**2 / Lz**2),
+         i, j, k)
+        for i in r for j in r for k in r
+    ]
+    cand.sort()
+    return cand[:Ks], (x0, Lx, y0, Ly, z0, Lz)
+
+
+def fem_eigensolve_3d(problem, cfg, ecfg: EigenConfig = EigenConfig()
+                      ) -> EigenSolution3D:
+    """K smallest eigenpairs of the Q1 hex (or tensor-Numerov) pencil:
+    inverse subspace iteration with an MG-CG inner solve, scan over
+    subspace columns, host Rayleigh–Ritz (3D mirror of
+    ``fem_eigensolve_2d``)."""
+    from ..ops import assembly3d, cg, multigrid
+
+    _check_3d_eligible(problem)
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = problem.domain
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    hx = float((x1 - x0) / nx)
+    hy = float((y1 - y0) / ny)
+    hz = float((z1 - z0) / nz)
+    xs = jnp.linspace(x0, x1, nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, ny + 1, dtype=dtype)
+    zs = jnp.linspace(z0, z1, nz + 1, dtype=dtype)
+    if ecfg.mass == "numerov":
+        K_A_np, K_M_np = assembly3d.q1_numerov_locals_3d(
+            hx, hy, hz, problem.a0, 0.0)
+    else:
+        K_A_np = assembly3d.q1_local_operator_3d(
+            hx, hy, hz, problem.a0, 0.0, 0.0, 0.0, 0.0)
+        m1c = lambda h: (h / 6.0) * np.array([[2.0, 1.0], [1.0, 2.0]])  # noqa: E731,E501
+        K_M_np = np.kron(m1c(hz), np.kron(m1c(hy), m1c(hx)))
+    K_A = jnp.asarray(K_A_np, dtype)
+    K_M = jnp.asarray(K_M_np, dtype)
+    # Both pencil operators scale EXACTLY like h per coarsening level in
+    # 3D (each tensor term is (1/h) x h x h), which is make_vcycle_3d's
+    # automatic pure-Laplacian scaling — no loc_for_level needed.
+    interior = (jnp.zeros((nz + 1, ny + 1, nx + 1), bool)
+                .at[1:-1, 1:-1, 1:-1].set(True))
+
+    def apply_free(v):
+        return jnp.where(
+            interior, assembly3d.apply_stiffness_3d(v * interior, K_A), 0.0)
+
+    def apply_mass(v):
+        return assembly3d.apply_stiffness_3d(v, K_M)
+
+    mg_ok = (nx % 2 == 0 and ny % 2 == 0 and nz % 2 == 0
+             and min(nx, ny, nz) >= 8)
+    if mg_ok:
+        M_inv = multigrid.make_vcycle_3d(nz + 1, ny + 1, nx + 1, K_A, dtype)
+    else:
+        M_inv = 1.0 / assembly3d.stiffness_diag_3d(
+            (nz + 1, ny + 1, nx + 1), K_A, dtype)
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    K = ecfg.k
+    Ks = K + ecfg.oversample
+    modes, (mx0, Lx, my0, Ly, mz0, Lz) = _mode_table_3d(problem, Ks)
+    X = xs[None, None, :]
+    Y = ys[None, :, None]
+    Z = zs[:, None, None]
+    V0 = jnp.stack([
+        jnp.sin(i * jnp.pi * (X - mx0) / Lx)
+        * jnp.sin(j * jnp.pi * (Y - my0) / Ly)
+        * jnp.sin(k * jnp.pi * (Z - mz0) / Lz)
+        for _, i, j, k in modes
+    ])  # [Ks, nz+1, ny+1, nx+1]
+    V0 = V0 * interior[None]
+
+    def dotg(Af, Bf):
+        return jnp.einsum("kzyx,lzyx->kl", Af, Bf)
+
+    def orthonormalize(V):
+        MV = jax.vmap(apply_mass)(V)
+        G = dotg(V, MV)
+        L = jnp.linalg.cholesky(0.5 * (G + G.T))
+        Vf = V.reshape(Ks, -1)
+        Vf = jax.scipy.linalg.solve_triangular(L, Vf, lower=True)
+        return Vf.reshape(V.shape)
+
+    def col_solve(carry, v):
+        rhs = jnp.where(interior, apply_mass(v), 0.0)
+        res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=tol,
+                    maxiter=cfg.cg_maxiter)
+        return carry, res.x
+
+    def step(V, _):
+        _, W = jax.lax.scan(col_solve, 0, V)
+        return orthonormalize(W), None
+
+    @jax.jit
+    def _iterate(V):
+        V, _ = jax.lax.scan(step, orthonormalize(V), None,
+                            length=ecfg.iters)
+        AV = jax.vmap(apply_free)(V)
+        MV = jax.vmap(apply_mass)(V)
+        H = dotg(V, AV)
+        G = dotg(V, MV)
+        return V, 0.5 * (H + H.T), 0.5 * (G + G.T)
+
+    V, H, G = _iterate(V0)
+    Hn = np.asarray(H, np.float64)
+    Gn = np.asarray(G, np.float64)
+    Ln = np.linalg.cholesky(Gn)
+    Hs = np.linalg.solve(Ln, np.linalg.solve(Ln, Hn).T).T
+    w, S = np.linalg.eigh(0.5 * (Hs + Hs.T))
+    Q = np.linalg.solve(Ln.T, S)[:, :K]
+    mus = jnp.asarray(w[:K], dtype)
+    Vr = jnp.einsum("kzyx,kl->lzyx", V, jnp.asarray(Q, dtype))
+    sign = jnp.where(Vr[:, 1, 1, 1] >= 0, 1.0, -1.0).astype(dtype)
+    Vr = Vr * sign[:, None, None, None]
+    AV = jax.vmap(apply_free)(Vr)
+    MV = jax.vmap(lambda v: jnp.where(interior, apply_mass(v), 0.0))(Vr)
+    res = jnp.max(jnp.abs(AV - mus[:, None, None, None] * MV),
+                  axis=(1, 2, 3))
+    lams = mus + jnp.asarray(problem.c, dtype)  # exact reaction shift
+    return EigenSolution3D(xs, ys, zs, lams, Vr, res)
+
+
+def _shifted_problem_3d(problem, lam: float):
+    zero3 = lambda x, y, z: jnp.zeros_like(x + y + z)  # noqa: E731
+    return dataclasses.replace(
+        problem,
+        name=f"{problem.name}_eig_shift",
+        f=zero3,
+        g=zero3,
+        c=problem.c - lam,
+        exact=None,
+        f_shifted=None,
+    )
+
+
+def _quadrature_forms_3d(problem, xs, ys, zs, coeffs, cfg):
+    """(int a0 |grad p|^2 + c p^2, int p^2) by tensor Gauss quadrature
+    (exact for the degree-(M-1) tensor polynomials)."""
+    dtype = coeffs.dtype
+    q = cfg.M + 2
+    tq, wq = np.polynomial.legendre.leggauss(q)
+    t = jnp.asarray(tq, dtype)
+    w = jnp.asarray(wq, dtype)
+    V0, V1 = legendre.legendre_vandermonde(t, cfg.M, num_derivs=1)
+    hx = float(xs[1] - xs[0])
+    hy = float(ys[1] - ys[0])
+    hz = float(zs[1] - zs[0])
+    hi = jax.lax.Precision.HIGHEST
+    # coeffs: [nz, ny, nx, M(kz), M(ky), M(kx)]
+    P = jnp.einsum("eabklm,qk,rl,sm->eabqrs", coeffs, V0, V0, V0,
+                   precision=hi)
+    Px = jnp.einsum("eabklm,qk,rl,sm->eabqrs", coeffs, V0, V0, V1,
+                    precision=hi) * (2.0 / hx)
+    Py = jnp.einsum("eabklm,qk,rl,sm->eabqrs", coeffs, V0, V1, V0,
+                    precision=hi) * (2.0 / hy)
+    Pz = jnp.einsum("eabklm,qk,rl,sm->eabqrs", coeffs, V1, V0, V0,
+                    precision=hi) * (2.0 / hz)
+    dV = ((hx / 2.0) * (hy / 2.0) * (hz / 2.0)
+          * (w[:, None, None] * w[None, :, None] * w[None, None, :]))
+    num = jnp.sum(dV[None, None, None]
+                  * (problem.a0 * (Px**2 + Py**2 + Pz**2)
+                     + problem.c * P**2))
+    den = jnp.sum(dV[None, None, None] * P**2)
+    return num, den
+
+
+def rayleigh_quotient_3d(problem, xs, ys, zs, coeffs, cfg):
+    num, den = _quadrature_forms_3d(problem, xs, ys, zs, coeffs, cfg)
+    return num / den
+
+
+def hybrid_eigensolve_3d(problem, cfg, ecfg: EigenConfig = EigenConfig()
+                         ) -> HybridEigenSolution3D:
+    """3D analog of ``hybrid_eigensolve_2d``: FEM pencil eigenpairs, then
+    per-pair enhancement on the shifted operator c -> c - lambda with the
+    (plane-lifted) eigenvector grid as the trace data, eigenvalue re-read
+    from the enhanced polynomial's Rayleigh quotient."""
+    from .hybrid3d import _lifted_trace_3d, enhance_3d, prepare_shared_3d
+
+    fem = fem_eigensolve_3d(problem, cfg, ecfg)
+    coeffs_all, lams, oks = [], [], []
+    for j in range(ecfg.k):
+        lam = float(fem.lams[j])
+        u = fem.vectors[j]
+        bc_rows = None
+        if ecfg.trace_lift >= 2:
+            bc_rows = _lifted_trace_3d(u, cfg.M, cfg.nx, cfg.ny, cfg.nz,
+                                       stencil=ecfg.trace_lift)
+        coeffs, diags = None, None
+        for _ in range(max(1, ecfg.rq_iters)):
+            shifted = _shifted_problem_3d(problem, lam)
+            bundle = prepare_shared_3d(shifted, cfg)
+            coeffs, diags, _ = enhance_3d(
+                shifted, cfg, fem.xs, fem.ys, fem.zs, u, bundle,
+                bc_rows_override=bc_rows)
+            lam = float(rayleigh_quotient_3d(problem, fem.xs, fem.ys,
+                                             fem.zs, coeffs, cfg))
+        _, den = _quadrature_forms_3d(problem, fem.xs, fem.ys, fem.zs,
+                                      coeffs, cfg)
+        coeffs_all.append(coeffs / jnp.sqrt(den))
+        lams.append(lam)
+        oks.append(diags.solve_ok.reshape(cfg.nz, cfg.ny, cfg.nx))
+    return HybridEigenSolution3D(
+        fem,
+        jnp.stack(coeffs_all),
+        jnp.asarray(lams, fem.lams.dtype),
+        jnp.stack(oks),
+    )
+
+
+def evaluate_eigenfunction_3d(sol: HybridEigenSolution3D, j: int, x, y, z):
+    from .hybrid3d import Solution3D, evaluate_3d
+
+    stub = Solution3D(
+        xs=sol.fem.xs, ys=sol.fem.ys, zs=sol.fem.zs,
+        fem_values=sol.fem.vectors[j], coeffs=sol.coeffs[j],
+        cg_iters=None, cg_residual=None, max_slack=None,
+        bc_violation=None, solve_ok=sol.solve_ok[j], cond_estimate=None)
+    return evaluate_3d(stub, x, y, z)
+
+
+def exact_eigenvalues_3d(problem, k: int):
+    """Sorted a0 pi^2 (i^2/Lx^2 + j^2/Ly^2 + k^2/Lz^2) + c — the box
+    oracle."""
+    modes, _ = _mode_table_3d(problem, k)
+    return np.array([m[0] for m in modes]) + problem.c

@@ -1074,33 +1074,25 @@ def _trilinear_fallback_coeffs(cs, M):
     return c
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def hybrid_solve_3d(problem: Problem3D, cfg: Solver3DConfig,
-                    shared_bundle) -> Solution3D:
+def enhance_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
+               fem_values, shared_bundle, bc_rows_override=None):
+    """Enhancement stage in isolation: per-element tensor-Legendre fit of
+    the operator against arbitrary nodal trace data (the second half of
+    ``hybrid_solve_3d``, reusable by the eigenvalue family where the trace
+    is a FEM eigenvector rather than a source-problem solve — the 3D
+    mirror of ``hybrid2d.enhance_2d``).
+
+    ``bc_rows_override``: [E, S] surface-trace values replacing the FEM
+    trilinear trace (e.g. the eigen family's plane-lifted traces,
+    ``_lifted_trace_3d``); forces the XLA path."""
     shared, (t_int, spts) = shared_bundle
     dtype = cfg.jnp_dtype()
-    x0, x1, y0, y1, z0, z1 = problem.domain
-    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
-    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
-    zs = jnp.linspace(z0, z1, cfg.nz + 1, dtype=dtype)
-
-    if cfg.fem_dtype is not None:
-        from ..utils.checks import require_x64
-
-        require_x64(cfg.fem_dtype, "Solver3DConfig.fem_dtype")
-        fd = jnp.dtype(cfg.fem_dtype)
-        fem_values, cg_res = fem_solve_3d(
-            problem, cfg, xs.astype(fd), ys.astype(fd), zs.astype(fd)
-        )
-        fem_values = fem_values.astype(dtype)
-    else:
-        fem_values, cg_res = fem_solve_3d(problem, cfg, xs, ys, zs)
-
     E = cfg.nx * cfg.ny * cfg.nz
     # Lifted traces are computed on the host-XLA path; the fused Pallas
     # kernel builds the trilinear trace in-kernel.
-    use_lift = cfg.trace_lift >= 2
-    backend = cfg.backend if not use_lift else "xla"
+    use_lift = bc_rows_override is None and cfg.trace_lift >= 2
+    backend = (cfg.backend
+               if bc_rows_override is None and not use_lift else "xla")
     if backend == "auto":
         from ..ops import pallas_kernels as pk
 
@@ -1140,6 +1132,8 @@ def hybrid_solve_3d(problem: Problem3D, cfg: Solver3DConfig,
             problem, cfg, xs, ys, zs, fem_values, t_int, spts,
             trace_lift=cfg.trace_lift if use_lift else 0,
         )
+        if bc_rows_override is not None:
+            bc_rows = bc_rows_override
         if problem.a_var is not None:
             # Per-element operators from the shared parts + batched
             # null-space QR (the 2D variable-coefficient route lifted).
@@ -1161,14 +1155,43 @@ def hybrid_solve_3d(problem: Problem3D, cfg: Solver3DConfig,
         ok[..., None, None, None],
         jnp.where(jnp.isfinite(coeffs), coeffs, 0.0), fb,
     )
+    cond = (diags.cond_estimate if problem.a_var is not None
+            else shared.cond)
+    return coeffs, kkt.KKTDiagnostics(
+        diags.max_slack, diags.bc_violation, ok.reshape(-1)), cond
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def hybrid_solve_3d(problem: Problem3D, cfg: Solver3DConfig,
+                    shared_bundle) -> Solution3D:
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = problem.domain
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    zs = jnp.linspace(z0, z1, cfg.nz + 1, dtype=dtype)
+
+    if cfg.fem_dtype is not None:
+        from ..utils.checks import require_x64
+
+        require_x64(cfg.fem_dtype, "Solver3DConfig.fem_dtype")
+        fd = jnp.dtype(cfg.fem_dtype)
+        fem_values, cg_res = fem_solve_3d(
+            problem, cfg, xs.astype(fd), ys.astype(fd), zs.astype(fd)
+        )
+        fem_values = fem_values.astype(dtype)
+    else:
+        fem_values, cg_res = fem_solve_3d(problem, cfg, xs, ys, zs)
+
+    coeffs, diags, cond = enhance_3d(problem, cfg, xs, ys, zs, fem_values,
+                                     shared_bundle)
+    shp = (cfg.nz, cfg.ny, cfg.nx)
     return Solution3D(
         xs=xs, ys=ys, zs=zs, fem_values=fem_values, coeffs=coeffs,
         cg_iters=cg_res.iters, cg_residual=cg_res.residual,
         max_slack=diags.max_slack.reshape(shp),
         bc_violation=diags.bc_violation.reshape(shp),
-        solve_ok=ok,
-        cond_estimate=(diags.cond_estimate if problem.a_var is not None
-                       else shared.cond),
+        solve_ok=diags.solve_ok.reshape(shp),
+        cond_estimate=cond,
     )
 
 

@@ -427,3 +427,174 @@ def evaluate_semilinear_2d(sol: SemilinearSolution2D, x, y):
     s2 = Solution2D(sol.xs, sol.ys, sol.fem_values, sol.coeffs,
                     0, 0.0, None, None, None)
     return evaluate_2d(s2, x, y)
+
+
+# --------------------------------------------------------------- 3D
+
+
+@dataclasses.dataclass(frozen=True)
+class SemilinearProblem3D:
+    """-a0 Lap u + s(u) = f on a box, Dirichlet u = g."""
+
+    name: str
+    s: Callable
+    ds: Callable
+    f: Callable  # f(x, y, z)
+    g: Callable  # Dirichlet data
+    a0: float = 1.0
+    domain: Tuple[float, ...] = (-1.0, 1.0, -1.0, 1.0, -1.0, 1.0)
+    exact: Optional[Callable] = None
+
+
+def cubic_3d() -> SemilinearProblem3D:
+    """-Lap u + u^3 = f manufactured so u = sin(pi x) sin(pi y) sin(pi z)."""
+    pi = jnp.pi
+
+    def u(x, y, z):
+        return jnp.sin(pi * x) * jnp.sin(pi * y) * jnp.sin(pi * z)
+
+    return SemilinearProblem3D(
+        name="cubic_3d",
+        s=lambda v: v**3,
+        ds=lambda v: 3.0 * v**2,
+        f=lambda x, y, z: 3.0 * pi**2 * u(x, y, z) + u(x, y, z) ** 3,
+        g=lambda x, y, z: jnp.zeros_like(x + y + z),
+        exact=u,
+    )
+
+
+class SemilinearSolution3D(NamedTuple):
+    xs: jnp.ndarray
+    ys: jnp.ndarray
+    zs: jnp.ndarray
+    fem_values: jnp.ndarray  # [nz+1, ny+1, nx+1]
+    coeffs: jnp.ndarray  # [nz, ny, nx, M, M, M]
+    newton_residuals: jnp.ndarray
+    colloc_residual: jnp.ndarray
+    solve_ok: jnp.ndarray  # [nz, ny, nx]
+
+
+def hybrid_solve_semilinear_3d(problem: SemilinearProblem3D, cfg,
+                               n_newton: int = 8, n_newton_elem: int = 5):
+    """3D two-level Newton (tensor lift of ``hybrid_solve_semilinear_2d``:
+    matrix-free Q1 hex Newton with lumped-mass nonlinearity and Jacobi-CG
+    inner solves, then element-level Newton on the nonlinear collocation
+    system — each step one batched null-space LSE solve)."""
+    from ..ops import assembly3d, cg
+    from .hybrid3d import (Solver3DConfig, _element_data_3d,  # noqa: F401
+                           _surface_coords, _trilinear_fallback_coeffs)
+
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = problem.domain
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    hx = float((x1 - x0) / nx)
+    hy = float((y1 - y0) / ny)
+    hz = float((z1 - z0) / nz)
+    xs = jnp.linspace(x0, x1, nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, ny + 1, dtype=dtype)
+    zs = jnp.linspace(z0, z1, nz + 1, dtype=dtype)
+    K0 = jnp.asarray(assembly3d.q1_local_operator_3d(
+        hx, hy, hz, problem.a0, 0.0, 0.0, 0.0, 0.0), dtype)
+    interior = (jnp.zeros((nz + 1, ny + 1, nx + 1), bool)
+                .at[1:-1, 1:-1, 1:-1].set(True))
+    X = xs[None, None, :]
+    Y = ys[None, :, None]
+    Z_ = zs[:, None, None]
+    ones = jnp.ones((nz + 1, ny + 1, nx + 1), dtype)
+    u_bc = jnp.where(interior, 0.0, problem.g(X, Y, Z_) * ones)
+    m = hx * hy * hz  # lumped Q1 mass at interior nodes
+    f_n = problem.f(X, Y, Z_) * ones
+    diag0 = assembly3d.stiffness_diag_3d((nz + 1, ny + 1, nx + 1), K0,
+                                         dtype)
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def newton_step(u, _):
+        R = jnp.where(interior,
+                      assembly3d.apply_stiffness_3d(u, K0)
+                      + m * (problem.s(u) - f_n), 0.0)
+        c = problem.ds(u)
+
+        def J_apply(v):
+            return jnp.where(
+                interior,
+                assembly3d.apply_stiffness_3d(v * interior, K0)
+                + m * c * (v * interior), 0.0)
+
+        M_inv = jnp.where(interior, 1.0 / (diag0 + m * c), 1.0)
+        res = cg.cg(J_apply, R, M_inv=M_inv, tol=tol,
+                    maxiter=cfg.cg_maxiter)
+        return u - jnp.where(interior, res.x, 0.0), jnp.max(jnp.abs(R))
+
+    fem, fem_res = jax.lax.scan(newton_step, u_bc, None, length=n_newton)
+
+    # element-level Newton: shared host reference parts (tensor triples)
+    M_, C = cfg.M, cfg.n_colloc
+    t_int = np.linspace(-1.0, 1.0, C + 2)[1:-1]
+    V0h, _, V2h = legendre.vandermonde_host(t_int, M_)
+    sx, sy, sz = 2.0 / hx, 2.0 / hy, 2.0 / hz
+
+    def t3(Az, Ay, Ax):
+        return np.einsum("zk,yl,xm->zyxklm", Az, Ay, Ax).reshape(
+            C * C * C, M_ * M_ * M_)
+
+    Lap = (sx * sx * t3(V0h, V0h, V2h) + sy * sy * t3(V0h, V2h, V0h)
+           + sz * sz * t3(V2h, V0h, V0h))
+    Mass = t3(V0h, V0h, V0h)
+    spts = _surface_coords(M_)
+    Vz_b = legendre.vandermonde_host(spts[:, 0], M_)[0]
+    Vy_b = legendre.vandermonde_host(spts[:, 1], M_)[0]
+    Vx_b = legendre.vandermonde_host(spts[:, 2], M_)[0]
+    B = np.einsum("pk,pl,pm->pklm", Vz_b, Vy_b, Vx_b).reshape(
+        -1, M_ * M_ * M_)
+    Z, Pbc = kkt.nullspace_host(B)
+    Lap_j = jnp.asarray(-problem.a0 * Lap, dtype)
+    Mass_j = jnp.asarray(Mass, dtype)
+    Bj = jnp.asarray(B, dtype)
+    Zj = jnp.asarray(Z, dtype)
+    Pj = jnp.asarray(Pbc, dtype)
+    E = nx * ny * nz
+    # f at interior collocation + traces from the converged FEM grid
+    f_rows, bc_rows, cs = _element_data_3d(
+        _P3DStub(problem), cfg, xs, ys, zs, fem, jnp.asarray(t_int),
+        jnp.asarray(spts))
+    w = _trilinear_fallback_coeffs(cs, M_).reshape(E, M_ * M_ * M_)
+
+    def elem_newton(w, _):
+        u_c = jnp.dot(w, Mass_j.T, precision=HI)  # values at colloc
+        c_field = problem.ds(u_c)
+        D = Lap_j[None] + c_field[..., None] * Mass_j[None]
+        rhs = f_rows - problem.s(u_c) + c_field * u_c
+        w1, diags = kkt.solve_batched(D, Bj, rhs, bc_rows, cfg.gamma,
+                                      ZP=(Zj, Pj))
+        return w1, diags
+
+    w, diags_hist = jax.lax.scan(elem_newton, w, None,
+                                 length=n_newton_elem)
+    u_c = jnp.dot(w, Mass_j.T, precision=HI)
+    lap_u = jnp.dot(w, Lap_j.T, precision=HI)
+    res = jnp.max(jnp.abs(lap_u + problem.s(u_c) - f_rows))
+    ok = jax.tree_util.tree_map(lambda a: a[-1], diags_hist).solve_ok
+    return SemilinearSolution3D(xs, ys, zs, fem,
+                                w.reshape(nz, ny, nx, M_, M_, M_),
+                                fem_res, res, ok.reshape(nz, ny, nx))
+
+
+class _P3DStub:
+    """Adapter exposing the Problem3D attributes _element_data_3d needs
+    (f evaluated there and returned as the linear rhs rows — the caller
+    rebuilds the nonlinear rhs per Newton step; bc_faces all Dirichlet)."""
+
+    def __init__(self, p):
+        self.f = p.f
+        self.g = p.g
+        self.bc_faces = ("dirichlet",) * 6
+
+
+def evaluate_semilinear_3d(sol: SemilinearSolution3D, x, y, z):
+    from .hybrid3d import Solution3D, evaluate_3d
+
+    s3 = Solution3D(sol.xs, sol.ys, sol.zs, sol.fem_values, sol.coeffs,
+                    0, 0.0, None, None, None, None)
+    return evaluate_3d(s3, x, y, z)

@@ -107,10 +107,13 @@ def _chol_solve(L, s, r):
 
 def _solve_tiny(S, r):
     """Solve the tiny K x K Schur system.  K == 2 (the 1D endpoint-
-    continuity block) gets the closed-form adjugate — elementwise only, so
-    the path stays legal under TPU-emulated f64, where LU-based
-    ``jnp.linalg.solve`` does not compile (CLAUDE.md); larger K falls back
-    to the batched LU (f32/CPU paths)."""
+    continuity block) gets the closed-form adjugate — elementwise only.
+    Larger K uses Cholesky + triangular solves: every call site passes
+    the SPD Schur complement B H^{-1} B^T, and unlike LU-based
+    ``jnp.linalg.solve`` (which TPU cannot compile in emulated f64,
+    CLAUDE.md) the Cholesky pair IS TPU-legal — this is what lets the
+    2D/3D f64 Cholesky KKT path (K = 4M-4 / M^3-(M-2)^3 trace rows) run
+    on-chip."""
     if S.shape[-1] == 2:
         a, b = S[..., 0, 0], S[..., 0, 1]
         c, d = S[..., 1, 0], S[..., 1, 1]
@@ -119,7 +122,13 @@ def _solve_tiny(S, r):
         return jnp.stack(
             [(d * r0 - b * r1) / det, (a * r1 - c * r0) / det], axis=-1
         )
-    return jnp.linalg.solve(S, r)
+    L = jnp.linalg.cholesky(S)
+    vec = r.ndim == S.ndim - 1
+    rr = r[..., None] if vec else r
+    y = jax.scipy.linalg.solve_triangular(L, rr, lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), y, lower=False)
+    return x[..., 0] if vec else x
 
 
 def _kkt_core(L, s, B, rw, rbc):

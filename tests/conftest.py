@@ -61,6 +61,10 @@ _FAST_TESTS = {
     "test_eigen.py::test_enhanced_eigenvalues_hit_f64_floor",
     "test_eigen.py::test_lift_weights_reproduce_polynomials",
 }
+# Individually excluded from fast modules (3D mesh-sweep cost).
+_FAST_EXCLUDE = {
+    "test_nonlinear.py::test_semilinear_3d_converges",
+}
 
 
 def pytest_configure(config):
@@ -74,7 +78,9 @@ def pytest_collection_modifyitems(config, items):
         mod = os.path.basename(str(item.fspath))
         base = item.nodeid.split("::")[1].split("[")[0] \
             if "::" in item.nodeid else ""
-        if mod in _FAST_MODULES or f"{mod}::{base}" in _FAST_TESTS:
+        key = f"{mod}::{base}"
+        if (mod in _FAST_MODULES or key in _FAST_TESTS) \
+                and key not in _FAST_EXCLUDE:
             item.add_marker(pytest.mark.fast)
 
 

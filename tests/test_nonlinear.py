@@ -114,3 +114,30 @@ def test_semilinear_2d_converges():
         assert bool(np.asarray(sol.solve_ok).all())
     order = np.log2(errs[8] / errs[16])
     assert 1.6 < order < 2.6, (errs, order)
+
+
+def test_semilinear_3d_converges():
+    """3D two-level Newton (cubic nonlinearity): quadratic FEM Newton,
+    O(h^2) hybrid convergence (lumped-nonlinearity Q1 hex nodal floor)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import Solver3DConfig
+    from hybrid_fem_lssvr_tpu.models.nonlinear import (
+        cubic_3d, evaluate_semilinear_3d, hybrid_solve_semilinear_3d,
+    )
+
+    p = cubic_3d()
+    rng = np.random.default_rng(2)
+    xq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    yq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    zq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    uex = np.asarray(p.exact(xq, yq, zq))
+    errs = {}
+    for n in (8, 16):
+        sol = hybrid_solve_semilinear_3d(
+            p, Solver3DConfig(nx=n, ny=n, nz=n, M=4, n_colloc=4))
+        u = evaluate_semilinear_3d(sol, xq, yq, zq)
+        errs[n] = float(np.abs(np.asarray(u) - uex).max())
+        r = np.asarray(sol.newton_residuals)
+        assert r[3] < 1e-6 and r[-1] < 1e-12  # quadratic contraction
+        assert bool(np.asarray(sol.solve_ok).all())
+    order = np.log2(errs[8] / errs[16])
+    assert 1.6 < order < 2.6, (errs, order)
