@@ -511,7 +511,9 @@ def cmd_nonlinear(args):
                               n_colloc=args.M2, gamma=args.gamma,
                               dtype=args.dtype)
         with profiling.timed(rec, "solve_sec"):
-            sol = NL.hybrid_solve_semilinear_2d(problem, cfg2)
+            sol = NL.hybrid_solve_semilinear_2d(
+                problem, cfg2, scheme=args.scheme,
+                trace_lift=getattr(args, "trace_lift", 0))
             jax.block_until_ready(sol.coeffs)
         elements, M_basis = cfg2.nx * cfg2.ny, cfg2.M
     elif args.problem.endswith("_3d"):
@@ -522,7 +524,9 @@ def cmd_nonlinear(args):
                               M=args.M3, n_colloc=args.M3,
                               gamma=args.gamma, dtype=args.dtype)
         with profiling.timed(rec, "solve_sec"):
-            sol = NL.hybrid_solve_semilinear_3d(problem, cfg3)
+            sol = NL.hybrid_solve_semilinear_3d(
+                problem, cfg3, scheme=args.scheme,
+                trace_lift=getattr(args, "trace_lift", 0))
             jax.block_until_ready(sol.coeffs)
         elements, M_basis = cfg3.nx * cfg3.ny * cfg3.nz, cfg3.M
     else:
@@ -1213,8 +1217,12 @@ def build_parser():
     sp.add_argument("--gamma", type=float, default=1e4)
     sp.add_argument("--scheme", default="p1",
                     choices=["p1", "numerov"],
-                    help="FEM rows: P1 (O(h^2) nodal) or compact Numerov "
-                    "(O(h^4) nodal)")
+                    help="FEM rows: P1/Q1 (O(h^2) nodal) or compact "
+                    "(tensor-)Numerov (O(h^4) nodal; all dims)")
+    sp.add_argument("--trace-lift", type=int, default=0,
+                    help="2D/3D: tangential/plane-Lagrange element trace "
+                    "stencil (6 with --scheme numerov gives an O(h^4) "
+                    "hybrid solution)")
     sp.add_argument("--dtype", default=None,
                     choices=[None, "float32", "float64"])
     sp.add_argument("--x64", action="store_true")

@@ -297,17 +297,27 @@ class SemilinearSolution2D(NamedTuple):
 
 
 def hybrid_solve_semilinear_2d(problem: SemilinearProblem2D, cfg,
-                               n_newton: int = 8, n_newton_elem: int = 5):
+                               n_newton: int = 8, n_newton_elem: int = 5,
+                               scheme: str = "p1", trace_lift: int = 0):
     """2D two-level Newton (lift of ``hybrid_solve_semilinear``).
 
-    FEM level: matrix-free Q1 with the nonlinearity mass-LUMPED at the
-    nodes (R = A0 u + m·(s(u) - f) with m the lumped Q1 mass — the
-    standard O(h^2) scheme; lumping keeps the Jacobian apply matrix-free:
-    J v = A0 v + m s'(u) v, solved by Jacobi-CG inside a lax.scan Newton
-    loop).  Element level: Newton on the nonlinear collocation system
-    with the nonlinearity evaluated exactly at interior collocation
-    points; each step one batched null-space LSE solve with per-element
-    D = -a0·Lap_rows + diag(s'(u_j))·Mass_rows."""
+    FEM level, ``scheme="p1"``: matrix-free Q1 with the nonlinearity
+    mass-LUMPED at the nodes (R = A0 u + m·(s(u) - f) with m the lumped
+    Q1 mass — the standard O(h^2) scheme; lumping keeps the Jacobian
+    apply matrix-free: J v = A0 v + m s'(u) v, solved by Jacobi-CG inside
+    a lax.scan Newton loop).  ``scheme="numerov"``: tensor-Numerov
+    compact rows A u + M s(u) = M f (``assembly2d.q1_numerov_locals``) —
+    O(h^4) nodal, Jacobian J v = A v + M (s'(u) v), still matrix-free.
+    Element level: Newton on the nonlinear collocation system with the
+    nonlinearity evaluated exactly at interior collocation points; each
+    step one batched null-space LSE solve with per-element
+    D = -a0·Lap_rows + diag(s'(u_j))·Mass_rows.
+
+    ``trace_lift >= 2`` replaces the bilinear element trace with the
+    tangential-Lagrange lift (``hybrid2d._lifted_trace_2d``) — paired
+    with ``scheme="numerov"`` the O(h^4) nodal values carry to an O(h^4)
+    hybrid solution (the semilinear analog of
+    ``Solver2DConfig(coarse="compact", trace_lift=6)``)."""
     from ..ops import assembly2d, cg
     from .hybrid2d import _boundary_coords, _element_data_2d
 
@@ -318,31 +328,54 @@ def hybrid_solve_semilinear_2d(problem: SemilinearProblem2D, cfg,
     hy = float((y1 - y0) / ny)
     xs = jnp.linspace(x0, x1, nx + 1, dtype=dtype)
     ys = jnp.linspace(y0, y1, ny + 1, dtype=dtype)
-    K0 = jnp.asarray(assembly2d.q1_local_operator(hx, hy, problem.a0,
-                                                  0.0, 0.0, 0.0), dtype)
+    numerov = scheme == "numerov"
+    if numerov:
+        K_A_np, K_M_np = assembly2d.q1_numerov_locals(hx, hy, problem.a0,
+                                                      0.0)
+        K0 = jnp.asarray(K_A_np, dtype)
+        K_M = jnp.asarray(K_M_np, dtype)
+    else:
+        K0 = jnp.asarray(assembly2d.q1_local_operator(
+            hx, hy, problem.a0, 0.0, 0.0, 0.0), dtype)
+        K_M = None
     interior = jnp.zeros((ny + 1, nx + 1), bool).at[1:-1, 1:-1].set(True)
     X, Y = jnp.meshgrid(xs, ys)
     u_bc = jnp.where(interior, 0.0, problem.g(X, Y) * jnp.ones_like(X))
-    m = hx * hy  # lumped Q1 mass at interior nodes
+    m = hx * hy  # lumped Q1 mass at interior nodes (p1 scheme)
     f_n = problem.f(X, Y) * jnp.ones_like(X)
     diag0 = assembly2d.stiffness_diag((ny + 1, nx + 1), K0, dtype)
+    if numerov:
+        Mf = assembly2d.apply_stiffness(f_n, K_M)
+        diagM = assembly2d.stiffness_diag((ny + 1, nx + 1), K_M, dtype)
     tol = cfg.cg_tol
     if tol is None:
         tol = 100.0 * float(jnp.finfo(dtype).eps)
 
     def newton_step(u, _):
-        R = jnp.where(interior,
-                      assembly2d.apply_stiffness(u, K0)
-                      + m * (problem.s(u) - f_n), 0.0)
+        if numerov:
+            R = jnp.where(interior,
+                          assembly2d.apply_stiffness(u, K0)
+                          + assembly2d.apply_stiffness(problem.s(u), K_M)
+                          - Mf, 0.0)
+        else:
+            R = jnp.where(interior,
+                          assembly2d.apply_stiffness(u, K0)
+                          + m * (problem.s(u) - f_n), 0.0)
         c = problem.ds(u)
 
         def J_apply(v):
+            vi = v * interior
+            if numerov:
+                return jnp.where(
+                    interior,
+                    assembly2d.apply_stiffness(vi, K0)
+                    + assembly2d.apply_stiffness(c * vi, K_M), 0.0)
             return jnp.where(
                 interior,
-                assembly2d.apply_stiffness(v * interior, K0)
-                + m * c * (v * interior), 0.0)
+                assembly2d.apply_stiffness(vi, K0) + m * c * vi, 0.0)
 
-        M_inv = jnp.where(interior, 1.0 / (diag0 + m * c), 1.0)
+        dj = diagM * c if numerov else m * c
+        M_inv = jnp.where(interior, 1.0 / (diag0 + dj), 1.0)
         res = cg.cg(J_apply, R, M_inv=M_inv, tol=tol,
                     maxiter=cfg.cg_maxiter)
         return u - jnp.where(interior, res.x, 0.0), jnp.max(jnp.abs(R))
@@ -374,8 +407,11 @@ def hybrid_solve_semilinear_2d(problem: SemilinearProblem2D, cfg,
     t_int_j = jnp.asarray(t_int)
     bpts_j = jnp.asarray(bpts)
     # f at interior collocation + traces from the converged FEM grid
+    # (trace_lift >= 2: tangential-Lagrange lifted traces, g-exact on
+    # domain-boundary edges — handled inside _element_data_2d)
     _, bc_rows, corners = _element_data_2d(
-        _P2DStub(problem), cfg, xs, ys, fem, t_int_j, bpts_j)
+        _P2DStub(problem), cfg, xs, ys, fem, t_int_j, bpts_j,
+        trace_lift=trace_lift)
     t_j = jnp.asarray(t_int, dtype)
     xm = 0.5 * (xs[1:] + xs[:-1])
     ym = 0.5 * (ys[1:] + ys[:-1])
@@ -475,11 +511,18 @@ class SemilinearSolution3D(NamedTuple):
 
 
 def hybrid_solve_semilinear_3d(problem: SemilinearProblem3D, cfg,
-                               n_newton: int = 8, n_newton_elem: int = 5):
+                               n_newton: int = 8, n_newton_elem: int = 5,
+                               scheme: str = "p1", trace_lift: int = 0):
     """3D two-level Newton (tensor lift of ``hybrid_solve_semilinear_2d``:
     matrix-free Q1 hex Newton with lumped-mass nonlinearity and Jacobi-CG
     inner solves, then element-level Newton on the nonlinear collocation
-    system — each step one batched null-space LSE solve)."""
+    system — each step one batched null-space LSE solve).
+
+    ``scheme="numerov"``: tensor-Numerov compact rows A u + M s(u) = M f
+    (``assembly3d.q1_numerov_locals_3d``) — O(h^4) nodal.
+    ``trace_lift >= 2``: plane-lifted element traces
+    (``hybrid3d._lifted_trace_3d`` via ``_element_data_3d``); the pair
+    gives an O(h^4) hybrid semilinear solution."""
     from ..ops import assembly3d, cg
     from .hybrid3d import (Solver3DConfig, _element_data_3d,  # noqa: F401
                            _surface_coords, _trilinear_fallback_coeffs)
@@ -493,8 +536,16 @@ def hybrid_solve_semilinear_3d(problem: SemilinearProblem3D, cfg,
     xs = jnp.linspace(x0, x1, nx + 1, dtype=dtype)
     ys = jnp.linspace(y0, y1, ny + 1, dtype=dtype)
     zs = jnp.linspace(z0, z1, nz + 1, dtype=dtype)
-    K0 = jnp.asarray(assembly3d.q1_local_operator_3d(
-        hx, hy, hz, problem.a0, 0.0, 0.0, 0.0, 0.0), dtype)
+    numerov = scheme == "numerov"
+    if numerov:
+        K_A_np, K_M_np = assembly3d.q1_numerov_locals_3d(
+            hx, hy, hz, problem.a0, 0.0)
+        K0 = jnp.asarray(K_A_np, dtype)
+        K_M = jnp.asarray(K_M_np, dtype)
+    else:
+        K0 = jnp.asarray(assembly3d.q1_local_operator_3d(
+            hx, hy, hz, problem.a0, 0.0, 0.0, 0.0, 0.0), dtype)
+        K_M = None
     interior = (jnp.zeros((nz + 1, ny + 1, nx + 1), bool)
                 .at[1:-1, 1:-1, 1:-1].set(True))
     X = xs[None, None, :]
@@ -502,27 +553,44 @@ def hybrid_solve_semilinear_3d(problem: SemilinearProblem3D, cfg,
     Z_ = zs[:, None, None]
     ones = jnp.ones((nz + 1, ny + 1, nx + 1), dtype)
     u_bc = jnp.where(interior, 0.0, problem.g(X, Y, Z_) * ones)
-    m = hx * hy * hz  # lumped Q1 mass at interior nodes
+    m = hx * hy * hz  # lumped Q1 mass at interior nodes (p1 scheme)
     f_n = problem.f(X, Y, Z_) * ones
     diag0 = assembly3d.stiffness_diag_3d((nz + 1, ny + 1, nx + 1), K0,
                                          dtype)
+    if numerov:
+        Mf = assembly3d.apply_stiffness_3d(f_n, K_M)
+        diagM = assembly3d.stiffness_diag_3d((nz + 1, ny + 1, nx + 1),
+                                             K_M, dtype)
     tol = cfg.cg_tol
     if tol is None:
         tol = 100.0 * float(jnp.finfo(dtype).eps)
 
     def newton_step(u, _):
-        R = jnp.where(interior,
-                      assembly3d.apply_stiffness_3d(u, K0)
-                      + m * (problem.s(u) - f_n), 0.0)
+        if numerov:
+            R = jnp.where(interior,
+                          assembly3d.apply_stiffness_3d(u, K0)
+                          + assembly3d.apply_stiffness_3d(problem.s(u),
+                                                          K_M)
+                          - Mf, 0.0)
+        else:
+            R = jnp.where(interior,
+                          assembly3d.apply_stiffness_3d(u, K0)
+                          + m * (problem.s(u) - f_n), 0.0)
         c = problem.ds(u)
 
         def J_apply(v):
+            vi = v * interior
+            if numerov:
+                return jnp.where(
+                    interior,
+                    assembly3d.apply_stiffness_3d(vi, K0)
+                    + assembly3d.apply_stiffness_3d(c * vi, K_M), 0.0)
             return jnp.where(
                 interior,
-                assembly3d.apply_stiffness_3d(v * interior, K0)
-                + m * c * (v * interior), 0.0)
+                assembly3d.apply_stiffness_3d(vi, K0) + m * c * vi, 0.0)
 
-        M_inv = jnp.where(interior, 1.0 / (diag0 + m * c), 1.0)
+        dj = diagM * c if numerov else m * c
+        M_inv = jnp.where(interior, 1.0 / (diag0 + dj), 1.0)
         res = cg.cg(J_apply, R, M_inv=M_inv, tol=tol,
                     maxiter=cfg.cg_maxiter)
         return u - jnp.where(interior, res.x, 0.0), jnp.max(jnp.abs(R))
@@ -556,9 +624,10 @@ def hybrid_solve_semilinear_3d(problem: SemilinearProblem3D, cfg,
     Pj = jnp.asarray(Pbc, dtype)
     E = nx * ny * nz
     # f at interior collocation + traces from the converged FEM grid
+    # (trace_lift >= 2: plane-lifted traces, g-exact on boundary faces)
     f_rows, bc_rows, cs = _element_data_3d(
         _P3DStub(problem), cfg, xs, ys, zs, fem, jnp.asarray(t_int),
-        jnp.asarray(spts))
+        jnp.asarray(spts), trace_lift=trace_lift)
     w = _trilinear_fallback_coeffs(cs, M_).reshape(E, M_ * M_ * M_)
 
     def elem_newton(w, _):

@@ -64,6 +64,7 @@ _FAST_TESTS = {
 # Individually excluded from fast modules (3D mesh-sweep cost).
 _FAST_EXCLUDE = {
     "test_nonlinear.py::test_semilinear_3d_converges",
+    "test_nonlinear.py::test_semilinear_3d_numerov_lift_fourth_order",
 }
 
 

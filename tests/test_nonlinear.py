@@ -141,3 +141,54 @@ def test_semilinear_3d_converges():
         assert bool(np.asarray(sol.solve_ok).all())
     order = np.log2(errs[8] / errs[16])
     assert 1.6 < order < 2.6, (errs, order)
+
+
+def test_semilinear_2d_numerov_lift_fourth_order():
+    """scheme='numerov' + trace_lift=6: the compact pair carries O(h^4)
+    through the semilinear two-level Newton (4.3e-3 / 8.4e-5 / 5.5e-6 at
+    8/16/32^2 — 1350x below the p1 floor at 32^2)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import Solver2DConfig
+    from hybrid_fem_lssvr_tpu.models.nonlinear import (
+        cubic_2d, evaluate_semilinear_2d, hybrid_solve_semilinear_2d,
+    )
+
+    p = cubic_2d()
+    rng = np.random.default_rng(2)
+    xq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    yq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    uex = np.asarray(p.exact(xq, yq))
+    errs = {}
+    for n in (8, 16):
+        sol = hybrid_solve_semilinear_2d(
+            p, Solver2DConfig(nx=n, ny=n, M=6, n_colloc=6),
+            scheme="numerov", trace_lift=6)
+        u = evaluate_semilinear_2d(sol, xq, yq)
+        errs[n] = float(np.abs(np.asarray(u) - uex).max())
+        assert float(sol.newton_residuals[-1]) < 1e-12
+        assert bool(np.asarray(sol.solve_ok).all())
+    assert errs[8] / errs[16] > 11.0, errs
+    assert errs[16] < 2e-4
+
+
+def test_semilinear_3d_numerov_lift_fourth_order():
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import Solver3DConfig
+    from hybrid_fem_lssvr_tpu.models.nonlinear import (
+        cubic_3d, evaluate_semilinear_3d, hybrid_solve_semilinear_3d,
+    )
+
+    p = cubic_3d()
+    rng = np.random.default_rng(2)
+    xq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    yq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    zq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    uex = np.asarray(p.exact(xq, yq, zq))
+    errs = {}
+    for n in (8, 16):
+        sol = hybrid_solve_semilinear_3d(
+            p, Solver3DConfig(nx=n, ny=n, nz=n, M=4, n_colloc=4),
+            scheme="numerov", trace_lift=6)
+        u = evaluate_semilinear_3d(sol, xq, yq, zq)
+        errs[n] = float(np.abs(np.asarray(u) - uex).max())
+        assert bool(np.asarray(sol.solve_ok).all())
+    assert errs[8] / errs[16] > 11.0, errs
+    assert errs[16] < 5e-4
