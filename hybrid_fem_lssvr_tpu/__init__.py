@@ -17,6 +17,7 @@ from .models.hybrid2d import (
 from .models.problem import Problem1D
 from .models import problems
 from .models.adaptive import adaptive_solve
+from .models.goal import goal_adaptive_solve
 from .models.batched import ParametricFamily1D, solve_family, solve_groups
 
 __version__ = "0.1.0"
@@ -33,6 +34,7 @@ __all__ = [
     "Solver2DConfig",
     "poisson_2d",
     "adaptive_solve",
+    "goal_adaptive_solve",
     "ParametricFamily1D",
     "solve_family",
     "solve_groups",

@@ -177,6 +177,25 @@ def cmd_adaptive(args):
     em = M.MetricsEmitter()
     problem = problems.get(args.problem)
     cfg = _cfg_from_args(args)
+    if getattr(args, "goal_center", None) is not None:
+        from .models.goal import goal_adaptive_solve
+
+        x0, s = args.goal_center, args.goal_width
+        j = lambda x: jnp.exp(-0.5 * ((x - x0) / s) ** 2)  # noqa: E731
+        exact_goal = None
+        if problem.exact is not None:
+            tq, wq = np.polynomial.legendre.leggauss(400)
+            a, b = problem.domain
+            xg = 0.5 * (b - a) * tq + 0.5 * (a + b)
+            ue = np.asarray(problem.exact(jnp.asarray(xg, jnp.float64)))
+            exact_goal = float(0.5 * (b - a) * np.sum(
+                wq * ue * np.exp(-0.5 * ((xg - x0) / s) ** 2)))
+        res = goal_adaptive_solve(problem, j, cfg, rounds=args.rounds,
+                                  refine_frac=args.refine_frac,
+                                  exact_goal=exact_goal)
+        for rec in res.history:
+            em.emit("goal_adaptive_round", problem=problem.name, **rec)
+        return
     xq = np.linspace(*problem.domain, args.eval_points) \
         if problem.exact is not None else None
     res = adaptive_solve(problem, cfg, rounds=args.rounds,
@@ -1128,10 +1147,16 @@ def build_parser():
     common(sp)
     sp.set_defaults(fn=cmd_campaign)
 
-    sp = sub.add_parser("adaptive", help="slack-driven adaptive refinement")
+    sp = sub.add_parser("adaptive", help="slack-driven adaptive refinement "
+                        "(goal-oriented DWR with --goal-center)")
     common(sp)
     sp.add_argument("--rounds", type=int, default=4)
     sp.add_argument("--refine-frac", type=float, default=0.3)
+    sp.add_argument("--goal-center", type=float, default=None,
+                    help="switch to goal-oriented (DWR) refinement for "
+                    "J(u) = int j u with j a Gaussian at this center")
+    sp.add_argument("--goal-width", type=float, default=0.15,
+                    help="Gaussian width of the goal weight j")
     sp.set_defaults(fn=cmd_adaptive)
 
     sp = sub.add_parser(

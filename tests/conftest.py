@@ -53,6 +53,7 @@ _FAST_MODULES = {
     "test_nonlinear.py",
 }
 _FAST_TESTS = {
+    "test_goal.py::test_dwr_effectivity_near_one",
     "test_sharded.py::test_sharded_matches_single_device",
     "test_pallas.py::test_fused_matches_jnp_path",
     "test_pallas.py::test_fused_varcoeff_matches_xla_lse_path",
