@@ -212,6 +212,29 @@ def cmd_adaptive2d(args):
     cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=args.M,
                          gamma=args.gamma, dtype=args.dtype,
                          precond="jacobi")
+    if getattr(args, "goal_center", None) is not None:
+        from .models.goal import goal_adaptive_solve_2d
+
+        x0, s = args.goal_center, args.goal_width
+        j = lambda x, y: jnp.exp(  # noqa: E731
+            -0.5 * (((x - x0) / s) ** 2 + ((y - x0) / s) ** 2))
+        exact_goal = None
+        if problem.exact is not None:
+            tq, wq = np.polynomial.legendre.leggauss(200)
+            a, b, c, d = problem.domain
+            xg = 0.5 * (b - a) * tq + 0.5 * (a + b)
+            yg = 0.5 * (d - c) * tq + 0.5 * (c + d)
+            X, Y = np.meshgrid(xg, yg)
+            W = np.outer(wq, wq) * 0.25 * (b - a) * (d - c)
+            ue = np.asarray(problem.exact(jnp.asarray(X), jnp.asarray(Y)))
+            exact_goal = float(np.sum(W * ue * np.asarray(j(X, Y))))
+        res = goal_adaptive_solve_2d(
+            problem, j, cfg, rounds=args.rounds,
+            refine_frac=args.refine_frac, exact_goal=exact_goal,
+            adjoint_zoom=args.adjoint_zoom)
+        for rec in res.history:
+            em.emit("goal_adaptive2d_round", problem=problem.name, **rec)
+        return
     ep = None
     if problem.exact is not None:
         rng = np.random.default_rng(0)
@@ -1176,6 +1199,13 @@ def build_parser():
     sp.add_argument("--rounds", type=int, default=3)
     sp.add_argument("--refine-frac", type=float, default=0.3)
     sp.add_argument("--eval-points", type=int, default=2000)
+    sp.add_argument("--goal-center", type=float, default=None,
+                    help="switch to goal-oriented (DWR) refinement for "
+                    "J(u) = int j u with j a Gaussian at (c, c)")
+    sp.add_argument("--goal-width", type=float, default=0.15)
+    sp.add_argument("--adjoint-zoom", type=int, default=1,
+                    help="bisection levels for the adjoint mesh "
+                    "(1 -> effectivity ~0.9, 2 -> ~0.98)")
     sp.set_defaults(fn=cmd_adaptive2d)
 
     sp = sub.add_parser(

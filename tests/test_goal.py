@@ -100,3 +100,92 @@ def test_goal_adaptive_solve_converges():
 def test_adjoint_problem_rejects_non_dirichlet():
     with pytest.raises(ValueError, match="Dirichlet"):
         adjoint_problem(problems.poisson_neumann(), _j)
+
+
+# ------------------------------------------------------------------- 2D
+
+def _j2(x, y):
+    return jnp.exp(-0.5 * (((x - 0.55) / 0.08) ** 2
+                           + ((y - 0.55) / 0.08) ** 2))
+
+
+def _exact_goal_2d(exact):
+    tq, wq = np.polynomial.legendre.leggauss(200)
+    X, Y = np.meshgrid(tq, tq)
+    W = np.outer(wq, wq)
+    return float(np.sum(W * np.asarray(exact(jnp.asarray(X), jnp.asarray(Y)))
+                        * np.asarray(_j2(X, Y))))
+
+
+def _effectivity_2d(problem, n, zoom):
+    from hybrid_fem_lssvr_tpu.models.goal import (
+        _bisect, adjoint_problem_2d, dwr_estimate_2d, goal_value_2d,
+    )
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import Solver2DConfig
+    from hybrid_fem_lssvr_tpu.models.hybrid2d_graded import (
+        HybridSolver2DGraded,
+    )
+
+    cfg = Solver2DConfig(nx=n, ny=n, M=6, n_colloc=6, dtype="float64",
+                         precond="jacobi")
+    xs = np.linspace(-1.0, 1.0, n + 1)
+    ys = np.linspace(-1.0, 1.0, n + 1)
+    psol = HybridSolver2DGraded(problem, cfg, xs, ys).solve()
+    adj = adjoint_problem_2d(problem, _j2)
+    asol = HybridSolver2DGraded(adj, cfg, _bisect(xs, zoom),
+                                _bisect(ys, zoom)).solve()
+    est = float(dwr_estimate_2d(problem, psol, asol).total)
+    true = _exact_goal_2d(problem.exact) - float(goal_value_2d(psol, _j2))
+    return est / true, true
+
+
+def test_dwr_2d_effectivity_zoom_levels():
+    """The bisected-adjoint design (goal.py section comment): zoom 1
+    recovers ~0.9 of the true goal error, zoom 2 ~0.98 — and an
+    equal-mesh adjoint would sit near ZERO (measured -0.05), so the
+    lower bounds here are the real property under test."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import poisson_2d
+
+    eff1, true1 = _effectivity_2d(poisson_2d(), 8, zoom=1)
+    assert abs(true1) > 1e-6
+    assert 0.80 < eff1 < 1.02, (eff1, true1)
+    eff2, _ = _effectivity_2d(poisson_2d(), 8, zoom=2)
+    assert 0.93 < eff2 < 1.03, eff2
+
+
+def test_dwr_2d_advection_adjoint():
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import get_problem_2d
+
+    p = get_problem_2d("advection_diffusion_2d")
+    eff, true = _effectivity_2d(p, 8, zoom=1)
+    assert abs(true) > 1e-8
+    assert 0.7 < eff < 1.15, (eff, true)
+
+
+def test_goal_adaptive_solve_2d_converges_and_tracks():
+    from hybrid_fem_lssvr_tpu.models.goal import goal_adaptive_solve_2d
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import (
+        Solver2DConfig, poisson_2d,
+    )
+
+    p = poisson_2d()
+    Jex = _exact_goal_2d(p.exact)
+    cfg = Solver2DConfig(nx=8, ny=8, M=6, n_colloc=6, dtype="float64",
+                         precond="jacobi")
+    res = goal_adaptive_solve_2d(p, _j2, cfg, rounds=3, refine_frac=0.3,
+                                 exact_goal=Jex)
+    errs = [abs(r["true_error"]) for r in res.history]
+    assert errs[-1] < 0.2 * errs[0], errs  # measured 2.7e-4 -> 3.8e-5
+    # estimate stays ~0.9-effective on every (graded) round
+    for r in res.history:
+        assert abs(r["est_error"] - r["true_error"]) \
+            < 0.35 * abs(r["true_error"]), r
+
+
+def test_adjoint_problem_2d_rejects_non_dirichlet():
+    from hybrid_fem_lssvr_tpu.models.goal import adjoint_problem_2d
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import get_problem_2d
+
+    p = get_problem_2d("robin_2d")
+    with pytest.raises(ValueError, match="Dirichlet"):
+        adjoint_problem_2d(p, _j2)
