@@ -122,12 +122,28 @@ def _solve_tiny(S, r):
         return jnp.stack(
             [(d * r0 - b * r1) / det, (a * r1 - c * r0) / det], axis=-1
         )
-    L = jnp.linalg.cholesky(S)
+    # Symmetric Jacobi equilibration + one residual-refinement step:
+    # the trace-constraint Schur block can be ill-conditioned (discrete-
+    # harmonic modes), and plain Cholesky lost ~6 digits vs the pivoted
+    # LU it replaced (measured: graded==uniform varcoeff agreement
+    # degraded to 1.3e-6 in f64).  Scaling + one refinement recovers the
+    # LU-level floor while staying TPU-legal in emulated f64.
+    d = jnp.diagonal(S, axis1=-2, axis2=-1)
+    s = jax.lax.rsqrt(jnp.maximum(jnp.abs(d), jnp.finfo(S.dtype).tiny))
+    Ss = S * s[..., :, None] * s[..., None, :]
+    L = jnp.linalg.cholesky(Ss)
     vec = r.ndim == S.ndim - 1
     rr = r[..., None] if vec else r
-    y = jax.scipy.linalg.solve_triangular(L, rr, lower=True)
-    x = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(L, -1, -2), y, lower=False)
+
+    def solve(b):
+        y = jax.scipy.linalg.solve_triangular(
+            L, b * s[..., :, None], lower=True)
+        x = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L, -1, -2), y, lower=False)
+        return x * s[..., :, None]
+
+    x = solve(rr)
+    x = x + solve(rr - S @ x)
     return x[..., 0] if vec else x
 
 
