@@ -258,6 +258,32 @@ def cmd_adaptive3d(args):
                          n_colloc=args.M, gamma=args.gamma,
                          dtype=args.dtype, precond="jacobi",
                          backend="xla")
+    if getattr(args, "goal_center", None) is not None:
+        from .models.goal import goal_adaptive_solve_3d
+
+        x0, s = args.goal_center, args.goal_width
+        j = lambda x, y, z: jnp.exp(  # noqa: E731
+            -0.5 * (((x - x0) ** 2 + (y - x0) ** 2 + (z - x0) ** 2)
+                    / s ** 2))
+        exact_goal = None
+        if problem.exact is not None:
+            tq, wq = np.polynomial.legendre.leggauss(80)
+            d = problem.domain
+            gs = [0.5 * (d[2 * i + 1] - d[2 * i]) * tq
+                  + 0.5 * (d[2 * i] + d[2 * i + 1]) for i in range(3)]
+            X, Y, Z = np.meshgrid(*gs, indexing="ij")
+            W = (wq[:, None, None] * wq[None, :, None] * wq[None, None, :]
+                 * 0.125 * (d[1] - d[0]) * (d[3] - d[2]) * (d[5] - d[4]))
+            ue = np.asarray(problem.exact(jnp.asarray(X), jnp.asarray(Y),
+                                          jnp.asarray(Z)))
+            exact_goal = float(np.sum(W * ue * np.asarray(j(X, Y, Z))))
+        res = goal_adaptive_solve_3d(
+            problem, j, cfg, rounds=args.rounds,
+            refine_frac=args.refine_frac, exact_goal=exact_goal,
+            adjoint_zoom=args.adjoint_zoom)
+        for rec in res.history:
+            em.emit("goal_adaptive3d_round", problem=problem.name, **rec)
+        return
     ep = None
     if problem.exact is not None:
         rng = np.random.default_rng(0)
@@ -1225,6 +1251,13 @@ def build_parser():
     sp.add_argument("--rounds", type=int, default=2)
     sp.add_argument("--refine-frac", type=float, default=0.3)
     sp.add_argument("--eval-points", type=int, default=1000)
+    sp.add_argument("--goal-center", type=float, default=None,
+                    help="switch to goal-oriented (DWR) refinement for "
+                    "J(u) = int j u with j a Gaussian at (c, c, c)")
+    sp.add_argument("--goal-width", type=float, default=0.15)
+    sp.add_argument("--adjoint-zoom", type=int, default=1,
+                    help="bisection levels for the adjoint mesh "
+                    "(1 -> effectivity ~0.86, 2 -> ~0.96)")
     sp.set_defaults(fn=cmd_adaptive3d)
 
     sp = sub.add_parser(

@@ -450,3 +450,244 @@ def goal_adaptive_solve_2d(problem: Problem2D, j: Callable, cfg,
     return GoalAdaptiveResult2D(solution=psolver.solution,
                                 adjoint=asolver.solution,
                                 xs=xs, ys=ys, history=history)
+
+
+# --------------------------------------------------------------------- 3D
+#
+# Tensor lift of the 2D estimator to structured hexes: cell residuals at
+# the tensor Gauss grid, face flux-jump terms int_F z a [du_h/dn] on the
+# three interior-face families, z from an adjoint solved on a bisected
+# mesh (the 2D lesson applies verbatim — the O(h^2) FEM trace floor
+# peaks on the primal faces, so an equal-mesh weight is useless).  The
+# [u_h] and (u_h - g) terms are O(bc_violation) and dropped, as in 2D.
+
+from .hybrid3d import Problem3D, Solution3D  # noqa: E402
+
+
+def adjoint_problem_3d(problem: Problem3D, j: Callable,
+                       name: Optional[str] = None) -> Problem3D:
+    """Adjoint BVP: b -> -b (constant advection), diffusion/reaction
+    carried as is (self-adjoint)."""
+    if any(bc != "dirichlet" for bc in problem.bc_faces):
+        raise ValueError(
+            "3D goal-oriented adaptivity needs all-Dirichlet problems "
+            f"(got {problem.bc_faces})")
+    bx, by, bz = problem.b
+    return Problem3D(
+        name=name or f"adjoint({problem.name})",
+        f=j,
+        g=lambda x, y, z: jnp.zeros_like(x + y + z),
+        domain=problem.domain,
+        a0=problem.a0,
+        c=problem.c,
+        b=(-bx, -by, -bz),
+        a_var=problem.a_var,
+        grad_a=problem.grad_a,
+    )
+
+
+def _tensor_series_on_gauss_3d(sol: Solution3D, tq):
+    """(x, y, z, u, ux, uy, uz, lap) at the tensor Gauss grid — each
+    [nz, ny, nx, qz, qy, qx]."""
+    xs, ys, zs, C = sol.xs, sol.ys, sol.zs, sol.coeffs
+    M = C.shape[-1]
+    V0, V1, V2 = legendre.legendre_vandermonde(tq, M)
+    hx = xs[1:] - xs[:-1]
+    hy = ys[1:] - ys[:-1]
+    hz = zs[1:] - zs[:-1]
+    cx = (2.0 / hx)[None, None, :, None, None, None]
+    cy = (2.0 / hy)[None, :, None, None, None, None]
+    cz = (2.0 / hz)[:, None, None, None, None, None]
+    hi = jax.lax.Precision.HIGHEST
+    con = lambda Vz, Vy, Vx: jnp.einsum(  # noqa: E731
+        "ZYXabc,pa,qb,rc->ZYXpqr", C, Vz, Vy, Vx, precision=hi)
+    grid = lambda ns, h: ns[:-1, None] + 0.5 * (tq + 1.0)[None, :] \
+        * h[:, None]  # noqa: E731
+    x = grid(xs, hx)[None, None, :, None, None, :]
+    y = grid(ys, hy)[None, :, None, None, :, None]
+    z = grid(zs, hz)[:, None, None, :, None, None]
+    u = con(V0, V0, V0)
+    ux = cx * con(V0, V0, V1)
+    uy = cy * con(V0, V1, V0)
+    uz = cz * con(V1, V0, V0)
+    lap = (cx * cx * con(V0, V0, V2) + cy * cy * con(V0, V2, V0)
+           + cz * cz * con(V2, V0, V0))
+    return x, y, z, u, ux, uy, uz, lap
+
+
+def goal_value_3d(sol: Solution3D, j: Callable, q: int = 6):
+    """J(u_h) = int j u_h by tensor Gauss quadrature per hex."""
+    tq, wq = _gauss(q, sol.coeffs.dtype)
+    x, y, z, u, *_ = _tensor_series_on_gauss_3d(sol, tq)
+    hx = sol.xs[1:] - sol.xs[:-1]
+    hy = sol.ys[1:] - sol.ys[:-1]
+    hz = sol.zs[1:] - sol.zs[:-1]
+    vol8 = 0.125 * (hz[:, None, None] * hy[None, :, None]
+                    * hx[None, None, :])
+    cell = jnp.einsum("ZYXpqr,p,q,r->ZYX",
+                      j(x, y, z) * jnp.ones_like(u) * u, wq, wq, wq)
+    return jnp.sum(vol8 * cell)
+
+
+def _face_normal_derivs_3d(sol: Solution3D, tq):
+    """Normal derivatives of the element series on its 6 faces at the
+    face tensor Gauss points: (ux_f, uy_f, uz_f) with
+    ux_f[Z, Y, X, s, pz, py] at the x-end s (and cyclically)."""
+    xs, ys, zs, C = sol.xs, sol.ys, sol.zs, sol.coeffs
+    M = C.shape[-1]
+    V0, _ = legendre.legendre_vandermonde(tq, M, num_derivs=1)
+    ends = jnp.asarray([-1.0, 1.0], C.dtype)
+    _, E1 = legendre.legendre_vandermonde(ends, M, num_derivs=1)
+    hx = xs[1:] - xs[:-1]
+    hy = ys[1:] - ys[:-1]
+    hz = zs[1:] - zs[:-1]
+    hi = jax.lax.Precision.HIGHEST
+    ux_f = (2.0 / hx)[None, None, :, None, None, None] * jnp.einsum(
+        "ZYXabc,pa,qb,sc->ZYXspq", C, V0, V0, E1, precision=hi)
+    uy_f = (2.0 / hy)[None, :, None, None, None, None] * jnp.einsum(
+        "ZYXabc,pa,sb,qc->ZYXspq", C, V0, E1, V0, precision=hi)
+    uz_f = (2.0 / hz)[:, None, None, None, None, None] * jnp.einsum(
+        "ZYXabc,sa,pb,qc->ZYXspq", C, E1, V0, V0, precision=hi)
+    return ux_f, uy_f, uz_f
+
+
+class DWREstimate3D(NamedTuple):
+    total: jnp.ndarray
+    cell: jnp.ndarray  # [nz, ny, nx]
+    indicator: jnp.ndarray  # [nz, ny, nx]
+
+
+def dwr_estimate_3d(problem: Problem3D, primal: Solution3D,
+                    adjoint: Solution3D, q: int = 6) -> DWREstimate3D:
+    """3D dual-weighted residual estimate; ``adjoint`` should live on a
+    bisected refinement of the primal mesh (see the 2D section)."""
+    from .hybrid3d_graded import evaluate_3d_graded
+
+    xs, ys, zs = primal.xs, primal.ys, primal.zs
+    dtype = primal.coeffs.dtype
+    tq, wq = _gauss(q, dtype)
+    hx = xs[1:] - xs[:-1]
+    hy = ys[1:] - ys[:-1]
+    hz = zs[1:] - zs[:-1]
+    bx, by, bz = problem.b
+    if problem.a_var is not None:
+        a_fn = problem.a_var
+        ax_fn, ay_fn, az_fn = problem.grad_a
+    else:
+        a_fn = lambda x, y, z: problem.a0 * jnp.ones_like(  # noqa: E731
+            x + y + z)
+        ax_fn = ay_fn = az_fn = lambda x, y, z: jnp.zeros_like(  # noqa: E731
+            x + y + z)
+
+    x, y, z_, u, ux, uy, uz, lap = _tensor_series_on_gauss_3d(primal, tq)
+    ones = jnp.ones_like(u)
+    a = a_fn(x, y, z_) * ones
+    R = (problem.f(x, y, z_) * ones
+         - (-(a * lap + ax_fn(x, y, z_) * ux + ay_fn(x, y, z_) * uy
+              + az_fn(x, y, z_) * uz)
+            + bx * ux + by * uy + bz * uz + problem.c * u))
+    zval = evaluate_3d_graded(adjoint, (x * ones).ravel(),
+                              (y * ones).ravel(),
+                              (z_ * ones).ravel()).reshape(u.shape)
+    vol8 = 0.125 * (hz[:, None, None] * hy[None, :, None]
+                    * hx[None, None, :])
+    cell = vol8 * jnp.einsum("ZYXpqr,p,q,r->ZYX", R * zval, wq, wq, wq)
+
+    ux_f, uy_f, uz_f = _face_normal_derivs_3d(primal, tq)
+    grid = lambda ns, h: ns[:-1, None] + 0.5 * (tq + 1.0)[None, :] \
+        * h[:, None]  # noqa: E731
+    xpts, ypts, zpts = grid(xs, hx), grid(ys, hy), grid(zs, hz)
+    nz, ny, nx = cell.shape
+
+    def face_sum(jump, w1, w2, xq, yq, zq):
+        """0.5-scaled twice: int_F z a [du/dn] over one interior-face
+        family; jump/coords arrived as [n1, n2, nf, q, q] already."""
+        zv = evaluate_3d_graded(adjoint, xq.ravel(), yq.ravel(),
+                                zq.ravel()).reshape(jump.shape)
+        av = a_fn(xq, yq, zq) * jnp.ones_like(jump)
+        F = 0.25 * w1 * w2 * jnp.einsum("ZYXpq,p,q->ZYX",
+                                        zv * av * jump, wq, wq)
+        return F
+
+    # x-normal interior faces i=1..nx-1: points (xs[i], ypts, zpts).
+    jx = ux_f[:, :, 1:, 0] - ux_f[:, :, :-1, 1]  # [nz, ny, nx-1, qz, qy]
+    xq = jnp.broadcast_to(xs[1:-1][None, None, :, None, None], jx.shape)
+    yq = jnp.broadcast_to(ypts[None, :, None, None, :], jx.shape)
+    zq = jnp.broadcast_to(zpts[:, None, None, :, None], jx.shape)
+    Fx = face_sum(jx, hz[:, None, None], hy[None, :, None], xq, yq, zq)
+
+    # y-normal interior faces: points (xpts, ys[i], zpts).
+    jy = uy_f[:, 1:, :, 0] - uy_f[:, :-1, :, 1]  # [nz, ny-1, nx, qz, qx]
+    xq = jnp.broadcast_to(xpts[None, None, :, None, :], jy.shape)
+    yq = jnp.broadcast_to(ys[1:-1][None, :, None, None, None], jy.shape)
+    zq = jnp.broadcast_to(zpts[:, None, None, :, None], jy.shape)
+    Fy = face_sum(jy, hz[:, None, None], hx[None, None, :], xq, yq, zq)
+
+    # z-normal interior faces: points (xpts, ypts, zs[i]).
+    jz = uz_f[1:, :, :, 0] - uz_f[:-1, :, :, 1]  # [nz-1, ny, nx, qy, qx]
+    xq = jnp.broadcast_to(xpts[None, None, :, None, :], jz.shape)
+    yq = jnp.broadcast_to(ypts[None, :, None, :, None], jz.shape)
+    zq = jnp.broadcast_to(zs[1:-1][:, None, None, None, None], jz.shape)
+    Fz = face_sum(jz, hy[None, :, None], hx[None, None, :], xq, yq, zq)
+
+    total = jnp.sum(cell) + jnp.sum(Fx) + jnp.sum(Fy) + jnp.sum(Fz)
+    hfx, hfy, hfz = 0.5 * jnp.abs(Fx), 0.5 * jnp.abs(Fy), 0.5 * jnp.abs(Fz)
+    indicator = (jnp.abs(cell)
+                 .at[:, :, :-1].add(hfx).at[:, :, 1:].add(hfx)
+                 .at[:, :-1, :].add(hfy).at[:, 1:, :].add(hfy)
+                 .at[:-1, :, :].add(hfz).at[1:, :, :].add(hfz))
+    return DWREstimate3D(total=total, cell=cell, indicator=indicator)
+
+
+class GoalAdaptiveResult3D(NamedTuple):
+    solution: Solution3D
+    adjoint: Solution3D
+    xs: np.ndarray
+    ys: np.ndarray
+    zs: np.ndarray
+    history: List[dict]
+
+
+def goal_adaptive_solve_3d(problem: Problem3D, j: Callable, cfg,
+                           rounds: int = 2, refine_frac: float = 0.3,
+                           exact_goal: Optional[float] = None,
+                           q: int = 6,
+                           adjoint_zoom: int = 1) -> GoalAdaptiveResult3D:
+    """3D goal-oriented tensor-product adaptivity (mirror of the 2D
+    loop; the bisected adjoint costs 8x the primal per zoom level)."""
+    from .hybrid3d_graded import HybridSolver3DGraded, refine_axis
+
+    adj = adjoint_problem_3d(problem, j)
+    x0, x1, y0, y1, z0, z1 = problem.domain
+    xs = np.linspace(x0, x1, cfg.nx + 1)
+    ys = np.linspace(y0, y1, cfg.ny + 1)
+    zs = np.linspace(z0, z1, cfg.nz + 1)
+    history: List[dict] = []
+    psolver = asolver = None
+    for r in range(rounds + 1):
+        psolver = HybridSolver3DGraded(problem, cfg, xs, ys, zs)
+        psol = psolver.solve()
+        asolver = HybridSolver3DGraded(
+            adj, cfg, _bisect(xs, adjoint_zoom), _bisect(ys, adjoint_zoom),
+            _bisect(zs, adjoint_zoom))
+        asol = asolver.solve()
+        est = dwr_estimate_3d(problem, psol, asol, q=q)
+        goal = goal_value_3d(psol, j, q=q)
+        rec = {
+            "round": r,
+            "elements": int(est.cell.size),
+            "goal": float(goal),
+            "est_error": float(est.total),
+        }
+        if exact_goal is not None:
+            rec["true_error"] = float(exact_goal) - rec["goal"]
+        history.append(rec)
+        if r == rounds:
+            break
+        ind = np.asarray(est.indicator)
+        xs = refine_axis(xs, ind.sum(axis=(0, 1)), refine_frac)
+        ys = refine_axis(ys, ind.sum(axis=(0, 2)), refine_frac)
+        zs = refine_axis(zs, ind.sum(axis=(1, 2)), refine_frac)
+    return GoalAdaptiveResult3D(solution=psolver.solution,
+                                adjoint=asolver.solution,
+                                xs=xs, ys=ys, zs=zs, history=history)

@@ -189,3 +189,72 @@ def test_adjoint_problem_2d_rejects_non_dirichlet():
     p = get_problem_2d("robin_2d")
     with pytest.raises(ValueError, match="Dirichlet"):
         adjoint_problem_2d(p, _j2)
+
+
+# ------------------------------------------------------------------- 3D
+
+def _j3(x, y, z):
+    return jnp.exp(-0.5 * (((x - 0.45) ** 2 + (y - 0.45) ** 2
+                            + (z - 0.45) ** 2) / 0.15 ** 2))
+
+
+def _exact_goal_3d(exact):
+    tq, wq = np.polynomial.legendre.leggauss(80)
+    X, Y, Z = np.meshgrid(tq, tq, tq, indexing="ij")
+    W = wq[:, None, None] * wq[None, :, None] * wq[None, None, :]
+    ue = np.asarray(exact(jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z)))
+    return float(np.sum(W * ue * np.asarray(_j3(X, Y, Z))))
+
+
+def test_dwr_3d_effectivity():
+    """Bisected-adjoint 3D DWR: measured eff 0.86 (zoom 1) at 6^3."""
+    from hybrid_fem_lssvr_tpu.models.goal import (
+        _bisect, adjoint_problem_3d, dwr_estimate_3d, goal_value_3d,
+    )
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import (
+        Solver3DConfig, get_problem_3d,
+    )
+    from hybrid_fem_lssvr_tpu.models.hybrid3d_graded import (
+        HybridSolver3DGraded,
+    )
+
+    p = get_problem_3d("poisson_3d")
+    cfg = Solver3DConfig(nx=6, ny=6, nz=6, M=4, n_colloc=4,
+                         precond="jacobi", dtype="float64", backend="xla")
+    xs = np.linspace(-1.0, 1.0, 7)
+    psol = HybridSolver3DGraded(p, cfg, xs, xs, xs).solve()
+    adj = adjoint_problem_3d(p, _j3)
+    bs = _bisect(xs, 1)
+    asol = HybridSolver3DGraded(adj, cfg, bs, bs, bs).solve()
+    est = float(dwr_estimate_3d(p, psol, asol).total)
+    true = _exact_goal_3d(p.exact) - float(goal_value_3d(psol, _j3))
+    assert abs(true) > 1e-4
+    assert 0.75 < est / true < 1.05, (est, true)
+
+
+def test_goal_adaptive_solve_3d_converges():
+    from hybrid_fem_lssvr_tpu.models.goal import goal_adaptive_solve_3d
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import (
+        Solver3DConfig, get_problem_3d,
+    )
+
+    p = get_problem_3d("poisson_3d")
+    Jex = _exact_goal_3d(p.exact)
+    cfg = Solver3DConfig(nx=6, ny=6, nz=6, M=4, n_colloc=4,
+                         precond="jacobi", dtype="float64", backend="xla")
+    res = goal_adaptive_solve_3d(p, _j3, cfg, rounds=2, exact_goal=Jex)
+    errs = [abs(r["true_error"]) for r in res.history]
+    assert errs[-1] < 0.05 * errs[0], errs  # measured 1.27e-3 -> 2.7e-5
+    # the estimate tracks while the error is resolved (the last round can
+    # sit at the sign-crossing where the RELATIVE gap blows up)
+    for r in res.history[:2]:
+        assert abs(r["est_error"] - r["true_error"]) \
+            < 0.35 * abs(r["true_error"]), r
+
+
+def test_adjoint_problem_3d_rejects_non_dirichlet():
+    from hybrid_fem_lssvr_tpu.models.goal import adjoint_problem_3d
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import get_problem_3d
+
+    with pytest.raises(ValueError, match="Dirichlet"):
+        adjoint_problem_3d(get_problem_3d("robin_3d"), _j3)
