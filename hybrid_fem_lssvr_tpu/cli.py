@@ -380,10 +380,15 @@ def _transient_2d(args, em, tcfg):
 
     if args.problem == "wave_2d":
         return _wave_2d(args, em, tcfg)
-    problem = TR.heat_2d()
     cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=args.M,
                          gamma=args.gamma, dtype=args.dtype)
-    march = TR.hybrid_march_2d if args.enhanced else TR.fem_march_2d
+    if args.problem == "semilinear_heat_2d":
+        problem = TR.semilinear_heat_2d()
+        march = (TR.hybrid_march_semilinear_2d if args.enhanced
+                 else TR.fem_march_semilinear_2d)
+    else:
+        problem = TR.heat_2d()
+        march = TR.hybrid_march_2d if args.enhanced else TR.fem_march_2d
     rec = {}
     with profiling.timed(rec, "solve_sec"):
         sol = march(problem, cfg, tcfg)
@@ -529,7 +534,11 @@ def cmd_transient(args):
     problem = TR.TRANSIENT_REGISTRY[args.problem]()
     cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
                        gamma=args.gamma, dtype=args.dtype)
-    march = TR.hybrid_march if args.enhanced else TR.fem_march
+    if isinstance(problem, TR.SemilinearTransientProblem1D):
+        march = (TR.hybrid_march_semilinear if args.enhanced
+                 else TR.fem_march_semilinear)
+    else:
+        march = TR.hybrid_march if args.enhanced else TR.fem_march
     rec = {}
     with profiling.timed(rec, "solve_sec"):
         sol = march(problem, cfg, tcfg)
@@ -1265,7 +1274,8 @@ def build_parser():
         help="parabolic march u_t + L u = f (theta-scheme / enhanced CN)")
     sp.add_argument("--problem", default="heat_1d",
                     choices=["heat_1d", "heat_robin_1d", "heat_2d",
-                             "heat_3d", "wave_1d", "wave_2d"])
+                             "heat_3d", "wave_1d", "wave_2d",
+                             "semilinear_heat_1d", "semilinear_heat_2d"])
     sp.add_argument("--dim", type=int, default=1, choices=[1, 2, 3])
     sp.add_argument("--num-nodes", type=int, default=33)
     sp.add_argument("--nx", type=int, default=16)

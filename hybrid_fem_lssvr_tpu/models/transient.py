@@ -1354,3 +1354,340 @@ def wave_march_3d(problem: WaveProblem3D, cfg, tcfg: TransientConfig,
     (uN, vN, _), iters = jax.lax.scan(step, (u0g, v0g, a0g), ts)
     return TransientSolution3D(xs, ys, zs, uN, None, tcfg.t_final,
                                jnp.max(iters)), vN
+
+
+# ------------------------------------------------- semilinear (IMEX)
+#
+# Reaction-diffusion marching u_t + L u + s(u) = f(x, t): Crank-Nicolson
+# on the stiff linear operator, Adams-Bashforth-2 extrapolation of the
+# nonlinearity (IMEX "CNAB" — s^{n+1/2} ~ 1.5 s(u^n) - 0.5 s(u^{n-1}),
+# first step AB1 by seeding s^{-1} = s(u^0); global O(dt^2)).  The
+# IMPLICIT operator is exactly the linear heat march's (M + th dt A), so
+# the enhanced variant reuses the shared CN affine map verbatim — the
+# reaction enters only as explicit rhs terms: nodal group-FEM M s(u) on
+# the P1/Q1 march (Numerov-weighted under mass="numerov", keeping
+# O(h^4)), and s evaluated at interior collocation points from the
+# previous element polynomial on the enhanced march (keeping the
+# interior spectral, as in the steady two-level Newton of
+# models/nonlinear.py).
+
+
+@dataclasses.dataclass(frozen=True)
+class SemilinearTransientProblem1D:
+    """u_t + L u + s(u) = f(x, t); L (and BCs) a ``Problem1D``."""
+
+    name: str
+    elliptic: Problem1D
+    s: Callable  # s(u), applied pointwise
+    f: Callable  # f(x, t)
+    u0: Callable
+    exact: Optional[Callable] = None
+
+
+def fem_march_semilinear(problem: SemilinearTransientProblem1D,
+                         cfg: SolverConfig, tcfg: TransientConfig):
+    """P1/Numerov IMEX CNAB march; returns nodal values at t_final."""
+    p = problem.elliptic
+    dtype = cfg.jnp_dtype()
+    nodes = uniform_nodes(p, cfg.num_nodes, dtype)
+    dt = tcfg.t_final / tcfg.n_steps
+    th = tcfg.theta
+    if tcfg.mass == "numerov":
+        A, Mm, ell, load = _numerov_setup(p, nodes, problem.f)
+    else:
+        A, Mm, ell = _operator_and_mass(p, nodes, cfg)
+        load = lambda t: _load(nodes, problem.f, t,  # noqa: E731
+                               cfg.fem_quad_order)
+    lhs = tuple(m + th * dt * a for m, a in zip(Mm, A))
+    lhs = _dirichlet_rows(p, lhs, None, None)
+    g_l = jnp.asarray(p.g_left, dtype)
+    g_r = jnp.asarray(p.g_right, dtype)
+
+    def step(carry, t):
+        u, s_prev = carry
+        s_n = problem.s(u)
+        s_ex = 1.5 * s_n - 0.5 * s_prev  # AB2 at t + dt/2
+        r = (_tri_apply(*Mm, u) - (1.0 - th) * dt * _tri_apply(*A, u)
+             + dt * (th * load(t + dt) + (1.0 - th) * load(t) + ell)
+             - dt * _tri_apply(*Mm, s_ex))
+        if p.bc_left == "dirichlet":
+            r = r.at[0].set(g_l)
+        if p.bc_right == "dirichlet":
+            r = r.at[-1].set(g_r)
+        u1 = tridiag.solve(*lhs, r, method=cfg.tridiag_method)
+        return (u1, s_n), None
+
+    u0 = problem.u0(nodes).astype(dtype)
+    if p.bc_left == "dirichlet":
+        u0 = u0.at[0].set(g_l)
+    if p.bc_right == "dirichlet":
+        u0 = u0.at[-1].set(g_r)
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * dt
+    (uN, _), _ = jax.lax.scan(step, (u0, problem.s(u0)), ts)
+    return TransientSolution(nodes, uN, None, tcfg.t_final)
+
+
+def hybrid_march_semilinear(problem: SemilinearTransientProblem1D,
+                            cfg: SolverConfig, tcfg: TransientConfig):
+    """LSSVR-enhanced semilinear CN march: the linear shared CN affine
+    map (``_shared_cn_operators`` — the implicit side is unchanged by
+    IMEX) + the extrapolated reaction collocated from the previous
+    element polynomial: rhs -= 3 s(u^n) - s(u^{n-1}) at interior
+    collocation points ((s^{n+1} ~ 2 s^n - s^{n-1}) + s^n of the CN
+    average, both times the 2/dt-scaled update)."""
+    if tcfg.theta != 0.5:
+        raise ValueError("hybrid_march_semilinear collocates the "
+                         "Crank-Nicolson update; theta must be 0.5")
+    p = problem.elliptic
+    dtype = cfg.jnp_dtype()
+    nodes = uniform_nodes(p, cfg.num_nodes, dtype)
+    dt = tcfg.t_final / tcfg.n_steps
+    lin = TransientProblem1D(problem.name, p, problem.f, problem.u0)
+    shared, D_L64, V064, W0pinv64 = _shared_cn_operators(lin, cfg, dt)
+    D_L = jnp.asarray(D_L64, dtype)
+    V0 = jnp.asarray(V064, dtype)
+
+    if tcfg.mass == "numerov":
+        A, Mm, ell, load = _numerov_setup(p, nodes, problem.f)
+    else:
+        A, Mm, ell = _operator_and_mass(p, nodes, cfg)
+        load = lambda t: _load(nodes, problem.f, t,  # noqa: E731
+                               cfg.fem_quad_order)
+    lhs = tuple(m + 0.5 * dt * a for m, a in zip(Mm, A))
+    lhs = _dirichlet_rows(p, lhs, None, None)
+    g_l = jnp.asarray(p.g_left, dtype)
+    g_r = jnp.asarray(p.g_right, dtype)
+
+    xl = nodes[:-1]
+    h = nodes[1] - nodes[0]
+    tc = legendre.collocation_points(cfg.n_colloc, dtype=dtype)
+    xc = xl[:, None] + 0.5 * h * (tc[None, :] + 1.0)
+    hi = jax.lax.Precision.HIGHEST
+
+    def fem_step(carry, t):
+        u, s_prev = carry
+        s_n = problem.s(u)
+        s_ex = 1.5 * s_n - 0.5 * s_prev
+        r = (_tri_apply(*Mm, u) - 0.5 * dt * _tri_apply(*A, u)
+             + dt * (0.5 * load(t + dt) + 0.5 * load(t) + ell)
+             - dt * _tri_apply(*Mm, s_ex))
+        if p.bc_left == "dirichlet":
+            r = r.at[0].set(g_l)
+        if p.bc_right == "dirichlet":
+            r = r.at[-1].set(g_r)
+        return tridiag.solve(*lhs, r, method=cfg.tridiag_method), s_n
+
+    def step(carry, t):
+        u, s_prev, w, sc_prev = carry
+        u1, s_n = fem_step((u, s_prev), t)
+        u_l = u1[:-1]
+        u_r = u1[1:]
+        if p.bc_left == "dirichlet":
+            u_l = u_l.at[0].set(g_l)
+        if p.bc_right == "dirichlet":
+            u_r = u_r.at[-1].set(g_r)
+        bc = jnp.stack([u_l, u_r], axis=-1)
+        uc = jnp.dot(w, V0.T, precision=hi)  # u^n at collocation points
+        sc_n = problem.s(uc)
+        f_rows = (jnp.dot(w, ((2.0 / dt) * V0 - D_L).T, precision=hi)
+                  + problem.f(xc, t) + problem.f(xc, t + dt)
+                  - (3.0 * sc_n - sc_prev))
+        w1, _ = kkt.solve_primal_shared(shared, f_rows, bc)
+        return (u1, s_n, w1, sc_n), None
+
+    u0 = problem.u0(nodes).astype(dtype)
+    w0 = jnp.dot(problem.u0(xc).astype(dtype),
+                 jnp.asarray(W0pinv64, dtype).T, precision=hi)
+    sc0 = problem.s(jnp.dot(w0, V0.T, precision=hi))
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * dt
+    (uN, _, wN, _), _ = jax.lax.scan(step, (u0, problem.s(u0), w0, sc0),
+                                     ts)
+    return TransientSolution(nodes, uN, wN, tcfg.t_final)
+
+
+def semilinear_heat_1d() -> SemilinearTransientProblem1D:
+    """u_t - u_xx + u^3 = f, exact u = e^{-t} sin(pi x)."""
+    pi = jnp.pi
+    from . import problems as P
+
+    u = lambda x, t: jnp.exp(-t) * jnp.sin(pi * x)  # noqa: E731
+    return SemilinearTransientProblem1D(
+        name="semilinear_heat_1d",
+        elliptic=dataclasses.replace(P.poisson_1d(),
+                                     name="semilinear_heat_operator"),
+        s=lambda v: v ** 3,
+        f=lambda x, t: (pi ** 2 - 1.0) * u(x, t) + u(x, t) ** 3,
+        u0=lambda x: jnp.sin(pi * x),
+        exact=u,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SemilinearTransientProblem2D:
+    """u_t + L u + s(u) = f(x, y, t); L (and BCs) a ``Problem2D``."""
+
+    name: str
+    elliptic: "object"
+    s: Callable
+    f: Callable
+    u0: Callable
+    exact: Optional[Callable] = None
+
+
+def _semilinear_fem_step_2d(problem, p, cfg, pieces, numerov):
+    """IMEX CNAB step closure: carry (u^n grid, s(u^{n-1}) grid)."""
+    from ..ops import assembly2d, cg
+
+    (dtype, hx, hy, dt, th, K_A, K_M, K_lhs, xs, ys, interior, u_bc,
+     M_inv) = pieces
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def apply_free(v):
+        return jnp.where(interior,
+                         assembly2d.apply_stiffness(v * interior, K_lhs),
+                         0.0)
+
+    if numerov:
+        X, Y = jnp.meshgrid(xs, ys)
+
+        def load_at(t):
+            return assembly2d.apply_stiffness(
+                problem.f(X, Y, t) * jnp.ones_like(X), K_M)
+    else:
+        def load_at(t):
+            return assembly2d.assemble_load(
+                xs, ys, lambda x, y: problem.f(x, y, t))
+
+    def step(carry, t):
+        u, s_prev = carry
+        s_n = problem.s(u)
+        s_ex = 1.5 * s_n - 0.5 * s_prev
+        load = th * load_at(t + dt) + (1.0 - th) * load_at(t)
+        r = (assembly2d.apply_stiffness(u, K_M)
+             - (1.0 - th) * dt * assembly2d.apply_stiffness(u, K_A)
+             + dt * load
+             - dt * assembly2d.apply_stiffness(s_ex, K_M))
+        rhs = jnp.where(interior, r - assembly2d.apply_stiffness(
+            u_bc, K_lhs), 0.0)
+        res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=tol,
+                    maxiter=cfg.cg_maxiter)
+        return (u_bc + jnp.where(interior, res.x, 0.0), s_n), res.iters
+
+    return step
+
+
+def fem_march_semilinear_2d(problem: SemilinearTransientProblem2D, cfg,
+                            tcfg: TransientConfig):
+    """Q1/tensor-Numerov IMEX CNAB march on structured quads."""
+    p = problem.elliptic
+    _check_2d_dirichlet(p)
+    pieces = _fem_march_pieces_2d(p, cfg, tcfg)
+    dtype, xs, ys, interior, u_bc = (pieces[0], pieces[8], pieces[9],
+                                     pieces[10], pieces[11])
+    dt = pieces[3]
+    step = _semilinear_fem_step_2d(problem, p, cfg, pieces,
+                                   numerov=tcfg.mass == "numerov")
+    X, Y = jnp.meshgrid(xs, ys)
+    u0 = jnp.where(interior, problem.u0(X, Y) * jnp.ones_like(X), u_bc
+                   ).astype(dtype)
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * dt
+    (uN, _), iters = jax.lax.scan(step, (u0, problem.s(u0)), ts)
+    return TransientSolution2D(xs, ys, uN, None, tcfg.t_final,
+                               jnp.max(iters))
+
+
+def hybrid_march_semilinear_2d(problem: SemilinearTransientProblem2D,
+                               cfg, tcfg: TransientConfig):
+    """2D enhanced semilinear CN march: the linear shared CN affine map
+    (the implicit side is unchanged by IMEX) + the extrapolated reaction
+    collocated from the previous element polynomial (rhs -= 3 s(u^n) -
+    s(u^{n-1}) at interior collocation points), traces pinned to the
+    IMEX Q1 march."""
+    from ..ops import legendre as leg
+    from .hybrid2d import _element_data_2d
+
+    if tcfg.theta != 0.5:
+        raise ValueError("hybrid_march_semilinear_2d collocates the "
+                         "Crank-Nicolson update; theta must be 0.5")
+    p = problem.elliptic
+    _check_2d_dirichlet(p)
+    pieces = _fem_march_pieces_2d(p, cfg, tcfg)
+    dtype, hx, hy, dt = pieces[0], pieces[1], pieces[2], pieces[3]
+    xs, ys, interior, u_bc = pieces[8], pieces[9], pieces[10], pieces[11]
+    M, C = cfg.M, cfg.n_colloc
+    shared, proj, R_op, t_int, bpts = _shared_cn_ops_2d(p, cfg, dt)
+    V0i = leg.vandermonde_host(t_int, M)[0]
+    Mass_op = jnp.asarray(
+        np.einsum("yk,xl->yxkl", V0i, V0i).reshape(C * C, M * M), dtype)
+
+    t_j = jnp.asarray(t_int, dtype)
+    xm = 0.5 * (xs[1:] + xs[:-1])
+    ym = 0.5 * (ys[1:] + ys[:-1])
+    xq = xm[:, None] + 0.5 * hx * t_j[None, :]
+    yq = ym[:, None] + 0.5 * hy * t_j[None, :]
+    E = cfg.nx * cfg.ny
+    hi = jax.lax.Precision.HIGHEST
+    t_int_j = jnp.asarray(t_int)
+    bpts_j = jnp.asarray(bpts)
+
+    def f_rows_at(t):
+        F = problem.f(xq[None, :, None, :], yq[:, None, :, None], t)
+        F = F * jnp.ones((cfg.ny, cfg.nx, C, C), dtype)
+        return F.reshape(E, C * C)
+
+    fem_step = _semilinear_fem_step_2d(problem, p, cfg, pieces,
+                                       numerov=tcfg.mass == "numerov")
+
+    def scan_step(carry, t):
+        u, s_prev, w, sc_prev = carry
+        (u1, s_n), iters = fem_step((u, s_prev), t)
+        _, bc_rows, _ = _element_data_2d(p, cfg, xs, ys, u1, t_int_j,
+                                         bpts_j)
+        uc = jnp.dot(w, Mass_op.T, precision=hi)
+        sc_n = problem.s(uc)
+        rhs = (jnp.dot(w, R_op.T, precision=hi)
+               + f_rows_at(t) + f_rows_at(t + dt)
+               - (3.0 * sc_n - sc_prev))
+        w1, _ = kkt.solve_primal_shared(shared, rhs, bc_rows)
+        return (u1, s_n, w1, sc_n), iters
+
+    X, Y = jnp.meshgrid(xs, ys)
+    u0g = jnp.where(interior, problem.u0(X, Y) * jnp.ones_like(X), u_bc
+                    ).astype(dtype)
+    F0 = problem.u0(xq[None, :, None, :] * jnp.ones((cfg.ny, 1, 1, 1)),
+                    yq[:, None, :, None] * jnp.ones((1, cfg.nx, 1, 1)))
+    f0_rows = (F0 * jnp.ones((cfg.ny, cfg.nx, C, C), dtype)
+               ).reshape(E, C * C)
+    _, bc0, _ = _element_data_2d(p, cfg, xs, ys, u0g, t_int_j, bpts_j)
+    w0, _ = kkt.solve_primal_shared(proj, f0_rows, bc0)
+    sc0 = problem.s(jnp.dot(w0, Mass_op.T, precision=hi))
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
+    (uN, _, wN, _), iters = jax.lax.scan(
+        scan_step, (u0g, problem.s(u0g), w0, sc0), ts)
+    return TransientSolution2D(
+        xs, ys, uN, wN.reshape(cfg.ny, cfg.nx, M, M), tcfg.t_final,
+        jnp.max(iters))
+
+
+def semilinear_heat_2d() -> SemilinearTransientProblem2D:
+    """u_t - Lap u + u^3 = f, exact u = e^{-t} sin(pi x) sin(pi y)."""
+    pi = jnp.pi
+    from .hybrid2d import poisson_2d
+
+    u = lambda x, y, t: (jnp.exp(-t) * jnp.sin(pi * x)  # noqa: E731
+                         * jnp.sin(pi * y))
+    return SemilinearTransientProblem2D(
+        name="semilinear_heat_2d",
+        elliptic=dataclasses.replace(poisson_2d(),
+                                     name="semilinear_heat_2d_operator"),
+        s=lambda v: v ** 3,
+        f=lambda x, y, t: (2.0 * pi ** 2 - 1.0) * u(x, y, t)
+        + u(x, y, t) ** 3,
+        u0=lambda x, y: jnp.sin(pi * x) * jnp.sin(pi * y),
+        exact=u,
+    )
+
+
+TRANSIENT_REGISTRY["semilinear_heat_1d"] = semilinear_heat_1d

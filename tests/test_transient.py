@@ -6,10 +6,13 @@ Theory encoded: CN is O(dt^2); consistent-mass P1 is O(h^2) at nodes
 enhanced march's Linf floor equals the trace-providing march's NODAL
 error (the transient analog of the steady hybrid floor)."""
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from hybrid_fem_lssvr_tpu.models import transient as TR
 from hybrid_fem_lssvr_tpu.models.hybrid import SolverConfig
 from hybrid_fem_lssvr_tpu.models.transient import (
     TransientConfig, fem_march, heat_1d, heat_robin_1d, hybrid_march,
@@ -408,3 +411,106 @@ def test_wave_march_3d_numerov():
         errs[n] = float(np.abs(np.asarray(sol.fem_values) - ue).max())
     order = np.log2(errs[6] / errs[12])
     assert 2.8 < order < 4.8, (errs, order)
+
+
+# --------------------------------------------- semilinear (IMEX CNAB)
+
+def test_semilinear_march_numerov_fourth_order():
+    """IMEX CNAB on u_t - u_xx + u^3 = f: nodal O(h^4) with the numerov
+    mass once dt is resolved (measured 3.92e-5 -> 2.44e-6 at 17 -> 33
+    nodes, ratio 16.1)."""
+    p = TR.semilinear_heat_1d()
+    errs = {}
+    for N, n_steps in ((17, 400), (33, 1600)):
+        cfg = SolverConfig(num_nodes=N, M=8, gamma=1e4, dtype="float64")
+        tcfg = TR.TransientConfig(t_final=1.0, n_steps=n_steps,
+                                  mass="numerov")
+        sol = TR.fem_march_semilinear(p, cfg, tcfg)
+        ue = p.exact(sol.nodes, 1.0)
+        errs[N] = float(jnp.max(jnp.abs(sol.fem_values - ue)))
+    assert errs[17] / errs[33] > 11.0, errs
+    assert errs[33] < 1e-5
+
+
+def test_semilinear_march_second_order_in_dt():
+    """Halving dt quarters the time error (AB2 extrapolation keeps the
+    CN order; the AB1 first step does not pollute it)."""
+    p = TR.semilinear_heat_1d()
+    cfg = SolverConfig(num_nodes=17, M=8, gamma=1e4, dtype="float64")
+    errs = {}
+    for n_steps in (25, 50):
+        tcfg = TR.TransientConfig(t_final=1.0, n_steps=n_steps,
+                                  mass="numerov")
+        sol = TR.fem_march_semilinear(p, cfg, tcfg)
+        ue = p.exact(sol.nodes, 1.0)
+        errs[n_steps] = float(jnp.max(jnp.abs(sol.fem_values - ue)))
+    floor = 3.92e-5  # spatial floor at 17 nodes (test above)
+    assert (errs[25] - floor) / max(errs[50] - floor, 1e-12) > 3.0, errs
+
+
+def test_semilinear_hybrid_march_hits_nodal_floor():
+    """The enhanced semilinear march's Linf (everywhere, not just nodes)
+    matches the numerov nodal floor — spectral interiors carried by the
+    shared CN affine map with the reaction collocated from the previous
+    polynomial."""
+    from hybrid_fem_lssvr_tpu.ops import eval as ev
+
+    p = TR.semilinear_heat_1d()
+    cfg = SolverConfig(num_nodes=17, M=8, gamma=1e4, dtype="float64")
+    tcfg = TR.TransientConfig(t_final=1.0, n_steps=200, mass="numerov")
+    sol = TR.hybrid_march_semilinear(p, cfg, tcfg)
+    x = jnp.linspace(-1.0, 1.0, 801, dtype=jnp.float64)
+    u = ev.evaluate(sol.nodes, sol.coeffs, x)
+    err = float(jnp.max(jnp.abs(u - p.exact(x, 1.0))))
+    assert err < 1e-4, err
+    # the nonlinearity is load-bearing: dropping s must blow the error up
+    p0 = dataclasses.replace(p, s=lambda v: 0.0 * v)
+    sol0 = TR.fem_march_semilinear(p0, cfg, tcfg)
+    ue = p.exact(sol0.nodes, 1.0)
+    err0 = float(jnp.max(jnp.abs(sol0.fem_values - ue)))
+    assert err0 > 50.0 * err, (err0, err)
+
+
+def test_semilinear_march_2d_numerov_fourth_order():
+    p = TR.semilinear_heat_2d()
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import Solver2DConfig
+
+    errs = {}
+    for n, n_steps in ((8, 50), (16, 200)):
+        cfg = Solver2DConfig(nx=n, ny=n, M=6, n_colloc=6,
+                             dtype="float64", precond="jacobi")
+        tcfg = TR.TransientConfig(t_final=1.0, n_steps=n_steps,
+                                  mass="numerov")
+        sol = TR.fem_march_semilinear_2d(p, cfg, tcfg)
+        X, Y = jnp.meshgrid(sol.xs, sol.ys)
+        ue = p.exact(X, Y, 1.0)
+        errs[n] = float(jnp.max(jnp.abs(sol.fem_values - ue)))
+    assert errs[8] / errs[16] > 11.0, errs  # measured 16.3x
+    assert errs[16] < 1e-4
+
+
+def test_semilinear_hybrid_march_2d_tracks_exact():
+    """2D enhanced semilinear march: Linf at the documented bilinear
+    trace floor (same as the linear hybrid_march_2d), nodal values at
+    the numerov O(h^4) floor."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import (
+        Solution2D, Solver2DConfig, evaluate_2d,
+    )
+
+    p = TR.semilinear_heat_2d()
+    cfg = Solver2DConfig(nx=16, ny=16, M=6, n_colloc=6,
+                         dtype="float64", precond="jacobi")
+    tcfg = TR.TransientConfig(t_final=1.0, n_steps=200, mass="numerov")
+    sol = TR.hybrid_march_semilinear_2d(p, cfg, tcfg)
+    rng = np.random.default_rng(3)
+    xq = jnp.asarray(rng.uniform(-1, 1, 1500))
+    yq = jnp.asarray(rng.uniform(-1, 1, 1500))
+    z = jnp.zeros(())
+    s2 = Solution2D(sol.xs, sol.ys, sol.fem_values, sol.coeffs,
+                    z, z, z, z, z)
+    u = evaluate_2d(s2, xq, yq)
+    err = float(jnp.max(jnp.abs(u - p.exact(xq, yq, 1.0))))
+    assert err < 2e-2, err  # measured 6.3e-3 (O(h^2) trace floor)
+    X, Y = jnp.meshgrid(sol.xs, sol.ys)
+    nodal = float(jnp.max(jnp.abs(sol.fem_values - p.exact(X, Y, 1.0))))
+    assert nodal < 1e-4, nodal  # measured 3.8e-5
