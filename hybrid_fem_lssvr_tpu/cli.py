@@ -436,10 +436,15 @@ def _transient_3d(args, em, tcfg):
     from .models import transient as TR
     from .models.hybrid3d import Solution3D, Solver3DConfig, evaluate_3d
 
-    problem = TR.heat_3d()
     cfg = Solver3DConfig(nx=args.nx, ny=args.ny, nz=args.nz, M=args.M,
                          n_colloc=args.M, dtype=args.dtype)
-    march = TR.hybrid_march_3d if args.enhanced else TR.fem_march_3d
+    if args.problem == "semilinear_heat_3d":
+        problem = TR.semilinear_heat_3d()
+        march = (TR.hybrid_march_semilinear_3d if args.enhanced
+                 else TR.fem_march_semilinear_3d)
+    else:
+        problem = TR.heat_3d()
+        march = TR.hybrid_march_3d if args.enhanced else TR.fem_march_3d
     rec = {}
     with profiling.timed(rec, "solve_sec"):
         sol = march(problem, cfg, tcfg)
@@ -1275,7 +1280,8 @@ def build_parser():
     sp.add_argument("--problem", default="heat_1d",
                     choices=["heat_1d", "heat_robin_1d", "heat_2d",
                              "heat_3d", "wave_1d", "wave_2d",
-                             "semilinear_heat_1d", "semilinear_heat_2d"])
+                             "semilinear_heat_1d", "semilinear_heat_2d",
+                             "semilinear_heat_3d"])
     sp.add_argument("--dim", type=int, default=1, choices=[1, 2, 3])
     sp.add_argument("--num-nodes", type=int, default=33)
     sp.add_argument("--nx", type=int, default=16)

@@ -1691,3 +1691,187 @@ def semilinear_heat_2d() -> SemilinearTransientProblem2D:
 
 
 TRANSIENT_REGISTRY["semilinear_heat_1d"] = semilinear_heat_1d
+
+
+@dataclasses.dataclass(frozen=True)
+class SemilinearTransientProblem3D:
+    """u_t + L u + s(u) = f(x, y, z, t); L (and BCs) a ``Problem3D``."""
+
+    name: str
+    elliptic: "object"
+    s: Callable
+    f: Callable
+    u0: Callable
+    exact: Optional[Callable] = None
+
+
+def _semilinear_pieces_3d(problem, p, cfg, tcfg):
+    from ..ops import assembly3d
+
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = p.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    hz = float((z1 - z0) / cfg.nz)
+    dt = tcfg.t_final / tcfg.n_steps
+    th = tcfg.theta
+    K_A_np, K_M_np = _locals_3d(hx, hy, hz, p, tcfg.mass)
+    K_A = jnp.asarray(K_A_np, dtype)
+    K_M = jnp.asarray(K_M_np, dtype)
+    K_lhs = K_M + th * dt * K_A
+    K_rhs = K_M - (1.0 - th) * dt * K_A
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    zs = jnp.linspace(z0, z1, cfg.nz + 1, dtype=dtype)
+    nz1, ny1, nx1 = cfg.nz + 1, cfg.ny + 1, cfg.nx + 1
+    interior = jnp.zeros((nz1, ny1, nx1), bool
+                         ).at[1:-1, 1:-1, 1:-1].set(True)
+    X = xs[None, None, :]
+    Y = ys[None, :, None]
+    Z = zs[:, None, None]
+    ones = jnp.ones((nz1, ny1, nx1), dtype)
+    u_bc = jnp.where(interior, 0.0, p.g(X, Y, Z) * ones)
+    diag = assembly3d.stiffness_diag_3d((nz1, ny1, nx1), K_lhs, dtype)
+    M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+    bc_term = jnp.where(interior,
+                        assembly3d.apply_stiffness_3d(u_bc, K_lhs), 0.0)
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def apply_free(v):
+        return jnp.where(
+            interior,
+            assembly3d.apply_stiffness_3d(v * interior, K_lhs), 0.0)
+
+    if tcfg.mass == "numerov":
+        def load_at(t):
+            return assembly3d.apply_stiffness_3d(
+                problem.f(X, Y, Z, t) * ones, K_M)
+    else:
+        def load_at(t):
+            return assembly3d.assemble_load_3d(
+                xs, ys, zs, lambda x, y, z: problem.f(x, y, z, t))
+
+    def step(carry, t):
+        from ..ops import cg
+
+        u, s_prev = carry
+        s_n = problem.s(u)
+        s_ex = 1.5 * s_n - 0.5 * s_prev
+        r = (assembly3d.apply_stiffness_3d(u, K_rhs)
+             + dt * (th * load_at(t + dt) + (1.0 - th) * load_at(t))
+             - dt * assembly3d.apply_stiffness_3d(s_ex, K_M))
+        rhs = jnp.where(interior, r, 0.0) - bc_term
+        res = cg.cg(apply_free, jnp.where(interior, rhs, 0.0),
+                    M_inv=M_inv, tol=tol, maxiter=cfg.cg_maxiter)
+        return (u_bc + jnp.where(interior, res.x, 0.0), s_n), res.iters
+
+    return (dtype, hx, hy, hz, dt, xs, ys, zs, interior, u_bc, X, Y, Z,
+            ones, step)
+
+
+def fem_march_semilinear_3d(problem: SemilinearTransientProblem3D, cfg,
+                            tcfg: TransientConfig):
+    """Q1-hex/tensor-Numerov IMEX CNAB march (3D lift)."""
+    p = problem.elliptic
+    _check_3d_dirichlet(p)
+    (dtype, hx, hy, hz, dt, xs, ys, zs, interior, u_bc, X, Y, Z, ones,
+     step) = _semilinear_pieces_3d(problem, p, cfg, tcfg)
+    u0 = jnp.where(interior, problem.u0(X, Y, Z) * ones, u_bc
+                   ).astype(dtype)
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
+    (uN, _), iters = jax.lax.scan(step, (u0, problem.s(u0)), ts)
+    return TransientSolution3D(xs, ys, zs, uN, None, tcfg.t_final,
+                               jnp.max(iters))
+
+
+def hybrid_march_semilinear_3d(problem: SemilinearTransientProblem3D,
+                               cfg, tcfg: TransientConfig):
+    """3D enhanced semilinear CN march (lift of
+    ``hybrid_march_semilinear_2d``): linear shared CN affine map + the
+    extrapolated reaction collocated from the previous hex polynomial."""
+    from ..ops import legendre as leg
+    from .hybrid3d import _element_data_3d
+
+    if tcfg.theta != 0.5:
+        raise ValueError("hybrid_march_semilinear_3d collocates the "
+                         "Crank-Nicolson update; theta must be 0.5")
+    p = problem.elliptic
+    _check_3d_dirichlet(p)
+    (dtype, hx, hy, hz, dt, xs, ys, zs, interior, u_bc, X, Y, Z, ones,
+     fem_step) = _semilinear_pieces_3d(problem, p, cfg, tcfg)
+    M, C = cfg.M, cfg.n_colloc
+    shared, proj, R_op, t_int, spts = _shared_cn_ops_3d(p, cfg, dt)
+    V0i = leg.vandermonde_host(t_int, M)[0]
+    Mass_op = jnp.asarray(
+        np.einsum("zk,yl,xm->zyxklm", V0i, V0i, V0i).reshape(
+            C * C * C, M * M * M), dtype)
+
+    t_j = jnp.asarray(t_int, dtype)
+    xq = xs[:-1][:, None] + 0.5 * hx * (t_j[None, :] + 1.0)
+    yq = ys[:-1][:, None] + 0.5 * hy * (t_j[None, :] + 1.0)
+    zq = zs[:-1][:, None] + 0.5 * hz * (t_j[None, :] + 1.0)
+    E = cfg.nx * cfg.ny * cfg.nz
+    hi = jax.lax.Precision.HIGHEST
+    ones6 = jnp.ones((cfg.nz, cfg.ny, cfg.nx, C, C, C), dtype)
+    t_int_j = jnp.asarray(t_int)
+    spts_j = jnp.asarray(spts)
+
+    def f_rows_at(t):
+        F = problem.f(
+            xq[None, None, :, None, None, :],
+            yq[None, :, None, None, :, None],
+            zq[:, None, None, :, None, None], t)
+        return (F * ones6).reshape(E, C * C * C)
+
+    def scan_step(carry, t):
+        u, s_prev, w, sc_prev = carry
+        (u1, s_n), iters = fem_step((u, s_prev), t)
+        _, bc_rows, _ = _element_data_3d(p, cfg, xs, ys, zs, u1,
+                                         t_int_j, spts_j)
+        uc = jnp.dot(w, Mass_op.T, precision=hi)
+        sc_n = problem.s(uc)
+        rhs = (jnp.dot(w, R_op.T, precision=hi)
+               + f_rows_at(t) + f_rows_at(t + dt)
+               - (3.0 * sc_n - sc_prev))
+        w1, _ = kkt.solve_primal_shared(shared, rhs, bc_rows)
+        return (u1, s_n, w1, sc_n), iters
+
+    u0g = jnp.where(interior, problem.u0(X, Y, Z) * ones, u_bc
+                    ).astype(dtype)
+    F0 = problem.u0(xq[None, None, :, None, None, :],
+                    yq[None, :, None, None, :, None],
+                    zq[:, None, None, :, None, None])
+    f0_rows = (F0 * ones6).reshape(E, C * C * C)
+    _, bc0, _ = _element_data_3d(p, cfg, xs, ys, zs, u0g, t_int_j,
+                                 spts_j)
+    w0, _ = kkt.solve_primal_shared(proj, f0_rows, bc0)
+    sc0 = problem.s(jnp.dot(w0, Mass_op.T, precision=hi))
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
+    (uN, _, wN, _), iters = jax.lax.scan(
+        scan_step, (u0g, problem.s(u0g), w0, sc0), ts)
+    return TransientSolution3D(
+        xs, ys, zs, uN, wN.reshape(cfg.nz, cfg.ny, cfg.nx, M, M, M),
+        tcfg.t_final, jnp.max(iters))
+
+
+def semilinear_heat_3d() -> SemilinearTransientProblem3D:
+    """u_t - Lap u + u^3 = f, exact u = e^{-t} sin^3 (pi .)."""
+    pi = jnp.pi
+    from .hybrid3d import get_problem_3d
+
+    u = lambda x, y, z, t: (jnp.exp(-t) * jnp.sin(pi * x)  # noqa: E731
+                            * jnp.sin(pi * y) * jnp.sin(pi * z))
+    return SemilinearTransientProblem3D(
+        name="semilinear_heat_3d",
+        elliptic=dataclasses.replace(
+            get_problem_3d("poisson_3d"),
+            name="semilinear_heat_3d_operator"),
+        s=lambda v: v ** 3,
+        f=lambda x, y, z, t: (3.0 * pi ** 2 - 1.0) * u(x, y, z, t)
+        + u(x, y, z, t) ** 3,
+        u0=lambda x, y, z: (jnp.sin(pi * x) * jnp.sin(pi * y)
+                            * jnp.sin(pi * z)),
+        exact=u,
+    )
