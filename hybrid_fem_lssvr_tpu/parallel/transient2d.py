@@ -6,6 +6,13 @@ exchange per stiffness apply, ownership-masked psum inner products, the
 ``sharded2d`` machinery) plus, for the enhanced march, the batched
 shared-LSE CN solve on this slab's element rows.
 
+Semilinear (reaction-diffusion) problems march through the same factory:
+a ``SemilinearTransientProblem2D`` (detected by its ``s``) adds the IMEX
+CNAB reaction terms — slab-local nodal group-FEM mass applies on the Q1
+march and collocated evaluations from the previous element polynomial on
+the enhanced march; the implicit operator (and therefore every halo/CG
+structure) is unchanged.
+
 == the single-device marches asserted in tests/test_transient.py."""
 
 from __future__ import annotations
@@ -62,6 +69,10 @@ def make_sharded_transient_2d(problem: TransientProblem2D, cfg,
     K_lhs = K_M + th * dt * K_A
     K_rhs = K_M - (1.0 - th) * dt * K_A
     repl = jax.sharding.NamedSharding(mesh, P())
+    # Semilinear (IMEX CNAB) variant: a SemilinearTransientProblem2D
+    # carries ``s``; the implicit operator is unchanged, the reaction
+    # enters as explicit slab-local rhs terms (models/transient.py).
+    s_fn = getattr(problem, "s", None)
     if enhanced:
         shared, proj, R_op, t_int, bpts = _shared_cn_ops_2d(p, cfg, dt)
         shared = jax.device_put(shared, repl)
@@ -69,8 +80,20 @@ def make_sharded_transient_2d(problem: TransientProblem2D, cfg,
         R_op = jax.device_put(R_op, repl)
         t_int_j = jax.device_put(jnp.asarray(t_int), repl)
         bpts_j = jax.device_put(jnp.asarray(bpts), repl)
+        if s_fn is not None:
+            import numpy as np
+
+            from ..ops import legendre as leg
+
+            V0i = leg.vandermonde_host(tuple(np.asarray(t_int)), cfg.M)[0]
+            Mass_op = jax.device_put(jnp.asarray(
+                np.einsum("yk,xl->yxkl", V0i, V0i).reshape(
+                    cfg.n_colloc ** 2, cfg.M ** 2), dtype), repl)
+        else:
+            Mass_op = jnp.zeros((1,), dtype)
     else:
         shared = proj = R_op = t_int_j = bpts_j = jnp.zeros((1,), dtype)
+        Mass_op = jnp.zeros((1,), dtype)
     hi = jax.lax.Precision.HIGHEST
     C = cfg.n_colloc
     M = cfg.M
@@ -78,7 +101,7 @@ def make_sharded_transient_2d(problem: TransientProblem2D, cfg,
     if tol is None:
         tol = 100.0 * float(jnp.finfo(dtype).eps)
 
-    def local_step(shared, proj, R_op, t_int, bpts):
+    def local_step(shared, proj, R_op, t_int, bpts, Mass_op):
         d = jax.lax.axis_index(axis)
         xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
         ys = y0 + hy * jnp.arange(cfg.ny + 1, dtype=dtype)
@@ -139,10 +162,14 @@ def make_sharded_transient_2d(problem: TransientProblem2D, cfg,
                 F = F * jnp.ones((ny_loc, cfg.nx, C, C), dtype)
                 return F.reshape(E_loc, C * C)
 
-        def fem_step(u, t):
+        def fem_step(u, s_ex, t):
             r = (halo(assembly2d.apply_stiffness(u, K_rhs))
                  + dt * halo(th * load_at(t + dt)
                              + (1.0 - th) * load_at(t)))
+            if s_fn is not None:
+                # explicit AB2-extrapolated reaction: slab-local nodal
+                # group-FEM mass apply, same halo as the other terms
+                r = r - dt * halo(assembly2d.apply_stiffness(s_ex, K_M))
             rhs = jnp.where(interior, r, 0.0) - bc_term
             rhs = jnp.where(interior, rhs, 0.0)
             res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=tol,
@@ -150,18 +177,28 @@ def make_sharded_transient_2d(problem: TransientProblem2D, cfg,
             return u_bc + jnp.where(interior, res.x, 0.0), res.iters
 
         def scan_step(carry, t):
-            u, w = carry
-            u1, iters = fem_step(u, t)
+            u, s_prev, w, sc_prev = carry
+            if s_fn is not None:
+                s_n = s_fn(u)
+                u1, iters = fem_step(u, 1.5 * s_n - 0.5 * s_prev, t)
+            else:
+                s_n = s_prev
+                u1, iters = fem_step(u, None, t)
             if enhanced:
                 _, bc_rows, _ = _element_data_2d(
                     p, cfg, xs, ys_loc, u1, t_int, bpts,
                     row_offset=row0)
                 rhs = (jnp.dot(w, R_op.T, precision=hi)
                        + f_rows_at(t) + f_rows_at(t + dt))
+                if s_fn is not None:
+                    sc_n = s_fn(jnp.dot(w, Mass_op.T, precision=hi))
+                    rhs = rhs - (3.0 * sc_n - sc_prev)
+                else:
+                    sc_n = sc_prev
                 w1, _ = kkt.solve_primal_shared(shared, rhs, bc_rows)
             else:
-                w1 = w
-            return (u1, w1), iters
+                w1, sc_n = w, sc_prev
+            return (u1, s_n, w1, sc_n), iters
 
         u0g = jnp.where(interior,
                         problem.u0(X, Y) * jnp.ones_like(X), u_bc
@@ -179,13 +216,18 @@ def make_sharded_transient_2d(problem: TransientProblem2D, cfg,
             w0 = jnp.zeros((cfg.nx * ny_loc, M * M), dtype)
         ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt,
                                                                  dtype)
-        (uN, wN), iters = jax.lax.scan(scan_step, (u0g, w0), ts)
+        s0 = s_fn(u0g) if s_fn is not None else jnp.zeros((1,), dtype)
+        sc0 = (s_fn(jnp.dot(w0, Mass_op.T, precision=hi))
+               if (enhanced and s_fn is not None)
+               else jnp.zeros((1,), dtype))
+        (uN, _, wN, _), iters = jax.lax.scan(scan_step,
+                                             (u0g, s0, w0, sc0), ts)
         return (wN.reshape(ny_loc, cfg.nx, M, M), uN[None],
                 jnp.max(iters).reshape(1))
 
     sharded = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=(P(axis),) * 3,
         check_vma=False,
     )
@@ -193,7 +235,7 @@ def make_sharded_transient_2d(problem: TransientProblem2D, cfg,
     @jax.jit
     def run():
         coeffs, fem_local, iters = sharded(shared, proj, R_op, t_int_j,
-                                           bpts_j)
+                                           bpts_j, Mass_op)
         xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
         ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
         return TransientSolution2D(

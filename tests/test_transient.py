@@ -569,3 +569,32 @@ def test_semilinear_hybrid_march_3d_smoke():
         sol.fem_values - p.exact(X, Y, Z, 0.5)
         * jnp.ones_like(sol.fem_values))))
     assert nodal < 2e-3, nodal
+
+
+@pytest.mark.parametrize("enhanced", [False, True])
+def test_sharded_semilinear_march_2d_matches_single_device(enhanced):
+    """Distributed semilinear IMEX march (reaction terms slab-local, the
+    same halo as the linear terms) == the single-device marches."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import Solver2DConfig
+    from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
+    from hybrid_fem_lssvr_tpu.parallel.transient2d import (
+        make_sharded_transient_2d,
+    )
+
+    p = TR.semilinear_heat_2d()
+    cfg = Solver2DConfig(nx=8, ny=8, M=4, n_colloc=4)
+    tc = TransientConfig(t_final=0.25, n_steps=16, mass="numerov")
+    single = (TR.hybrid_march_semilinear_2d if enhanced
+              else TR.fem_march_semilinear_2d)(p, cfg, tc)
+    out = make_sharded_transient_2d(p, cfg, tc, pmesh.element_mesh(4),
+                                    enhanced=enhanced)()
+    fl = np.asarray(out.fem_values)
+    n_dev, nloc1, nx1 = fl.shape
+    grid = np.zeros((n_dev * (nloc1 - 1) + 1, nx1))
+    for dd in range(n_dev):
+        grid[dd * (nloc1 - 1):(dd + 1) * (nloc1 - 1) + 1] = fl[dd]
+    np.testing.assert_allclose(grid, np.asarray(single.fem_values),
+                               atol=1e-12)
+    if enhanced:
+        np.testing.assert_allclose(np.asarray(out.coeffs),
+                                   np.asarray(single.coeffs), atol=1e-12)
