@@ -539,6 +539,32 @@ def cmd_transient(args):
     problem = TR.TRANSIENT_REGISTRY[args.problem]()
     cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
                        gamma=args.gamma, dtype=args.dtype)
+    if getattr(args, "adaptive_tol", None) is not None:
+        if args.enhanced or isinstance(
+                problem, TR.SemilinearTransientProblem1D):
+            raise SystemExit("--adaptive-tol drives the plain 1D linear "
+                             "theta march (no --enhanced/semilinear)")
+        rec = {}
+        with profiling.timed(rec, "solve_sec"):
+            res = TR.fem_march_adaptive(problem, cfg,
+                                        t_final=args.t_final,
+                                        tol=args.adaptive_tol,
+                                        max_attempts=args.n_steps)
+            jax.block_until_ready(res.solution.fem_values)
+        fields = dict(problem=problem.name, adaptive=True,
+                      tol=args.adaptive_tol,
+                      t_reached=float(res.t_reached),
+                      accepted=int(res.accepted),
+                      rejected=int(res.rejected),
+                      max_err_est=float(res.max_err),
+                      solve_sec=rec["solve_sec"])
+        if problem.exact is not None:
+            sol = res.solution
+            ue = problem.exact(sol.nodes, float(res.t_reached))
+            fields["nodal_linf"] = float(
+                jnp.max(jnp.abs(sol.fem_values - ue)))
+        em.emit("transient_adaptive", **fields)
+        return
     if isinstance(problem, TR.SemilinearTransientProblem1D):
         march = (TR.hybrid_march_semilinear if args.enhanced
                  else TR.fem_march_semilinear)
@@ -1296,6 +1322,9 @@ def build_parser():
                     choices=["consistent", "numerov"])
     sp.add_argument("--enhanced", action="store_true",
                     help="LSSVR-enhanced CN march (spectral in space)")
+    sp.add_argument("--adaptive-tol", type=float, default=None,
+                    help="error-controlled adaptive dt (embedded CN/BE "
+                    "pair; --n-steps becomes the attempt budget)")
     sp.add_argument("--dtype", default=None,
                     choices=[None, "float32", "float64"])
     sp.add_argument("--x64", action="store_true")

@@ -1875,3 +1875,92 @@ def semilinear_heat_3d() -> SemilinearTransientProblem3D:
                             * jnp.sin(pi * z)),
         exact=u,
     )
+
+
+# ------------------------------------------- adaptive time stepping
+#
+# Error-controlled marching: each attempt takes one Crank-Nicolson step
+# AND one backward-Euler step with the current dt; their difference is
+# the standard embedded local-error estimate of the first-order member
+# (err ~ C dt^2 |u_tt|/2).  Accept when err <= tol, then rescale dt by
+# the PI-style rule dt *= clip(0.9 (tol/err)^(1/2), 0.2, 5.0), clamped
+# to land exactly on t_final.  TPU-idiomatic: the whole
+# attempt/reject/grow loop is ONE lax.scan over a STATIC attempt budget
+# — rejected attempts update only (dt,), accepted ones update (u, t, dt)
+# via jnp.where; no data-dependent shapes or host round trips.  The two
+# implicit operators (M + dt/2 A and M + dt A) depend on the TRACED dt,
+# so the tridiagonal diagonals are rebuilt per attempt (two Thomas
+# solves per attempt — still microseconds at P1 sizes).
+
+
+class AdaptiveMarchResult(NamedTuple):
+    solution: TransientSolution
+    t_reached: jnp.ndarray  # scalar; == t_final when the budget sufficed
+    accepted: jnp.ndarray  # number of accepted steps
+    rejected: jnp.ndarray  # number of rejected attempts
+    max_err: jnp.ndarray  # max accepted local-error estimate
+
+
+def fem_march_adaptive(problem: TransientProblem1D, cfg: SolverConfig,
+                       t_final: float, tol: float = 1e-6,
+                       dt0: Optional[float] = None,
+                       max_attempts: int = 512) -> AdaptiveMarchResult:
+    """Adaptive-dt P1 march of u_t + L u = f (CN/BE embedded pair)."""
+    p = problem.elliptic
+    dtype = cfg.jnp_dtype()
+    nodes = uniform_nodes(p, cfg.num_nodes, dtype)
+    A, Mm, ell = _operator_and_mass(p, nodes, cfg)
+    g_l = jnp.asarray(p.g_left, dtype)
+    g_r = jnp.asarray(p.g_right, dtype)
+
+    def load(t):
+        return _load(nodes, problem.f, t, cfg.fem_quad_order)
+
+    def theta_solve(u, t, dt, th):
+        lhs = tuple(m + th * dt * a for m, a in zip(Mm, A))
+        lhs = _dirichlet_rows(p, lhs, None, None)
+        r = (_tri_apply(*Mm, u) - (1.0 - th) * dt * _tri_apply(*A, u)
+             + dt * (th * load(t + dt) + (1.0 - th) * load(t) + ell))
+        if p.bc_left == "dirichlet":
+            r = r.at[0].set(g_l)
+        if p.bc_right == "dirichlet":
+            r = r.at[-1].set(g_r)
+        return tridiag.solve(*lhs, r, method=cfg.tridiag_method)
+
+    tf = jnp.asarray(t_final, dtype)
+    tol_j = jnp.asarray(tol, dtype)
+
+    def attempt(carry, _):
+        u, t, dt, acc, rej, emax = carry
+        done = t >= tf * (1.0 - 1e-12)
+        dt_c = jnp.minimum(dt, tf - t)  # land exactly on t_final
+        dt_c = jnp.maximum(dt_c, jnp.asarray(0.0, dtype))
+        u_cn = theta_solve(u, t, dt_c, 0.5)
+        u_be = theta_solve(u, t, dt_c, 1.0)
+        err = jnp.max(jnp.abs(u_cn - u_be))
+        ok = (err <= tol_j) & ~done
+        fac = jnp.clip(0.9 * jnp.sqrt(tol_j / jnp.maximum(err, 1e-30)),
+                       0.2, 5.0)
+        u1 = jnp.where(ok, u_cn, u)
+        t1 = jnp.where(ok, t + dt_c, t)
+        dt1 = jnp.where(done, dt, dt * fac)
+        acc1 = acc + jnp.where(ok, 1, 0)
+        rej1 = rej + jnp.where(ok | done, 0, 1)
+        emax1 = jnp.where(ok, jnp.maximum(emax, err), emax)
+        return (u1, t1, dt1, acc1, rej1, emax1), None
+
+    u0 = problem.u0(nodes).astype(dtype)
+    if p.bc_left == "dirichlet":
+        u0 = u0.at[0].set(g_l)
+    if p.bc_right == "dirichlet":
+        u0 = u0.at[-1].set(g_r)
+    dt_init = jnp.asarray(dt0 if dt0 is not None else t_final / 64.0,
+                          dtype)
+    zero_i = jnp.zeros((), jnp.int32)
+    zero = jnp.zeros((), dtype)
+    (uN, tN, _, acc, rej, emax), _ = jax.lax.scan(
+        attempt, (u0, zero, dt_init, zero_i, zero_i, zero),
+        None, length=max_attempts)
+    return AdaptiveMarchResult(
+        solution=TransientSolution(nodes, uN, None, float(t_final)),
+        t_reached=tN, accepted=acc, rejected=rej, max_err=emax)
