@@ -1964,3 +1964,94 @@ def fem_march_adaptive(problem: TransientProblem1D, cfg: SolverConfig,
     return AdaptiveMarchResult(
         solution=TransientSolution(nodes, uN, None, float(t_final)),
         t_reached=tN, accepted=acc, rejected=rej, max_err=emax)
+
+
+def fem_march_adaptive_2d(problem: TransientProblem2D, cfg,
+                          t_final: float, tol: float = 1e-5,
+                          dt0: Optional[float] = None,
+                          max_attempts: int = 512) -> AdaptiveMarchResult:
+    """2D adaptive-dt Q1 march (CN/BE embedded pair, the 2D lift of
+    ``fem_march_adaptive``): the implicit operators M + th dt A carry
+    the TRACED dt through the matrix-free apply (K_M + th dt K_A per
+    element), so each attempt is two Jacobi-CG solves and the whole
+    accept/reject loop is one lax.scan.  Returns fem_values in the
+    ``solution`` (coeffs None)."""
+    from ..ops import assembly2d, cg
+
+    p = problem.elliptic
+    _check_2d_dirichlet(p)
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1 = p.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    K_A = jnp.asarray(
+        assembly2d.q1_local_operator(hx, hy, p.a0, p.c, *p.b), dtype)
+    K_M = jnp.asarray(assembly2d.q1_local_mass(hx, hy), dtype)
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    interior = jnp.zeros((cfg.ny + 1, cfg.nx + 1), bool
+                         ).at[1:-1, 1:-1].set(True)
+    X, Y = jnp.meshgrid(xs, ys)
+    u_bc = jnp.where(interior, 0.0, p.g(X, Y) * jnp.ones_like(X))
+    tolcg = cfg.cg_tol
+    if tolcg is None:
+        tolcg = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def load_at(t):
+        return assembly2d.assemble_load(
+            xs, ys, lambda x, y: problem.f(x, y, t))
+
+    def theta_solve(u, t, dt, th):
+        K_lhs = K_M + th * dt * K_A
+
+        def apply_free(v):
+            return jnp.where(
+                interior,
+                assembly2d.apply_stiffness(v * interior, K_lhs), 0.0)
+
+        diag = assembly2d.stiffness_diag((cfg.ny + 1, cfg.nx + 1),
+                                         K_lhs, dtype)
+        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+        load = th * load_at(t + dt) + (1.0 - th) * load_at(t)
+        r = (assembly2d.apply_stiffness(u, K_M)
+             - (1.0 - th) * dt * assembly2d.apply_stiffness(u, K_A)
+             + dt * load)
+        rhs = jnp.where(interior, r - assembly2d.apply_stiffness(
+            u_bc, K_lhs), 0.0)
+        res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=tolcg,
+                    maxiter=cfg.cg_maxiter)
+        return u_bc + jnp.where(interior, res.x, 0.0)
+
+    tf = jnp.asarray(t_final, dtype)
+    tol_j = jnp.asarray(tol, dtype)
+
+    def attempt(carry, _):
+        u, t, dt, acc, rej, emax = carry
+        done = t >= tf * (1.0 - 1e-12)
+        dt_c = jnp.maximum(jnp.minimum(dt, tf - t),
+                           jnp.asarray(0.0, dtype))
+        u_cn = theta_solve(u, t, dt_c, 0.5)
+        u_be = theta_solve(u, t, dt_c, 1.0)
+        err = jnp.max(jnp.abs(u_cn - u_be))
+        ok = (err <= tol_j) & ~done
+        fac = jnp.clip(0.9 * jnp.sqrt(tol_j / jnp.maximum(err, 1e-30)),
+                       0.2, 5.0)
+        return (jnp.where(ok, u_cn, u), jnp.where(ok, t + dt_c, t),
+                jnp.where(done, dt, dt * fac),
+                acc + jnp.where(ok, 1, 0),
+                rej + jnp.where(ok | done, 0, 1),
+                jnp.where(ok, jnp.maximum(emax, err), emax)), None
+
+    u0 = jnp.where(interior, problem.u0(X, Y) * jnp.ones_like(X), u_bc
+                   ).astype(dtype)
+    dt_init = jnp.asarray(dt0 if dt0 is not None else t_final / 64.0,
+                          dtype)
+    zero_i = jnp.zeros((), jnp.int32)
+    zero = jnp.zeros((), dtype)
+    (uN, tN, _, acc, rej, emax), _ = jax.lax.scan(
+        attempt, (u0, zero, dt_init, zero_i, zero_i, zero),
+        None, length=max_attempts)
+    sol = TransientSolution2D(xs, ys, uN, None, float(t_final),
+                              jnp.zeros((), jnp.int32))
+    return AdaptiveMarchResult(solution=sol, t_reached=tN, accepted=acc,
+                               rejected=rej, max_err=emax)

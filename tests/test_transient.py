@@ -657,3 +657,24 @@ def test_adaptive_march_step_count_scales_with_tol():
         assert float(res.t_reached) == pytest.approx(1.0, abs=1e-10)
         acc[tol] = int(res.accepted)
     assert 2.0 < acc[1e-4] / acc[1e-3] < 5.0, acc
+
+
+def test_adaptive_march_2d_error_control():
+    """2D lift: traced-dt matrix-free implicit operators, two Jacobi-CG
+    solves per attempt, error control holds (measured 102 acc / 4 rej,
+    est 9.6e-6 at tol 1e-5; Linf 7.4e-3 = the consistent-mass O(h^2)
+    spatial floor at 16^2, not a time error)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import Solver2DConfig
+
+    p = TR.heat_2d()
+    cfg = Solver2DConfig(nx=16, ny=16, M=4, n_colloc=4, dtype="float64",
+                         precond="jacobi")
+    res = TR.fem_march_adaptive_2d(p, cfg, t_final=0.5, tol=1e-5,
+                                   max_attempts=256)
+    assert float(res.t_reached) == pytest.approx(0.5, abs=1e-10)
+    assert float(res.max_err) <= 1e-5
+    assert int(res.accepted) + int(res.rejected) < 256
+    X, Y = jnp.meshgrid(res.solution.xs, res.solution.ys)
+    ue = p.exact(X, Y, 0.5)
+    err = float(jnp.max(jnp.abs(res.solution.fem_values - ue)))
+    assert err < 2e-2, err
