@@ -49,6 +49,9 @@ def make_sharded_transient_3d(problem: TransientProblem3D, cfg,
     K_lhs = K_M + th * dt * K_A
     K_rhs = K_M - (1.0 - th) * dt * K_A
     repl = jax.sharding.NamedSharding(mesh, P())
+    # Semilinear (IMEX CNAB) variant: a SemilinearTransientProblem3D
+    # carries ``s`` — same treatment as parallel/transient2d.py.
+    s_fn = getattr(problem, "s", None)
     if enhanced:
         shared, proj, R_op, t_int, spts = _shared_cn_ops_3d(p, cfg, dt)
         shared = jax.device_put(shared, repl)
@@ -56,8 +59,20 @@ def make_sharded_transient_3d(problem: TransientProblem3D, cfg,
         R_op = jax.device_put(R_op, repl)
         t_int_j = jax.device_put(jnp.asarray(t_int), repl)
         spts_j = jax.device_put(jnp.asarray(spts), repl)
+        if s_fn is not None:
+            import numpy as np
+
+            from ..ops import legendre as leg
+
+            V0i = leg.vandermonde_host(tuple(np.asarray(t_int)), cfg.M)[0]
+            Mass_op = jax.device_put(jnp.asarray(
+                np.einsum("zk,yl,xm->zyxklm", V0i, V0i, V0i).reshape(
+                    cfg.n_colloc ** 3, cfg.M ** 3), dtype), repl)
+        else:
+            Mass_op = jnp.zeros((1,), dtype)
     else:
         shared = proj = R_op = t_int_j = spts_j = jnp.zeros((1,), dtype)
+        Mass_op = jnp.zeros((1,), dtype)
     hi = jax.lax.Precision.HIGHEST
     C = cfg.n_colloc
     M = cfg.M
@@ -65,7 +80,7 @@ def make_sharded_transient_3d(problem: TransientProblem3D, cfg,
     if tol is None:
         tol = 100.0 * float(jnp.finfo(dtype).eps)
 
-    def local_step(shared, proj, R_op, t_int, spts):
+    def local_step(shared, proj, R_op, t_int, spts, Mass_op):
         d = jax.lax.axis_index(axis)
         xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
         ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
@@ -133,10 +148,13 @@ def make_sharded_transient_3d(problem: TransientProblem3D, cfg,
                     zq[:, None, None, :, None, None], t)
                 return (F * ones6).reshape(E_loc, C * C * C)
 
-        def fem_step(u, t):
+        def fem_step(u, s_ex, t):
             r = (halo(assembly3d.apply_stiffness_3d(u, K_rhs))
                  + dt * halo(th * load_at(t + dt)
                              + (1.0 - th) * load_at(t)))
+            if s_fn is not None:
+                r = r - dt * halo(
+                    assembly3d.apply_stiffness_3d(s_ex, K_M))
             rhs = jnp.where(interior, r, 0.0) - bc_term
             res = cg.cg(apply_free, jnp.where(interior, rhs, 0.0),
                         M_inv=M_inv, tol=tol, maxiter=cfg.cg_maxiter,
@@ -144,18 +162,28 @@ def make_sharded_transient_3d(problem: TransientProblem3D, cfg,
             return u_bc + jnp.where(interior, res.x, 0.0), res.iters
 
         def scan_step(carry, t):
-            u, w = carry
-            u1, iters = fem_step(u, t)
+            u, s_prev, w, sc_prev = carry
+            if s_fn is not None:
+                s_n = s_fn(u)
+                u1, iters = fem_step(u, 1.5 * s_n - 0.5 * s_prev, t)
+            else:
+                s_n = s_prev
+                u1, iters = fem_step(u, None, t)
             if enhanced:
                 _, bc_rows, _ = _element_data_3d(
                     p, cfg, xs, ys, zs_loc, u1, t_int, spts,
                     layer_offset=lay0)
                 rhs = (jnp.dot(w, R_op.T, precision=hi)
                        + f_rows_at(t) + f_rows_at(t + dt))
+                if s_fn is not None:
+                    sc_n = s_fn(jnp.dot(w, Mass_op.T, precision=hi))
+                    rhs = rhs - (3.0 * sc_n - sc_prev)
+                else:
+                    sc_n = sc_prev
                 w1, _ = kkt.solve_primal_shared(shared, rhs, bc_rows)
             else:
-                w1 = w
-            return (u1, w1), iters
+                w1, sc_n = w, sc_prev
+            return (u1, s_n, w1, sc_n), iters
 
         u0g = jnp.where(interior,
                         problem.u0(X, Y, Z) * ones, u_bc).astype(dtype)
@@ -175,13 +203,18 @@ def make_sharded_transient_3d(problem: TransientProblem3D, cfg,
             w0 = jnp.zeros((cfg.nx * cfg.ny * nz_loc, M ** 3), dtype)
         ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(
             dt, dtype)
-        (uN, wN), iters = jax.lax.scan(scan_step, (u0g, w0), ts)
+        s0 = s_fn(u0g) if s_fn is not None else jnp.zeros((1,), dtype)
+        sc0 = (s_fn(jnp.dot(w0, Mass_op.T, precision=hi))
+               if (enhanced and s_fn is not None)
+               else jnp.zeros((1,), dtype))
+        (uN, _, wN, _), iters = jax.lax.scan(scan_step,
+                                             (u0g, s0, w0, sc0), ts)
         return (wN.reshape(nz_loc, cfg.ny, cfg.nx, M, M, M), uN[None],
                 jnp.max(iters).reshape(1))
 
     sharded = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=(P(axis),) * 3,
         check_vma=False,
     )
@@ -189,7 +222,7 @@ def make_sharded_transient_3d(problem: TransientProblem3D, cfg,
     @jax.jit
     def run():
         coeffs, fem_local, iters = sharded(shared, proj, R_op, t_int_j,
-                                           spts_j)
+                                           spts_j, Mass_op)
         xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
         ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
         zs = jnp.linspace(z0, z1, cfg.nz + 1, dtype=dtype)

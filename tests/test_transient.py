@@ -678,3 +678,30 @@ def test_adaptive_march_2d_error_control():
     ue = p.exact(X, Y, 0.5)
     err = float(jnp.max(jnp.abs(res.solution.fem_values - ue)))
     assert err < 2e-2, err
+
+
+@pytest.mark.parametrize("enhanced", [False, True])
+def test_sharded_semilinear_march_3d_matches_single_device(enhanced):
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import Solver3DConfig
+    from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
+    from hybrid_fem_lssvr_tpu.parallel.transient3d import (
+        make_sharded_transient_3d,
+    )
+
+    p = TR.semilinear_heat_3d()
+    cfg = Solver3DConfig(nx=4, ny=4, nz=8, M=3, n_colloc=3)
+    tc = TransientConfig(t_final=0.25, n_steps=8, mass="numerov")
+    single = (TR.hybrid_march_semilinear_3d if enhanced
+              else TR.fem_march_semilinear_3d)(p, cfg, tc)
+    out = make_sharded_transient_3d(p, cfg, tc, pmesh.element_mesh(4),
+                                    enhanced=enhanced)()
+    fl = np.asarray(out.fem_values)
+    n_dev, nloc1, ny1, nx1 = fl.shape
+    grid = np.zeros((n_dev * (nloc1 - 1) + 1, ny1, nx1))
+    for dd in range(n_dev):
+        grid[dd * (nloc1 - 1):(dd + 1) * (nloc1 - 1) + 1] = fl[dd]
+    np.testing.assert_allclose(grid, np.asarray(single.fem_values),
+                               atol=1e-12)
+    if enhanced:
+        np.testing.assert_allclose(np.asarray(out.coeffs),
+                                   np.asarray(single.coeffs), atol=1e-12)
