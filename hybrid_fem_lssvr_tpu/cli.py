@@ -389,6 +389,10 @@ def _transient_2d(args, em, tcfg):
     else:
         problem = TR.heat_2d()
         march = TR.hybrid_march_2d if args.enhanced else TR.fem_march_2d
+    if args.enhanced and getattr(args, "trace_lift", 0):
+        import functools
+
+        march = functools.partial(march, trace_lift=args.trace_lift)
     rec = {}
     with profiling.timed(rec, "solve_sec"):
         sol = march(problem, cfg, tcfg)
@@ -445,6 +449,10 @@ def _transient_3d(args, em, tcfg):
     else:
         problem = TR.heat_3d()
         march = TR.hybrid_march_3d if args.enhanced else TR.fem_march_3d
+    if args.enhanced and getattr(args, "trace_lift", 0):
+        import functools
+
+        march = functools.partial(march, trace_lift=args.trace_lift)
     rec = {}
     with profiling.timed(rec, "solve_sec"):
         sol = march(problem, cfg, tcfg)
@@ -1325,6 +1333,11 @@ def build_parser():
     sp.add_argument("--adaptive-tol", type=float, default=None,
                     help="error-controlled adaptive dt (embedded CN/BE "
                     "pair; --n-steps becomes the attempt budget)")
+    sp.add_argument("--trace-lift", type=int, default=0,
+                    help="2D/3D enhanced marches: tangential/plane-"
+                    "Lagrange lifted element traces (6 with --mass "
+                    "numerov gives an O(h^4) enhanced Linf — measured "
+                    "170x at 16^2)")
     sp.add_argument("--dtype", default=None,
                     choices=[None, "float32", "float64"])
     sp.add_argument("--x64", action="store_true")

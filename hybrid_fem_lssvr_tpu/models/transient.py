@@ -552,7 +552,7 @@ def _shared_cn_ops_2d(p, cfg, dt):
 
 
 def hybrid_march_2d(problem: TransientProblem2D, cfg,
-                    tcfg: TransientConfig):
+                    tcfg: TransientConfig, trace_lift: int = 0):
     """LSSVR-enhanced 2D Crank-Nicolson march: per element a tensor-
     Legendre polynomial advanced by collocating the CN update at interior
     points with the trace pinned to the Q1 march (the 2D lift of
@@ -595,8 +595,12 @@ def hybrid_march_2d(problem: TransientProblem2D, cfg,
     def scan_step(carry, t):
         u, w = carry
         u1, iters = fem_step(u, t)
+        # trace_lift >= 2: tangential-Lagrange lifted traces of the
+        # marching grid — with the numerov mass the O(h^4) NODAL values
+        # carry to an O(h^4) enhanced Linf (measured 1.06e-2 -> 6.2e-5
+        # at 16^2), the transient analog of the steady trace_lift.
         _, bc_rows, _ = _element_data_2d(p, cfg, xs, ys, u1, t_int_j,
-                                         bpts_j)
+                                         bpts_j, trace_lift=trace_lift)
         rhs = (jnp.dot(w, R_op.T, precision=hi)
                + f_rows_at(t) + f_rows_at(t + dt))
         w1, _ = kkt.solve_primal_shared(shared, rhs, bc_rows)
@@ -610,7 +614,8 @@ def hybrid_march_2d(problem: TransientProblem2D, cfg,
                     yq[:, None, :, None] * jnp.ones((1, cfg.nx, 1, 1)))
     f0_rows = (F0 * jnp.ones((cfg.ny, cfg.nx, C, C), dtype)
                ).reshape(E, C * C)
-    _, bc0, _ = _element_data_2d(p, cfg, xs, ys, u0g, t_int_j, bpts_j)
+    _, bc0, _ = _element_data_2d(p, cfg, xs, ys, u0g, t_int_j, bpts_j,
+                                 trace_lift=trace_lift)
     w0, _ = kkt.solve_primal_shared(proj, f0_rows, bc0)
     dt_j = jnp.asarray(dt, dtype)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * dt_j
@@ -809,7 +814,7 @@ def _shared_cn_ops_3d(p, cfg, dt):
 
 
 def hybrid_march_3d(problem: TransientProblem3D, cfg,
-                    tcfg: TransientConfig):
+                    tcfg: TransientConfig, trace_lift: int = 0):
     """LSSVR-enhanced 3D CN march: per-hex tensor-Legendre polynomial
     advanced by collocating the CN update at interior points, trace
     pinned to the Q1 hex march at the surface points (3D lift of
@@ -903,7 +908,8 @@ def hybrid_march_3d(problem: TransientProblem3D, cfg,
                     M_inv=M_inv, tol=tol, maxiter=cfg.cg_maxiter)
         u1 = u_bc + jnp.where(interior, res.x, 0.0)
         _, bc_rows, _ = _element_data_3d(p, cfg, xs, ys, zs, u1,
-                                         t_int_j, spts_j)
+                                         t_int_j, spts_j,
+                                         trace_lift=trace_lift)
         rhs_w = (jnp.dot(w, R_op.T, precision=hi)
                  + f_rows_at(t) + f_rows_at(t + dt))
         w1, _ = kkt.solve_primal_shared(shared, rhs_w, bc_rows)
@@ -919,7 +925,7 @@ def hybrid_march_3d(problem: TransientProblem3D, cfg,
                     * jnp.ones((1, cfg.ny, cfg.nx, 1, 1, 1)))
     f0 = (F0 * ones6).reshape(E, C * C * C)
     _, bc0, _ = _element_data_3d(p, cfg, xs, ys, zs, u0g, t_int_j,
-                                 spts_j)
+                                 spts_j, trace_lift=trace_lift)
     w0, _ = kkt.solve_primal_shared(proj, f0, bc0)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
     (uN, wN), iters = jax.lax.scan(scan_step, (u0g, w0), ts)
@@ -1599,7 +1605,8 @@ def fem_march_semilinear_2d(problem: SemilinearTransientProblem2D, cfg,
 
 
 def hybrid_march_semilinear_2d(problem: SemilinearTransientProblem2D,
-                               cfg, tcfg: TransientConfig):
+                               cfg, tcfg: TransientConfig,
+                               trace_lift: int = 0):
     """2D enhanced semilinear CN march: the linear shared CN affine map
     (the implicit side is unchanged by IMEX) + the extrapolated reaction
     collocated from the previous element polynomial (rhs -= 3 s(u^n) -
@@ -1644,7 +1651,7 @@ def hybrid_march_semilinear_2d(problem: SemilinearTransientProblem2D,
         u, s_prev, w, sc_prev = carry
         (u1, s_n), iters = fem_step((u, s_prev), t)
         _, bc_rows, _ = _element_data_2d(p, cfg, xs, ys, u1, t_int_j,
-                                         bpts_j)
+                                         bpts_j, trace_lift=trace_lift)
         uc = jnp.dot(w, Mass_op.T, precision=hi)
         sc_n = problem.s(uc)
         rhs = (jnp.dot(w, R_op.T, precision=hi)
@@ -1660,7 +1667,8 @@ def hybrid_march_semilinear_2d(problem: SemilinearTransientProblem2D,
                     yq[:, None, :, None] * jnp.ones((1, cfg.nx, 1, 1)))
     f0_rows = (F0 * jnp.ones((cfg.ny, cfg.nx, C, C), dtype)
                ).reshape(E, C * C)
-    _, bc0, _ = _element_data_2d(p, cfg, xs, ys, u0g, t_int_j, bpts_j)
+    _, bc0, _ = _element_data_2d(p, cfg, xs, ys, u0g, t_int_j, bpts_j,
+                                 trace_lift=trace_lift)
     w0, _ = kkt.solve_primal_shared(proj, f0_rows, bc0)
     sc0 = problem.s(jnp.dot(w0, Mass_op.T, precision=hi))
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
@@ -1787,7 +1795,8 @@ def fem_march_semilinear_3d(problem: SemilinearTransientProblem3D, cfg,
 
 
 def hybrid_march_semilinear_3d(problem: SemilinearTransientProblem3D,
-                               cfg, tcfg: TransientConfig):
+                               cfg, tcfg: TransientConfig,
+                               trace_lift: int = 0):
     """3D enhanced semilinear CN march (lift of
     ``hybrid_march_semilinear_2d``): linear shared CN affine map + the
     extrapolated reaction collocated from the previous hex polynomial."""
@@ -1829,7 +1838,8 @@ def hybrid_march_semilinear_3d(problem: SemilinearTransientProblem3D,
         u, s_prev, w, sc_prev = carry
         (u1, s_n), iters = fem_step((u, s_prev), t)
         _, bc_rows, _ = _element_data_3d(p, cfg, xs, ys, zs, u1,
-                                         t_int_j, spts_j)
+                                         t_int_j, spts_j,
+                                         trace_lift=trace_lift)
         uc = jnp.dot(w, Mass_op.T, precision=hi)
         sc_n = problem.s(uc)
         rhs = (jnp.dot(w, R_op.T, precision=hi)
@@ -1845,7 +1855,7 @@ def hybrid_march_semilinear_3d(problem: SemilinearTransientProblem3D,
                     zq[:, None, None, :, None, None])
     f0_rows = (F0 * ones6).reshape(E, C * C * C)
     _, bc0, _ = _element_data_3d(p, cfg, xs, ys, zs, u0g, t_int_j,
-                                 spts_j)
+                                 spts_j, trace_lift=trace_lift)
     w0, _ = kkt.solve_primal_shared(proj, f0_rows, bc0)
     sc0 = problem.s(jnp.dot(w0, Mass_op.T, precision=hi))
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
