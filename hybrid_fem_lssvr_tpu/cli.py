@@ -349,6 +349,35 @@ def cmd_campaign(args):
                             theta=0.5, mass="numerov", enhanced=True,
                             dtype=args.dtype, eval_points=401)
     cmd_transient(ns)
+    # round-3 families: trace-lifted 2D enhanced march, semilinear
+    # (steady Newton + IMEX march), goal-oriented DWR refinement
+    ns = argparse.Namespace(dim=2, problem="heat_2d", nx=16, ny=16, M=6,
+                            gamma=1e4, t_final=0.5, n_steps=128,
+                            theta=0.5, mass="numerov", enhanced=True,
+                            trace_lift=6, dtype=args.dtype,
+                            eval_points=1000)
+    cmd_transient(ns)
+    ns = argparse.Namespace(dim=1, problem="semilinear_heat_1d",
+                            num_nodes=17, M=8, gamma=1e4, t_final=1.0,
+                            n_steps=128, theta=0.5, mass="numerov",
+                            enhanced=True, dtype=args.dtype,
+                            eval_points=401)
+    cmd_transient(ns)
+    ns = argparse.Namespace(problem="cubic_1d", num_nodes=17, M=8,
+                            M2=6, M3=4, nx=16, ny=16, nz=8, gamma=1e4,
+                            scheme="numerov", trace_lift=0,
+                            dtype=args.dtype, x64=False,
+                            eval_points=1000)
+    cmd_nonlinear(ns)
+    ns = argparse.Namespace(problem="poisson_1d", num_nodes=9, M=8,
+                            gamma=1e4, rounds=3, refine_frac=0.3,
+                            goal_center=0.3, goal_width=0.15,
+                            formulation="primal",
+                            eval_points=401, n_colloc=args.n_colloc,
+                            fem_quad_order=args.fem_quad_order,
+                            tridiag_method=args.tridiag_method,
+                            dtype=args.dtype, fem_dtype=args.fem_dtype)
+    cmd_adaptive(ns)
 
 
 def _wave_2d(args, em, tcfg):
