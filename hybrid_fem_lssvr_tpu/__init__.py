@@ -17,7 +17,9 @@ from .models.hybrid2d import (
 from .models.problem import Problem1D
 from .models import problems
 from .models.adaptive import adaptive_solve
-from .models.goal import goal_adaptive_solve
+from .models.goal import (
+    goal_adaptive_solve, goal_adaptive_solve_2d, goal_adaptive_solve_3d,
+)
 from .models.batched import ParametricFamily1D, solve_family, solve_groups
 
 __version__ = "0.1.0"
@@ -35,6 +37,8 @@ __all__ = [
     "poisson_2d",
     "adaptive_solve",
     "goal_adaptive_solve",
+    "goal_adaptive_solve_2d",
+    "goal_adaptive_solve_3d",
     "ParametricFamily1D",
     "solve_family",
     "solve_groups",

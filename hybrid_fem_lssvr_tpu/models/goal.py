@@ -1,4 +1,4 @@
-"""Goal-oriented (dual-weighted-residual) adaptivity — 1D.
+"""Goal-oriented (dual-weighted-residual) adaptivity — 1D, 2D and 3D.
 
 Extends the slack-driven loop of ``models/adaptive.py`` to quantities of
 interest J(u) = int j(x) u(x) dx.  The reference has no error estimation
