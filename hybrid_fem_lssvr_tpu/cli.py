@@ -388,10 +388,15 @@ def _wave_2d(args, em, tcfg):
                          gamma=args.gamma, dtype=args.dtype)
     rec = {}
     with profiling.timed(rec, "solve_sec"):
-        sol, vN = TR.wave_march_2d(problem, cfg, tcfg)
+        if args.enhanced:
+            sol, vN = TR.hybrid_wave_march_2d(
+                problem, cfg, tcfg,
+                trace_lift=getattr(args, "trace_lift", 0))
+        else:
+            sol, vN = TR.wave_march_2d(problem, cfg, tcfg)
         jax.block_until_ready(sol.fem_values)
     fields = dict(
-        problem=problem.name, mass=tcfg.mass,
+        problem=problem.name, mass=tcfg.mass, enhanced=args.enhanced,
         elements=cfg.nx * cfg.ny, n_steps=tcfg.n_steps,
         t_final=tcfg.t_final, solve_sec=rec["solve_sec"],
         cg_iters=int(sol.cg_iters),
@@ -400,6 +405,20 @@ def _wave_2d(args, em, tcfg):
         X, Y = jnp.meshgrid(sol.xs, sol.ys)
         fields["nodal_linf"] = float(jnp.max(jnp.abs(
             sol.fem_values - problem.exact(X, Y, tcfg.t_final))))
+        if args.enhanced:
+            from .models.hybrid2d import Solution2D, evaluate_2d
+
+            rng = np.random.default_rng(0)
+            d = problem.elliptic.domain
+            xq = jnp.asarray(rng.uniform(d[0], d[1], args.eval_points),
+                             sol.fem_values.dtype)
+            yq = jnp.asarray(rng.uniform(d[2], d[3], args.eval_points),
+                             sol.fem_values.dtype)
+            s2 = Solution2D(sol.xs, sol.ys, sol.fem_values, sol.coeffs,
+                            sol.cg_iters, 0.0, None, None, None)
+            u = evaluate_2d(s2, xq, yq)
+            ue = problem.exact(xq, yq, tcfg.t_final)
+            fields["linf_error"] = float(M.linf_error(u, ue))
     em.emit("wave_march_2d", **fields)
 
 

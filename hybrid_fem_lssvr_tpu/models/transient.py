@@ -508,17 +508,12 @@ def fem_march_2d(problem: TransientProblem2D, cfg, tcfg: TransientConfig):
                                jnp.max(iters))
 
 
-def _shared_cn_ops_2d(p, cfg, dt):
-    """Host f64 shared CN operators for the 2D enhanced march:
-    (shared LSE map of D_CN = (2/dt)·Mass + D_L, projection map of Mass
-    for the u0 fit, rhs operator (2/dt)·Mass - D_L, t_int, bpts).  The
-    (2/dt) mass shift also removes the steady 2D Laplacian's
-    discrete-harmonic pathology, so the plain LSE factorisation is
-    well-posed."""
+def _mass_dl_b_2d(p, cfg):
+    """Host f64 (Mass, D_L, B, t_int, bpts) on the shared element —
+    the common ingredients of the enhanced CN and Newmark marches."""
     from ..ops import legendre as leg
     from .hybrid2d import _boundary_coords
 
-    dtype = cfg.jnp_dtype()
     x0, x1, y0, y1 = p.domain
     hx = float((x1 - x0) / cfg.nx)
     hy = float((y1 - y0) / cfg.ny)
@@ -540,11 +535,23 @@ def _shared_cn_ops_2d(p, cfg, dt):
             "yk,xl->yxkl", V1, V0).reshape(C * C, M * M)
     if p.c != 0.0:
         D_L = D_L + p.c * Mass
-    D_CN = (2.0 / dt) * Mass + D_L
     bpts = _boundary_coords(M)
     V0y_b = leg.vandermonde_host(bpts[:, 0], M)[0]
     V0x_b = leg.vandermonde_host(bpts[:, 1], M)[0]
     B = np.einsum("pk,pl->pkl", V0y_b, V0x_b).reshape(-1, M * M)
+    return Mass, D_L, B, t_int, bpts
+
+
+def _shared_cn_ops_2d(p, cfg, dt):
+    """Host f64 shared CN operators for the 2D enhanced march:
+    (shared LSE map of D_CN = (2/dt)·Mass + D_L, projection map of Mass
+    for the u0 fit, rhs operator (2/dt)·Mass - D_L, t_int, bpts).  The
+    (2/dt) mass shift also removes the steady 2D Laplacian's
+    discrete-harmonic pathology, so the plain LSE factorisation is
+    well-posed."""
+    dtype = cfg.jnp_dtype()
+    Mass, D_L, B, t_int, bpts = _mass_dl_b_2d(p, cfg)
+    D_CN = (2.0 / dt) * Mass + D_L
     shared = kkt.precompute_shared_lse_host(D_CN, B, dtype)
     proj = kkt.precompute_shared_lse_host(Mass, B, dtype)  # u0 fit
     R_op = jnp.asarray((2.0 / dt) * Mass - D_L, dtype)
@@ -2065,3 +2072,149 @@ def fem_march_adaptive_2d(problem: TransientProblem2D, cfg,
                               jnp.zeros((), jnp.int32))
     return AdaptiveMarchResult(solution=sol, t_reached=tN, accepted=acc,
                                rejected=rej, max_err=emax)
+
+
+def hybrid_wave_march_2d(problem: WaveProblem2D, cfg,
+                         tcfg: TransientConfig, beta: float = 0.25,
+                         gamma_n: float = 0.5, trace_lift: int = 0):
+    """LSSVR-enhanced 2D Newmark march (lift of ``hybrid_wave_march``):
+    per-element tensor-Legendre (u, v, a) coefficient triples; each step
+    collocates a^{n+1} + L u^{n+1} = f^{n+1} under the Newmark closure
+    u^{n+1} = pred + beta dt^2 a^{n+1} — ONE shared-LSE solve of
+    D_NM = Mass + beta dt^2 D_L for the acceleration coefficients, with
+    the trace pinning transferred to the acceleration:
+    a_trace = (u_trace(Q1 march) - pred_trace)/(beta dt^2).
+    ``trace_lift=6`` + numerov mass carries the O(h^4) nodal dispersion
+    to the enhanced Linf (as in ``hybrid_march_2d``)."""
+    from ..ops import assembly2d, cg
+    from .hybrid2d import _element_data_2d
+
+    p = problem.elliptic
+    _check_2d_dirichlet(p)
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1 = p.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    dt = tcfg.t_final / tcfg.n_steps
+    M, C = cfg.M, cfg.n_colloc
+    Mass64, D_L64, B64, t_int, bpts = _mass_dl_b_2d(p, cfg)
+    D_NM = Mass64 + beta * dt * dt * D_L64
+    shared = kkt.precompute_shared_lse_host(D_NM, B64, dtype)
+    proj = kkt.precompute_shared_lse_host(Mass64, B64, dtype)
+    D_L = jnp.asarray(D_L64, dtype)
+    Bj = jnp.asarray(B64, dtype)
+    t_int_j = jnp.asarray(t_int)
+    bpts_j = jnp.asarray(bpts)
+    hi = jax.lax.Precision.HIGHEST
+
+    # FEM Newmark pieces (trace provider), as in wave_march_2d
+    if tcfg.mass == "numerov":
+        if p.b != (0.0, 0.0):
+            raise NotImplementedError("numerov mass requires b == 0")
+        K_A_np, K_M_np = _numerov_locals_2d(hx, hy, p.a0, p.c)
+        K_A = jnp.asarray(K_A_np, dtype)
+        K_M = jnp.asarray(K_M_np, dtype)
+    else:
+        K_A = jnp.asarray(
+            assembly2d.q1_local_operator(hx, hy, p.a0, p.c, *p.b), dtype)
+        K_M = jnp.asarray(assembly2d.q1_local_mass(hx, hy), dtype)
+    K_lhs = K_M + beta * dt * dt * K_A
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    interior = jnp.zeros((cfg.ny + 1, cfg.nx + 1), bool
+                         ).at[1:-1, 1:-1].set(True)
+    X, Y = jnp.meshgrid(xs, ys)
+    u_bc = jnp.where(interior, 0.0, p.g(X, Y) * jnp.ones_like(X))
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def free_solve(K, rhs):
+        def apply_free(v):
+            return jnp.where(
+                interior,
+                assembly2d.apply_stiffness(v * interior, K), 0.0)
+
+        diag = assembly2d.stiffness_diag((cfg.ny + 1, cfg.nx + 1), K,
+                                         dtype)
+        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+        res = cg.cg(apply_free, jnp.where(interior, rhs, 0.0),
+                    M_inv=M_inv, tol=tol, maxiter=cfg.cg_maxiter)
+        return jnp.where(interior, res.x, 0.0), res.iters
+
+    if tcfg.mass == "numerov":
+        def load_at(t):
+            return assembly2d.apply_stiffness(
+                problem.f(X, Y, t) * jnp.ones_like(X), K_M)
+    else:
+        def load_at(t):
+            return assembly2d.assemble_load(
+                xs, ys, lambda x, y: problem.f(x, y, t))
+
+    # collocation coordinates (iy, ix) x (cy, cx)
+    t_j = jnp.asarray(t_int, dtype)
+    xm = 0.5 * (xs[1:] + xs[:-1])
+    ym = 0.5 * (ys[1:] + ys[:-1])
+    xq = xm[:, None] + 0.5 * hx * t_j[None, :]
+    yq = ym[:, None] + 0.5 * hy * t_j[None, :]
+    E = cfg.nx * cfg.ny
+
+    def f_rows_at(t):
+        F = problem.f(xq[None, :, None, :], yq[:, None, :, None], t)
+        return (F * jnp.ones((cfg.ny, cfg.nx, C, C), dtype)
+                ).reshape(E, C * C)
+
+    def step(carry, t):
+        u, v, a, wu, wv, wa = carry
+        pred = u + dt * v + 0.5 * dt * dt * (1.0 - 2.0 * beta) * a
+        rhs = load_at(t + dt) - assembly2d.apply_stiffness(pred, K_A)
+        a1, iters = free_solve(K_lhs, rhs)
+        u1 = u_bc + jnp.where(interior, pred + beta * dt * dt * a1, 0.0)
+        v1 = v + dt * ((1.0 - gamma_n) * a + gamma_n * a1)
+        # element polynomials
+        w_pred = wu + dt * wv + 0.5 * dt * dt * (1.0 - 2.0 * beta) * wa
+        f_rows = f_rows_at(t + dt) - jnp.dot(w_pred, D_L.T, precision=hi)
+        _, bc_u1, _ = _element_data_2d(p, cfg, xs, ys, u1, t_int_j,
+                                       bpts_j, trace_lift=trace_lift)
+        pred_tr = jnp.dot(w_pred, Bj.T, precision=hi)
+        bc_a = (bc_u1 - pred_tr) / (beta * dt * dt)
+        wa1, _ = kkt.solve_primal_shared(shared, f_rows, bc_a)
+        wu1 = w_pred + beta * dt * dt * wa1
+        wv1 = wv + dt * ((1.0 - gamma_n) * wa + gamma_n * wa1)
+        return (u1, v1, a1, wu1, wv1, wa1), iters
+
+    u0g = jnp.where(interior, problem.u0(X, Y) * jnp.ones_like(X), u_bc
+                    ).astype(dtype)
+    v0g = jnp.where(interior, problem.v0(X, Y) * jnp.ones_like(X), 0.0
+                    ).astype(dtype)
+    rhs0 = load_at(jnp.asarray(0.0, dtype)) \
+        - assembly2d.apply_stiffness(u0g, K_A)
+    a0g, _ = free_solve(K_M, rhs0)
+    # initial polynomial fits: u0/v0 from values + traces; the
+    # acceleration from the PDE a0 = f(0) - L u0 with zero boundary
+    # traces (time-independent Dirichlet data)
+    ones4 = jnp.ones((cfg.ny, cfg.nx, C, C), dtype)
+    F0u = (problem.u0(xq[None, :, None, :], yq[:, None, :, None])
+           * ones4).reshape(E, C * C)
+    F0v = (problem.v0(xq[None, :, None, :], yq[:, None, :, None])
+           * ones4).reshape(E, C * C)
+    _, bc_u0, _ = _element_data_2d(p, cfg, xs, ys, u0g, t_int_j, bpts_j,
+                                   trace_lift=trace_lift)
+    import dataclasses as _dc
+
+    p0 = _dc.replace(p, g=lambda x, y: jnp.zeros_like(x + y))
+    _, bc_v0, _ = _element_data_2d(p0, cfg, xs, ys, v0g, t_int_j, bpts_j,
+                                   trace_lift=trace_lift)
+    _, bc_a0, _ = _element_data_2d(p0, cfg, xs, ys, a0g, t_int_j, bpts_j,
+                                   trace_lift=trace_lift)
+    wu0, _ = kkt.solve_primal_shared(proj, F0u, bc_u0)
+    wv0, _ = kkt.solve_primal_shared(proj, F0v, bc_v0)
+    fa0 = f_rows_at(jnp.asarray(0.0, dtype)) \
+        - jnp.dot(wu0, D_L.T, precision=hi)
+    wa0, _ = kkt.solve_primal_shared(proj, fa0, bc_a0)
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
+    (uN, vN, _, wuN, _, _), iters = jax.lax.scan(
+        step, (u0g, v0g, a0g, wu0, wv0, wa0), ts)
+    return TransientSolution2D(
+        xs, ys, uN, wuN.reshape(cfg.ny, cfg.nx, M, M), tcfg.t_final,
+        jnp.max(iters)), vN
