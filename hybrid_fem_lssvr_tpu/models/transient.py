@@ -774,14 +774,12 @@ def fem_march_3d(problem: TransientProblem3D, cfg,
                                jnp.max(iters))
 
 
-def _shared_cn_ops_3d(p, cfg, dt):
-    """Host f64 shared CN operators for the 3D enhanced march (the 3D
-    lift of ``_shared_cn_ops_2d``): (shared LSE map of D_CN, projection
-    map of Mass, rhs operator (2/dt)·Mass - D_L, t_int, spts)."""
+def _mass_dl_b_3d(p, cfg):
+    """Host f64 (Mass, D_L, B, t_int, spts) on the shared hex — common
+    ingredients of the enhanced 3D CN and Newmark marches."""
     from ..ops import legendre as leg
     from .hybrid3d import _surface_coords
 
-    dtype = cfg.jnp_dtype()
     x0, x1, y0, y1, z0, z1 = p.domain
     hx = float((x1 - x0) / cfg.nx)
     hy = float((y1 - y0) / cfg.ny)
@@ -807,13 +805,22 @@ def _shared_cn_ops_3d(p, cfg, dt):
         D_L = D_L + bz * sz * t3(V1, V0, V0)
     if p.c != 0.0:
         D_L = D_L + p.c * Mass
-    D_CN = (2.0 / dt) * Mass + D_L
     spts = _surface_coords(M)
     Vz_b = leg.vandermonde_host(spts[:, 0], M)[0]
     Vy_b = leg.vandermonde_host(spts[:, 1], M)[0]
     Vx_b = leg.vandermonde_host(spts[:, 2], M)[0]
     B = np.einsum("pk,pl,pm->pklm", Vz_b, Vy_b, Vx_b).reshape(
         -1, M * M * M)
+    return Mass, D_L, B, t_int, spts
+
+
+def _shared_cn_ops_3d(p, cfg, dt):
+    """Host f64 shared CN operators for the 3D enhanced march (the 3D
+    lift of ``_shared_cn_ops_2d``): (shared LSE map of D_CN, projection
+    map of Mass, rhs operator (2/dt)·Mass - D_L, t_int, spts)."""
+    dtype = cfg.jnp_dtype()
+    Mass, D_L, B, t_int, spts = _mass_dl_b_3d(p, cfg)
+    D_CN = (2.0 / dt) * Mass + D_L
     shared = kkt.precompute_shared_lse_host(D_CN, B, dtype)
     proj = kkt.precompute_shared_lse_host(Mass, B, dtype)
     R_op = jnp.asarray((2.0 / dt) * Mass - D_L, dtype)
@@ -2218,3 +2225,141 @@ def hybrid_wave_march_2d(problem: WaveProblem2D, cfg,
     return TransientSolution2D(
         xs, ys, uN, wuN.reshape(cfg.ny, cfg.nx, M, M), tcfg.t_final,
         jnp.max(iters)), vN
+
+
+def hybrid_wave_march_3d(problem: WaveProblem3D, cfg,
+                         tcfg: TransientConfig, beta: float = 0.25,
+                         gamma_n: float = 0.5, trace_lift: int = 0):
+    """LSSVR-enhanced 3D Newmark march (tensor lift of
+    ``hybrid_wave_march_2d``): per-hex (u, v, a) coefficient triples,
+    one shared-LSE solve of Mass + beta dt^2 D_L per step, trace
+    pinning transferred to the acceleration."""
+    from ..ops import assembly3d, cg
+    from .hybrid3d import _element_data_3d
+
+    p = problem.elliptic
+    _check_3d_dirichlet(p)
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = p.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    hz = float((z1 - z0) / cfg.nz)
+    dt = tcfg.t_final / tcfg.n_steps
+    M, C = cfg.M, cfg.n_colloc
+    Mass64, D_L64, B64, t_int, spts = _mass_dl_b_3d(p, cfg)
+    D_NM = Mass64 + beta * dt * dt * D_L64
+    shared = kkt.precompute_shared_lse_host(D_NM, B64, dtype)
+    proj = kkt.precompute_shared_lse_host(Mass64, B64, dtype)
+    D_L = jnp.asarray(D_L64, dtype)
+    Bj = jnp.asarray(B64, dtype)
+    t_int_j = jnp.asarray(t_int)
+    spts_j = jnp.asarray(spts)
+    hi = jax.lax.Precision.HIGHEST
+
+    K_A_np, K_M_np = _locals_3d(hx, hy, hz, p, tcfg.mass)
+    K_A = jnp.asarray(K_A_np, dtype)
+    K_M = jnp.asarray(K_M_np, dtype)
+    K_lhs = K_M + beta * dt * dt * K_A
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    zs = jnp.linspace(z0, z1, cfg.nz + 1, dtype=dtype)
+    nz1, ny1, nx1 = cfg.nz + 1, cfg.ny + 1, cfg.nx + 1
+    interior = jnp.zeros((nz1, ny1, nx1), bool
+                         ).at[1:-1, 1:-1, 1:-1].set(True)
+    X = xs[None, None, :]
+    Y = ys[None, :, None]
+    Z = zs[:, None, None]
+    ones = jnp.ones((nz1, ny1, nx1), dtype)
+    u_bc = jnp.where(interior, 0.0, p.g(X, Y, Z) * ones)
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def free_solve(K, rhs):
+        def apply_free(v):
+            return jnp.where(
+                interior,
+                assembly3d.apply_stiffness_3d(v * interior, K), 0.0)
+
+        diag = assembly3d.stiffness_diag_3d((nz1, ny1, nx1), K, dtype)
+        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+        res = cg.cg(apply_free, jnp.where(interior, rhs, 0.0),
+                    M_inv=M_inv, tol=tol, maxiter=cfg.cg_maxiter)
+        return jnp.where(interior, res.x, 0.0), res.iters
+
+    if tcfg.mass == "numerov":
+        def load_at(t):
+            return assembly3d.apply_stiffness_3d(
+                problem.f(X, Y, Z, t) * ones, K_M)
+    else:
+        def load_at(t):
+            return assembly3d.assemble_load_3d(
+                xs, ys, zs, lambda x, y, z: problem.f(x, y, z, t))
+
+    t_j = jnp.asarray(t_int, dtype)
+    xq = xs[:-1][:, None] + 0.5 * hx * (t_j[None, :] + 1.0)
+    yq = ys[:-1][:, None] + 0.5 * hy * (t_j[None, :] + 1.0)
+    zq = zs[:-1][:, None] + 0.5 * hz * (t_j[None, :] + 1.0)
+    E = cfg.nx * cfg.ny * cfg.nz
+    ones6 = jnp.ones((cfg.nz, cfg.ny, cfg.nx, C, C, C), dtype)
+
+    def f_rows_at(t):
+        F = problem.f(
+            xq[None, None, :, None, None, :],
+            yq[None, :, None, None, :, None],
+            zq[:, None, None, :, None, None], t)
+        return (F * ones6).reshape(E, C * C * C)
+
+    def step(carry, t):
+        u, v, a, wu, wv, wa = carry
+        pred = u + dt * v + 0.5 * dt * dt * (1.0 - 2.0 * beta) * a
+        rhs = load_at(t + dt) - assembly3d.apply_stiffness_3d(pred, K_A)
+        a1, iters = free_solve(K_lhs, rhs)
+        u1 = u_bc + jnp.where(interior, pred + beta * dt * dt * a1, 0.0)
+        v1 = v + dt * ((1.0 - gamma_n) * a + gamma_n * a1)
+        w_pred = wu + dt * wv + 0.5 * dt * dt * (1.0 - 2.0 * beta) * wa
+        f_rows = f_rows_at(t + dt) - jnp.dot(w_pred, D_L.T, precision=hi)
+        _, bc_u1, _ = _element_data_3d(p, cfg, xs, ys, zs, u1, t_int_j,
+                                       spts_j, trace_lift=trace_lift)
+        pred_tr = jnp.dot(w_pred, Bj.T, precision=hi)
+        bc_a = (bc_u1 - pred_tr) / (beta * dt * dt)
+        wa1, _ = kkt.solve_primal_shared(shared, f_rows, bc_a)
+        wu1 = w_pred + beta * dt * dt * wa1
+        wv1 = wv + dt * ((1.0 - gamma_n) * wa + gamma_n * wa1)
+        return (u1, v1, a1, wu1, wv1, wa1), iters
+
+    u0g = jnp.where(interior, problem.u0(X, Y, Z) * ones, u_bc
+                    ).astype(dtype)
+    v0g = jnp.where(interior, problem.v0(X, Y, Z) * ones, 0.0
+                    ).astype(dtype)
+    rhs0 = load_at(jnp.asarray(0.0, dtype)) \
+        - assembly3d.apply_stiffness_3d(u0g, K_A)
+    a0g, _ = free_solve(K_M, rhs0)
+    F0u = (problem.u0(xq[None, None, :, None, None, :],
+                      yq[None, :, None, None, :, None],
+                      zq[:, None, None, :, None, None])
+           * ones6).reshape(E, C * C * C)
+    F0v = (problem.v0(xq[None, None, :, None, None, :],
+                      yq[None, :, None, None, :, None],
+                      zq[:, None, None, :, None, None])
+           * ones6).reshape(E, C * C * C)
+    import dataclasses as _dc
+
+    p0 = _dc.replace(p, g=lambda x, y, z: jnp.zeros_like(x + y + z))
+    _, bc_u0, _ = _element_data_3d(p, cfg, xs, ys, zs, u0g, t_int_j,
+                                   spts_j, trace_lift=trace_lift)
+    _, bc_v0, _ = _element_data_3d(p0, cfg, xs, ys, zs, v0g, t_int_j,
+                                   spts_j, trace_lift=trace_lift)
+    _, bc_a0, _ = _element_data_3d(p0, cfg, xs, ys, zs, a0g, t_int_j,
+                                   spts_j, trace_lift=trace_lift)
+    wu0, _ = kkt.solve_primal_shared(proj, F0u, bc_u0)
+    wv0, _ = kkt.solve_primal_shared(proj, F0v, bc_v0)
+    fa0 = f_rows_at(jnp.asarray(0.0, dtype)) \
+        - jnp.dot(wu0, D_L.T, precision=hi)
+    wa0, _ = kkt.solve_primal_shared(proj, fa0, bc_a0)
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
+    (uN, vN, _, wuN, _, _), iters = jax.lax.scan(
+        step, (u0g, v0g, a0g, wu0, wv0, wa0), ts)
+    return TransientSolution3D(
+        xs, ys, zs, uN, wuN.reshape(cfg.nz, cfg.ny, cfg.nx, M, M, M),
+        tcfg.t_final, jnp.max(iters)), vN

@@ -817,3 +817,34 @@ def test_hybrid_wave_march_2d_trace_lift_rides_nodal_floor():
                      z, z, z, z, z)
     err0 = float(np.abs(np.asarray(evaluate_2d(s20, xq, yq)) - uex).max())
     assert err0 > 20.0 * err, (err0, err)
+
+
+def test_hybrid_wave_march_3d_trace_lift():
+    """3D enhanced Newmark march: the plane lift cuts the enhanced Linf
+    ~37x toward the nodal floor (7.2e-2 -> 2.0e-3, nodal 1.1e-3 at 8^3
+    measured)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import (
+        Solution3D, Solver3DConfig, evaluate_3d,
+    )
+
+    p = TR.wave_3d()
+    cfg = Solver3DConfig(nx=8, ny=8, nz=8, M=4, n_colloc=4,
+                         dtype="float64", precond="jacobi")
+    tcfg = TR.TransientConfig(t_final=0.25, n_steps=256, mass="numerov")
+    rng = np.random.default_rng(5)
+    xq = jnp.asarray(rng.uniform(-1, 1, 1200))
+    yq = jnp.asarray(rng.uniform(-1, 1, 1200))
+    zq = jnp.asarray(rng.uniform(-1, 1, 1200))
+    z0 = jnp.zeros(())
+
+    def linf(sol):
+        s3 = Solution3D(sol.xs, sol.ys, sol.zs, sol.fem_values,
+                        sol.coeffs, z0, z0, z0, z0, z0)
+        u = evaluate_3d(s3, xq, yq, zq)
+        return float(jnp.max(jnp.abs(u - p.exact(xq, yq, zq, 0.25))))
+
+    sol, _ = TR.hybrid_wave_march_3d(p, cfg, tcfg, trace_lift=6)
+    e_lift = linf(sol)
+    assert e_lift < 5e-3, e_lift
+    sol0, _ = TR.hybrid_wave_march_3d(p, cfg, tcfg)
+    assert linf(sol0) > 10.0 * e_lift
