@@ -691,3 +691,83 @@ def goal_adaptive_solve_3d(problem: Problem3D, j: Callable, cfg,
     return GoalAdaptiveResult3D(solution=psolver.solution,
                                 adjoint=asolver.solution,
                                 xs=xs, ys=ys, zs=zs, history=history)
+
+
+# ------------------------------------------------------ semilinear (1D)
+#
+# Goal-error estimation for the NONLINEAR family -a0 u'' + s(u) = f
+# (models/nonlinear.py).  The first-order (DWR) adjoint is the
+# LINEARIZED operator at the computed solution — self-adjoint here:
+#
+#     -a0 z'' + s'(u_h) z = j,    z(x0) = z(x1) = 0,
+#
+# solved through the ordinary linear hybrid pipeline with the reaction
+# coefficient c(x) = s'(u_h(x)) read from the element polynomials.  The
+# identity then matches the linear case with R = f + a0 u_h'' - s(u_h),
+# exact up to the second-order remainder ~ s''(u)·e^2 (negligible at
+# the hybrid solver's 1e-7-class errors) and z ~ z_h.
+
+
+def adjoint_problem_semilinear(problem, sol, j: Callable) -> Problem1D:
+    """Linearized adjoint BVP of a ``SemilinearProblem1D`` at the
+    computed ``SemilinearSolution``."""
+    from ..ops import eval as ev
+
+    ds = problem.ds
+    nodes, coeffs = sol.nodes, sol.coeffs
+
+    def c_lin(x):
+        return ds(ev.evaluate(nodes, coeffs, jnp.atleast_1d(x)))
+
+    return Problem1D(
+        name=f"adjoint({problem.name})",
+        f=j,
+        a=lambda x: problem.a0 * jnp.ones_like(x),
+        c=c_lin,
+        domain=problem.domain,
+        g_left=0.0,
+        g_right=0.0,
+    )
+
+
+def dwr_estimate_semilinear(problem, primal, adjoint: Solution,
+                            q: int = 8) -> DWREstimate:
+    """DWR estimate for a semilinear solve: cell residuals
+    R = f + a0 u'' - s(u) at Gauss points + the face flux-jump terms
+    (``adjoint`` from ``adjoint_problem_semilinear`` on the same
+    mesh)."""
+    nodes, coeffs, zc = primal.nodes, primal.coeffs, adjoint.coeffs
+    dtype = coeffs.dtype
+    tq, wq = _gauss(q, dtype)
+    x, u, ux, uxx = _series_on_gauss(nodes, coeffs, tq)
+    R = (problem.f(x) * jnp.ones_like(x) + problem.a0 * uxx
+         - problem.s(u))
+    _, z, _, _ = _series_on_gauss(nodes, zc, tq)
+    h = nodes[1:] - nodes[:-1]
+    cell = 0.5 * h * ((R * z) @ wq)
+
+    M = coeffs.shape[1]
+    ends = jnp.asarray([-1.0, 1.0], dtype)
+    V0e, V1e = legendre.legendre_vandermonde(ends, M, num_derivs=1)
+    chain = (2.0 / h)[:, None]
+    hi = jax.lax.Precision.HIGHEST
+    ux_ends = chain * jnp.matmul(coeffs, V1e.T, precision=hi)
+    z_ends = jnp.matmul(zc, V0e.T, precision=hi)
+    jump = ux_ends[1:, 0] - ux_ends[:-1, 1]
+    face = z_ends[:-1, 1] * problem.a0 * jump
+
+    half = 0.5 * jnp.abs(face)
+    indicator = (jnp.abs(cell).at[:-1].add(half).at[1:].add(half))
+    return DWREstimate(total=jnp.sum(cell) + jnp.sum(face),
+                       cell=cell, face=face, indicator=indicator)
+
+
+def goal_error_semilinear(problem, sol, cfg, j: Callable, q: int = 8):
+    """One-call goal-error estimate for a semilinear solve: solves the
+    linearized adjoint through the linear hybrid pipeline on the same
+    (uniform) mesh and returns (J(u_h), DWREstimate, adjoint
+    Solution)."""
+    adj = adjoint_problem_semilinear(problem, sol, j)
+    asol = HybridSolver(adj, cfg, nodes=sol.nodes).solve()
+    est = dwr_estimate_semilinear(problem, sol, asol, q=q)
+    return goal_value(sol.nodes, sol.coeffs, j, q=q), est, asol
