@@ -2363,3 +2363,97 @@ def hybrid_wave_march_3d(problem: WaveProblem3D, cfg,
     return TransientSolution3D(
         xs, ys, zs, uN, wuN.reshape(cfg.nz, cfg.ny, cfg.nx, M, M, M),
         tcfg.t_final, jnp.max(iters)), vN
+
+
+def fem_march_adaptive_3d(problem: TransientProblem3D, cfg,
+                          t_final: float, tol: float = 1e-5,
+                          dt0: Optional[float] = None,
+                          max_attempts: int = 512) -> AdaptiveMarchResult:
+    """3D adaptive-dt Q1-hex march (tensor lift of
+    ``fem_march_adaptive_2d``: traced-dt matrix-free implicit operators,
+    two Jacobi-CG solves per attempt, one lax.scan)."""
+    from ..ops import assembly3d, cg
+
+    p = problem.elliptic
+    _check_3d_dirichlet(p)
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = p.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    hz = float((z1 - z0) / cfg.nz)
+    K_A_np, K_M_np = _locals_3d(hx, hy, hz, p, "consistent")
+    K_A = jnp.asarray(K_A_np, dtype)
+    K_M = jnp.asarray(K_M_np, dtype)
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    zs = jnp.linspace(z0, z1, cfg.nz + 1, dtype=dtype)
+    nz1, ny1, nx1 = cfg.nz + 1, cfg.ny + 1, cfg.nx + 1
+    interior = jnp.zeros((nz1, ny1, nx1), bool
+                         ).at[1:-1, 1:-1, 1:-1].set(True)
+    X = xs[None, None, :]
+    Y = ys[None, :, None]
+    Z = zs[:, None, None]
+    ones = jnp.ones((nz1, ny1, nx1), dtype)
+    u_bc = jnp.where(interior, 0.0, p.g(X, Y, Z) * ones)
+    tolcg = cfg.cg_tol
+    if tolcg is None:
+        tolcg = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def load_at(t):
+        return assembly3d.assemble_load_3d(
+            xs, ys, zs, lambda x, y, z: problem.f(x, y, z, t))
+
+    def theta_solve(u, t, dt, th):
+        K_lhs = K_M + th * dt * K_A
+
+        def apply_free(v):
+            return jnp.where(
+                interior,
+                assembly3d.apply_stiffness_3d(v * interior, K_lhs), 0.0)
+
+        diag = assembly3d.stiffness_diag_3d((nz1, ny1, nx1), K_lhs,
+                                            dtype)
+        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+        load = th * load_at(t + dt) + (1.0 - th) * load_at(t)
+        r = (assembly3d.apply_stiffness_3d(u, K_M)
+             - (1.0 - th) * dt * assembly3d.apply_stiffness_3d(u, K_A)
+             + dt * load)
+        rhs = jnp.where(interior, r - assembly3d.apply_stiffness_3d(
+            u_bc, K_lhs), 0.0)
+        res = cg.cg(apply_free, rhs, M_inv=M_inv, tol=tolcg,
+                    maxiter=cfg.cg_maxiter)
+        return u_bc + jnp.where(interior, res.x, 0.0)
+
+    tf = jnp.asarray(t_final, dtype)
+    tol_j = jnp.asarray(tol, dtype)
+
+    def attempt(carry, _):
+        u, t, dt, acc, rej, emax = carry
+        done = t >= tf * (1.0 - 1e-12)
+        dt_c = jnp.maximum(jnp.minimum(dt, tf - t),
+                           jnp.asarray(0.0, dtype))
+        u_cn = theta_solve(u, t, dt_c, 0.5)
+        u_be = theta_solve(u, t, dt_c, 1.0)
+        err = jnp.max(jnp.abs(u_cn - u_be))
+        ok = (err <= tol_j) & ~done
+        fac = jnp.clip(0.9 * jnp.sqrt(tol_j / jnp.maximum(err, 1e-30)),
+                       0.2, 5.0)
+        return (jnp.where(ok, u_cn, u), jnp.where(ok, t + dt_c, t),
+                jnp.where(done, dt, dt * fac),
+                acc + jnp.where(ok, 1, 0),
+                rej + jnp.where(ok | done, 0, 1),
+                jnp.where(ok, jnp.maximum(emax, err), emax)), None
+
+    u0 = jnp.where(interior, problem.u0(X, Y, Z) * ones, u_bc
+                   ).astype(dtype)
+    dt_init = jnp.asarray(dt0 if dt0 is not None else t_final / 64.0,
+                          dtype)
+    zero_i = jnp.zeros((), jnp.int32)
+    zero = jnp.zeros((), dtype)
+    (uN, tN, _, acc, rej, emax), _ = jax.lax.scan(
+        attempt, (u0, zero, dt_init, zero_i, zero_i, zero),
+        None, length=max_attempts)
+    sol = TransientSolution3D(xs, ys, zs, uN, None, float(t_final),
+                              jnp.zeros((), jnp.int32))
+    return AdaptiveMarchResult(solution=sol, t_reached=tN, accepted=acc,
+                               rejected=rej, max_err=emax)

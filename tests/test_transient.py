@@ -848,3 +848,19 @@ def test_hybrid_wave_march_3d_trace_lift():
     assert e_lift < 5e-3, e_lift
     sol0, _ = TR.hybrid_wave_march_3d(p, cfg, tcfg)
     assert linf(sol0) > 10.0 * e_lift
+
+
+def test_adaptive_march_3d_error_control():
+    """3D lift: reaches t_final within budget with every accepted local
+    estimate <= tol (measured 50 acc / 4 rej at tol 1e-4; the Linf is
+    the consistent-mass O(h^2) spatial floor at 8^3)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import Solver3DConfig
+
+    p = TR.heat_3d()
+    cfg = Solver3DConfig(nx=8, ny=8, nz=8, M=4, n_colloc=4,
+                         dtype="float64", precond="jacobi")
+    res = TR.fem_march_adaptive_3d(p, cfg, t_final=0.25, tol=1e-4,
+                                   max_attempts=256)
+    assert float(res.t_reached) == pytest.approx(0.25, abs=1e-10)
+    assert float(res.max_err) <= 1e-4
+    assert int(res.accepted) + int(res.rejected) < 256
