@@ -62,10 +62,16 @@ _FAST_TESTS = {
     "test_eigen.py::test_enhanced_eigenvalues_hit_f64_floor",
     "test_eigen.py::test_lift_weights_reproduce_polynomials",
 }
-# Individually excluded from fast modules (3D mesh-sweep cost).
+# Individually excluded from fast modules (3D mesh-sweep / long-march
+# cost).
 _FAST_EXCLUDE = {
     "test_nonlinear.py::test_semilinear_3d_converges",
     "test_nonlinear.py::test_semilinear_3d_numerov_lift_fourth_order",
+    "test_transient.py::test_hybrid_wave_march_2d_trace_lift_rides_nodal_floor",
+    "test_transient.py::test_hybrid_wave_march_3d_trace_lift",
+    "test_transient.py::test_sharded_semilinear_march_3d_matches_single_device",
+    "test_transient.py::test_semilinear_hybrid_march_3d_smoke",
+    "test_transient.py::test_hybrid_march_2d_trace_lift_fourth_order",
 }
 
 
