@@ -430,6 +430,25 @@ def _transient_2d(args, em, tcfg):
         return _wave_2d(args, em, tcfg)
     cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=args.M,
                          gamma=args.gamma, dtype=args.dtype)
+    if getattr(args, "mesh", None) == "slab":
+        from .parallel import mesh as pmesh
+        from .parallel.transient2d import make_sharded_transient_2d
+
+        problem = (TR.semilinear_heat_2d()
+                   if args.problem == "semilinear_heat_2d"
+                   else TR.heat_2d())
+        n_dev = len(jax.devices())
+        rec = {}
+        with profiling.timed(rec, "solve_sec"):
+            sol = make_sharded_transient_2d(
+                problem, cfg, tcfg, pmesh.element_mesh(n_dev),
+                enhanced=args.enhanced)()
+            jax.block_until_ready(sol.fem_values)
+        em.emit("transient_march_2d_sharded", problem=problem.name,
+                devices=n_dev, enhanced=args.enhanced, mass=tcfg.mass,
+                elements=cfg.nx * cfg.ny, n_steps=tcfg.n_steps,
+                solve_sec=rec["solve_sec"], cg_iters=int(sol.cg_iters))
+        return
     if args.problem == "semilinear_heat_2d":
         problem = TR.semilinear_heat_2d()
         march = (TR.hybrid_march_semilinear_2d if args.enhanced
@@ -1386,6 +1405,9 @@ def build_parser():
                     "Lagrange lifted element traces (6 with --mass "
                     "numerov gives an O(h^4) enhanced Linf — measured "
                     "170x at 16^2)")
+    sp.add_argument("--mesh", default=None, choices=[None, "slab"],
+                    help="2D: run the distributed y-slab march over all "
+                    "available devices (heat_2d / semilinear_heat_2d)")
     sp.add_argument("--dtype", default=None,
                     choices=[None, "float32", "float64"])
     sp.add_argument("--x64", action="store_true")
