@@ -825,6 +825,37 @@ def cmd_eig(args):
     em.emit("eigensolve", **fields)
 
 
+def cmd_biharmonic(args):
+    """Fourth-order d4u/dx4 = f via two chained hybrid solves
+    (models/biharmonic.py)."""
+    from .models.biharmonic import sin_biharmonic_1d, solve_biharmonic_1d
+    from .ops import eval as ev
+
+    if getattr(args, "x64", False):
+        jax.config.update("jax_enable_x64", True)
+    em = M.MetricsEmitter()
+    problem = sin_biharmonic_1d()
+    cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
+                       gamma=args.gamma, dtype=args.dtype)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = solve_biharmonic_1d(problem, cfg)
+        jax.block_until_ready(sol.u.coeffs)
+    fields = dict(problem=problem.name, elements=cfg.num_nodes - 1,
+                  M=cfg.M, solve_sec=rec["solve_sec"],
+                  n_fallback=int((~sol.u.solve_ok).sum())
+                  + int((~sol.v.solve_ok).sum()))
+    if problem.exact is not None:
+        x = jnp.linspace(*problem.domain, args.eval_points,
+                         dtype=sol.u.coeffs.dtype)
+        u = ev.evaluate(sol.u.nodes, sol.u.coeffs, x)
+        fields["linf_error"] = float(M.linf_error(u, problem.exact(x)))
+        v = ev.evaluate(sol.v.nodes, sol.v.coeffs, x)
+        fields["moment_linf_error"] = float(
+            M.linf_error(v, problem.exact_d2(x)))
+    em.emit("biharmonic_solve", **fields)
+
+
 def cmd_runsharded(args):
     """Multi-chip 1D solve over the element mesh (SURVEY.md 2.3 DP/SP row),
     wired through ``load_or_run`` checkpointing so interrupted campaigns
@@ -1444,6 +1475,19 @@ def build_parser():
     sp.add_argument("--x64", action="store_true")
     sp.add_argument("--eval-points", type=int, default=401)
     sp.set_defaults(fn=cmd_nonlinear)
+
+    sp = sub.add_parser(
+        "biharmonic",
+        help="fourth-order d4u/dx4 = f, simply supported (two chained "
+        "hybrid solves; the second rhs is spectral in the first)")
+    sp.add_argument("--num-nodes", type=int, default=25)
+    sp.add_argument("--M", type=int, default=8)
+    sp.add_argument("--gamma", type=float, default=1e4)
+    sp.add_argument("--dtype", default=None,
+                    choices=[None, "float32", "float64"])
+    sp.add_argument("--x64", action="store_true")
+    sp.add_argument("--eval-points", type=int, default=401)
+    sp.set_defaults(fn=cmd_biharmonic)
 
     sp = sub.add_parser(
         "eig",

@@ -1,0 +1,80 @@
+"""Fourth-order (biharmonic) 1D problems by hybrid-solver composition.
+
+u'''' = f on (x0, x1) with simply-supported ends (u = u'' = 0) splits
+EXACTLY into two Poisson problems: v = u'' solves -v'' = -f with
+v(ends) = 0, then -u'' = -v with u(ends) = 0.  The framework's
+composability makes the second solve spectral in the first: its rhs is
+the ENHANCED v (per-element Legendre polynomials evaluated inside the
+traced pipeline), not a nodal interpolant — so the final u rides the
+hybrid floor of the v-solve instead of an O(h^2) rhs-interpolation
+floor.  This extends the operator coverage beyond second order with
+zero new kernels (reference scope: second-order 1D only,
+``Hybrid-FEM-LSSVR.py:8-18``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..ops import eval as ev
+from .hybrid import HybridSolver, Solution, SolverConfig
+from .problem import Problem1D
+
+
+@dataclasses.dataclass(frozen=True)
+class BiharmonicProblem1D:
+    """u'''' = f, simply supported (u = u'' = 0 at both ends)."""
+
+    name: str
+    f: Callable
+    domain: tuple = (-1.0, 1.0)
+    exact: Optional[Callable] = None
+    exact_d2: Optional[Callable] = None  # u'' (the v-solve oracle)
+
+
+def sin_biharmonic_1d() -> BiharmonicProblem1D:
+    """u'''' = pi^4 sin(pi x), exact u = sin(pi x)."""
+    pi = jnp.pi
+    return BiharmonicProblem1D(
+        name="sin_biharmonic_1d",
+        f=lambda x: pi ** 4 * jnp.sin(pi * x),
+        exact=lambda x: jnp.sin(pi * x),
+        exact_d2=lambda x: -pi ** 2 * jnp.sin(pi * x),
+    )
+
+
+class BiharmonicSolution(NamedTuple):
+    u: Solution  # displacement hybrid solution
+    v: Solution  # moment (u'') hybrid solution
+
+
+def solve_biharmonic_1d(problem: BiharmonicProblem1D,
+                        cfg: SolverConfig) -> BiharmonicSolution:
+    """Two chained hybrid solves (docstring above); evaluate the
+    displacement with ``ops.eval.evaluate(sol.u.nodes, sol.u.coeffs, x)``
+    and the moment from ``sol.v`` likewise."""
+    f = problem.f
+    pv = Problem1D(
+        name=f"{problem.name}:moment",
+        f=lambda x: -f(x),
+        domain=problem.domain,
+        exact=problem.exact_d2,
+    )
+    sv = HybridSolver(pv, cfg)
+    sol_v = sv.solve()
+    nodes, wv = sol_v.nodes, sol_v.coeffs
+
+    pu = Problem1D(
+        name=f"{problem.name}:displacement",
+        # rhs = -v_h read from the enhanced polynomials (traced
+        # searchsorted + Legendre eval — spectral, not a nodal
+        # interpolant)
+        f=lambda x: -ev.evaluate(nodes, wv, x),
+        domain=problem.domain,
+        exact=problem.exact,
+    )
+    sol_u = HybridSolver(pu, cfg).solve()
+    return BiharmonicSolution(u=sol_u, v=sol_v)
