@@ -834,6 +834,8 @@ def cmd_biharmonic(args):
     if getattr(args, "x64", False):
         jax.config.update("jax_enable_x64", True)
     em = M.MetricsEmitter()
+    if getattr(args, "dim", 1) == 2:
+        return _biharmonic_2d(args, em)
     problem = sin_biharmonic_1d()
     cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
                        gamma=args.gamma, dtype=args.dtype)
@@ -854,6 +856,38 @@ def cmd_biharmonic(args):
         fields["moment_linf_error"] = float(
             M.linf_error(v, problem.exact_d2(x)))
     em.emit("biharmonic_solve", **fields)
+
+
+def _biharmonic_2d(args, em):
+    from .models.biharmonic import sin_biharmonic_2d, solve_biharmonic_2d
+    from .models.hybrid2d import evaluate_2d
+
+    problem = sin_biharmonic_2d()
+    cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=args.M2,
+                         n_colloc=args.M2, gamma=args.gamma,
+                         dtype=args.dtype, precond="jacobi",
+                         coarse=args.coarse, trace_lift=args.trace_lift)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = solve_biharmonic_2d(problem, cfg)
+        jax.block_until_ready(sol.u.coeffs)
+    fields = dict(problem=problem.name, elements=args.nx * args.ny,
+                  M=args.M2, coarse=args.coarse,
+                  trace_lift=args.trace_lift,
+                  solve_sec=rec["solve_sec"],
+                  n_fallback=int((~sol.u.solve_ok).sum())
+                  + int((~sol.v.solve_ok).sum()))
+    if problem.exact is not None:
+        rng = np.random.default_rng(0)
+        d = problem.domain
+        xq = jnp.asarray(rng.uniform(d[0], d[1], args.eval_points),
+                         sol.u.coeffs.dtype)
+        yq = jnp.asarray(rng.uniform(d[2], d[3], args.eval_points),
+                         sol.u.coeffs.dtype)
+        u = evaluate_2d(sol.u, xq, yq)
+        fields["linf_error"] = float(
+            M.linf_error(u, problem.exact(xq, yq)))
+    em.emit("biharmonic_solve_2d", **fields)
 
 
 def cmd_runsharded(args):
@@ -1478,10 +1512,18 @@ def build_parser():
 
     sp = sub.add_parser(
         "biharmonic",
-        help="fourth-order d4u/dx4 = f, simply supported (two chained "
-        "hybrid solves; the second rhs is spectral in the first)")
+        help="fourth-order biharmonic / simply-supported plate (two "
+        "chained hybrid solves; the second rhs is spectral in the "
+        "first)")
+    sp.add_argument("--dim", type=int, default=1, choices=[1, 2])
     sp.add_argument("--num-nodes", type=int, default=25)
+    sp.add_argument("--nx", type=int, default=16)
+    sp.add_argument("--ny", type=int, default=16)
     sp.add_argument("--M", type=int, default=8)
+    sp.add_argument("--M2", type=int, default=6,
+                    help="per-dimension basis size for --dim 2")
+    sp.add_argument("--coarse", default="q1", choices=["q1", "compact"])
+    sp.add_argument("--trace-lift", type=int, default=0)
     sp.add_argument("--gamma", type=float, default=1e4)
     sp.add_argument("--dtype", default=None,
                     choices=[None, "float32", "float64"])

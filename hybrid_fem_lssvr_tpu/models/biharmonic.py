@@ -78,3 +78,75 @@ def solve_biharmonic_1d(problem: BiharmonicProblem1D,
     )
     sol_u = HybridSolver(pu, cfg).solve()
     return BiharmonicSolution(u=sol_u, v=sol_v)
+
+
+# --------------------------------------------------------------------- 2D
+#
+# Simply-supported plate: Lap^2 u = f on a rectangle with u = Lap u = 0
+# on the boundary splits exactly the same way (v = Lap u: -Lap v = -f,
+# v = 0; then -Lap u = -v).  The second solve's rhs reads the first's
+# tensor-Legendre polynomials pointwise; with
+# Solver2DConfig(coarse="compact", trace_lift=6) BOTH stages run at
+# O(h^4), giving a fourth-order fourth-ORDER-equation solver on the
+# second-order machinery.  The u-stage forces backend="xla": its rhs is
+# a traced searchsorted evaluation, which cannot run inside the fused
+# Pallas kernels.
+
+from .hybrid2d import (HybridSolver2D, Problem2D,  # noqa: E402
+                       Solution2D, Solver2DConfig, evaluate_2d)
+
+
+@dataclasses.dataclass(frozen=True)
+class BiharmonicProblem2D:
+    """Lap^2 u = f, simply supported (u = Lap u = 0 on the boundary)."""
+
+    name: str
+    f: Callable
+    domain: tuple = (-1.0, 1.0, -1.0, 1.0)
+    exact: Optional[Callable] = None
+    exact_lap: Optional[Callable] = None
+
+
+def sin_biharmonic_2d() -> BiharmonicProblem2D:
+    """Lap^2 u = 4 pi^4 sin sin, exact u = sin(pi x) sin(pi y)."""
+    pi = jnp.pi
+    ss = lambda x, y: jnp.sin(pi * x) * jnp.sin(pi * y)  # noqa: E731
+    return BiharmonicProblem2D(
+        name="sin_biharmonic_2d",
+        f=lambda x, y: 4.0 * pi ** 4 * ss(x, y),
+        exact=ss,
+        exact_lap=lambda x, y: -2.0 * pi ** 2 * ss(x, y),
+    )
+
+
+class BiharmonicSolution2D(NamedTuple):
+    u: Solution2D
+    v: Solution2D
+
+
+def solve_biharmonic_2d(problem: BiharmonicProblem2D,
+                        cfg: Solver2DConfig) -> BiharmonicSolution2D:
+    """Two chained 2D hybrid solves (section comment above)."""
+    f = problem.f
+    zero = lambda x, y: jnp.zeros_like(x + y)  # noqa: E731
+    pv = Problem2D(
+        name=f"{problem.name}:moment",
+        f=lambda x, y: -f(x, y),
+        g=zero,
+        domain=problem.domain,
+        exact=problem.exact_lap,
+    )
+    sol_v = HybridSolver2D(pv, cfg).solve()
+
+    pu = Problem2D(
+        name=f"{problem.name}:displacement",
+        f=lambda x, y: -evaluate_2d(sol_v, jnp.ravel(x * jnp.ones_like(
+            x + y)), jnp.ravel(y * jnp.ones_like(x + y))).reshape(
+                jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))),
+        g=zero,
+        domain=problem.domain,
+        exact=problem.exact,
+    )
+    cfg_u = dataclasses.replace(cfg, backend="xla")
+    sol_u = HybridSolver2D(pu, cfg_u).solve()
+    return BiharmonicSolution2D(u=sol_u, v=sol_v)

@@ -30,3 +30,33 @@ def test_biharmonic_rides_hybrid_floor():
     # the moment (u'') solution is first-class too
     v = ev.evaluate(sol.v.nodes, sol.v.coeffs, x)
     assert float(jnp.max(jnp.abs(v - p.exact_d2(x)))) < 1e-7
+
+
+def test_biharmonic_2d_plate_fourth_order():
+    """Simply-supported plate Lap^2 u = f: the composition runs at the
+    stage floor — O(h^2) with bilinear traces (8.8e-3 at 16^2), O(h^4)
+    with coarse='compact' + trace_lift=6 (1.97e-4 -> 1.23e-5 at
+    16^2 -> 32^2, ratio 16.0 measured)."""
+    from hybrid_fem_lssvr_tpu.models.biharmonic import (
+        sin_biharmonic_2d, solve_biharmonic_2d,
+    )
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import (
+        Solver2DConfig, evaluate_2d,
+    )
+
+    p = sin_biharmonic_2d()
+    rng = np.random.default_rng(4)
+    xq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    yq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    uex = np.asarray(p.exact(xq, yq))
+    errs = {}
+    for n in (16, 32):
+        cfg = Solver2DConfig(nx=n, ny=n, M=6, n_colloc=6,
+                             dtype="float64", precond="jacobi",
+                             coarse="compact", trace_lift=6)
+        sol = solve_biharmonic_2d(p, cfg)
+        assert bool(np.asarray(sol.u.solve_ok).all())
+        u = evaluate_2d(sol.u, xq, yq)
+        errs[n] = float(np.abs(np.asarray(u) - uex).max())
+    assert errs[16] / errs[32] > 11.0, errs
+    assert errs[32] < 5e-5, errs
