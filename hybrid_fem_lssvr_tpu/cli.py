@@ -836,6 +836,8 @@ def cmd_biharmonic(args):
     em = M.MetricsEmitter()
     if getattr(args, "dim", 1) == 2:
         return _biharmonic_2d(args, em)
+    if getattr(args, "dim", 1) == 3:
+        return _biharmonic_3d(args, em)
     problem = sin_biharmonic_1d()
     cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
                        gamma=args.gamma, dtype=args.dtype)
@@ -888,6 +890,38 @@ def _biharmonic_2d(args, em):
         fields["linf_error"] = float(
             M.linf_error(u, problem.exact(xq, yq)))
     em.emit("biharmonic_solve_2d", **fields)
+
+
+def _biharmonic_3d(args, em):
+    from .models.biharmonic import sin_biharmonic_3d, solve_biharmonic_3d
+    from .models.hybrid3d import Solver3DConfig, evaluate_3d
+
+    problem = sin_biharmonic_3d()
+    n = args.nx
+    cfg = Solver3DConfig(nx=n, ny=n, nz=n, M=args.M3, n_colloc=args.M3,
+                         gamma=args.gamma, dtype=args.dtype,
+                         precond="jacobi", coarse=args.coarse,
+                         trace_lift=args.trace_lift)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = solve_biharmonic_3d(problem, cfg)
+        jax.block_until_ready(sol.u.coeffs)
+    fields = dict(problem=problem.name, elements=n ** 3, M=args.M3,
+                  coarse=args.coarse, trace_lift=args.trace_lift,
+                  solve_sec=rec["solve_sec"],
+                  n_fallback=int((~sol.u.solve_ok).sum())
+                  + int((~sol.v.solve_ok).sum()))
+    if problem.exact is not None:
+        rng = np.random.default_rng(0)
+        d = problem.domain
+        dt = sol.u.coeffs.dtype
+        xq = jnp.asarray(rng.uniform(d[0], d[1], args.eval_points), dt)
+        yq = jnp.asarray(rng.uniform(d[2], d[3], args.eval_points), dt)
+        zq = jnp.asarray(rng.uniform(d[4], d[5], args.eval_points), dt)
+        u = evaluate_3d(sol.u, xq, yq, zq)
+        fields["linf_error"] = float(
+            M.linf_error(u, problem.exact(xq, yq, zq)))
+    em.emit("biharmonic_solve_3d", **fields)
 
 
 def cmd_runsharded(args):
@@ -1515,13 +1549,15 @@ def build_parser():
         help="fourth-order biharmonic / simply-supported plate (two "
         "chained hybrid solves; the second rhs is spectral in the "
         "first)")
-    sp.add_argument("--dim", type=int, default=1, choices=[1, 2])
+    sp.add_argument("--dim", type=int, default=1, choices=[1, 2, 3])
     sp.add_argument("--num-nodes", type=int, default=25)
     sp.add_argument("--nx", type=int, default=16)
     sp.add_argument("--ny", type=int, default=16)
     sp.add_argument("--M", type=int, default=8)
     sp.add_argument("--M2", type=int, default=6,
                     help="per-dimension basis size for --dim 2")
+    sp.add_argument("--M3", type=int, default=4,
+                    help="per-dimension basis size for --dim 3")
     sp.add_argument("--coarse", default="q1", choices=["q1", "compact"])
     sp.add_argument("--trace-lift", type=int, default=0)
     sp.add_argument("--gamma", type=float, default=1e4)

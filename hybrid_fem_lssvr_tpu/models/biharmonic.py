@@ -150,3 +150,79 @@ def solve_biharmonic_2d(problem: BiharmonicProblem2D,
     cfg_u = dataclasses.replace(cfg, backend="xla")
     sol_u = HybridSolver2D(pu, cfg_u).solve()
     return BiharmonicSolution2D(u=sol_u, v=sol_v)
+
+
+# --------------------------------------------------------------------- 3D
+#
+# Same exact splitting on a box: v = Lap u solves -Lap v = -f with v = 0
+# on the boundary, then -Lap u = -v with u = 0 (simply-supported box,
+# u = Lap u = 0).  The u-stage rhs reads the v-stage tensor-Legendre
+# polynomials through ``evaluate_3d``; with
+# Solver3DConfig(coarse="compact", trace_lift=6) both stages run at
+# O(h^4) — the tensor lift of the 2D plate chain above.
+
+from .hybrid3d import (HybridSolver3D, Problem3D,  # noqa: E402
+                       Solution3D, Solver3DConfig, evaluate_3d)
+
+
+@dataclasses.dataclass(frozen=True)
+class BiharmonicProblem3D:
+    """Lap^2 u = f on a box, simply supported (u = Lap u = 0)."""
+
+    name: str
+    f: Callable
+    domain: tuple = (-1.0, 1.0, -1.0, 1.0, -1.0, 1.0)
+    exact: Optional[Callable] = None
+    exact_lap: Optional[Callable] = None
+
+
+def sin_biharmonic_3d() -> BiharmonicProblem3D:
+    """Lap^2 u = 9 pi^4 sin sin sin, exact u = prod sin(pi .)."""
+    pi = jnp.pi
+    sss = lambda x, y, z: (jnp.sin(pi * x) * jnp.sin(pi * y)  # noqa: E731
+                           * jnp.sin(pi * z))
+    return BiharmonicProblem3D(
+        name="sin_biharmonic_3d",
+        f=lambda x, y, z: 9.0 * pi ** 4 * sss(x, y, z),
+        exact=sss,
+        exact_lap=lambda x, y, z: -3.0 * pi ** 2 * sss(x, y, z),
+    )
+
+
+class BiharmonicSolution3D(NamedTuple):
+    u: Solution3D
+    v: Solution3D
+
+
+def solve_biharmonic_3d(problem: BiharmonicProblem3D,
+                        cfg: Solver3DConfig) -> BiharmonicSolution3D:
+    """Two chained 3D hybrid solves (section comment above)."""
+    f = problem.f
+    zero = lambda x, y, z: jnp.zeros_like(x + y + z)  # noqa: E731
+    pv = Problem3D(
+        name=f"{problem.name}:moment",
+        f=lambda x, y, z: -f(x, y, z),
+        g=zero,
+        domain=problem.domain,
+        exact=problem.exact_lap,
+    )
+    sol_v = HybridSolver3D(pv, cfg).solve()
+
+    def rhs_u(x, y, z):
+        shp = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y),
+                                   jnp.shape(z))
+        ones = jnp.ones(shp, dtype=sol_v.xs.dtype)
+        vals = evaluate_3d(sol_v, jnp.ravel(x * ones),
+                           jnp.ravel(y * ones), jnp.ravel(z * ones))
+        return -vals.reshape(shp)
+
+    pu = Problem3D(
+        name=f"{problem.name}:displacement",
+        f=rhs_u,
+        g=zero,
+        domain=problem.domain,
+        exact=problem.exact,
+    )
+    cfg_u = dataclasses.replace(cfg, backend="xla")
+    sol_u = HybridSolver3D(pu, cfg_u).solve()
+    return BiharmonicSolution3D(u=sol_u, v=sol_v)
