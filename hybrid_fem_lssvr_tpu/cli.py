@@ -924,6 +924,44 @@ def _biharmonic_3d(args, em):
     em.emit("biharmonic_solve_3d", **fields)
 
 
+def cmd_elastic(args):
+    """2D plane-strain linear elasticity -div sigma(u) = f: the
+    vector-valued family (models/elastic.py) — block Q1 coarse stage +
+    coupled per-element vector enhancement."""
+    from .models import elastic as EL
+
+    if getattr(args, "x64", False):
+        jax.config.update("jax_enable_x64", True)
+    em = M.MetricsEmitter()
+    problem = EL.get_elastic_problem(args.problem, lam=args.lam,
+                                     mu=args.mu)
+    cfg = EL.ElasticConfig2D(nx=args.nx, ny=args.ny, M=args.M2,
+                             n_colloc=args.M2, dtype=args.dtype,
+                             precond=args.precond)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        solver = EL.ElasticSolver2D(problem, cfg)
+        sol = solver.solve()
+        jax.block_until_ready(sol.coeffs)
+    fields = dict(problem=problem.name, elements=cfg.nx * cfg.ny,
+                  M=cfg.M, lam=problem.lam, mu=problem.mu,
+                  solve_sec=rec["solve_sec"],
+                  cg_iters=int(sol.cg_iters),
+                  cg_residual=float(sol.cg_residual),
+                  max_slack=float(jnp.max(sol.max_slack)),
+                  n_fallback=int(jnp.sum(~sol.solve_ok)))
+    if problem.exact1 is not None:
+        rng = np.random.default_rng(0)
+        d = problem.domain
+        dt = sol.coeffs.dtype
+        xq = jnp.asarray(rng.uniform(d[0], d[1], args.eval_points), dt)
+        yq = jnp.asarray(rng.uniform(d[2], d[3], args.eval_points), dt)
+        linf, l2 = solver.errors(xq, yq)
+        fields["linf_error"] = float(linf)
+        fields["l2_error"] = float(l2)
+    em.emit("elastic_solve", **fields)
+
+
 def cmd_runsharded(args):
     """Multi-chip 1D solve over the element mesh (SURVEY.md 2.3 DP/SP row),
     wired through ``load_or_run`` checkpointing so interrupted campaigns
@@ -1566,6 +1604,27 @@ def build_parser():
     sp.add_argument("--x64", action="store_true")
     sp.add_argument("--eval-points", type=int, default=401)
     sp.set_defaults(fn=cmd_biharmonic)
+
+    sp = sub.add_parser(
+        "elastic",
+        help="2D plane-strain linear elasticity (vector-valued family: "
+        "block Q1 coarse + coupled vector enhancement, stress readout)")
+    sp.add_argument("--problem", default="sin_elastic_2d",
+                    choices=["sin_elastic_2d", "poly_elastic_2d"])
+    sp.add_argument("--nx", type=int, default=32)
+    sp.add_argument("--ny", type=int, default=32)
+    sp.add_argument("--M2", type=int, default=6,
+                    help="per-dimension basis size per component")
+    sp.add_argument("--lam", type=float, default=1.0,
+                    help="Lame lambda")
+    sp.add_argument("--mu", type=float, default=1.0, help="Lame mu")
+    sp.add_argument("--precond", default="auto",
+                    choices=["auto", "jacobi", "mg"])
+    sp.add_argument("--dtype", default=None,
+                    choices=[None, "float32", "float64"])
+    sp.add_argument("--x64", action="store_true")
+    sp.add_argument("--eval-points", type=int, default=2000)
+    sp.set_defaults(fn=cmd_elastic)
 
     sp = sub.add_parser(
         "eig",

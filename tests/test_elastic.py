@@ -1,0 +1,121 @@
+"""2D linear elasticity (models/elastic.py): the vector-valued family —
+block Q1 coarse stage + coupled per-element vector LSSVR enhancement."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hybrid_fem_lssvr_tpu.models.elastic import (
+    ElasticConfig2D, ElasticSolver2D, _block_locals, fem_solve_elastic,
+    poly_elastic_2d, sin_elastic_2d,
+)
+
+
+def _query(n=3000, seed=0):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.uniform(-1, 1, n)),
+            jnp.asarray(rng.uniform(-1, 1, n)))
+
+
+def test_block_operator_spd():
+    """The vector weak form int 2 mu eps:eps + lam div div is symmetric
+    and coercive on zero-trace grids (Korn): <Av, w> == <v, Aw> and
+    <Av, v> > 0 for random interior fields."""
+    from hybrid_fem_lssvr_tpu.ops import assembly2d
+
+    p = sin_elastic_2d(lam=2.0, mu=0.7)
+    A11, A12, A22 = _block_locals(p, 0.25, 0.125, jnp.float64)
+
+    def apply_block(u):
+        r1 = (assembly2d.apply_stiffness(u[0], A11)
+              + assembly2d.apply_stiffness(u[1], A12))
+        r2 = (assembly2d.apply_stiffness(u[0], A12.T)
+              + assembly2d.apply_stiffness(u[1], A22))
+        return jnp.stack([r1, r2])
+
+    rng = np.random.default_rng(1)
+    mask = np.zeros((9, 9))
+    mask[1:-1, 1:-1] = 1.0
+    v = jnp.asarray(rng.standard_normal((2, 9, 9)) * mask)
+    w = jnp.asarray(rng.standard_normal((2, 9, 9)) * mask)
+    Av, Aw = apply_block(v), apply_block(w)
+    assert abs(float(jnp.sum(Av * w) - jnp.sum(v * Aw))) < 1e-12
+    assert float(jnp.sum(Av * v)) > 0.0
+
+
+def test_fem_vector_nodal_second_order():
+    """Block CG nodal displacements converge O(h^2) (measured 0.169 ->
+    0.041 -> 0.010 at 8/16/32 on u1) and CG drives the residual to the
+    f64 floor."""
+    p = sin_elastic_2d()
+    errs = {}
+    for n in (8, 16):
+        cfg = ElasticConfig2D(nx=n, ny=n, dtype="float64",
+                              precond="jacobi")
+        xs = jnp.linspace(-1, 1, n + 1, dtype=jnp.float64)
+        ys = jnp.linspace(-1, 1, n + 1, dtype=jnp.float64)
+        u, res = fem_solve_elastic(p, cfg, xs, ys)
+        X, Y = np.meshgrid(np.asarray(xs), np.asarray(ys))
+        errs[n] = np.abs(np.asarray(u[0]) - p.exact1(X, Y)).max()
+        assert float(res.residual) < 1e-10
+    assert errs[8] / errs[16] > 3.5, errs
+
+
+def test_sin_elastic_converges_second_order():
+    """Full hybrid pipeline on the coupled manufactured solution:
+    Linf 0.0609 -> 0.0155 at 16^2 -> 32^2 measured (ratio 3.93 = O(h^2),
+    the vector nodal floor); block-diagonal MG keeps CG iterations
+    mesh-independent (22 -> 25 measured)."""
+    p = sin_elastic_2d(lam=1.0, mu=1.0)
+    xq, yq = _query()
+    errs, iters = {}, {}
+    for n in (16, 32):
+        s = ElasticSolver2D(p, ElasticConfig2D(nx=n, ny=n, M=6,
+                                               n_colloc=6,
+                                               dtype="float64"))
+        sol = s.solve()
+        assert bool(np.asarray(sol.solve_ok).all())
+        linf, _ = s.errors(xq, yq)
+        errs[n] = float(linf)
+        iters[n] = int(sol.cg_iters)
+    assert errs[16] / errs[32] > 3.3, errs
+    assert errs[32] < 2e-2, errs
+    assert iters[32] < 40, iters  # mesh-independent block-MG
+
+
+def test_poly_elastic_inhomogeneous_dirichlet():
+    """Cubic exact solution with nonzero boundary data: exercises the
+    per-edge g-override masks on both components (measured 9.0e-3 at
+    16^2 — the FEM-trace floor; the cubic itself is inside the trial
+    space)."""
+    p = poly_elastic_2d()
+    s = ElasticSolver2D(p, ElasticConfig2D(nx=16, ny=16, M=6, n_colloc=6,
+                                           dtype="float64"))
+    sol = s.solve()
+    assert bool(np.asarray(sol.solve_ok).all())
+    xq, yq = _query()
+    linf, _ = s.errors(xq, yq)
+    assert float(linf) < 2e-2, float(linf)
+
+
+def test_stress_readout():
+    """evaluate_stress_2d differentiates the element polynomials exactly;
+    the stress error rides one order below the displacement floor
+    (measured Linf ~1.3/3.0/1.2 on sigma11/22/12 at 32^2 against
+    max |sigma| ~ 16 — O(h) as expected for derivative readout from an
+    O(h^2) trace)."""
+    p = sin_elastic_2d(lam=1.0, mu=1.0)
+    s = ElasticSolver2D(p, ElasticConfig2D(nx=32, ny=32, M=6, n_colloc=6,
+                                           dtype="float64"))
+    s.solve()
+    xq, yq = _query()
+    s11, s22, s12 = s.evaluate_stress(xq, yq)
+    pi = np.pi
+    x, y = np.asarray(xq), np.asarray(yq)
+    u1x = pi * np.cos(pi * x) * np.sin(pi * y)
+    u1y = pi * np.sin(pi * x) * np.cos(pi * y)
+    u2x = pi * np.cos(pi * x) * np.sin(2 * pi * y)
+    u2y = 2 * pi * np.sin(pi * x) * np.cos(2 * pi * y)
+    div = u1x + u2y
+    assert np.abs(np.asarray(s11) - (2 * u1x + div)).max() < 2.5
+    assert np.abs(np.asarray(s22) - (2 * u2y + div)).max() < 4.5
+    assert np.abs(np.asarray(s12) - (u1y + u2x)).max() < 2.5
