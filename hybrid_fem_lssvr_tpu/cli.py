@@ -925,13 +925,16 @@ def _biharmonic_3d(args, em):
 
 
 def cmd_elastic(args):
-    """2D plane-strain linear elasticity -div sigma(u) = f: the
-    vector-valued family (models/elastic.py) — block Q1 coarse stage +
-    coupled per-element vector enhancement."""
+    """Linear elasticity -div sigma(u) = f: the vector-valued family —
+    block Q1 coarse stage + coupled per-element vector enhancement
+    (2D plane strain, models/elastic.py; --dim 3 hexes,
+    models/elastic3d.py)."""
     from .models import elastic as EL
 
     if getattr(args, "x64", False):
         jax.config.update("jax_enable_x64", True)
+    if args.dim == 3:
+        return _cmd_elastic3d(args)
     em = M.MetricsEmitter()
     problem = EL.get_elastic_problem(args.problem, lam=args.lam,
                                      mu=args.mu)
@@ -960,6 +963,45 @@ def cmd_elastic(args):
         fields["linf_error"] = float(linf)
         fields["l2_error"] = float(l2)
     em.emit("elastic_solve", **fields)
+
+
+def _cmd_elastic3d(args):
+    """3D branch of ``elastic``: structured hexes, block vector CG with
+    anisotropic-block V-cycles, stress readout (models/elastic3d.py)."""
+    from .models import elastic3d as EL3
+
+    em = M.MetricsEmitter()
+    name = args.problem
+    if name.endswith("_2d"):  # default carried over from the 2D parser
+        name = name[:-3] + "_3d"
+    problem = EL3.get_elastic_problem_3d(name, lam=args.lam, mu=args.mu)
+    cfg = EL3.ElasticConfig3D(nx=args.nx, ny=args.ny, nz=args.nz,
+                              M=args.M3, n_colloc=args.M3,
+                              dtype=args.dtype, precond=args.precond)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        solver = EL3.ElasticSolver3D(problem, cfg)
+        sol = solver.solve()
+        jax.block_until_ready(sol.coeffs)
+    fields = dict(problem=problem.name,
+                  elements=cfg.nx * cfg.ny * cfg.nz, M=cfg.M,
+                  lam=problem.lam, mu=problem.mu,
+                  solve_sec=rec["solve_sec"],
+                  cg_iters=int(sol.cg_iters),
+                  cg_residual=float(sol.cg_residual),
+                  max_slack=float(jnp.max(sol.max_slack)),
+                  n_fallback=int(jnp.sum(~sol.solve_ok)))
+    if problem.exact is not None:
+        rng = np.random.default_rng(0)
+        d = problem.domain
+        dt = sol.coeffs.dtype
+        xq = jnp.asarray(rng.uniform(d[0], d[1], args.eval_points), dt)
+        yq = jnp.asarray(rng.uniform(d[2], d[3], args.eval_points), dt)
+        zq = jnp.asarray(rng.uniform(d[4], d[5], args.eval_points), dt)
+        linf, l2 = solver.errors(xq, yq, zq)
+        fields["linf_error"] = float(linf)
+        fields["l2_error"] = float(l2)
+    em.emit("elastic_solve_3d", **fields)
 
 
 def cmd_runsharded(args):
@@ -1607,14 +1649,20 @@ def build_parser():
 
     sp = sub.add_parser(
         "elastic",
-        help="2D plane-strain linear elasticity (vector-valued family: "
-        "block Q1 coarse + coupled vector enhancement, stress readout)")
+        help="linear elasticity (vector-valued family: block Q1 coarse "
+        "+ coupled vector enhancement, stress readout; --dim 3 hexes)")
     sp.add_argument("--problem", default="sin_elastic_2d",
-                    choices=["sin_elastic_2d", "poly_elastic_2d"])
+                    choices=["sin_elastic_2d", "poly_elastic_2d",
+                             "sin_elastic_3d", "poly_elastic_3d"])
+    sp.add_argument("--dim", type=int, default=2, choices=[2, 3])
     sp.add_argument("--nx", type=int, default=32)
     sp.add_argument("--ny", type=int, default=32)
+    sp.add_argument("--nz", type=int, default=8,
+                    help="z elements (--dim 3 only)")
     sp.add_argument("--M2", type=int, default=6,
                     help="per-dimension basis size per component")
+    sp.add_argument("--M3", type=int, default=4,
+                    help="per-dimension basis size (--dim 3 only)")
     sp.add_argument("--lam", type=float, default=1.0,
                     help="Lame lambda")
     sp.add_argument("--mu", type=float, default=1.0, help="Lame mu")
