@@ -934,7 +934,11 @@ def cmd_elastic(args):
     if getattr(args, "x64", False):
         jax.config.update("jax_enable_x64", True)
     if args.dim == 3:
+        if getattr(args, "wave", False):
+            raise SystemExit("--wave is 2D-only (models/elastic_wave.py)")
         return _cmd_elastic3d(args)
+    if getattr(args, "wave", False):
+        return _cmd_elastic_wave(args)
     em = M.MetricsEmitter()
     problem = EL.get_elastic_problem(args.problem, lam=args.lam,
                                      mu=args.mu)
@@ -963,6 +967,47 @@ def cmd_elastic(args):
         fields["linf_error"] = float(linf)
         fields["l2_error"] = float(l2)
     em.emit("elastic_solve", **fields)
+
+
+def _cmd_elastic_wave(args):
+    """Elastodynamics branch of ``elastic``: enhanced Newmark-beta march
+    of rho u_tt - div sigma(u) = f with per-element vector (u, v, a)
+    coefficient triples (models/elastic_wave.py)."""
+    from .models import elastic_wave as EW
+    from .models.transient import TransientConfig
+    from .models.elastic import ElasticConfig2D
+
+    em = M.MetricsEmitter()
+    problem = EW.elastic_wave_2d(lam=args.lam, mu=args.mu, rho=args.rho)
+    cfg = ElasticConfig2D(nx=args.nx, ny=args.ny, M=args.M2,
+                          n_colloc=args.M2, dtype=args.dtype,
+                          precond="jacobi" if args.precond == "auto"
+                          else args.precond)
+    tcfg = TransientConfig(t_final=args.t_final, n_steps=args.n_steps)
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = EW.hybrid_elastic_wave_march_2d(problem, cfg, tcfg)
+        jax.block_until_ready(sol.coeffs)
+    fields = dict(problem=problem.name, elements=cfg.nx * cfg.ny,
+                  M=cfg.M, lam=args.lam, mu=args.mu, rho=args.rho,
+                  t_final=tcfg.t_final, n_steps=tcfg.n_steps,
+                  solve_sec=rec["solve_sec"],
+                  cg_iters=int(sol.cg_iters),
+                  # an invariant only when f = 0 (free vibration)
+                  energy_change=abs(float(sol.energyN - sol.energy0)))
+    if problem.exact1 is not None:
+        rng = np.random.default_rng(0)
+        d = problem.elastic.domain
+        dt = sol.coeffs.dtype
+        xq = jnp.asarray(rng.uniform(d[0], d[1], args.eval_points), dt)
+        yq = jnp.asarray(rng.uniform(d[2], d[3], args.eval_points), dt)
+        u1, u2 = EW.evaluate_elastic_wave_2d(sol, xq, yq)
+        e1 = problem.exact1(xq, yq, tcfg.t_final)
+        e2 = problem.exact2(xq, yq, tcfg.t_final)
+        fields["linf_error"] = max(
+            float(jnp.max(jnp.abs(u1 - e1))),
+            float(jnp.max(jnp.abs(u2 - e2))))
+    em.emit("elastic_wave_march", **fields)
 
 
 def _cmd_elastic3d(args):
@@ -1672,6 +1717,13 @@ def build_parser():
                     choices=[None, "float32", "float64"])
     sp.add_argument("--x64", action="store_true")
     sp.add_argument("--eval-points", type=int, default=2000)
+    sp.add_argument("--wave", action="store_true",
+                    help="elastodynamics: enhanced Newmark march of "
+                    "rho u_tt - div sigma(u) = f (--dim 2 only)")
+    sp.add_argument("--t-final", type=float, default=0.25)
+    sp.add_argument("--n-steps", type=int, default=40)
+    sp.add_argument("--rho", type=float, default=1.0,
+                    help="mass density (--wave)")
     sp.set_defaults(fn=cmd_elastic)
 
     sp = sub.add_parser(

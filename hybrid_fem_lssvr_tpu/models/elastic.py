@@ -196,16 +196,18 @@ def _block_locals(problem: ElasticProblem2D, hx: float, hy: float, dtype):
             jnp.asarray(A22, dtype))
 
 
-def prepare_shared_elastic(problem: ElasticProblem2D, cfg: ElasticConfig2D):
-    """Host-f64 precompute of the shared BLOCK operators.
+def _block_colloc_host(problem: ElasticProblem2D, cfg: ElasticConfig2D):
+    """Host-f64 BLOCK collocation operators on the shared element.
 
-    D = [[D11, D12], [D12, D22]] stacks the two momentum-balance rows at
-    the C^2 interior collocation points over the 2 M^2 coefficient
-    vector [wx; wy]; B = diag(B_s, B_s) pins each component's trace at
-    the 4M-4 boundary points (``hybrid2d._boundary_coords``).  Interior
-    points for the same structural reason as the scalar 2D path: at a
-    corner every zero-trace tensor polynomial has vanishing second
-    derivatives in BOTH axes, so corner momentum rows are unfittable.
+    Returns ``(D, B, Mass_s, t_int, bpts)``: the [2 C^2, 2 M^2]
+    momentum-balance operator D = [[D11, D12], [D12, D22]], the
+    block-diagonal trace matrix B = diag(B_s, B_s), and the SCALAR
+    [C^2, M^2] value (mass) rows V0 (x) V0 that the elastodynamics
+    march needs for its inertial term (``models/elastic_wave.py``).
+    Interior collocation points for the same structural reason as the
+    scalar 2D path: at a corner every zero-trace tensor polynomial has
+    vanishing second derivatives in BOTH axes, so corner momentum rows
+    are unfittable.
     """
     x0, x1, y0, y1 = problem.domain
     hx = (x1 - x0) / cfg.nx
@@ -225,6 +227,7 @@ def prepare_shared_elastic(problem: ElasticProblem2D, cfg: ElasticConfig2D):
     D22 = -(mu * Dxx + (lam + 2 * mu) * Dyy)
     D12 = -(lam + mu) * Dxy
     D = np.block([[D11, D12], [D12, D22]])  # [2 C^2, 2 M^2]
+    Mass_s = np.einsum("yk,xl->yxkl", V0, V0).reshape(C * C, M * M)
     bpts = _boundary_coords(M)
     V0y_b = legendre.vandermonde_host(bpts[:, 0], M)[0]
     V0x_b = legendre.vandermonde_host(bpts[:, 1], M)[0]
@@ -233,6 +236,13 @@ def prepare_shared_elastic(problem: ElasticProblem2D, cfg: ElasticConfig2D):
     B = np.zeros((2 * K, 2 * M * M))
     B[:K, :M * M] = Bs
     B[K:, M * M:] = Bs
+    return D, B, Mass_s, t_int, bpts
+
+
+def prepare_shared_elastic(problem: ElasticProblem2D, cfg: ElasticConfig2D):
+    """Host-f64 shared-LSE precompute of the steady block operators
+    (see ``_block_colloc_host`` for the block structure)."""
+    D, B, _, t_int, bpts = _block_colloc_host(problem, cfg)
     shared = kkt.precompute_shared_lse_host(D, B, cfg.jnp_dtype())
     return shared, (jnp.asarray(t_int), jnp.asarray(bpts))
 
