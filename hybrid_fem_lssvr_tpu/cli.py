@@ -933,12 +933,10 @@ def cmd_elastic(args):
 
     if getattr(args, "x64", False):
         jax.config.update("jax_enable_x64", True)
-    if args.dim == 3:
-        if getattr(args, "wave", False):
-            raise SystemExit("--wave is 2D-only (models/elastic_wave.py)")
-        return _cmd_elastic3d(args)
     if getattr(args, "wave", False):
         return _cmd_elastic_wave(args)
+    if args.dim == 3:
+        return _cmd_elastic3d(args)
     em = M.MetricsEmitter()
     problem = EL.get_elastic_problem(args.problem, lam=args.lam,
                                      mu=args.mu)
@@ -972,42 +970,67 @@ def cmd_elastic(args):
 def _cmd_elastic_wave(args):
     """Elastodynamics branch of ``elastic``: enhanced Newmark-beta march
     of rho u_tt - div sigma(u) = f with per-element vector (u, v, a)
-    coefficient triples (models/elastic_wave.py)."""
+    coefficient triples (models/elastic_wave.py; --dim 3 hexes)."""
     from .models import elastic_wave as EW
     from .models.transient import TransientConfig
-    from .models.elastic import ElasticConfig2D
 
     em = M.MetricsEmitter()
-    problem = EW.elastic_wave_2d(lam=args.lam, mu=args.mu, rho=args.rho)
-    cfg = ElasticConfig2D(nx=args.nx, ny=args.ny, M=args.M2,
-                          n_colloc=args.M2, dtype=args.dtype,
-                          precond="jacobi" if args.precond == "auto"
-                          else args.precond)
     tcfg = TransientConfig(t_final=args.t_final, n_steps=args.n_steps)
+    precond = "jacobi" if args.precond == "auto" else args.precond
+    rng = np.random.default_rng(0)
     rec = {}
-    with profiling.timed(rec, "solve_sec"):
-        sol = EW.hybrid_elastic_wave_march_2d(problem, cfg, tcfg)
-        jax.block_until_ready(sol.coeffs)
-    fields = dict(problem=problem.name, elements=cfg.nx * cfg.ny,
-                  M=cfg.M, lam=args.lam, mu=args.mu, rho=args.rho,
-                  t_final=tcfg.t_final, n_steps=tcfg.n_steps,
-                  solve_sec=rec["solve_sec"],
-                  cg_iters=int(sol.cg_iters),
-                  # an invariant only when f = 0 (free vibration)
-                  energy_change=abs(float(sol.energyN - sol.energy0)))
-    if problem.exact1 is not None:
-        rng = np.random.default_rng(0)
+    if args.dim == 3:
+        from .models.elastic3d import ElasticConfig3D
+
+        problem = EW.elastic_wave_3d(lam=args.lam, mu=args.mu,
+                                     rho=args.rho)
+        cfg = ElasticConfig3D(nx=args.nx, ny=args.ny, nz=args.nz,
+                              M=args.M3, n_colloc=args.M3,
+                              dtype=args.dtype, precond=precond)
+        with profiling.timed(rec, "solve_sec"):
+            sol = EW.hybrid_elastic_wave_march_3d(problem, cfg, tcfg)
+            jax.block_until_ready(sol.coeffs)
+        elements = cfg.nx * cfg.ny * cfg.nz
+        d = problem.elastic.domain
+        dt = sol.coeffs.dtype
+        q = [jnp.asarray(rng.uniform(d[2 * i], d[2 * i + 1],
+                                     args.eval_points), dt)
+             for i in range(3)]
+        u = EW.evaluate_elastic_wave_3d(sol, *q)
+        linf = max(
+            float(jnp.max(jnp.abs(u[c] - problem.exact[c](
+                *q, tcfg.t_final)))) for c in range(3))
+        Mb = cfg.M
+    else:
+        from .models.elastic import ElasticConfig2D
+
+        problem = EW.elastic_wave_2d(lam=args.lam, mu=args.mu,
+                                     rho=args.rho)
+        cfg = ElasticConfig2D(nx=args.nx, ny=args.ny, M=args.M2,
+                              n_colloc=args.M2, dtype=args.dtype,
+                              precond=precond)
+        with profiling.timed(rec, "solve_sec"):
+            sol = EW.hybrid_elastic_wave_march_2d(problem, cfg, tcfg)
+            jax.block_until_ready(sol.coeffs)
+        elements = cfg.nx * cfg.ny
         d = problem.elastic.domain
         dt = sol.coeffs.dtype
         xq = jnp.asarray(rng.uniform(d[0], d[1], args.eval_points), dt)
         yq = jnp.asarray(rng.uniform(d[2], d[3], args.eval_points), dt)
         u1, u2 = EW.evaluate_elastic_wave_2d(sol, xq, yq)
-        e1 = problem.exact1(xq, yq, tcfg.t_final)
-        e2 = problem.exact2(xq, yq, tcfg.t_final)
-        fields["linf_error"] = max(
-            float(jnp.max(jnp.abs(u1 - e1))),
-            float(jnp.max(jnp.abs(u2 - e2))))
-    em.emit("elastic_wave_march", **fields)
+        linf = max(
+            float(jnp.max(jnp.abs(
+                u1 - problem.exact1(xq, yq, tcfg.t_final)))),
+            float(jnp.max(jnp.abs(
+                u2 - problem.exact2(xq, yq, tcfg.t_final)))))
+        Mb = cfg.M
+    em.emit("elastic_wave_march", problem=problem.name,
+            elements=elements, M=Mb, lam=args.lam, mu=args.mu,
+            rho=args.rho, t_final=tcfg.t_final, n_steps=tcfg.n_steps,
+            solve_sec=rec["solve_sec"], cg_iters=int(sol.cg_iters),
+            # an invariant only when f = 0 (free vibration)
+            energy_change=abs(float(sol.energyN - sol.energy0)),
+            linf_error=linf)
 
 
 def _cmd_elastic3d(args):

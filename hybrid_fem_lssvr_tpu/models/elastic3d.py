@@ -248,9 +248,13 @@ def _block_locals_3d(problem: ElasticProblem3D, hx, hy, hz, dtype):
             {k: j(v) for k, v in off.items()})
 
 
-def prepare_shared_elastic_3d(problem: ElasticProblem3D,
-                              cfg: ElasticConfig3D):
-    """Host-f64 block LSE precompute (module docstring)."""
+def _block_colloc_host_3d(problem: ElasticProblem3D,
+                          cfg: ElasticConfig3D):
+    """Host-f64 BLOCK collocation operators on the shared hex element:
+    ``(D, B, Mass_s, t_int, spts)`` with D the [3 C^3, 3 M^3]
+    momentum-balance operator, B = diag(B_s, B_s, B_s) the face-trace
+    matrix, and Mass_s the SCALAR [C^3, M^3] value rows V0 (x) V0 (x) V0
+    (needed by the elastodynamics march, ``models/elastic_wave.py``)."""
     x0, x1, y0, y1, z0, z1 = problem.domain
     hx = (x1 - x0) / cfg.nx
     hy = (y1 - y0) / cfg.ny
@@ -296,6 +300,14 @@ def prepare_shared_elastic_3d(problem: ElasticProblem3D,
     for c_ in range(3):
         B[c_ * S:(c_ + 1) * S,
           c_ * M * M * M:(c_ + 1) * M * M * M] = Bs
+    Mass_s = t3(V0, V0, V0)
+    return D, B, Mass_s, t_int, spts
+
+
+def prepare_shared_elastic_3d(problem: ElasticProblem3D,
+                              cfg: ElasticConfig3D):
+    """Host-f64 block LSE precompute (module docstring)."""
+    D, B, _, t_int, spts = _block_colloc_host_3d(problem, cfg)
     shared = kkt.precompute_shared_lse_host(D, B, cfg.jnp_dtype())
     return shared, (jnp.asarray(t_int), jnp.asarray(spts))
 

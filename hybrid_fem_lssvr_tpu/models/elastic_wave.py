@@ -351,3 +351,291 @@ def evaluate_elastic_wave_2d(sol: ElasticWaveSolution2D, x, y):
     assert sol.coeffs is not None, "FEM-only march has no coefficients"
     # ElasticWaveSolution2D duck-types ElasticSolution2D's xs/ys/coeffs.
     return evaluate_elastic_2d(sol, x, y)
+
+
+# ---------------------------------------------------------------------------
+# 3D elastodynamics: the tensor lift onto structured hexes
+# (coarse blocks from models/elastic3d.py, trace machinery from hybrid3d).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ElasticWaveProblem3D:
+    """rho u_tt - div sigma(u) = f(x, y, z, t) on a box; spatial
+    operator / Lame coefficients / (time-independent) Dirichlet data
+    from ``elastic3d.ElasticProblem3D``."""
+
+    name: str
+    elastic: "object"  # ElasticProblem3D
+    f: tuple  # 3 components f_c(x, y, z, t)
+    u0: tuple  # 3 components (x, y, z)
+    v0: tuple
+    rho: float = 1.0
+    exact: Optional[tuple] = None  # 3 components (x, y, z, t)
+
+
+def elastic_wave_3d(lam: float = 1.0, mu: float = 1.0, rho: float = 1.0,
+                    omega: float = float(np.pi)) -> ElasticWaveProblem3D:
+    """Manufactured forced motion: the ``sin_elastic_3d`` displacement
+    field oscillating as cos(omega t) (same construction as the 2D
+    ``elastic_wave_2d``)."""
+    from .elastic3d import sin_elastic_3d
+
+    st = sin_elastic_3d(lam=lam, mu=mu)
+
+    def make_f(fs, us):
+        return lambda x, y, z, t: jnp.cos(omega * t) * (
+            fs(x, y, z) - rho * omega ** 2 * us(x, y, z))
+
+    def make_exact(us):
+        return lambda x, y, z, t: jnp.cos(omega * t) * us(x, y, z)
+
+    zero = lambda x, y, z: jnp.zeros_like(x + y + z)  # noqa: E731
+    return ElasticWaveProblem3D(
+        name="elastic_wave_3d", elastic=st,
+        f=tuple(make_f(fs, us) for fs, us in zip(st.f, st.exact)),
+        u0=st.exact, v0=(zero, zero, zero), rho=rho,
+        exact=tuple(make_exact(us) for us in st.exact),
+    )
+
+
+class ElasticWaveSolution3D(NamedTuple):
+    xs: jnp.ndarray
+    ys: jnp.ndarray
+    zs: jnp.ndarray
+    fem_values: jnp.ndarray  # [3, nz+1, ny+1, nx+1] at t_final
+    velocity: jnp.ndarray
+    coeffs: Optional[jnp.ndarray]  # [3, nz, ny, nx, M, M, M]
+    t_final: float
+    cg_iters: jnp.ndarray
+    energy0: jnp.ndarray
+    energyN: jnp.ndarray
+    lam: float = 1.0
+    mu: float = 1.0
+
+
+def _march_pieces_3d(problem: ElasticWaveProblem3D, cfg, dt: float):
+    from ..ops import assembly3d
+    from .elastic3d import _block_locals_3d
+
+    p = problem.elastic
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = p.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    hz = float((z1 - z0) / cfg.nz)
+    diag_loc, off_loc = _block_locals_3d(p, hx, hy, hz, dtype)
+    # exact tensor-product consistent mass (a0=0, c=1 local operator)
+    Ms = problem.rho * jnp.asarray(
+        assembly3d.q1_local_operator_3d(hx, hy, hz, a0=0.0, c=1.0), dtype)
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    zs = jnp.linspace(z0, z1, cfg.nz + 1, dtype=dtype)
+    nz1, ny1, nx1 = cfg.nz + 1, cfg.ny + 1, cfg.nx + 1
+    interior = jnp.zeros((nz1, ny1, nx1), bool).at[
+        1:-1, 1:-1, 1:-1].set(True)
+    X = xs[None, None, :]
+    Y = ys[None, :, None]
+    Z = zs[:, None, None]
+    ones = jnp.ones((nz1, ny1, nx1), dtype)
+    u_bc = jnp.stack([jnp.where(interior, 0.0, gc(X, Y, Z) * ones)
+                      for gc in p.g])
+    A = assembly3d.apply_stiffness_3d
+    Axy, Axz, Ayz = off_loc["xy"], off_loc["xz"], off_loc["yz"]
+
+    def apply_K(u):
+        r1 = A(u[0], diag_loc["x"]) + A(u[1], Axy) + A(u[2], Axz)
+        r2 = A(u[0], Axy.T) + A(u[1], diag_loc["y"]) + A(u[2], Ayz)
+        r3 = A(u[0], Axz.T) + A(u[1], Ayz.T) + A(u[2], diag_loc["z"])
+        return jnp.stack([r1, r2, r3])
+
+    def apply_M(u):
+        return jnp.stack([A(u[c], Ms) for c in range(3)])
+
+    tol = cfg.cg_tol
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(dtype).eps)
+    shape = (nz1, ny1, nx1)
+    m_diag = assembly3d.stiffness_diag_3d(shape, Ms, dtype)
+
+    def make_free_solve(apply_full, diag):
+        def apply_free(v):
+            return jnp.where(interior, apply_full(v * interior), 0.0)
+
+        M_inv = jnp.where(interior, 1.0 / diag, 1.0)
+
+        def free_solve(rhs):
+            res = cg.cg(apply_free, jnp.where(interior, rhs, 0.0),
+                        M_inv=M_inv, tol=tol, maxiter=cfg.cg_maxiter)
+            return jnp.where(interior, res.x, 0.0), res.iters
+
+        return free_solve
+
+    def lhs_diag(bdt2):
+        return jnp.stack([
+            m_diag + bdt2 * assembly3d.stiffness_diag_3d(
+                shape, diag_loc[d], dtype)
+            for d in ("x", "y", "z")])
+
+    def load_at(t):
+        return jnp.stack([
+            assembly3d.assemble_load_3d(
+                xs, ys, zs, lambda x, y, z, fc=fc: fc(x, y, z, t))
+            for fc in problem.f])
+
+    u0g = u_bc + jnp.where(interior, jnp.stack(
+        [uc(X, Y, Z) * ones for uc in problem.u0]), 0.0)
+    v0g = jnp.where(interior, jnp.stack(
+        [vc(X, Y, Z) * ones for vc in problem.v0]), 0.0).astype(dtype)
+    return (dtype, xs, ys, zs, interior, u_bc, apply_K, apply_M,
+            make_free_solve, lhs_diag, jnp.stack([m_diag] * 3),
+            load_at, u0g.astype(dtype), v0g)
+
+
+def elastic_wave_march_3d(problem: ElasticWaveProblem3D, cfg,
+                          tcfg: TransientConfig, beta: float = 0.25,
+                          gamma_n: float = 0.5) -> ElasticWaveSolution3D:
+    """FEM Newmark-beta march on the nine-block Q1 hex system."""
+    dt = tcfg.t_final / tcfg.n_steps
+    (dtype, xs, ys, zs, interior, u_bc, apply_K, apply_M,
+     make_free_solve, lhs_diag, m_diag3, load_at, u0g,
+     v0g) = _march_pieces_3d(problem, cfg, dt)
+    bdt2 = beta * dt * dt
+    solve_lhs = make_free_solve(lambda u: apply_M(u) + bdt2 * apply_K(u),
+                                lhs_diag(bdt2))
+    solve_mass = make_free_solve(apply_M, m_diag3)
+
+    def step(carry, t):
+        u, v, a = carry
+        pred = u + dt * v + 0.5 * dt * dt * (1.0 - 2.0 * beta) * a
+        a1, iters = solve_lhs(load_at(t + dt) - apply_K(pred))
+        u1 = u_bc + jnp.where(interior, pred + bdt2 * a1, 0.0)
+        v1 = v + dt * ((1.0 - gamma_n) * a + gamma_n * a1)
+        return (u1, v1, a1), iters
+
+    a0g, _ = solve_mass(load_at(jnp.asarray(0.0, dtype)) - apply_K(u0g))
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
+    (uN, vN, _), iters = jax.lax.scan(step, (u0g, v0g, a0g), ts)
+    return ElasticWaveSolution3D(
+        xs=xs, ys=ys, zs=zs, fem_values=uN, velocity=vN, coeffs=None,
+        t_final=tcfg.t_final, cg_iters=jnp.max(iters),
+        energy0=_energy(apply_K, apply_M, u0g, v0g, u_bc),
+        energyN=_energy(apply_K, apply_M, uN, vN, u_bc),
+        lam=problem.elastic.lam, mu=problem.elastic.mu,
+    )
+
+
+def hybrid_elastic_wave_march_3d(problem: ElasticWaveProblem3D, cfg,
+                                 tcfg: TransientConfig,
+                                 beta: float = 0.25,
+                                 gamma_n: float = 0.5
+                                 ) -> ElasticWaveSolution3D:
+    """Enhanced 3D Newmark march: coupled per-hex vector (u, v, a)
+    coefficient triples, one block LSE solve of
+    rho Mass_blk + beta dt^2 D_blk per step (3D mirror of the 2D march)."""
+    from .elastic3d import (_block_colloc_host_3d, _component_problem_3d)
+    from .hybrid3d import _element_data_3d
+
+    p = problem.elastic
+    dt = tcfg.t_final / tcfg.n_steps
+    dtypec = cfg.jnp_dtype()
+    M, C = cfg.M, cfg.n_colloc
+    rho = problem.rho
+    D64, B64, Mass_s64, t_int, spts = _block_colloc_host_3d(p, cfg)
+    Mass_blk = np.kron(np.eye(3), Mass_s64)
+    bdt2 = beta * dt * dt
+    shared = kkt.precompute_shared_lse_host(rho * Mass_blk + bdt2 * D64,
+                                            B64, dtypec)
+    proj = kkt.precompute_shared_lse_host(Mass_blk, B64, dtypec)
+    D_j = jnp.asarray(D64, dtypec)
+    B_j = jnp.asarray(B64, dtypec)
+    t_int_j = jnp.asarray(t_int)
+    spts_j = jnp.asarray(spts)
+    hi = jax.lax.Precision.HIGHEST
+
+    (dtype, xs, ys, zs, interior, u_bc, apply_K, apply_M,
+     make_free_solve, lhs_diag, m_diag3, load_at, u0g,
+     v0g) = _march_pieces_3d(problem, cfg, dt)
+    solve_lhs = make_free_solve(lambda u: apply_M(u) + bdt2 * apply_K(u),
+                                lhs_diag(bdt2))
+    solve_mass = make_free_solve(apply_M, m_diag3)
+
+    hx = float(xs[1] - xs[0])
+    hy = float(ys[1] - ys[0])
+    hz = float(zs[1] - zs[0])
+    t_j = jnp.asarray(t_int, dtype)
+    xq = xs[:-1][:, None] + 0.5 * hx * (t_j[None, :] + 1.0)
+    yq = ys[:-1][:, None] + 0.5 * hy * (t_j[None, :] + 1.0)
+    zq = zs[:-1][:, None] + 0.5 * hz * (t_j[None, :] + 1.0)
+    E = cfg.nx * cfg.ny * cfg.nz
+    ones6 = jnp.ones((cfg.nz, cfg.ny, cfg.nx, C, C, C), dtype)
+
+    def grid_rows(fn, *a):
+        return (fn(xq[None, None, :, None, None, :],
+                   yq[None, :, None, None, :, None],
+                   zq[:, None, None, :, None, None], *a)
+                * ones6).reshape(E, C * C * C)
+
+    def f_rows_at(t):
+        return jnp.concatenate([grid_rows(fc, t) for fc in problem.f],
+                               axis=1)  # [E, 3 C^3]
+
+    comp_p = [_component_problem_3d(p, c) for c in range(3)]
+    comp_p0 = [dataclasses.replace(
+        q, g=lambda x, y, z: jnp.zeros_like(x + y + z)) for q in comp_p]
+
+    def traces(u, probs):
+        rows = [_element_data_3d(probs[c], cfg, xs, ys, zs, u[c],
+                                 t_int_j, spts_j,
+                                 trace_lift=cfg.trace_lift)[1]
+                for c in range(3)]
+        return jnp.concatenate(rows, axis=1)
+
+    def step(carry, t):
+        u, v, a, wu, wv, wa = carry
+        pred = u + dt * v + 0.5 * dt * dt * (1.0 - 2.0 * beta) * a
+        a1, iters = solve_lhs(load_at(t + dt) - apply_K(pred))
+        u1 = u_bc + jnp.where(interior, pred + bdt2 * a1, 0.0)
+        v1 = v + dt * ((1.0 - gamma_n) * a + gamma_n * a1)
+        w_pred = wu + dt * wv + 0.5 * dt * dt * (1.0 - 2.0 * beta) * wa
+        f_rows = f_rows_at(t + dt) - jnp.dot(w_pred, D_j.T, precision=hi)
+        bc_a = (traces(u1, comp_p)
+                - jnp.dot(w_pred, B_j.T, precision=hi)) / bdt2
+        wa1, _ = kkt.solve_primal_shared(shared, f_rows, bc_a)
+        wu1 = w_pred + bdt2 * wa1
+        wv1 = wv + dt * ((1.0 - gamma_n) * wa + gamma_n * wa1)
+        return (u1, v1, a1, wu1, wv1, wa1), iters
+
+    a0g, _ = solve_mass(load_at(jnp.asarray(0.0, dtype)) - apply_K(u0g))
+    u0_rows = jnp.concatenate([grid_rows(uc) for uc in problem.u0],
+                              axis=1)
+    v0_rows = jnp.concatenate([grid_rows(vc) for vc in problem.v0],
+                              axis=1)
+    wu0, _ = kkt.solve_primal_shared(proj, u0_rows, traces(u0g, comp_p))
+    wv0, _ = kkt.solve_primal_shared(proj, v0_rows, traces(v0g, comp_p0))
+    fa0 = (f_rows_at(jnp.asarray(0.0, dtype))
+           - jnp.dot(wu0, D_j.T, precision=hi)) / rho
+    wa0, _ = kkt.solve_primal_shared(proj, fa0, traces(a0g, comp_p0))
+    ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
+    (uN, vN, _, wuN, _, _), iters = jax.lax.scan(
+        step, (u0g, v0g, a0g, wu0, wv0, wa0), ts)
+    M3 = M * M * M
+    shp = (cfg.nz, cfg.ny, cfg.nx, M, M, M)
+    return ElasticWaveSolution3D(
+        xs=xs, ys=ys, zs=zs, fem_values=uN, velocity=vN,
+        coeffs=jnp.stack([wuN[:, c * M3:(c + 1) * M3].reshape(shp)
+                          for c in range(3)]),
+        t_final=tcfg.t_final, cg_iters=jnp.max(iters),
+        energy0=_energy(apply_K, apply_M, u0g, v0g, u_bc),
+        energyN=_energy(apply_K, apply_M, uN, vN, u_bc),
+        lam=p.lam, mu=p.mu,
+    )
+
+
+def evaluate_elastic_wave_3d(sol: ElasticWaveSolution3D, x, y, z):
+    """(u1, u2, u3) at t_final from the enhanced coefficients."""
+    from .elastic3d import evaluate_elastic_3d
+
+    assert sol.coeffs is not None, "FEM-only march has no coefficients"
+    # duck-types ElasticSolution3D's xs/ys/zs/coeffs
+    return evaluate_elastic_3d(sol, x, y, z)

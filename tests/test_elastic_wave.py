@@ -101,3 +101,49 @@ def test_cli_elastic_wave(capsys):
     assert rec, lines
     assert rec[0]["problem"] == "elastic_wave_2d"
     assert rec[0]["linf_error"] < 0.5
+
+
+def test_elastic_wave_3d_converges_and_conserves():
+    """3D mirror: enhanced off-node error drops >= O(h^2) from 4^3 to
+    8^3 (riding elastic3d's vector floor), and the free march's energy
+    fields are consistent (energyN finite, > 0)."""
+    p = EW.elastic_wave_3d()
+    from hybrid_fem_lssvr_tpu.models.elastic3d import ElasticConfig3D
+
+    tcfg = TransientConfig(t_final=0.2, n_steps=20)
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.uniform(-1, 1, 300))
+    yr = jnp.asarray(rng.uniform(-1, 1, 300))
+    zr = jnp.asarray(rng.uniform(-1, 1, 300))
+    errs = []
+    for n in (4, 8):
+        cfg = ElasticConfig3D(nx=n, ny=n, nz=n, M=4, n_colloc=4,
+                              precond="jacobi")
+        sol = EW.hybrid_elastic_wave_march_3d(p, cfg, tcfg)
+        u = EW.evaluate_elastic_wave_3d(sol, xr, yr, zr)
+        errs.append(max(
+            float(jnp.max(jnp.abs(u[c] - p.exact[c](xr, yr, zr, 0.2))))
+            for c in range(3)))
+    assert errs[0] / errs[1] > 3.0, errs
+    assert errs[1] < 0.2, errs
+
+
+def test_elastic_wave_3d_fem_energy_invariant():
+    """3D free vibration (f = 0 via zero forcing): Newmark (1/4, 1/2)
+    conserves the block-system discrete energy."""
+    from hybrid_fem_lssvr_tpu.models.elastic3d import (ElasticConfig3D,
+                                                       sin_elastic_3d)
+
+    st = sin_elastic_3d(lam=1.5, mu=0.8)
+    zero4 = lambda x, y, z, t: jnp.zeros_like(x + y + z)  # noqa: E731
+    zero3 = lambda x, y, z: jnp.zeros_like(x + y + z)  # noqa: E731
+    p = EW.ElasticWaveProblem3D(
+        name="free3d", elastic=st, f=(zero4, zero4, zero4),
+        u0=st.exact, v0=(zero3, zero3, zero3))
+    cfg = ElasticConfig3D(nx=6, ny=6, nz=6, M=4, n_colloc=4,
+                          precond="jacobi")
+    sol = EW.elastic_wave_march_3d(p, cfg,
+                                   TransientConfig(t_final=0.5,
+                                                   n_steps=25))
+    drift = abs(float(sol.energyN - sol.energy0)) / float(sol.energy0)
+    assert drift < 1e-10, drift
