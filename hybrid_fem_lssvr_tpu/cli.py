@@ -934,6 +934,12 @@ def cmd_elastic(args):
     if getattr(args, "x64", False):
         jax.config.update("jax_enable_x64", True)
     if getattr(args, "wave", False):
+        if args.problem != "sin_elastic_2d":
+            raise SystemExit(
+                "--wave runs its own manufactured elastodynamics problem "
+                "(elastic_wave_2d/3d); --problem selects only the STEADY "
+                "elastic problem — drop --problem or drop --wave"
+            )
         return _cmd_elastic_wave(args)
     if args.dim == 3:
         return _cmd_elastic3d(args)
@@ -1742,7 +1748,9 @@ def build_parser():
     sp.add_argument("--eval-points", type=int, default=2000)
     sp.add_argument("--wave", action="store_true",
                     help="elastodynamics: enhanced Newmark march of "
-                    "rho u_tt - div sigma(u) = f (--dim 2 only)")
+                    "rho u_tt - div sigma(u) = f on its own manufactured "
+                    "problem (elastic_wave_2d, or elastic_wave_3d hexes "
+                    "with --dim 3; --problem does not apply)")
     sp.add_argument("--t-final", type=float, default=0.25)
     sp.add_argument("--n-steps", type=int, default=40)
     sp.add_argument("--rho", type=float, default=1.0,

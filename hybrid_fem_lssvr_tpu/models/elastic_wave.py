@@ -125,7 +125,24 @@ class ElasticWaveSolution2D(NamedTuple):
 
 def _march_pieces(problem: ElasticWaveProblem2D, cfg: ElasticConfig2D,
                   dt: float):
-    """Shared FEM-march setup: grids, block operators, masked CG."""
+    """Shared FEM-march setup: grids, block operators, masked CG.
+
+    The per-step CG is Jacobi-preconditioned (the Newmark LHS
+    M_rho + beta dt^2 K is mass-dominated at practical dt, so Jacobi
+    converges in a handful of iterations and a V-cycle buys nothing);
+    asking for 'mg' is an error, not a silent downgrade."""
+    if cfg.precond == "mg":
+        raise ValueError(
+            "the elastodynamics marches use Jacobi-preconditioned CG "
+            "(mass-dominated Newmark LHS); precond='mg' is not supported "
+            "— use 'jacobi' or 'auto'"
+        )
+    if cfg.coarse != "q1":
+        raise ValueError(
+            "the elastodynamics marches run the q1 block coarse stage "
+            "per step; coarse='richardson' applies only to the steady "
+            "solves"
+        )
     p = problem.elastic
     dtype = cfg.jnp_dtype()
     x0, x1, y0, y1 = p.domain
@@ -248,7 +265,15 @@ def hybrid_elastic_wave_march_2d(problem: ElasticWaveProblem2D,
                                  gamma_n: float = 0.5
                                  ) -> ElasticWaveSolution2D:
     """LSSVR-enhanced Newmark march: coupled per-element vector (u, v, a)
-    coefficient triples riding the FEM march's traces (module docstring)."""
+    coefficient triples riding the FEM march's traces (module docstring).
+
+    Requires beta > 0: the enhanced acceleration traces are recovered as
+    (u_trace - pred_trace) / (beta dt^2), so the explicit central-difference
+    member (beta = 0) has no enhanced form — use the FEM-only march."""
+    if beta <= 0.0:
+        raise ValueError("hybrid march needs beta > 0 (trace recovery "
+                         "divides by beta dt^2); beta=0 runs only the "
+                         "FEM-only elastic_wave_march_2d")
     p = problem.elastic
     dt = tcfg.t_final / tcfg.n_steps
     dtypec = cfg.jnp_dtype()
@@ -295,7 +320,8 @@ def hybrid_elastic_wave_march_2d(problem: ElasticWaveProblem2D,
 
     def traces(u, probs):
         rows = [_element_data_2d(probs[c], cfg, xs, ys, u[c], t_int_j,
-                                 bpts_j, trace_lift=cfg.trace_lift)[1]
+                                 bpts_j, trace_lift=cfg.trace_lift,
+                                 skip_f=True)[1]
                 for c in range(2)]
         return jnp.concatenate(rows, axis=1)  # [E, 2 (4M-4)]
 
@@ -418,6 +444,18 @@ def _march_pieces_3d(problem: ElasticWaveProblem3D, cfg, dt: float):
     from ..ops import assembly3d
     from .elastic3d import _block_locals_3d
 
+    if cfg.precond == "mg":
+        raise ValueError(
+            "the elastodynamics marches use Jacobi-preconditioned CG "
+            "(mass-dominated Newmark LHS); precond='mg' is not supported "
+            "— use 'jacobi' or 'auto'"
+        )
+    if cfg.coarse != "q1":
+        raise ValueError(
+            "the elastodynamics marches run the q1 block coarse stage "
+            "per step; coarse='richardson' applies only to the steady "
+            "solves"
+        )
     p = problem.elastic
     dtype = cfg.jnp_dtype()
     x0, x1, y0, y1, z0, z1 = p.domain
@@ -532,7 +570,12 @@ def hybrid_elastic_wave_march_3d(problem: ElasticWaveProblem3D, cfg,
                                  ) -> ElasticWaveSolution3D:
     """Enhanced 3D Newmark march: coupled per-hex vector (u, v, a)
     coefficient triples, one block LSE solve of
-    rho Mass_blk + beta dt^2 D_blk per step (3D mirror of the 2D march)."""
+    rho Mass_blk + beta dt^2 D_blk per step (3D mirror of the 2D march).
+    Requires beta > 0 (same trace-recovery division as the 2D march)."""
+    if beta <= 0.0:
+        raise ValueError("hybrid march needs beta > 0 (trace recovery "
+                         "divides by beta dt^2); beta=0 runs only the "
+                         "FEM-only elastic_wave_march_3d")
     from .elastic3d import (_block_colloc_host_3d, _component_problem_3d)
     from .hybrid3d import _element_data_3d
 
@@ -587,7 +630,8 @@ def hybrid_elastic_wave_march_3d(problem: ElasticWaveProblem3D, cfg,
     def traces(u, probs):
         rows = [_element_data_3d(probs[c], cfg, xs, ys, zs, u[c],
                                  t_int_j, spts_j,
-                                 trace_lift=cfg.trace_lift)[1]
+                                 trace_lift=cfg.trace_lift,
+                                 skip_f=True)[1]
                 for c in range(3)]
         return jnp.concatenate(rows, axis=1)
 

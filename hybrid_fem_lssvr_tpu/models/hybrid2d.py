@@ -991,7 +991,7 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
 
 def _element_data_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys,
                      fem_values, t_int, bpts, row_offset=0, col_offset=0,
-                     trace_lift: int = 0):
+                     trace_lift: int = 0, skip_f: bool = False):
     """Per-element collocation rhs [E, C^2] (interior points) and
     boundary-trace values [E, 4M-4] (FEM bilinear trace, overridden by g on
     domain-boundary edges).
@@ -1005,6 +1005,10 @@ def _element_data_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys,
     Lagrange lift (``_lifted_trace_2d``; full-grid callers only — the lift
     windows need whole grid lines, so sharded slabs keep the bilinear
     trace).  Domain-boundary points still take g exactly.
+
+    ``skip_f=True`` skips the body-force collocation rows (returned as
+    ``None``) for trace-only callers — the per-step ``traces()`` of the
+    elastodynamics marches need only the boundary rows.
     """
     dtype = xs.dtype
     C = cfg.n_colloc
@@ -1017,10 +1021,13 @@ def _element_data_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys,
     ym = 0.5 * (ys[1:] + ys[:-1])
     xq = xm[:, None] + 0.5 * hx[:, None] * t[None, :]
     yq = ym[:, None] + 0.5 * hy[:, None] * t[None, :]
-    # f on [ny, nx, C(y), C(x)] -> flatten rows row-major (iy, ix)
-    F = problem.f(xq[None, :, None, :], yq[:, None, :, None])
-    F = F * jnp.ones((ny_loc, nx_loc, C, C), dtype)
-    f_rows = F.reshape(ny_loc * nx_loc, C * C)
+    if skip_f:
+        f_rows = None
+    else:
+        # f on [ny, nx, C(y), C(x)] -> flatten rows row-major (iy, ix)
+        F = problem.f(xq[None, :, None, :], yq[:, None, :, None])
+        F = F * jnp.ones((ny_loc, nx_loc, C, C), dtype)
+        f_rows = F.reshape(ny_loc * nx_loc, C * C)
 
     # corner values
     u00 = fem_values[:-1, :-1]

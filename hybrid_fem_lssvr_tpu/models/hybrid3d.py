@@ -890,7 +890,8 @@ def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
 
 def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
                      fem_values, t_int, spts, layer_offset=0,
-                     row_offset=0, trace_lift: int = 0):
+                     row_offset=0, trace_lift: int = 0,
+                     skip_f: bool = False):
     """Per-element collocation rhs [E, C^3] and boundary-trace values
     [E, S]: the FEM trilinear trace at the surface points, overridden by g
     on domain-boundary faces (the 3D lift of ``_element_data_2d``).
@@ -924,13 +925,18 @@ def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
     # t3 order.  (An earlier [nz, Cz, ny, Cy, nx, Cx] layout + 6-D
     # transpose cost ~0.4 ms of the 1.0 ms enhancement step at 64^3 —
     # the transpose is a full relayout pass over the [E, C^3] array.)
-    F = problem.f(
-        xq[None, None, :, None, None, :],
-        yq[None, :, None, None, :, None],
-        zq[:, None, None, :, None, None],
-    )
-    F = F * jnp.ones((nz, ny, nx, C, C, C), dtype)
-    f_rows = F.reshape(E, C * C * C)
+    if skip_f:
+        # Trace-only callers (the elastodynamics marches' per-step
+        # ``traces()``) skip the body-force collocation rows.
+        f_rows = None
+    else:
+        F = problem.f(
+            xq[None, None, :, None, None, :],
+            yq[None, :, None, None, :, None],
+            zq[:, None, None, :, None, None],
+        )
+        F = F * jnp.ones((nz, ny, nx, C, C, C), dtype)
+        f_rows = F.reshape(E, C * C * C)
 
     # 8 corner values, a = 4cz + 2cy + cx (assembly3d order)
     cs = assembly3d._corners_3d(fem_values)
