@@ -834,6 +834,15 @@ def cmd_biharmonic(args):
     if getattr(args, "x64", False):
         jax.config.update("jax_enable_x64", True)
     em = M.MetricsEmitter()
+    if getattr(args, "clamped", False):
+        if getattr(args, "dim", 1) != 1:
+            raise SystemExit(
+                "--clamped is 1D only: the Poisson-Poisson splitting "
+                "cannot represent u = du/dn = 0, and the direct "
+                "Hermite-coarse route is implemented for the beam "
+                "(docs/NUMERICS.md has the 2D rationale)"
+            )
+        return _biharmonic_clamped(args, em)
     if getattr(args, "dim", 1) == 2:
         return _biharmonic_2d(args, em)
     if getattr(args, "dim", 1) == 3:
@@ -858,6 +867,37 @@ def cmd_biharmonic(args):
         fields["moment_linf_error"] = float(
             M.linf_error(v, problem.exact_d2(x)))
     em.emit("biharmonic_solve", **fields)
+
+
+def _biharmonic_clamped(args, em):
+    """Clamped beam u = u' = 0: direct Hermite-coarse + fourth-order
+    enhancement (models/biharmonic.py clamped section)."""
+    from .models.biharmonic import (clamped_sin2_1d, clamped_sin_slope_1d,
+                                    solve_clamped_biharmonic_1d)
+    from .ops import eval as ev
+
+    problem = (clamped_sin_slope_1d() if args.clamped == "sin_slope"
+               else clamped_sin2_1d())
+    # f64-only family (the solver raises on f32 — the (2/h)^4 scaling is
+    # beyond f32); the CLI enables x64 unconditionally here.
+    jax.config.update("jax_enable_x64", True)
+    cfg = SolverConfig(num_nodes=args.num_nodes, M=max(args.M, 6),
+                       n_colloc=max(args.M, 6) + 2, gamma=args.gamma,
+                       dtype="float64")
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = solve_clamped_biharmonic_1d(problem, cfg)
+        jax.block_until_ready(sol.coeffs)
+    fields = dict(problem=problem.name, elements=cfg.num_nodes - 1,
+                  M=cfg.M, solve_sec=rec["solve_sec"],
+                  n_fallback=int((~sol.solve_ok).sum()))
+    x = jnp.linspace(*problem.domain, args.eval_points,
+                     dtype=sol.coeffs.dtype)
+    u = ev.evaluate(sol.nodes, sol.coeffs, x)
+    fields["linf_error"] = float(M.linf_error(u, problem.exact(x)))
+    fields["nodal_linf"] = float(
+        M.linf_error(sol.u_nodal, problem.exact(sol.nodes)))
+    em.emit("biharmonic_clamped_solve", **fields)
 
 
 def _biharmonic_2d(args, em):
@@ -1714,6 +1754,11 @@ def build_parser():
                     help="per-dimension basis size for --dim 3")
     sp.add_argument("--coarse", default="q1", choices=["q1", "compact"])
     sp.add_argument("--trace-lift", type=int, default=0)
+    sp.add_argument("--clamped", nargs="?", const="sin2",
+                    choices=["sin2", "sin_slope"],
+                    help="clamped beam u = u' = 0 (1D only): direct "
+                    "Hermite-coarse + fourth-order enhancement instead "
+                    "of the simply-supported splitting")
     sp.add_argument("--gamma", type=float, default=1e4)
     sp.add_argument("--dtype", default=None,
                     choices=[None, "float32", "float64"])

@@ -226,3 +226,218 @@ def solve_biharmonic_3d(problem: BiharmonicProblem3D,
     cfg_u = dataclasses.replace(cfg, backend="xla")
     sol_u = HybridSolver3D(pu, cfg_u).solve()
     return BiharmonicSolution3D(u=sol_u, v=sol_v)
+
+
+# ------------------------------------------------------------- clamped 1D
+#
+# The Poisson-Poisson splitting above requires u = Lap u = 0 (simply
+# supported) and CANNOT represent the clamped beam u = u' = 0 — the
+# standard hard case for fourth-order problems.  The clamped solver is
+# DIRECT: a C^1 Hermite-cubic FEM coarse stage (2 dofs per node: value +
+# slope, block-tridiagonal 2x2 system solved by
+# ``ops.tridiag.block_thomas_2x2``) followed by the ordinary null-space
+# LSE enhancement with a fourth-derivative collocation operator
+# D = (2/h)^4 V4 and FOUR boundary rows per element (values AND slopes at
+# both ends) — B gains derivative rows; the LSE algebra is unchanged.
+#
+# Why this hits the hybrid floor: the 1D biharmonic Green's function
+# G(x_i, .) at a NODE is itself a C^1 piecewise cubic, i.e. a member of
+# the Hermite trial space — so (exact quadrature) the Hermite FEM nodal
+# values AND slopes are exact, the same superconvergence that makes the
+# P1 coarse stage exact for the second-order family.  The enhanced
+# element polynomials then fit u'''' = f against exact C^1 trace data:
+# the error is pure collocation-fit truncation, spectral in M (measured
+# M=10 f64: 2.2e-10 at E=8, 2.9e-13 at E=16, 1.6e-13 at E=24, with nodal
+# values 1e-12..1e-15 — the fourth-order analog of the second-order
+# family's floor).
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+from ..ops import kkt, tridiag  # noqa: E402
+
+
+@dataclasses.dataclass(frozen=True)
+class ClampedBiharmonicProblem1D:
+    """u'''' = f on (x0, x1), clamped: u = g, u' = gp at both ends."""
+
+    name: str
+    f: Callable
+    g: tuple = (0.0, 0.0)  # (u(x0), u(x1))
+    gp: tuple = (0.0, 0.0)  # (u'(x0), u'(x1))
+    domain: tuple = (-1.0, 1.0)
+    exact: Optional[Callable] = None
+    exact_d1: Optional[Callable] = None
+
+
+def clamped_sin2_1d() -> ClampedBiharmonicProblem1D:
+    """u = sin^2(pi x) = (1 - cos(2 pi x))/2: homogeneous clamped data
+    (u = u' = 0 at both ends of [-1, 1]); u'''' = -(2 pi)^4 cos(2 pi x)/2."""
+    pi = jnp.pi
+    return ClampedBiharmonicProblem1D(
+        name="clamped_sin2_1d",
+        f=lambda x: -0.5 * (2 * pi) ** 4 * jnp.cos(2 * pi * x),
+        exact=lambda x: jnp.sin(pi * x) ** 2,
+        exact_d1=lambda x: pi * jnp.sin(2 * pi * x),
+    )
+
+
+def clamped_sin_slope_1d() -> ClampedBiharmonicProblem1D:
+    """u = sin(pi x): zero end VALUES but nonzero end SLOPES
+    (u'(+-1) = -pi) — exercises the inhomogeneous gp rows."""
+    pi = jnp.pi
+    return ClampedBiharmonicProblem1D(
+        name="clamped_sin_slope_1d",
+        f=lambda x: pi ** 4 * jnp.sin(pi * x),
+        g=(0.0, 0.0),
+        gp=(float(-np.pi), float(-np.pi)),
+        exact=lambda x: jnp.sin(pi * x),
+        exact_d1=lambda x: pi * jnp.cos(pi * x),
+    )
+
+
+def _hermite_blocks(h: float):
+    """Host-f64 Euler-Bernoulli element blocks: K_e = int H_a'' H_b'' on a
+    length-h element, dof order (u_l, u'_l, u_r, u'_r); partitioned into
+    (A, B, C) with A = K[:2, :2], B = K[:2, 2:], C = K[2:, 2:]."""
+    K = np.array([
+        [12.0, 6.0 * h, -12.0, 6.0 * h],
+        [6.0 * h, 4.0 * h * h, -6.0 * h, 2.0 * h * h],
+        [-12.0, -6.0 * h, 12.0, -6.0 * h],
+        [6.0 * h, 2.0 * h * h, -6.0 * h, 4.0 * h * h],
+    ]) / h ** 3
+    return K[:2, :2], K[:2, 2:], K[2:, 2:]
+
+
+def _hermite_load(problem, nodes, n_gauss: int = 6):
+    """Per-node consistent load [N+1, 2] via Gauss quadrature of the four
+    cubic Hermite shape functions against f."""
+    dtype = nodes.dtype
+    tg, wg = np.polynomial.legendre.leggauss(n_gauss)
+    xi = 0.5 * (tg + 1.0)  # [0, 1] element coordinate
+    H1 = 1.0 - 3.0 * xi ** 2 + 2.0 * xi ** 3
+    H2 = xi - 2.0 * xi ** 2 + xi ** 3  # times h below
+    H3 = 3.0 * xi ** 2 - 2.0 * xi ** 3
+    H4 = -xi ** 2 + xi ** 3  # times h
+    xl, xr = nodes[:-1], nodes[1:]
+    h = xr - xl  # [E]
+    xq = xl[:, None] + h[:, None] * jnp.asarray(xi, dtype)[None, :]
+    fq = problem.f(xq) * jnp.ones_like(xq)  # [E, G]
+    wj = jnp.asarray(wg, dtype)[None, :] * (0.5 * h[:, None])
+    Hs = [jnp.asarray(v, dtype)[None, :] for v in (H1, H2, H3, H4)]
+    le = jnp.stack([
+        jnp.sum(wj * fq * Hs[0], axis=1),
+        jnp.sum(wj * fq * Hs[1] * h[:, None], axis=1),
+        jnp.sum(wj * fq * Hs[2], axis=1),
+        jnp.sum(wj * fq * Hs[3] * h[:, None], axis=1),
+    ], axis=-1)  # [E, 4]
+    load = jnp.zeros((nodes.shape[0], 2), dtype)
+    load = load.at[:-1].add(le[:, :2])
+    load = load.at[1:].add(le[:, 2:])
+    return load
+
+
+def hermite_fem_solve_1d(problem: ClampedBiharmonicProblem1D, nodes):
+    """C^1 Hermite-cubic coarse stage: (u, u') nodal arrays [N+1] each.
+
+    Uniform mesh assumed (shared element blocks); clamped dofs at both
+    ends are eliminated exactly (moved to the rhs)."""
+    dtype = nodes.dtype
+    N1 = nodes.shape[0]
+    E = N1 - 1
+    h = float(nodes[1] - nodes[0])
+    A, B, C = _hermite_blocks(h)
+    A = jnp.asarray(A, dtype)
+    B = jnp.asarray(B, dtype)
+    C = jnp.asarray(C, dtype)
+    load = _hermite_load(problem, nodes)
+
+    n_int = N1 - 2  # interior nodes carry (u, u') unknowns
+    q0 = jnp.asarray([problem.g[0], problem.gp[0]], dtype)
+    qN = jnp.asarray([problem.g[1], problem.gp[1]], dtype)
+    rhs = load[1:-1]
+    rhs = rhs.at[0].add(-(B.T @ q0))
+    rhs = rhs.at[-1].add(-(B @ qN))
+    D = jnp.broadcast_to(A + C, (n_int, 2, 2))
+    L = jnp.broadcast_to(B.T, (n_int, 2, 2))
+    U = jnp.broadcast_to(B, (n_int, 2, 2))
+    x = tridiag.block_thomas_2x2(L, D, U, rhs)  # [n_int, 2]
+    full = jnp.concatenate([q0[None], x, qN[None]])
+    return full[:, 0], full[:, 1]
+
+
+class ClampedBiharmonicSolution(NamedTuple):
+    nodes: jnp.ndarray  # [N+1]
+    u_nodal: jnp.ndarray  # [N+1] Hermite values
+    up_nodal: jnp.ndarray  # [N+1] Hermite slopes
+    coeffs: jnp.ndarray  # [E, M] enhanced element polynomials
+    solve_ok: jnp.ndarray
+    max_slack: jnp.ndarray
+
+
+def prepare_shared_clamped(problem: ClampedBiharmonicProblem1D,
+                           cfg: SolverConfig):
+    """Host-f64 shared LSE precompute for the fourth-order enhancement:
+    D = (2/h)^4 V4 (interior collocation points — V4 of a zero-trace,
+    zero-slope polynomial does not vanish at endpoints, but interior
+    points match the second-order families' convention), B = 4 rows
+    (values at t = -1, +1 and slopes (2/h) V1 at t = -1, +1)."""
+    import numpy.polynomial.legendre as NL
+
+    M, C = cfg.M, cfg.n_colloc
+    if M < 6:
+        raise ValueError("clamped biharmonic needs M >= 6 (a quintic at "
+                         "least: 4 boundary rows + nontrivial u'''')")
+    if jnp.dtype(cfg.jnp_dtype()) != jnp.float64:
+        # Loud gate, not a silent downgrade: the fourth-derivative
+        # collocation scaling (2/h)^4 puts ~1e5-1e6 dynamic range into
+        # the element algebra and the Hermite stiffness conditions as
+        # h^-4 — measured on-chip f32 Linf 4.8 (garbage) vs f64 1e-13.
+        # TPU-emulated f64 compiles for every op this path uses
+        # (scan + closed-form 2x2 solves + dots; CLAUDE.md f64 probe).
+        raise ValueError(
+            "clamped biharmonic requires dtype='float64' (with "
+            "jax_enable_x64): the (2/h)^4 fourth-derivative scaling is "
+            "beyond f32 — measured f32 Linf ~4.8 vs f64 ~1e-13"
+        )
+    x0, x1 = problem.domain
+    h = (x1 - x0) / (cfg.num_nodes - 1)
+    s = 2.0 / h
+    t_int = np.linspace(-1.0, 1.0, C + 2)[1:-1]
+    V4 = np.zeros((C, M))
+    for k in range(4, M):
+        c = np.zeros(k + 1)
+        c[k] = 1.0
+        V4[:, k] = NL.legval(t_int, NL.legder(c, 4))
+    D = (s ** 4) * V4
+    from ..ops import legendre as leg
+
+    V0b, V1b, _ = leg.vandermonde_host(np.array([-1.0, 1.0]), M)
+    B = np.concatenate([V0b, s * V1b])  # rows: u(-1), u(1), u'(-1), u'(1)
+    shared = kkt.precompute_shared_lse_host(D, B, cfg.jnp_dtype())
+    return shared, jnp.asarray(t_int)
+
+
+def solve_clamped_biharmonic_1d(problem: ClampedBiharmonicProblem1D,
+                                cfg: SolverConfig,
+                                shared_bundle=None
+                                ) -> ClampedBiharmonicSolution:
+    """Direct clamped-beam hybrid solve (section comment above)."""
+    if shared_bundle is None:
+        shared_bundle = prepare_shared_clamped(problem, cfg)
+    shared, t_int = shared_bundle
+    dtype = cfg.jnp_dtype()
+    x0, x1 = problem.domain
+    nodes = jnp.linspace(x0, x1, cfg.num_nodes, dtype=dtype)
+    u, up = hermite_fem_solve_1d(problem, nodes)
+    xl, xr = nodes[:-1], nodes[1:]
+    h = xr - xl
+    xq = 0.5 * (xl + xr)[:, None] + 0.5 * h[:, None] * t_int[None, :]
+    f_rows = problem.f(xq) * jnp.ones_like(xq)  # [E, C]
+    bc = jnp.stack([u[:-1], u[1:], up[:-1], up[1:]], axis=-1)  # [E, 4]
+    w, diags = kkt.solve_primal_shared(shared, f_rows, bc)
+    return ClampedBiharmonicSolution(
+        nodes=nodes, u_nodal=u, up_nodal=up, coeffs=w,
+        solve_ok=diags.solve_ok, max_slack=diags.max_slack,
+    )

@@ -149,6 +149,25 @@ def _m_orthonormalize(Mt, V):
         L, V.T, lower=True).T
 
 
+def _require_f64_eigen(dtype, where: str):
+    """Loud f32 gate for the 2D/3D eigensolves: their f32
+    inverse-iteration pencil residual floors at ~1e-2 at 32^2
+    (RESULTS.md eigen section), so eigenvalues/vectors would be silently
+    garbage.  The 1D path is NOT gated — its f32 pipeline measures at the
+    f32 quotient floor (test_eigen.py::test_f32_pipeline_reaches_f32_floor).  TPU-emulated f64 runs every op this family uses
+    (CG/MG are elementwise + dots; CLAUDE.md f64 probe), so f64 is the
+    supported on-chip route (measured on-chip f64 == CPU f64 to all
+    digits shown, RESULTS.md)."""
+    import jax.numpy as _jnp
+
+    if _jnp.dtype(dtype) == _jnp.float32:
+        raise ValueError(
+            f"{where} requires dtype='float64' (enable jax_enable_x64 / "
+            "--x64): the f32 inverse-iteration pencil residual floors at "
+            "~1e-2 — use f64, which runs on TPU via emulated f64"
+        )
+
+
 def fem_eigensolve(problem: Problem1D, cfg: SolverConfig,
                    ecfg: EigenConfig = EigenConfig(),
                    nodes: Optional[jnp.ndarray] = None) -> EigenSolution:
@@ -385,6 +404,7 @@ def fem_eigensolve_2d(problem, cfg, ecfg: EigenConfig = EigenConfig()
 
     _check_2d_eligible(problem)
     dtype = cfg.jnp_dtype()
+    _require_f64_eigen(dtype, "fem_eigensolve_2d")
     x0, x1, y0, y1 = problem.domain
     nx, ny = cfg.nx, cfg.ny
     hx = float((x1 - x0) / nx)
@@ -642,6 +662,7 @@ def fem_eigensolve_3d(problem, cfg, ecfg: EigenConfig = EigenConfig()
 
     _check_3d_eligible(problem)
     dtype = cfg.jnp_dtype()
+    _require_f64_eigen(dtype, "fem_eigensolve_3d")
     x0, x1, y0, y1, z0, z1 = problem.domain
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     hx = float((x1 - x0) / nx)

@@ -180,11 +180,16 @@ class ElasticConfig3D:
     mg_omega: float = 0.6
     diagnostics: bool = True
     dtype: Optional[str] = None
+    coarse: str = "q1"  # 'q1' | 'richardson' ((4 u_{h/2} - u_h)/3 nodal
+    # extrapolation -> O(h^4); pair with trace_lift >= 4 — see the 2D
+    # ``ElasticConfig2D.coarse`` docstring for the rationale)
     trace_lift: int = 0
 
     def __post_init__(self):
         if self.precond not in ("auto", "jacobi", "mg"):
             raise ValueError(f"unknown precond: {self.precond!r}")
+        if self.coarse not in ("q1", "richardson"):
+            raise ValueError(f"unknown coarse: {self.coarse!r}")
         if self.trace_lift == 1 or self.trace_lift < 0:
             raise ValueError("trace_lift must be 0 or >= 2")
 
@@ -434,7 +439,21 @@ def hybrid_solve_elastic_3d(problem: ElasticProblem3D,
     xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
     ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
     zs = jnp.linspace(z0, z1, cfg.nz + 1, dtype=dtype)
-    fem_values, cg_res = fem_solve_elastic_3d(problem, cfg, xs, ys, zs)
+    if cfg.coarse == "richardson":
+        # (4 u_{h/2} - u_h)/3 at the shared coarse nodes -> O(h^4) nodal
+        # (2D rationale in ``elastic.hybrid_solve_elastic``).
+        cfg_f = dataclasses.replace(cfg, nx=2 * cfg.nx, ny=2 * cfg.ny,
+                                    nz=2 * cfg.nz)
+        xs_f = jnp.linspace(x0, x1, 2 * cfg.nx + 1, dtype=dtype)
+        ys_f = jnp.linspace(y0, y1, 2 * cfg.ny + 1, dtype=dtype)
+        zs_f = jnp.linspace(z0, z1, 2 * cfg.nz + 1, dtype=dtype)
+        fem_f, cg_res = fem_solve_elastic_3d(problem, cfg_f, xs_f, ys_f,
+                                             zs_f)
+        fem_h, _ = fem_solve_elastic_3d(problem, cfg, xs, ys, zs)
+        fem_values = (4.0 * fem_f[:, ::2, ::2, ::2] - fem_h) / 3.0
+    else:
+        fem_values, cg_res = fem_solve_elastic_3d(problem, cfg, xs, ys,
+                                                  zs)
     coeffs, diags, cond = enhance_elastic_3d(
         problem, cfg, xs, ys, zs, fem_values, shared_bundle)
     shp = (cfg.nz, cfg.ny, cfg.nx)

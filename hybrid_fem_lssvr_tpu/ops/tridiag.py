@@ -316,3 +316,48 @@ def matvec(a, b, c, x) -> jnp.ndarray:
     dn = jnp.pad(x2[:-1], ((1, 0), (0, 0)))
     y = b[:, None] * x2 + c[:, None] * up + a[:, None] * dn
     return y[:, 0] if squeeze else y
+
+
+def block_thomas_2x2(L, D, U, rhs):
+    """Block-tridiagonal solve with 2x2 blocks (Thomas elimination as two
+    ``lax.scan``s with closed-form 2x2 inverses — LU-free, so it compiles
+    in TPU-emulated f64 where ``jnp.linalg.solve`` does not; CLAUDE.md).
+
+    The 1D Hermite-cubic FEM system of the clamped biharmonic coarse
+    stage (``models/biharmonic.py``) is block-tridiagonal with 2 dofs
+    (value, slope) per node; its blocks are SPD after Dirichlet
+    elimination, so unpivoted block elimination is stable.
+
+    L, D, U: [N, 2, 2] (L[0] and U[-1] ignored); rhs: [N, 2] -> x [N, 2].
+    """
+
+    def inv2(A):
+        det = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+        adj = jnp.stack([
+            jnp.stack([A[..., 1, 1], -A[..., 0, 1]], axis=-1),
+            jnp.stack([-A[..., 1, 0], A[..., 0, 0]], axis=-1),
+        ], axis=-2)
+        return adj / det[..., None, None]
+
+    def fwd(carry, inp):
+        Cp, Dp = carry  # [2, 2], [2]
+        Li, Di, Ui, ri = inp
+        S = Di - Li @ Cp
+        Si = inv2(S)
+        Cn = Si @ Ui
+        Dn = Si @ (ri - Li @ Dp)
+        return (Cn, Dn), (Cn, Dn)
+
+    z2 = jnp.zeros((2, 2), D.dtype)
+    (_, _), (Cs, Ds) = jax.lax.scan(
+        fwd, (z2, jnp.zeros(2, D.dtype)), (L, D, U, rhs)
+    )
+
+    def bwd(x_next, inp):
+        Ci, Di = inp
+        x = Di - Ci @ x_next
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, jnp.zeros(2, D.dtype), (Cs, Ds),
+                         reverse=True)
+    return xs

@@ -91,3 +91,105 @@ def test_biharmonic_3d_fourth_order():
         errs[n] = float(np.abs(np.asarray(u) - uex).max())
     assert errs[8] / errs[16] > 12.0, errs
     assert errs[16] < 1e-3, errs
+
+
+def test_clamped_beam_hits_hybrid_floor():
+    """Clamped u = u' = 0 (unrepresentable by the splitting): the direct
+    Hermite-coarse + fourth-order-enhancement route hits the hybrid
+    floor — measured M=10 f64 Linf 2.2e-10 / 2.9e-13 / 1.6e-13 at
+    E=8/16/24 with near-exact nodal (value, slope) pairs (the biharmonic
+    nodal Green's function is itself a C^1 cubic)."""
+    from hybrid_fem_lssvr_tpu.models.biharmonic import (
+        clamped_sin2_1d, solve_clamped_biharmonic_1d,
+    )
+
+    p = clamped_sin2_1d()
+    x = jnp.linspace(-1.0, 1.0, 2001, dtype=jnp.float64)
+    errs = {}
+    for E in (8, 16):
+        cfg = SolverConfig(num_nodes=E + 1, M=10, n_colloc=12,
+                           dtype="float64")
+        sol = solve_clamped_biharmonic_1d(p, cfg)
+        assert bool(np.asarray(sol.solve_ok).all())
+        # Hermite nodal superconvergence: values AND slopes near-exact
+        assert float(jnp.max(jnp.abs(
+            sol.u_nodal - p.exact(sol.nodes)))) < 1e-10
+        assert float(jnp.max(jnp.abs(
+            sol.up_nodal - p.exact_d1(sol.nodes)))) < 1e-10
+        u = ev.evaluate(sol.nodes, sol.coeffs, x)
+        errs[E] = float(jnp.max(jnp.abs(u - p.exact(x))))
+    assert errs[8] < 1e-9, errs
+    assert errs[16] < 1e-11, errs
+
+
+def test_clamped_inhomogeneous_slopes():
+    """u = sin(pi x): zero end values, NONZERO end slopes (u'(+-1) =
+    -pi) — the gp rows enter both the Hermite elimination and the
+    enhancement's derivative trace rows."""
+    from hybrid_fem_lssvr_tpu.models.biharmonic import (
+        clamped_sin_slope_1d, solve_clamped_biharmonic_1d,
+    )
+
+    p = clamped_sin_slope_1d()
+    cfg = SolverConfig(num_nodes=17, M=10, n_colloc=12, dtype="float64")
+    sol = solve_clamped_biharmonic_1d(p, cfg)
+    assert bool(np.asarray(sol.solve_ok).all())
+    x = jnp.linspace(-1.0, 1.0, 2001, dtype=jnp.float64)
+    u = ev.evaluate(sol.nodes, sol.coeffs, x)
+    assert float(jnp.max(jnp.abs(u - p.exact(x)))) < 1e-11
+
+
+def test_block_thomas_2x2_matches_dense():
+    """ops.tridiag.block_thomas_2x2 == dense solve on a random SPD-ish
+    block-tridiagonal system."""
+    from hybrid_fem_lssvr_tpu.ops.tridiag import block_thomas_2x2
+
+    rng = np.random.default_rng(3)
+    n = 17
+    L = rng.standard_normal((n, 2, 2)) * 0.1
+    U = rng.standard_normal((n, 2, 2)) * 0.1
+    D = np.broadcast_to(np.eye(2) * 4.0, (n, 2, 2)).copy()
+    D += rng.standard_normal((n, 2, 2)) * 0.2
+    r = rng.standard_normal((n, 2))
+    A = np.zeros((2 * n, 2 * n))
+    for i in range(n):
+        A[2 * i:2 * i + 2, 2 * i:2 * i + 2] = D[i]
+        if i > 0:
+            A[2 * i:2 * i + 2, 2 * i - 2:2 * i] = L[i]
+        if i < n - 1:
+            A[2 * i:2 * i + 2, 2 * i + 2:2 * i + 4] = U[i]
+    want = np.linalg.solve(A, r.ravel()).reshape(n, 2)
+    got = block_thomas_2x2(jnp.asarray(L), jnp.asarray(D),
+                           jnp.asarray(U), jnp.asarray(r))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-11)
+
+
+def test_cli_biharmonic_clamped(capsys):
+    import json
+
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["biharmonic", "--clamped", "--num-nodes", "17", "--M", "8",
+              "--x64", "--dtype", "float64"])
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    rec = [r for r in lines if r.get("stage") == "biharmonic_clamped_solve"]
+    assert rec, lines
+    assert rec[0]["problem"] == "clamped_sin2_1d"
+    assert rec[0]["n_fallback"] == 0
+    assert rec[0]["linf_error"] < 1e-8
+
+
+def test_clamped_rejects_float32():
+    """f32 is measured garbage for the (2/h)^4 algebra (on-chip Linf 4.8
+    vs f64 1e-13) — the solver must refuse loudly, not degrade."""
+    import pytest
+
+    from hybrid_fem_lssvr_tpu.models.biharmonic import (
+        clamped_sin2_1d, prepare_shared_clamped,
+    )
+
+    with pytest.raises(ValueError, match="float64"):
+        prepare_shared_clamped(
+            clamped_sin2_1d(),
+            SolverConfig(num_nodes=17, M=8, dtype="float32"))

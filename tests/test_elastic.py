@@ -97,6 +97,56 @@ def test_poly_elastic_inhomogeneous_dirichlet():
     assert float(linf) < 2e-2, float(linf)
 
 
+def test_richardson_nodal_fourth_order():
+    """(4 u_{h/2} - u_h)/3 at the shared nodes cancels the Q1 h^2 error
+    term of the COUPLED system (measured 1.69e-1/4.08e-2/1.00e-2 plain
+    vs 4.16e-3/2.51e-4/1.55e-5 extrapolated at 8/16/32 — clean 16x per
+    halving)."""
+    import dataclasses
+
+    p = sin_elastic_2d()
+    errs = {}
+    for n in (8, 16):
+        cfg = ElasticConfig2D(nx=n, ny=n, dtype="float64",
+                              precond="jacobi")
+        cfg_f = dataclasses.replace(cfg, nx=2 * n, ny=2 * n)
+        xs = jnp.linspace(-1, 1, n + 1, dtype=jnp.float64)
+        xf = jnp.linspace(-1, 1, 2 * n + 1, dtype=jnp.float64)
+        u_h, _ = fem_solve_elastic(p, cfg, xs, xs)
+        u_f, _ = fem_solve_elastic(p, cfg_f, xf, xf)
+        u_r = (4.0 * u_f[:, ::2, ::2] - u_h) / 3.0
+        X, Y = np.meshgrid(np.asarray(xs), np.asarray(xs))
+        ex = np.stack([p.exact1(X, Y), p.exact2(X, Y)])
+        errs[n] = np.abs(np.asarray(u_r) - ex).max()
+    assert errs[8] / errs[16] > 12.0, errs  # O(h^4)
+
+
+def test_richardson_lifted_raises_vector_floor():
+    """coarse='richardson' + trace_lift=6: the vector family's high-order
+    route (round-3 VERDICT #4).  Measured Linf 4.34e-3 -> 6.35e-5 at
+    16^2 -> 32^2 (ratio 68, >> the required 8) vs the plain q1 floor
+    1.5e-2 at 32^2 — a 239x improvement at equal element count."""
+    p = sin_elastic_2d()
+    xq, yq = _query()
+    errs = {}
+    for n in (16, 32):
+        s = ElasticSolver2D(p, ElasticConfig2D(
+            nx=n, ny=n, M=6, n_colloc=6, dtype="float64",
+            coarse="richardson", trace_lift=6))
+        sol = s.solve()
+        assert bool(np.asarray(sol.solve_ok).all())
+        errs[n] = float(s.errors(xq, yq)[0])
+    assert errs[16] / errs[32] > 8.0, errs
+    assert errs[32] < 2e-4, errs
+
+
+def test_coarse_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="coarse"):
+        ElasticConfig2D(coarse="q2")
+
+
 def test_stress_readout():
     """evaluate_stress_2d differentiates the element polynomials exactly;
     the stress error rides one order below the displacement floor
@@ -119,3 +169,31 @@ def test_stress_readout():
     assert np.abs(np.asarray(s11) - (2 * u1x + div)).max() < 2.5
     assert np.abs(np.asarray(s22) - (2 * u2y + div)).max() < 4.5
     assert np.abs(np.asarray(s12) - (u1y + u2x)).max() < 2.5
+
+
+def test_recovered_stress_second_order():
+    """Center-sampled recovery (``recover_stress_2d``) lifts the stress
+    readout from O(h) to O(h^2): measured Linf 0.544 -> 0.094 -> 0.020 at
+    16/32/64^2 (ratios 5.8, 4.7) vs the raw readout's 6.3 -> 3.0 at
+    16/32^2 (ratio 2.1) — order >= 1.9 and a 32x absolute gain at 32^2."""
+    p = sin_elastic_2d()
+    pi = np.pi
+    xq, yq = _query()
+    x, y = np.asarray(xq), np.asarray(yq)
+    u1x = pi * np.cos(pi * x) * np.sin(pi * y)
+    u1y = pi * np.sin(pi * x) * np.cos(pi * y)
+    u2x = pi * np.cos(pi * x) * np.sin(2 * pi * y)
+    u2y = 2 * pi * np.sin(pi * x) * np.cos(2 * pi * y)
+    div = u1x + u2y
+    ex = (2 * u1x + div, 2 * u2y + div, u1y + u2x)
+    errs = {}
+    for n in (16, 32):
+        s = ElasticSolver2D(p, ElasticConfig2D(nx=n, ny=n, M=6,
+                                               n_colloc=6,
+                                               dtype="float64"))
+        s.solve()
+        rec = s.evaluate_stress(xq, yq, recover=True)
+        errs[n] = max(np.abs(np.asarray(r) - e0).max()
+                      for r, e0 in zip(rec, ex))
+    assert errs[16] / errs[32] > 3.7, errs  # order >= 1.9
+    assert errs[32] < 0.15, errs

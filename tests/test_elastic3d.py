@@ -144,6 +144,33 @@ def test_poly_elastic3d_inhomogeneous_dirichlet_and_stress():
         assert err < tol, (k, err)
 
 
+def test_richardson_lifted_raises_3d_floor():
+    """coarse='richardson' + trace_lift=6 in 3D: measured Linf
+    0.955 -> 4.86e-2 -> 4.47e-3 at 4/8/16^3 (ratios 19.7, 10.9) vs the
+    plain q1 7.4e-2 at 16^3 — the vector family's high-order route
+    (2D rationale in test_elastic.py) carries to hexes."""
+    p = sin_elastic_3d()
+    q = _query(500)
+    errs = {}
+    for n in (4, 8):
+        from hybrid_fem_lssvr_tpu.models.elastic3d import (
+            evaluate_elastic_3d, hybrid_solve_elastic_3d,
+            prepare_shared_elastic_3d,
+        )
+
+        cfg = ElasticConfig3D(nx=n, ny=n, nz=n, M=5, n_colloc=5,
+                              dtype="float64", coarse="richardson",
+                              trace_lift=6)
+        sol = hybrid_solve_elastic_3d(p, cfg,
+                                      prepare_shared_elastic_3d(p, cfg))
+        assert bool(np.asarray(sol.solve_ok).all())
+        u = evaluate_elastic_3d(sol, *q)
+        errs[n] = max(float(jnp.max(jnp.abs(u[c] - p.exact[c](*q))))
+                      for c in range(3))
+    assert errs[4] / errs[8] > 8.0, errs
+    assert errs[8] < 0.1, errs
+
+
 def test_cli_elastic3d(capsys):
     """`elastic --dim 3` emits the elastic_solve_3d JSON metrics line."""
     import json
