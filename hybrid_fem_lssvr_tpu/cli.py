@@ -603,8 +603,10 @@ def cmd_transient(args):
     if getattr(args, "x64", False):
         jax.config.update("jax_enable_x64", True)
     em = M.MetricsEmitter()
-    tcfg = TR.TransientConfig(t_final=args.t_final, n_steps=args.n_steps,
-                              theta=args.theta, mass=args.mass)
+    tcfg = TR.TransientConfig(
+        t_final=args.t_final, n_steps=args.n_steps, theta=args.theta,
+        mass=args.mass, checkpoint=getattr(args, "checkpoint", None),
+        checkpoint_chunk=getattr(args, "checkpoint_chunk", 0))
     if args.dim == 3:
         return _transient_3d(args, em, tcfg)
     if args.dim == 2:
@@ -988,7 +990,11 @@ def cmd_elastic(args):
                                      mu=args.mu)
     cfg = EL.ElasticConfig2D(nx=args.nx, ny=args.ny, M=args.M2,
                              n_colloc=args.M2, dtype=args.dtype,
-                             precond=args.precond)
+                             precond=args.precond,
+                             coarse=getattr(args, "coarse", "q1"),
+                             trace_lift=getattr(args, "trace_lift", 0))
+    if getattr(args, "mesh", None) == "slab":
+        return _cmd_elastic_sharded(args, em, problem, cfg)
     rec = {}
     with profiling.timed(rec, "solve_sec"):
         solver = EL.ElasticSolver2D(problem, cfg)
@@ -1013,6 +1019,39 @@ def cmd_elastic(args):
     em.emit("elastic_solve", **fields)
 
 
+def _cmd_elastic_sharded(args, em, problem, cfg):
+    """Distributed y-slab 2D elasticity over all available devices
+    (parallel/sharded_elastic.py); the vector analog of run2d --mesh."""
+    from .parallel import mesh as pmesh
+    from .parallel.sharded_elastic import (
+        make_sharded_evaluate_elastic_2d, make_sharded_solve_elastic_2d,
+    )
+
+    mesh = pmesh.element_mesh()
+    rec = {}
+    with profiling.timed(rec, "solve_sec"):
+        sol = make_sharded_solve_elastic_2d(problem, cfg, mesh)()
+        jax.block_until_ready(sol.coeffs)
+    fields = dict(problem=problem.name, elements=cfg.nx * cfg.ny,
+                  M=cfg.M, devices=mesh.devices.size,
+                  solve_sec=rec["solve_sec"],
+                  cg_iters=int(jnp.max(sol.cg_iters)),
+                  cg_residual=float(jnp.max(sol.cg_residual)),
+                  n_fallback=int(jnp.sum(~sol.solve_ok)))
+    if problem.exact1 is not None:
+        rng = np.random.default_rng(0)
+        d = problem.domain
+        dt = sol.coeffs.dtype
+        xq = jnp.asarray(rng.uniform(d[0], d[1], args.eval_points), dt)
+        yq = jnp.asarray(rng.uniform(d[2], d[3], args.eval_points), dt)
+        ev = make_sharded_evaluate_elastic_2d(problem, cfg, mesh)
+        u1, u2 = ev(sol.coeffs, xq, yq)
+        e1 = jnp.max(jnp.abs(u1 - problem.exact1(xq, yq)))
+        e2 = jnp.max(jnp.abs(u2 - problem.exact2(xq, yq)))
+        fields["linf_error"] = float(jnp.maximum(e1, e2))
+    em.emit("elastic_solve_sharded", **fields)
+
+
 def _cmd_elastic_wave(args):
     """Elastodynamics branch of ``elastic``: enhanced Newmark-beta march
     of rho u_tt - div sigma(u) = f with per-element vector (u, v, a)
@@ -1021,7 +1060,10 @@ def _cmd_elastic_wave(args):
     from .models.transient import TransientConfig
 
     em = M.MetricsEmitter()
-    tcfg = TransientConfig(t_final=args.t_final, n_steps=args.n_steps)
+    tcfg = TransientConfig(
+        t_final=args.t_final, n_steps=args.n_steps,
+        checkpoint=getattr(args, "checkpoint", None),
+        checkpoint_chunk=getattr(args, "checkpoint_chunk", 0))
     precond = "jacobi" if args.precond == "auto" else args.precond
     rng = np.random.default_rng(0)
     rec = {}
@@ -1701,6 +1743,13 @@ def build_parser():
     sp.add_argument("--mesh", default=None, choices=[None, "slab"],
                     help="2D: run the distributed y-slab march over all "
                     "available devices (heat_2d / semilinear_heat_2d)")
+    sp.add_argument("--checkpoint", default=None,
+                    help="march-state dir: the time scan is chunked, "
+                    "(step, state) written atomically per chunk; a "
+                    "matching state resumes from the last completed "
+                    "chunk (bitwise-identical to an uninterrupted run)")
+    sp.add_argument("--checkpoint-chunk", type=int, default=0,
+                    help="steps per checkpoint chunk (0 -> ~8 chunks)")
     sp.add_argument("--dtype", default=None,
                     choices=[None, "float32", "float64"])
     sp.add_argument("--x64", action="store_true")
@@ -1800,6 +1849,21 @@ def build_parser():
     sp.add_argument("--n-steps", type=int, default=40)
     sp.add_argument("--rho", type=float, default=1.0,
                     help="mass density (--wave)")
+    sp.add_argument("--coarse", default="q1",
+                    choices=["q1", "richardson"],
+                    help="richardson: two-grid nodal extrapolation -> "
+                    "O(h^4) nodal; pair with --trace-lift 6 for the "
+                    "high-order hybrid route (239x at 32^2)")
+    sp.add_argument("--trace-lift", type=int, default=0)
+    sp.add_argument("--mesh", default=None, choices=[None, "slab"],
+                    help="2D steady: distributed y-slab solve over all "
+                    "available devices (parallel/sharded_elastic.py)")
+    sp.add_argument("--checkpoint", default=None,
+                    help="march-state dir for --wave (chunked resumable "
+                    "scan, bitwise-identical resume); ignored for the "
+                    "steady solve")
+    sp.add_argument("--checkpoint-chunk", type=int, default=0,
+                    help="steps per checkpoint chunk (0 -> ~8 chunks)")
     sp.set_defaults(fn=cmd_elastic)
 
     sp = sub.add_parser(

@@ -44,7 +44,7 @@ from ..ops import assembly2d, cg, kkt
 from .elastic import (ElasticConfig2D, ElasticProblem2D, _block_colloc_host,
                       _block_locals, _component_problem, sin_elastic_2d)
 from .hybrid2d import _element_data_2d
-from .transient import TransientConfig
+from .transient import TransientConfig, _march_scan
 
 
 @dataclasses.dataclass(frozen=True)
@@ -248,7 +248,9 @@ def elastic_wave_march_2d(problem: ElasticWaveProblem2D,
 
     a0g, _ = solve_mass(load_at(jnp.asarray(0.0, dtype)) - apply_K(u0g))
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    (uN, vN, _), iters = jax.lax.scan(step, (u0g, v0g, a0g), ts)
+    (uN, vN, _), iters = _march_scan(step, (u0g, v0g, a0g), ts,
+                                     problem, cfg, tcfg,
+                                     "elastic_wave_march_2d")
     return ElasticWaveSolution2D(
         xs=xs, ys=ys, fem_values=uN, velocity=vN, coeffs=None,
         t_final=tcfg.t_final, cg_iters=jnp.max(iters),
@@ -355,8 +357,9 @@ def hybrid_elastic_wave_march_2d(problem: ElasticWaveProblem2D,
            - jnp.dot(wu0, D_j.T, precision=hi)) / rho
     wa0, _ = kkt.solve_primal_shared(proj, fa0, traces(a0g, comp_p0))
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    (uN, vN, _, wuN, _, _), iters = jax.lax.scan(
-        step, (u0g, v0g, a0g, wu0, wv0, wa0), ts)
+    (uN, vN, _, wuN, _, _), iters = _march_scan(
+        step, (u0g, v0g, a0g, wu0, wv0, wa0), ts, problem, cfg, tcfg,
+        "hybrid_elastic_wave_march_2d")
     return ElasticWaveSolution2D(
         xs=xs, ys=ys, fem_values=uN, velocity=vN,
         coeffs=jnp.stack([
@@ -553,7 +556,9 @@ def elastic_wave_march_3d(problem: ElasticWaveProblem3D, cfg,
 
     a0g, _ = solve_mass(load_at(jnp.asarray(0.0, dtype)) - apply_K(u0g))
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    (uN, vN, _), iters = jax.lax.scan(step, (u0g, v0g, a0g), ts)
+    (uN, vN, _), iters = _march_scan(step, (u0g, v0g, a0g), ts,
+                                     problem, cfg, tcfg,
+                                     "elastic_wave_march_3d")
     return ElasticWaveSolution3D(
         xs=xs, ys=ys, zs=zs, fem_values=uN, velocity=vN, coeffs=None,
         t_final=tcfg.t_final, cg_iters=jnp.max(iters),
@@ -661,8 +666,9 @@ def hybrid_elastic_wave_march_3d(problem: ElasticWaveProblem3D, cfg,
            - jnp.dot(wu0, D_j.T, precision=hi)) / rho
     wa0, _ = kkt.solve_primal_shared(proj, fa0, traces(a0g, comp_p0))
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    (uN, vN, _, wuN, _, _), iters = jax.lax.scan(
-        step, (u0g, v0g, a0g, wu0, wv0, wa0), ts)
+    (uN, vN, _, wuN, _, _), iters = _march_scan(
+        step, (u0g, v0g, a0g, wu0, wv0, wa0), ts, problem, cfg, tcfg,
+        "hybrid_elastic_wave_march_3d")
     M3 = M * M * M
     shp = (cfg.nz, cfg.ny, cfg.nx, M, M, M)
     return ElasticWaveSolution3D(

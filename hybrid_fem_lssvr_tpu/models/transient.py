@@ -76,6 +76,26 @@ class TransientConfig:
     # no advection, Dirichlet ends; reaction and load are Numerov-weighted
     # so the full operator keeps O(h^4).
     mass: str = "consistent"
+    checkpoint: Optional[str] = None  # mid-march resume dir: the scan is
+    # chunked and (step, carry) written atomically per chunk
+    # (utils.checkpoint.scan_checkpointed); a matching on-disk state
+    # resumes from the last completed chunk, bitwise-identical to the
+    # uninterrupted run.  The adaptive-dt marches are NOT checkpointed
+    # (their carry includes the running t; restart re-runs attempts).
+    checkpoint_chunk: int = 0  # steps per chunk (0 -> ~8 chunks)
+
+
+def _march_scan(step, carry0, ts, problem, cfg, tcfg, tag: str):
+    """``lax.scan`` or, when ``tcfg.checkpoint`` is set, the
+    chunk-checkpointed resumable scan (``utils.checkpoint``)."""
+    if not tcfg.checkpoint:
+        return jax.lax.scan(step, carry0, ts)
+    from ..utils import checkpoint as _ckpt
+
+    fp = _ckpt.march_fingerprint(problem.name, cfg, tcfg, tag)
+    return _ckpt.scan_checkpointed(
+        step, carry0, ts, path=tcfg.checkpoint,
+        chunk=tcfg.checkpoint_chunk, fingerprint=fp)
 
 
 def _tri_apply(sub, main, sup, u):
@@ -208,7 +228,7 @@ def fem_march(problem: TransientProblem1D, cfg: SolverConfig,
     if p.bc_right == "dirichlet":
         u0 = u0.at[-1].set(g_r)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * dt
-    uN, _ = jax.lax.scan(step, u0, ts)
+    uN, _ = _march_scan(step, u0, ts, problem, cfg, tcfg, "fem_march")
     return TransientSolution(nodes, uN, None, tcfg.t_final)
 
 
@@ -310,7 +330,8 @@ def hybrid_march(problem: TransientProblem1D, cfg: SolverConfig,
     w0 = jnp.dot(problem.u0(xc).astype(dtype),
                  jnp.asarray(W0pinv64, dtype).T, precision=hi)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * dt
-    (uN, wN), _ = jax.lax.scan(step, (u0, w0), ts)
+    (uN, wN), _ = _march_scan(step, (u0, w0), ts, problem, cfg, tcfg,
+                              "hybrid_march")
     return TransientSolution(nodes, uN, wN, tcfg.t_final)
 
 
@@ -503,7 +524,8 @@ def fem_march_2d(problem: TransientProblem2D, cfg, tcfg: TransientConfig):
         u1, iters = step(u, t)
         return u1, iters
 
-    uN, iters = jax.lax.scan(scan_step, u0, ts)
+    uN, iters = _march_scan(scan_step, u0, ts, problem, cfg, tcfg,
+                            "fem_march_2d")
     return TransientSolution2D(xs, ys, uN, None, tcfg.t_final,
                                jnp.max(iters))
 
@@ -626,7 +648,8 @@ def hybrid_march_2d(problem: TransientProblem2D, cfg,
     w0, _ = kkt.solve_primal_shared(proj, f0_rows, bc0)
     dt_j = jnp.asarray(dt, dtype)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * dt_j
-    (uN, wN), iters = jax.lax.scan(scan_step, (u0g, w0), ts)
+    (uN, wN), iters = _march_scan(scan_step, (u0g, w0), ts, problem,
+                                  cfg, tcfg, "hybrid_march_2d")
     return TransientSolution2D(
         xs, ys, uN, wN.reshape(cfg.ny, cfg.nx, M, M), tcfg.t_final,
         jnp.max(iters))
@@ -769,7 +792,8 @@ def fem_march_3d(problem: TransientProblem3D, cfg,
     u0g = jnp.where(interior, problem.u0(X, Y, Z) * ones, u_bc
                     ).astype(dtype)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    uN, iters = jax.lax.scan(step, u0g, ts)
+    uN, iters = _march_scan(step, u0g, ts, problem, cfg, tcfg,
+                            "fem_march_3d")
     return TransientSolution3D(xs, ys, zs, uN, None, tcfg.t_final,
                                jnp.max(iters))
 
@@ -942,7 +966,8 @@ def hybrid_march_3d(problem: TransientProblem3D, cfg,
                                  spts_j, trace_lift=trace_lift)
     w0, _ = kkt.solve_primal_shared(proj, f0, bc0)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    (uN, wN), iters = jax.lax.scan(scan_step, (u0g, w0), ts)
+    (uN, wN), iters = _march_scan(scan_step, (u0g, w0), ts, problem,
+                                  cfg, tcfg, "hybrid_march_3d")
     return TransientSolution3D(
         xs, ys, zs, uN, wN.reshape(cfg.nz, cfg.ny, cfg.nx, M, M, M),
         tcfg.t_final, jnp.max(iters))
@@ -1056,7 +1081,8 @@ def wave_march(problem: WaveProblem1D, cfg: SolverConfig,
     v0 = jnp.where(free, problem.v0(nodes), 0.0).astype(dtype)
     a0 = accel(u0, jnp.asarray(0.0, dtype))
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    (uN, vN, _), _ = jax.lax.scan(step, (u0, v0, a0), ts)
+    (uN, vN, _), _ = _march_scan(step, (u0, v0, a0), ts, problem, cfg,
+                                 tcfg, "wave_march")
     return TransientSolution(nodes, uN, None, tcfg.t_final), vN
 
 
@@ -1153,8 +1179,9 @@ def hybrid_wave_march(problem: WaveProblem1D, cfg: SolverConfig,
     fa0 = problem.f(xc, 0.0) - jnp.dot(wu0, D_L.T, precision=hi)
     wa0 = jnp.dot(fa0, W0pinv.T, precision=hi)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    (uN, vN, _, wuN, _, _), _ = jax.lax.scan(
-        step, (u0, v0, a0, wu0, wv0, wa0), ts)
+    (uN, vN, _, wuN, _, _), _ = _march_scan(
+        step, (u0, v0, a0, wu0, wv0, wa0), ts, problem, cfg, tcfg,
+        "hybrid_wave_march")
     return TransientSolution(nodes, uN, wuN, tcfg.t_final), vN
 
 
@@ -1263,7 +1290,8 @@ def wave_march_2d(problem: WaveProblem2D, cfg, tcfg: TransientConfig,
         - assembly2d.apply_stiffness(u0g, K_A)
     a0g, _ = free_solve(K_M, rhs0)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    (uN, vN, _), iters = jax.lax.scan(step, (u0g, v0g, a0g), ts)
+    (uN, vN, _), iters = _march_scan(step, (u0g, v0g, a0g), ts,
+                                     problem, cfg, tcfg, "wave_march_nd")
     return TransientSolution2D(xs, ys, uN, None, tcfg.t_final,
                                jnp.max(iters)), vN
 
@@ -1371,7 +1399,8 @@ def wave_march_3d(problem: WaveProblem3D, cfg, tcfg: TransientConfig,
         - assembly3d.apply_stiffness_3d(u0g, K_A)
     a0g, _ = free_solve(K_M, rhs0)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    (uN, vN, _), iters = jax.lax.scan(step, (u0g, v0g, a0g), ts)
+    (uN, vN, _), iters = _march_scan(step, (u0g, v0g, a0g), ts,
+                                     problem, cfg, tcfg, "wave_march_nd")
     return TransientSolution3D(xs, ys, zs, uN, None, tcfg.t_final,
                                jnp.max(iters)), vN
 
@@ -1443,7 +1472,8 @@ def fem_march_semilinear(problem: SemilinearTransientProblem1D,
     if p.bc_right == "dirichlet":
         u0 = u0.at[-1].set(g_r)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * dt
-    (uN, _), _ = jax.lax.scan(step, (u0, problem.s(u0)), ts)
+    (uN, _), _ = _march_scan(step, (u0, problem.s(u0)), ts, problem,
+                             cfg, tcfg, "fem_march_semilinear")
     return TransientSolution(nodes, uN, None, tcfg.t_final)
 
 
@@ -1520,8 +1550,9 @@ def hybrid_march_semilinear(problem: SemilinearTransientProblem1D,
                  jnp.asarray(W0pinv64, dtype).T, precision=hi)
     sc0 = problem.s(jnp.dot(w0, V0.T, precision=hi))
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * dt
-    (uN, _, wN, _), _ = jax.lax.scan(step, (u0, problem.s(u0), w0, sc0),
-                                     ts)
+    (uN, _, wN, _), _ = _march_scan(
+        step, (u0, problem.s(u0), w0, sc0), ts, problem, cfg, tcfg,
+        "hybrid_march_semilinear")
     return TransientSolution(nodes, uN, wN, tcfg.t_final)
 
 
@@ -1613,7 +1644,9 @@ def fem_march_semilinear_2d(problem: SemilinearTransientProblem2D, cfg,
     u0 = jnp.where(interior, problem.u0(X, Y) * jnp.ones_like(X), u_bc
                    ).astype(dtype)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * dt
-    (uN, _), iters = jax.lax.scan(step, (u0, problem.s(u0)), ts)
+    (uN, _), iters = _march_scan(step, (u0, problem.s(u0)), ts,
+                                 problem, cfg, tcfg,
+                                 "fem_march_semilinear_2d")
     return TransientSolution2D(xs, ys, uN, None, tcfg.t_final,
                                jnp.max(iters))
 
@@ -1686,8 +1719,9 @@ def hybrid_march_semilinear_2d(problem: SemilinearTransientProblem2D,
     w0, _ = kkt.solve_primal_shared(proj, f0_rows, bc0)
     sc0 = problem.s(jnp.dot(w0, Mass_op.T, precision=hi))
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    (uN, _, wN, _), iters = jax.lax.scan(
-        scan_step, (u0g, problem.s(u0g), w0, sc0), ts)
+    (uN, _, wN, _), iters = _march_scan(
+        scan_step, (u0g, problem.s(u0g), w0, sc0), ts, problem, cfg,
+        tcfg, "hybrid_march_semilinear_2d")
     return TransientSolution2D(
         xs, ys, uN, wN.reshape(cfg.ny, cfg.nx, M, M), tcfg.t_final,
         jnp.max(iters))
@@ -1803,7 +1837,9 @@ def fem_march_semilinear_3d(problem: SemilinearTransientProblem3D, cfg,
     u0 = jnp.where(interior, problem.u0(X, Y, Z) * ones, u_bc
                    ).astype(dtype)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    (uN, _), iters = jax.lax.scan(step, (u0, problem.s(u0)), ts)
+    (uN, _), iters = _march_scan(step, (u0, problem.s(u0)), ts,
+                                 problem, cfg, tcfg,
+                                 "fem_march_semilinear_3d")
     return TransientSolution3D(xs, ys, zs, uN, None, tcfg.t_final,
                                jnp.max(iters))
 
@@ -1873,8 +1909,9 @@ def hybrid_march_semilinear_3d(problem: SemilinearTransientProblem3D,
     w0, _ = kkt.solve_primal_shared(proj, f0_rows, bc0)
     sc0 = problem.s(jnp.dot(w0, Mass_op.T, precision=hi))
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    (uN, _, wN, _), iters = jax.lax.scan(
-        scan_step, (u0g, problem.s(u0g), w0, sc0), ts)
+    (uN, _, wN, _), iters = _march_scan(
+        scan_step, (u0g, problem.s(u0g), w0, sc0), ts, problem, cfg,
+        tcfg, "hybrid_march_semilinear_3d")
     return TransientSolution3D(
         xs, ys, zs, uN, wN.reshape(cfg.nz, cfg.ny, cfg.nx, M, M, M),
         tcfg.t_final, jnp.max(iters))
@@ -2220,8 +2257,9 @@ def hybrid_wave_march_2d(problem: WaveProblem2D, cfg,
         - jnp.dot(wu0, D_L.T, precision=hi)
     wa0, _ = kkt.solve_primal_shared(proj, fa0, bc_a0)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    (uN, vN, _, wuN, _, _), iters = jax.lax.scan(
-        step, (u0g, v0g, a0g, wu0, wv0, wa0), ts)
+    (uN, vN, _, wuN, _, _), iters = _march_scan(
+        step, (u0g, v0g, a0g, wu0, wv0, wa0), ts, problem, cfg, tcfg,
+        "hybrid_wave_march_2d")
     return TransientSolution2D(
         xs, ys, uN, wuN.reshape(cfg.ny, cfg.nx, M, M), tcfg.t_final,
         jnp.max(iters)), vN
@@ -2358,8 +2396,9 @@ def hybrid_wave_march_3d(problem: WaveProblem3D, cfg,
         - jnp.dot(wu0, D_L.T, precision=hi)
     wa0, _ = kkt.solve_primal_shared(proj, fa0, bc_a0)
     ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
-    (uN, vN, _, wuN, _, _), iters = jax.lax.scan(
-        step, (u0g, v0g, a0g, wu0, wv0, wa0), ts)
+    (uN, vN, _, wuN, _, _), iters = _march_scan(
+        step, (u0g, v0g, a0g, wu0, wv0, wa0), ts, problem, cfg, tcfg,
+        "hybrid_wave_march_3d")
     return TransientSolution3D(
         xs, ys, zs, uN, wuN.reshape(cfg.nz, cfg.ny, cfg.nx, M, M, M),
         tcfg.t_final, jnp.max(iters)), vN

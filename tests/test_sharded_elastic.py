@@ -167,3 +167,39 @@ def test_sharded_elastic_3d_requires_divisible_nz():
     mesh = pmesh.element_mesh(n_devices=4)
     with pytest.raises(ValueError):
         make_sharded_solve_elastic_3d(p, cfg, mesh)
+
+
+def test_cli_elastic_mesh_slab(capsys):
+    """`elastic --mesh slab` drives the distributed y-slab vector solve
+    over the 8 virtual devices and emits the sharded metrics line."""
+    import json
+
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["elastic", "--mesh", "slab", "--nx", "8", "--ny", "8",
+              "--M2", "4", "--eval-points", "200", "--precond",
+              "jacobi", "--dtype", "float64", "--x64"])
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    rec = [r for r in lines if r.get("stage") == "elastic_solve_sharded"]
+    assert rec, lines
+    assert rec[0]["devices"] == 8
+    assert rec[0]["n_fallback"] == 0
+    assert rec[0]["linf_error"] < 0.3
+
+
+def test_cli_elastic_richardson(capsys):
+    """`elastic --coarse richardson --trace-lift 6` runs the high-order
+    route end-to-end."""
+    import json
+
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["elastic", "--nx", "16", "--ny", "16", "--M2", "6",
+              "--coarse", "richardson", "--trace-lift", "6",
+              "--eval-points", "400", "--dtype", "float64", "--x64"])
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    rec = [r for r in lines if r.get("stage") == "elastic_solve"]
+    assert rec, lines
+    assert rec[0]["linf_error"] < 6e-3  # measured 4.3e-3 at 16^2
