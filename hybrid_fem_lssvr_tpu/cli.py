@@ -719,10 +719,25 @@ def cmd_nonlinear(args):
                    "bratu_1d": NL.bratu_1d}[args.problem]()
         cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
                            gamma=args.gamma, dtype=args.dtype)
-        with profiling.timed(rec, "solve_sec"):
-            sol = NL.hybrid_solve_semilinear(problem, cfg,
-                                             scheme=args.scheme)
-            jax.block_until_ready(sol.coeffs)
+        if getattr(args, "mesh", None) == "slab":
+            from .parallel import mesh as pmesh
+            from .parallel.sharded_families import (
+                make_sharded_solve_semilinear,
+            )
+
+            m = pmesh.element_mesh()
+            rec["devices"] = m.devices.size
+            with profiling.timed(rec, "solve_sec"):
+                sol = make_sharded_solve_semilinear(
+                    problem, cfg, m, scheme=args.scheme)()
+                jax.block_until_ready(sol.coeffs)
+            sol = sol._replace(
+                coeffs=jnp.asarray(np.asarray(sol.coeffs)))
+        else:
+            with profiling.timed(rec, "solve_sec"):
+                sol = NL.hybrid_solve_semilinear(problem, cfg,
+                                                 scheme=args.scheme)
+                jax.block_until_ready(sol.coeffs)
         elements, M_basis = cfg.num_nodes - 1, cfg.M
     fields = dict(
         problem=problem.name,
@@ -734,6 +749,8 @@ def cmd_nonlinear(args):
         colloc_residual=float(sol.colloc_residual),
         n_fallback=int(jnp.sum(~jnp.asarray(sol.solve_ok))),
     )
+    if "devices" in rec:
+        fields["devices"] = rec.pop("devices")
     if problem.exact is not None:
         dt = sol.fem_values.dtype
         if args.problem.endswith("_2d"):
@@ -800,9 +817,23 @@ def cmd_eig(args):
         problem = problems.get(args.problem)
         cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
                            gamma=args.gamma, dtype=args.dtype)
-        with profiling.timed(rec, "solve_sec"):
-            sol = EIG.hybrid_eigensolve(problem, cfg, ecfg)
-            jax.block_until_ready(sol.coeffs)
+        if getattr(args, "mesh", None) == "slab":
+            from .parallel import mesh as pmesh
+            from .parallel.sharded_families import (
+                make_sharded_eigensolve,
+            )
+
+            m = pmesh.element_mesh()
+            rec["devices"] = m.devices.size
+            with profiling.timed(rec, "solve_sec"):
+                sol = make_sharded_eigensolve(problem, cfg, m, ecfg)()
+                jax.block_until_ready(sol.coeffs)
+            sol = sol._replace(
+                coeffs=jnp.asarray(np.asarray(sol.coeffs)))
+        else:
+            with profiling.timed(rec, "solve_sec"):
+                sol = EIG.hybrid_eigensolve(problem, cfg, ecfg)
+                jax.block_until_ready(sol.coeffs)
         elements = cfg.num_nodes - 1
         exact = (None if args.exact_c0 is None
                  else EIG.exact_eigenvalues(problem, args.k,
@@ -819,6 +850,8 @@ def cmd_eig(args):
         max_residual=float(jnp.max(sol.fem.residuals)),
         n_fallback=int(jnp.sum(~jnp.asarray(sol.solve_ok))),
     )
+    if "devices" in rec:
+        fields["devices"] = rec.pop("devices")
     if exact is not None:
         fields["fem_lam_err"] = [
             float(v) for v in np.abs(np.asarray(sol.fem.lams) - exact)]
@@ -853,19 +886,39 @@ def cmd_biharmonic(args):
     cfg = SolverConfig(num_nodes=args.num_nodes, M=args.M,
                        gamma=args.gamma, dtype=args.dtype)
     rec = {}
-    with profiling.timed(rec, "solve_sec"):
-        sol = solve_biharmonic_1d(problem, cfg)
-        jax.block_until_ready(sol.u.coeffs)
+    devices = None
+    if getattr(args, "mesh", None) == "slab":
+        from .parallel import mesh as pmesh
+        from .parallel.sharded_families import (
+            make_sharded_solve_biharmonic_1d,
+        )
+
+        m = pmesh.element_mesh()
+        devices = m.devices.size
+        with profiling.timed(rec, "solve_sec"):
+            sol = make_sharded_solve_biharmonic_1d(problem, cfg, m)()
+            jax.block_until_ready(sol.u.coeffs)
+        nodes = jnp.linspace(*problem.domain, cfg.num_nodes,
+                             dtype=sol.u.coeffs.dtype)
+        u_c = jnp.asarray(np.asarray(sol.u.coeffs))
+        v_c = jnp.asarray(np.asarray(sol.v.coeffs))
+    else:
+        with profiling.timed(rec, "solve_sec"):
+            sol = solve_biharmonic_1d(problem, cfg)
+            jax.block_until_ready(sol.u.coeffs)
+        nodes, u_c, v_c = sol.u.nodes, sol.u.coeffs, sol.v.coeffs
     fields = dict(problem=problem.name, elements=cfg.num_nodes - 1,
                   M=cfg.M, solve_sec=rec["solve_sec"],
                   n_fallback=int((~sol.u.solve_ok).sum())
                   + int((~sol.v.solve_ok).sum()))
+    if devices is not None:
+        fields["devices"] = devices
     if problem.exact is not None:
         x = jnp.linspace(*problem.domain, args.eval_points,
-                         dtype=sol.u.coeffs.dtype)
-        u = ev.evaluate(sol.u.nodes, sol.u.coeffs, x)
+                         dtype=u_c.dtype)
+        u = ev.evaluate(nodes, u_c, x)
         fields["linf_error"] = float(M.linf_error(u, problem.exact(x)))
-        v = ev.evaluate(sol.v.nodes, sol.v.coeffs, x)
+        v = ev.evaluate(nodes, v_c, x)
         fields["moment_linf_error"] = float(
             M.linf_error(v, problem.exact_d2(x)))
     em.emit("biharmonic_solve", **fields)
@@ -912,23 +965,52 @@ def _biharmonic_2d(args, em):
                          dtype=args.dtype, precond="jacobi",
                          coarse=args.coarse, trace_lift=args.trace_lift)
     rec = {}
-    with profiling.timed(rec, "solve_sec"):
-        sol = solve_biharmonic_2d(problem, cfg)
-        jax.block_until_ready(sol.u.coeffs)
+    devices = None
+    if getattr(args, "mesh", None) == "slab":
+        from .models.hybrid2d import Solution2D
+        from .parallel import mesh as pmesh
+        from .parallel.sharded_families import (
+            make_sharded_solve_biharmonic_2d,
+        )
+
+        m = pmesh.element_mesh()
+        devices = m.devices.size
+        with profiling.timed(rec, "solve_sec"):
+            out = make_sharded_solve_biharmonic_2d(problem, cfg, m)()
+            jax.block_until_ready(out.u.coeffs)
+        d = problem.domain
+        dt = out.u.coeffs.dtype
+        xs = jnp.linspace(d[0], d[1], cfg.nx + 1, dtype=dt)
+        ys = jnp.linspace(d[2], d[3], cfg.ny + 1, dtype=dt)
+
+        def _full(s):
+            return Solution2D(xs, ys, None,
+                              jnp.asarray(np.asarray(s.coeffs)),
+                              0, 0.0, None, None, s.solve_ok)
+
+        sol_u = _full(out.u)
+        ok_u, ok_v = out.u.solve_ok, out.v.solve_ok
+    else:
+        with profiling.timed(rec, "solve_sec"):
+            sol = solve_biharmonic_2d(problem, cfg)
+            jax.block_until_ready(sol.u.coeffs)
+        sol_u = sol.u
+        ok_u, ok_v = sol.u.solve_ok, sol.v.solve_ok
     fields = dict(problem=problem.name, elements=args.nx * args.ny,
                   M=args.M2, coarse=args.coarse,
                   trace_lift=args.trace_lift,
                   solve_sec=rec["solve_sec"],
-                  n_fallback=int((~sol.u.solve_ok).sum())
-                  + int((~sol.v.solve_ok).sum()))
+                  n_fallback=int((~ok_u).sum()) + int((~ok_v).sum()))
+    if devices is not None:
+        fields["devices"] = devices
     if problem.exact is not None:
         rng = np.random.default_rng(0)
         d = problem.domain
         xq = jnp.asarray(rng.uniform(d[0], d[1], args.eval_points),
-                         sol.u.coeffs.dtype)
+                         sol_u.coeffs.dtype)
         yq = jnp.asarray(rng.uniform(d[2], d[3], args.eval_points),
-                         sol.u.coeffs.dtype)
-        u = evaluate_2d(sol.u, xq, yq)
+                         sol_u.coeffs.dtype)
+        u = evaluate_2d(sol_u, xq, yq)
         fields["linf_error"] = float(
             M.linf_error(u, problem.exact(xq, yq)))
     em.emit("biharmonic_solve_2d", **fields)
@@ -1785,6 +1867,10 @@ def build_parser():
                     choices=[None, "float32", "float64"])
     sp.add_argument("--x64", action="store_true")
     sp.add_argument("--eval-points", type=int, default=401)
+    sp.add_argument("--mesh", default=None, choices=[None, "slab"],
+                    help="1D problems: distributed element-sharded "
+                    "element-Newton enhancement over all available "
+                    "devices (parallel/sharded_families.py)")
     sp.set_defaults(fn=cmd_nonlinear)
 
     sp = sub.add_parser(
@@ -1813,6 +1899,10 @@ def build_parser():
                     choices=[None, "float32", "float64"])
     sp.add_argument("--x64", action="store_true")
     sp.add_argument("--eval-points", type=int, default=401)
+    sp.add_argument("--mesh", default=None, choices=[None, "slab"],
+                    help="--dim 1|2: distributed chained solves over all "
+                    "available devices (parallel/sharded_families.py; "
+                    "--dim 2 supports --coarse compact --trace-lift 6)")
     sp.set_defaults(fn=cmd_biharmonic)
 
     sp = sub.add_parser(
@@ -1892,6 +1982,10 @@ def build_parser():
     sp.add_argument("--x64", action="store_true")
     sp.add_argument("--exact-c0", type=float, default=None,
                     help="emit eigenvalue errors vs (j pi/L)^2 + c0")
+    sp.add_argument("--mesh", default=None, choices=[None, "slab"],
+                    help="--dim 1: element-sharded per-pair enhancement "
+                    "over all available devices (the coarse pencil is "
+                    "replicated; parallel/sharded_families.py)")
     sp.set_defaults(fn=cmd_eig)
 
     sp = sub.add_parser(

@@ -991,7 +991,8 @@ def fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys):
 
 def _element_data_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys,
                      fem_values, t_int, bpts, row_offset=0, col_offset=0,
-                     trace_lift: int = 0, skip_f: bool = False):
+                     trace_lift: int = 0, skip_f: bool = False,
+                     trace_rows=None):
     """Per-element collocation rhs [E, C^2] (interior points) and
     boundary-trace values [E, 4M-4] (FEM bilinear trace, overridden by g on
     domain-boundary edges).
@@ -1003,8 +1004,11 @@ def _element_data_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys,
 
     ``trace_lift >= 2`` replaces the bilinear trace with the tangential
     Lagrange lift (``_lifted_trace_2d``; full-grid callers only — the lift
-    windows need whole grid lines, so sharded slabs keep the bilinear
-    trace).  Domain-boundary points still take g exactly.
+    windows need whole grid lines).  Sharded slab callers pass
+    ``trace_rows`` instead: precomputed [ny_loc, nx, K] trace values
+    (computed on the gathered full grid so the lift windows are global,
+    then sliced per slab — ``parallel.sharded2d``).  Domain-boundary
+    points still take g exactly in all cases.
 
     ``skip_f=True`` skips the body-force collocation rows (returned as
     ``None``) for trace-only callers — the per-step ``traces()`` of the
@@ -1040,7 +1044,9 @@ def _element_data_2d(problem: Problem2D, cfg: Solver2DConfig, xs, ys,
     N10 = 0.25 * (1 + tx) * (1 - ty)
     N01 = 0.25 * (1 - tx) * (1 + ty)
     N11 = 0.25 * (1 + tx) * (1 + ty)
-    if trace_lift >= 2:
+    if trace_rows is not None:
+        trace = trace_rows  # [ny_loc, nx, K] precomputed (global windows)
+    elif trace_lift >= 2:
         trace = _lifted_trace_2d(
             fem_values, cfg.M, nx_loc, ny_loc, stencil=trace_lift
         ).reshape(ny_loc, nx_loc, -1)  # [ny, nx, K] (bpts order)

@@ -278,11 +278,22 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
             diag_local = diag_local + assembly2d.stiffness_diag(
                 (ny_loc + 1, nx1), K_const, dtype)
     else:
-        K_loc = jnp.asarray(
-            assembly2d.q1_local_operator(hx, hy, problem.a0, problem.c,
-                                         *problem.b),
-            dtype,
-        )
+        if cfg.coarse == "compact":
+            # Tensor-Numerov compact rows: same 9-point local-4x4
+            # sparsity as Q1, so the identical halo-apply machinery
+            # carries the O(h^4) scheme (constraints validated at build
+            # time in make_sharded_solve_2d).
+            K_loc = jnp.asarray(
+                assembly2d.q1_numerov_locals(hx, hy, problem.a0,
+                                             problem.c)[0],
+                dtype,
+            )
+        else:
+            K_loc = jnp.asarray(
+                assembly2d.q1_local_operator(hx, hy, problem.a0,
+                                             problem.c, *problem.b),
+                dtype,
+            )
 
         def apply_local(v):
             return assembly2d.apply_stiffness(v, K_loc)
@@ -299,8 +310,24 @@ def _dist_fem_solve_2d(problem: Problem2D, cfg: Solver2DConfig, d, n_dev,
     own = jnp.where((jnp.arange(ny_loc + 1) > 0) | (d == 0), 1.0, 0.0)
     own = own.astype(dtype)[:, None]
 
-    b = _halo_add(assembly2d.assemble_load(xs, ys_loc, problem.f),
-                  d, n_dev, axis)
+    if not var and cfg.coarse == "compact":
+        # Numerov-weighted load M f_nodal on the slab's nodes; the
+        # interface rows' neighbour-element contributions arrive through
+        # the same halo exchange as the Q1 quadrature load (nodal f
+        # samples agree across the shared interface row, so the split
+        # element sums add exactly).
+        K_M = jnp.asarray(
+            assembly2d.q1_numerov_locals(hx, hy, problem.a0,
+                                         problem.c)[1],
+            dtype,
+        )
+        Xl, Yl = jnp.meshgrid(xs, ys_loc)
+        F_nodes = problem.f(Xl, Yl) * jnp.ones_like(Xl)
+        b = _halo_add(assembly2d.apply_stiffness(F_nodes, K_M),
+                      d, n_dev, axis)
+    else:
+        b = _halo_add(assembly2d.assemble_load(xs, ys_loc, problem.f),
+                      d, n_dev, axis)
     X, Y = jnp.meshgrid(xs, ys_loc)
     u_bc = jnp.where(interior, 0.0, problem.g(X, Y) * jnp.ones_like(X))
 
@@ -426,16 +453,32 @@ def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
                           distributed_fem: bool = True):
     """Jitted multi-chip 2D solve; cfg.ny must divide by the device count.
 
-    ``distributed_fem=True`` runs the coarse Q1-CG stage distributed over
+    ``distributed_fem=True`` runs the coarse CG stage distributed over
     the same y-slabs (halo exchange per stiffness apply, psum inner
     products); ``False`` replicates the coarse stage on every device (no
-    communication — fine while the coarse grid is small)."""
+    communication — fine while the coarse grid is small).
+
+    The O(h^4) route rides this path too (round 4): cfg.coarse='compact'
+    swaps the local 4x4 for the tensor-Numerov operator (same 9-point
+    sparsity, so the identical halo machinery applies) + the
+    Numerov-weighted nodal load, and cfg.trace_lift >= 2 computes the
+    tangential Lagrange lift on the GATHERED nodal grid (one all_gather
+    of the tiny [ny+1, nx+1] array — global windows, sliced per slab)."""
     if any(t != "dirichlet" for t in problem.bc_edges):
         raise NotImplementedError(
             "this path eliminates all boundary edges structurally "
             "(Dirichlet only); mixed-BC problems run on the "
             "single-device uniform path (HybridSolver2D)"
         )
+    if cfg.coarse == "compact":
+        # Same constraints as the single-device compact scheme
+        # (hybrid2d.fem_solve_2d) — validated here so a sharded run
+        # fails loudly at build time instead of degrading to Q1.
+        if problem.a_var is not None:
+            raise ValueError("coarse='compact' needs constant diffusion "
+                             "(a_var is set); use coarse='q1'")
+        if problem.b != (0.0, 0.0):
+            raise ValueError("coarse='compact' requires b == (0, 0)")
     n_dev = mesh.shape[axis]
     ny_loc = -(-cfg.ny // n_dev)  # ceil: tail slabs carry masked padding
     ny_pad = n_dev * ny_loc
@@ -471,9 +514,28 @@ def make_sharded_solve_2d(problem: Problem2D, cfg: Solver2DConfig, mesh,
                 fem_pad, (row0, jnp.zeros_like(row0)),
                 (ny_loc + 1, cfg.nx + 1),
             )
+        trace_rows = None
+        if cfg.trace_lift >= 2:
+            # High-order tangential lift: the Lagrange windows need
+            # GLOBAL grid lines, so gather the (tiny) nodal grid — one
+            # all_gather of [ny+1, nx+1] — lift on it with global
+            # windows, and slice this slab's element rows.  The lift
+            # itself is O(ny nx M) — cheaper to recompute everywhere
+            # than to orchestrate stencil-wide halos.
+            from ..models.hybrid2d import _lifted_trace_2d
+
+            fem_full = _gather_grid(fem_loc, n_dev, axis)[: cfg.ny + 1]
+            tr = _lifted_trace_2d(
+                fem_full, cfg.M, cfg.nx, cfg.ny, stencil=cfg.trace_lift
+            ).reshape(cfg.ny, cfg.nx, -1)
+            tr = jnp.pad(tr, ((0, ny_pad - cfg.ny), (0, 0), (0, 0)))
+            trace_rows = jax.lax.dynamic_slice(
+                tr, (row0, jnp.zeros_like(row0), jnp.zeros_like(row0)),
+                (ny_loc, cfg.nx, tr.shape[-1]),
+            )
         f_rows, bc_rows, corners = _element_data_2d(
             problem, cfg, xs, ys_loc, fem_loc, t_int, bpts,
-            row_offset=row0,
+            row_offset=row0, trace_rows=trace_rows,
         )
         if problem.a_var is not None:
             # Per-element operators from THIS slab's coefficient samples +
@@ -539,6 +601,12 @@ def make_sharded_solve_2d_graded(problem: Problem2D, cfg: Solver2DConfig,
             "this path eliminates all boundary edges structurally "
             "(Dirichlet only); mixed-BC problems run on the "
             "single-device uniform path (HybridSolver2D)"
+        )
+    if cfg.coarse != "q1" or cfg.trace_lift >= 2:
+        raise NotImplementedError(
+            "graded meshes run the Q1/bilinear route (the compact "
+            "scheme and the tangential lift assume uniform spacing) — "
+            "failing loudly instead of silently degrading to O(h^2)"
         )
     import dataclasses
 
@@ -779,6 +847,13 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
             "this path eliminates all boundary edges structurally "
             "(Dirichlet only); mixed-BC problems run on the "
             "single-device uniform path (HybridSolver2D)"
+        )
+    if cfg.coarse != "q1" or cfg.trace_lift >= 2:
+        raise NotImplementedError(
+            "the 2-axis grid path runs the Q1/bilinear route only; "
+            "coarse='compact' / trace_lift live on the y-slab path "
+            "(make_sharded_solve_2d) — failing loudly instead of "
+            "silently degrading to O(h^2)"
         )
     from .mesh import GRID_AXES
 

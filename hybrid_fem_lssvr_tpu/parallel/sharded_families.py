@@ -1,0 +1,344 @@
+"""Distributed solves for the COMPOSED model families — biharmonic,
+Sturm–Liouville eigen, steady semilinear — closing the round-3 symmetry
+gap (every scalar source family rode ``shard_map``; the composed families
+did not).
+
+Design per family (all element-axis DP, the framework's core parallelism
+— the reference scales its element loop sequentially at ~15 el/s,
+``Hybrid-FEM-LSSVR.py:151-176``):
+
+* **Biharmonic 1D/2D** (``u'''' = f`` / ``Lap^2 u = f``, simply
+  supported): the exact two-Poisson splitting (models/biharmonic.py)
+  chains TWO existing distributed solves.  Stage v runs
+  ``make_sharded_solve[_2d]`` unchanged; its enhanced coefficients are
+  re-replicated with ONE collective (``jax.device_put`` to a replicated
+  sharding — an all-gather over the element axis), and stage u's rhs
+  reads them pointwise through the traced evaluator inside the second
+  distributed solve.  Communication cost: the existing per-stage halo /
+  SPIKE traffic + one [E, M] (resp. [ny, nx, M, M]) all-gather between
+  stages.
+
+* **Eigen 1D**: the coarse pencil subspace iteration is O(N·k) work on a
+  tridiagonal — communication-free to replicate (every device runs the
+  identical tiny iteration; replicating beats distributing because ONE
+  halo exchange costs more than the whole pencil apply at practical N).
+  The expensive stages — the per-pair shifted-operator LSSVR enhancement
+  (batched KKT over E elements) and the Rayleigh-quotient quadrature —
+  shard over element slabs; the quotient reduces via per-device partial
+  sums (elements are disjoint, so the slab sums add exactly).
+
+* **Steady semilinear 1D**: the coarse Newton iterates a tridiagonal
+  solve at N ~ 1e3 unknowns — replicated for the same reason as the
+  eigen pencil — while the element-Newton enhancement (``n_newton_elem``
+  batched KKT solves over [E, C, M] tensors, the dominant cost) shards
+  over element slabs.  Element Newton is per-element independent (the
+  boundary traces are frozen from the coarse stage), so slab-batched ==
+  full-batched exactly.
+
+Every factory returns a zero-argument callable producing outputs equal
+to the single-device family solver (asserted in
+``tests/test_sharded_families.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..models.biharmonic import (BiharmonicProblem1D, BiharmonicProblem2D)
+from ..models.eigen import (EigenConfig, _quadrature_forms,
+                            _shifted_problem, fem_eigensolve)
+from ..models.hybrid import (SolverConfig, lssvr_enhance,
+                             prepare_shared_host)
+from ..models.hybrid2d import Problem2D, Solution2D, Solver2DConfig
+from ..models.nonlinear import (SemilinearProblem1D, SemilinearSolution,
+                                fem_newton)
+from ..models.problem import Problem1D
+from ..ops import eval as ev
+from ..ops import kkt, legendre
+from .mesh import ELEMENT_AXIS
+from .sharded import ShardedSolution, make_sharded_solve
+from .sharded2d import ShardedSolution2D, make_sharded_solve_2d
+
+HI = jax.lax.Precision.HIGHEST
+
+
+# ------------------------------------------------------------ biharmonic
+
+
+class ShardedBiharmonicSolution(NamedTuple):
+    u: ShardedSolution  # displacement solve (coeffs sharded over elements)
+    v: ShardedSolution  # moment (u'') solve
+
+
+def make_sharded_solve_biharmonic_1d(problem: BiharmonicProblem1D,
+                                     cfg: SolverConfig, mesh,
+                                     axis: str = ELEMENT_AXIS):
+    """Distributed simply-supported biharmonic: two chained distributed
+    Poisson solves (module docstring).  Returns a zero-argument callable;
+    equality with ``solve_biharmonic_1d`` is per-stage exact up to the
+    distributed coarse solve's SPIKE-vs-Thomas rounding."""
+    f = problem.f
+    pv = Problem1D(
+        name=f"{problem.name}:moment",
+        f=lambda x: -f(x),
+        domain=problem.domain,
+        exact=problem.exact_d2,
+    )
+    run_v = make_sharded_solve(pv, cfg, mesh, axis)
+    dtype = cfg.jnp_dtype()
+    x0, x1 = problem.domain
+    nodes = jnp.linspace(x0, x1, cfg.num_nodes, dtype=dtype)
+    repl = NamedSharding(mesh, P())
+
+    def run() -> ShardedBiharmonicSolution:
+        sol_v = run_v()
+        # ONE all-gather: re-replicate the stage-v polynomials so every
+        # device can read the stage-u rhs pointwise in its own slab.
+        wv = jax.device_put(sol_v.coeffs, repl)
+        pu = Problem1D(
+            name=f"{problem.name}:displacement",
+            f=lambda x: -ev.evaluate(nodes, wv, x),
+            domain=problem.domain,
+            exact=problem.exact,
+        )
+        run_u = make_sharded_solve(pu, cfg, mesh, axis)
+        return ShardedBiharmonicSolution(u=run_u(), v=sol_v)
+
+    return run
+
+
+class ShardedBiharmonicSolution2D(NamedTuple):
+    u: ShardedSolution2D
+    v: ShardedSolution2D
+
+
+def make_sharded_solve_biharmonic_2d(problem: BiharmonicProblem2D,
+                                     cfg: Solver2DConfig, mesh,
+                                     axis: str = ELEMENT_AXIS):
+    """Distributed simply-supported plate: chained y-slab solves; the
+    u-stage rhs reads the re-replicated v-stage tensor-Legendre
+    polynomials through ``evaluate_2d`` inside the second ``shard_map``
+    (single-device chain: models/biharmonic.py::solve_biharmonic_2d)."""
+    from ..models.hybrid2d import evaluate_2d
+
+    f = problem.f
+    zero = lambda x, y: jnp.zeros_like(x + y)  # noqa: E731
+    pv = Problem2D(
+        name=f"{problem.name}:moment",
+        f=lambda x, y: -f(x, y),
+        g=zero,
+        domain=problem.domain,
+        exact=problem.exact_lap,
+    )
+    run_v = make_sharded_solve_2d(pv, cfg, mesh, axis)
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1 = problem.domain
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    repl = NamedSharding(mesh, P())
+    # The u-stage rhs is a traced evaluation — cannot enter the fused
+    # Pallas kernels (same forcing as the single-device chain).
+    cfg_u = dataclasses.replace(cfg, backend="xla")
+
+    def run() -> ShardedBiharmonicSolution2D:
+        sol_v = run_v()
+        wv = jax.device_put(sol_v.coeffs, repl)
+        zeros_grid = jnp.zeros((cfg.ny + 1, cfg.nx + 1), dtype)
+        zs = jnp.zeros((cfg.ny, cfg.nx), dtype)
+        sv = Solution2D(xs, ys, zeros_grid, wv, jnp.int32(0),
+                        jnp.zeros((), dtype), zs, zs,
+                        jnp.ones((cfg.ny, cfg.nx), bool))
+
+        def rhs_u(x, y):
+            shp = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
+            xf = jnp.ravel(x * jnp.ones_like(x + y))
+            yf = jnp.ravel(y * jnp.ones_like(x + y))
+            return -evaluate_2d(sv, xf, yf).reshape(shp)
+
+        pu = Problem2D(
+            name=f"{problem.name}:displacement",
+            f=rhs_u,
+            g=zero,
+            domain=problem.domain,
+            exact=problem.exact,
+        )
+        run_u = make_sharded_solve_2d(pu, cfg_u, mesh, axis)
+        return ShardedBiharmonicSolution2D(u=run_u(), v=sol_v)
+
+    return run
+
+
+# ------------------------------------------------------------------ eigen
+
+
+class ShardedHybridEigenSolution(NamedTuple):
+    fem: object  # EigenSolution (replicated coarse pencil)
+    coeffs: jnp.ndarray  # [k, E, M] enhanced polynomials
+    lams: jnp.ndarray  # [k] Rayleigh-quotient-refined eigenvalues
+    solve_ok: jnp.ndarray  # [k, E]
+
+
+def _enhance_pair_sharded(problem: Problem1D, cfg: SolverConfig, mesh,
+                          axis, nodes, u_repl, lam: float, E_loc: int,
+                          n_dev: int):
+    """One element-sharded enhancement of a FEM eigenpair at shift
+    ``lam`` + the Rayleigh-quotient quadrature partial sums (single-device
+    analog: models/eigen.py::enhance_eigenpair + _quadrature_forms)."""
+    shifted = _shifted_problem(problem, float(lam))
+    shared = prepare_shared_host(shifted, cfg)
+    if shared is not None:
+        shared = jax.device_put(shared, NamedSharding(mesh, P()))
+
+    def local(shared_ops, u_all, nodes_all):
+        d = jax.lax.axis_index(axis)
+        row0 = d * E_loc
+        nodes_loc = jax.lax.dynamic_slice(nodes_all, (row0,), (E_loc + 1,))
+        u_loc = jax.lax.dynamic_slice(u_all, (row0,), (E_loc + 1,))
+        w, diags = lssvr_enhance(
+            shifted, nodes_loc, u_loc, cfg, shared_ops=shared_ops,
+            touches_left=(d == 0), touches_right=(d == n_dev - 1),
+        )
+        # Rayleigh-quotient partials over THIS slab's disjoint elements
+        # (quadrature against the ORIGINAL operator, not the shifted one).
+        num_p, den_p = _quadrature_forms(problem, nodes_loc, w, cfg)
+        return (w, diags.solve_ok, num_p.reshape(1), den_p.reshape(1))
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=(P(axis),) * 4, check_vma=False,
+    )
+    w, ok, nump, denp = jax.jit(sharded)(shared, u_repl, nodes)
+    return w, ok, float(np.sum(np.asarray(nump))), \
+        float(np.sum(np.asarray(denp)))
+
+
+def make_sharded_eigensolve(problem: Problem1D, cfg: SolverConfig, mesh,
+                            ecfg: EigenConfig = EigenConfig(),
+                            axis: str = ELEMENT_AXIS):
+    """Distributed hybrid eigensolve: replicated coarse pencil +
+    element-sharded per-pair enhancement with psum-style quotient
+    reduction (module docstring; single-device:
+    models/eigen.py::hybrid_eigensolve)."""
+    n_dev = mesh.shape[axis]
+    E_total = cfg.num_nodes - 1
+    if E_total % n_dev:
+        raise ValueError(
+            f"E={E_total} must divide by the {n_dev}-device mesh "
+            "(the per-pair enhancement slices exact element slabs)"
+        )
+    E_loc = E_total // n_dev
+    repl = NamedSharding(mesh, P())
+
+    def run() -> ShardedHybridEigenSolution:
+        fem = fem_eigensolve(problem, cfg, ecfg)
+        nodes = jax.device_put(fem.nodes, repl)
+        coeffs_all, lams, oks = [], [], []
+        for j in range(ecfg.k):
+            lam = float(fem.lams[j])
+            u = jax.device_put(fem.vectors[:, j], repl)
+            w, ok, num, den = None, None, None, None
+            for _ in range(max(1, ecfg.rq_iters)):
+                w, ok, num, den = _enhance_pair_sharded(
+                    problem, cfg, mesh, axis, nodes, u, lam, E_loc, n_dev
+                )
+                lam = num / den
+            # Unit CONTINUOUS L2 norm, same convention as the
+            # single-device solver (den is the final w's quadrature).
+            coeffs_all.append(w / jnp.sqrt(jnp.asarray(den, w.dtype)))
+            lams.append(lam)
+            oks.append(ok)
+        return ShardedHybridEigenSolution(
+            fem, jnp.stack(coeffs_all),
+            jnp.asarray(lams, fem.lams.dtype), jnp.stack(oks),
+        )
+
+    return run
+
+
+# -------------------------------------------------------- steady semilinear
+
+
+def make_sharded_solve_semilinear(problem: SemilinearProblem1D,
+                                  cfg: SolverConfig, mesh,
+                                  n_newton: int = 8,
+                                  n_newton_elem: int = 5,
+                                  scheme: str = "p1",
+                                  axis: str = ELEMENT_AXIS):
+    """Distributed steady semilinear solve: replicated coarse Newton +
+    element-sharded element-Newton enhancement (module docstring;
+    single-device: models/nonlinear.py::hybrid_solve_semilinear)."""
+    n_dev = mesh.shape[axis]
+    E = cfg.num_nodes - 1
+    if E % n_dev:
+        raise ValueError(
+            f"E={E} must divide by the {n_dev}-device mesh "
+            "(the element-Newton scan shards exact element slabs)"
+        )
+    dtype = cfg.jnp_dtype()
+    M, C = cfg.M, cfg.n_colloc
+    V0h, _, V2h = legendre.collocation_vandermonde_host(M, C)
+    B = np.stack([V0h[0], V0h[-1]])
+    Z, Pbc = kkt.nullspace_host(B)
+    V0 = jnp.asarray(V0h, dtype)
+    D2 = jnp.asarray(V2h, dtype)
+    Bj = jnp.asarray(B, dtype)
+    Zj = jnp.asarray(Z, dtype)
+    Pj = jnp.asarray(Pbc, dtype)
+
+    def local(h, xc_loc, f_loc, bc_loc, w0_loc):
+        scale2 = (2.0 / h) ** 2
+
+        def elem_newton(w, _):
+            u_c = jnp.einsum("ck,ek->ec", V0, w, precision=HI)
+            c_field = problem.ds(u_c)
+            D = (-problem.a0 * scale2) * D2[None] \
+                + c_field[..., None] * V0[None]
+            rhs = f_loc - problem.s(u_c) + c_field * u_c
+            w1, diags = kkt.solve_batched(D, Bj, rhs, bc_loc, cfg.gamma,
+                                          ZP=(Zj, Pj))
+            return w1, diags
+
+        w, hist = jax.lax.scan(elem_newton, w0_loc, None,
+                               length=n_newton_elem)
+        u_c = jnp.einsum("ck,ek->ec", V0, w, precision=HI)
+        upp = scale2 * jnp.einsum("ck,ek->ec", D2, w, precision=HI)
+        res_loc = jnp.max(
+            jnp.abs(-problem.a0 * upp + problem.s(u_c) - f_loc)
+        )
+        ok = jax.tree_util.tree_map(lambda a: a[-1], hist).solve_ok
+        return w, ok, res_loc.reshape(1)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)), check_vma=False,
+    )
+
+    def run() -> SemilinearSolution:
+        # Replicated coarse Newton (tridiagonal at N unknowns —
+        # cheaper to recompute everywhere than to communicate).
+        nodes, fem_values, fem_res = fem_newton(problem, cfg, n_newton,
+                                                scheme=scheme)
+        h = nodes[1] - nodes[0]
+        t = legendre.collocation_points(C, dtype=dtype)
+        xl = nodes[:-1]
+        xc = xl[:, None] + 0.5 * h * (t[None, :] + 1.0)  # [E, C]
+        f_c = problem.f(xc) * jnp.ones_like(xc)
+        g_l = jnp.asarray(problem.g_left, dtype)
+        g_r = jnp.asarray(problem.g_right, dtype)
+        u_left = fem_values[:-1].at[0].set(g_l)
+        u_right = fem_values[1:].at[-1].set(g_r)
+        bc = jnp.stack([u_left, u_right], axis=-1)  # [E, 2]
+        w0 = kkt.linear_fallback_coeffs(u_left, u_right, M)
+        w, ok, res = jax.jit(sharded)(h, xc, f_c, bc, w0)
+        return SemilinearSolution(nodes, fem_values, w, fem_res,
+                                  jnp.max(res), ok)
+
+    return run

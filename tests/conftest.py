@@ -61,6 +61,18 @@ _FAST_TESTS = {
     "test_graded3d.py::test_reference_parts_identity_3d",
     "test_eigen.py::test_enhanced_eigenvalues_hit_f64_floor",
     "test_eigen.py::test_lift_weights_reproduce_polynomials",
+    # Vector (elasticity) family regression gate (round-3 VERDICT Weak
+    # #1): block-operator algebra, stress readout, one distributed==local
+    # equality per dimension.
+    "test_elastic.py::test_block_operator_spd",
+    "test_elastic.py::test_stress_readout",
+    "test_elastic.py::test_richardson_nodal_fourth_order",
+    "test_sharded_elastic.py::test_sharded_elastic_2d_matches_single_device",
+    "test_sharded_elastic.py::test_sharded_elastic_3d_matches_single_device",
+    # Composed-family distributed gates (round 4).
+    "test_sharded_families.py::test_sharded_biharmonic_1d_hits_hybrid_floor",
+    "test_sharded_families.py::test_sharded_semilinear_matches_single_device",
+    "test_sharded2d.py::test_sharded_2d_compact_lift_matches_single_device",
 }
 # Individually excluded from fast modules (3D mesh-sweep / long-march
 # cost).

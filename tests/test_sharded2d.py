@@ -32,6 +32,22 @@ def test_sharded_2d_matches_single_device(n_dev, distributed_fem):
     assert bool(jnp.all(out.solve_ok))
 
 
+@pytest.mark.parametrize("precond", ["jacobi", "mg"])
+def test_sharded_2d_compact_lift_matches_single_device(precond):
+    """coarse='compact' + trace_lift rides the distributed y-slab path
+    (compact local-4x4 halo apply + Numerov load; lift on the gathered
+    nodal grid with GLOBAL Lagrange windows) == single-device O(h^4)."""
+    problem = poisson_2d()
+    cfg = Solver2DConfig(nx=16, ny=16, M=6, n_colloc=6, dtype="float64",
+                         precond=precond, coarse="compact", trace_lift=6)
+    sol = HybridSolver2D(problem, cfg).solve()
+    out = make_sharded_solve_2d(problem, cfg, pmesh.element_mesh(4))()
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=1e-12
+    )
+    assert bool(jnp.all(out.solve_ok))
+
+
 @pytest.mark.parametrize("name", ["advection_diffusion_2d",
                                   "helmholtz_2d"])
 def test_sharded_2d_nonspd_family_matches_single_device(name):

@@ -1,0 +1,162 @@
+"""Distributed composed-family solves (parallel/sharded_families.py) ==
+single-device on virtual CPU devices — biharmonic chains, eigen,
+steady semilinear (the round-3 symmetry gap: every SOURCE family rode
+shard_map; the composed families did not)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_fem_lssvr_tpu.models.biharmonic import (
+    sin_biharmonic_1d, sin_biharmonic_2d, solve_biharmonic_1d,
+    solve_biharmonic_2d,
+)
+from hybrid_fem_lssvr_tpu.models.eigen import (EigenConfig,
+                                               exact_eigenvalues,
+                                               hybrid_eigensolve)
+from hybrid_fem_lssvr_tpu.models.hybrid import SolverConfig
+from hybrid_fem_lssvr_tpu.models.hybrid2d import Solver2DConfig
+from hybrid_fem_lssvr_tpu.models.nonlinear import (cubic_1d,
+                                                   hybrid_solve_semilinear)
+from hybrid_fem_lssvr_tpu.parallel import mesh as pmesh
+from hybrid_fem_lssvr_tpu.parallel.sharded_families import (
+    make_sharded_eigensolve, make_sharded_solve_biharmonic_1d,
+    make_sharded_solve_biharmonic_2d, make_sharded_solve_semilinear,
+)
+from hybrid_fem_lssvr_tpu import problems
+from hybrid_fem_lssvr_tpu.ops import eval as ev
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_biharmonic_1d_matches_single_device(n_dev):
+    p = sin_biharmonic_1d()
+    cfg = SolverConfig(num_nodes=25, M=8, gamma=1e4, dtype="float64")
+    single = solve_biharmonic_1d(p, cfg)
+    out = make_sharded_solve_biharmonic_1d(p, cfg, pmesh.element_mesh(n_dev))()
+    np.testing.assert_allclose(np.asarray(out.v.coeffs),
+                               np.asarray(single.v.coeffs), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.u.coeffs),
+                               np.asarray(single.u.coeffs), atol=1e-9)
+    assert bool(jnp.all(out.u.solve_ok)) and bool(jnp.all(out.v.solve_ok))
+
+
+def test_sharded_biharmonic_1d_hits_hybrid_floor():
+    """End-to-end accuracy through the distributed chain (not just
+    equality): the 25-node simply-supported beam rides the hybrid floor
+    (~1.6e-9 single-device, test_biharmonic.py)."""
+    p = sin_biharmonic_1d()
+    cfg = SolverConfig(num_nodes=25, M=8, gamma=1e4, dtype="float64")
+    out = make_sharded_solve_biharmonic_1d(p, cfg, pmesh.element_mesh(4))()
+    x = jnp.linspace(-1.0, 1.0, 801, dtype=jnp.float64)
+    nodes = jnp.linspace(-1.0, 1.0, cfg.num_nodes, dtype=jnp.float64)
+    u = ev.evaluate(nodes, out.u.coeffs, x)
+    assert float(jnp.max(jnp.abs(u - p.exact(x)))) < 1e-8
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_biharmonic_2d_matches_single_device(n_dev):
+    p = sin_biharmonic_2d()
+    cfg = Solver2DConfig(nx=8, ny=8, M=5, n_colloc=5, dtype="float64",
+                         precond="jacobi")
+    single = solve_biharmonic_2d(p, cfg)
+    out = make_sharded_solve_biharmonic_2d(p, cfg, pmesh.element_mesh(n_dev))()
+    np.testing.assert_allclose(np.asarray(out.v.coeffs),
+                               np.asarray(single.v.coeffs), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.u.coeffs),
+                               np.asarray(single.u.coeffs), atol=1e-9)
+    assert bool(jnp.all(out.u.solve_ok)) and bool(jnp.all(out.v.solve_ok))
+
+
+def test_sharded_biharmonic_2d_compact_lift_fourth_order():
+    """The distributed plate chain carries the O(h^4) compact+lift route
+    (round-4 fix: the sharded 2D solve used to silently ignore
+    cfg.coarse/cfg.trace_lift and degrade to the Q1 floor — 8.8e-3 at
+    16^2 instead of this test's ~2e-4)."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import Solution2D, evaluate_2d
+
+    p = sin_biharmonic_2d()
+    cfg = Solver2DConfig(nx=16, ny=16, M=6, n_colloc=6, dtype="float64",
+                         precond="jacobi", coarse="compact", trace_lift=6)
+    out = make_sharded_solve_biharmonic_2d(p, cfg, pmesh.element_mesh(4))()
+    rng = np.random.default_rng(4)
+    xq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    yq = jnp.asarray(rng.uniform(-1, 1, 2000))
+    grid = jnp.linspace(-1.0, 1.0, 17, dtype=jnp.float64)
+    su = Solution2D(grid, grid, None, jnp.asarray(out.u.coeffs),
+                    0, 0.0, None, None, out.u.solve_ok)
+    u = evaluate_2d(su, xq, yq)
+    err = float(jnp.max(jnp.abs(u - p.exact(xq, yq))))
+    assert err < 5e-4, err  # single-device floor: 1.97e-4 at 16^2
+    assert bool(jnp.all(out.u.solve_ok))
+
+
+def test_sharded_2d_grid_and_graded_reject_compact_loudly():
+    """The 2-axis grid and graded paths must fail loudly on
+    coarse='compact'/trace_lift instead of silently running Q1."""
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import poisson_2d
+    from hybrid_fem_lssvr_tpu.parallel.sharded2d import (
+        make_sharded_solve_2d_graded, make_sharded_solve_2d_grid,
+    )
+
+    cfg = Solver2DConfig(nx=8, ny=8, M=4, n_colloc=4, dtype="float64",
+                         coarse="compact", trace_lift=6)
+    with pytest.raises(NotImplementedError, match="loudly"):
+        make_sharded_solve_2d_grid(poisson_2d(), cfg,
+                                   pmesh.grid_mesh(2, 2))
+    xs = np.linspace(-1, 1, 9)
+    with pytest.raises(NotImplementedError, match="loudly"):
+        make_sharded_solve_2d_graded(poisson_2d(), cfg,
+                                     pmesh.element_mesh(2), xs, xs)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_eigensolve_matches_single_device(n_dev):
+    p = problems.get("poisson_1d")
+    cfg = SolverConfig(num_nodes=33, M=8, dtype="float64")
+    ecfg = EigenConfig(k=3, rq_iters=2)
+    single = hybrid_eigensolve(p, cfg, ecfg)
+    out = make_sharded_eigensolve(p, cfg, pmesh.element_mesh(n_dev), ecfg)()
+    np.testing.assert_allclose(np.asarray(out.lams),
+                               np.asarray(single.lams), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(single.coeffs), atol=1e-9)
+    assert bool(jnp.all(out.solve_ok))
+
+
+def test_sharded_eigensolve_hits_f64_floor():
+    """Distributed eigenvalues against the EXACT spectrum (not just
+    equality with single-device): machine floor from a 32-element mesh."""
+    p = problems.get("poisson_1d")
+    cfg = SolverConfig(num_nodes=33, M=8, dtype="float64")
+    out = make_sharded_eigensolve(p, cfg, pmesh.element_mesh(4),
+                                  EigenConfig(k=3, rq_iters=2))()
+    ex = exact_eigenvalues(p, 3)
+    assert np.max(np.abs(np.asarray(out.lams) - ex)) < 1e-10
+
+
+@pytest.mark.parametrize("scheme", ["p1", "numerov"])
+def test_sharded_semilinear_matches_single_device(scheme):
+    p = cubic_1d()
+    cfg = SolverConfig(num_nodes=33, M=8, gamma=1e4, dtype="float64")
+    single = hybrid_solve_semilinear(p, cfg, scheme=scheme)
+    out = make_sharded_solve_semilinear(p, cfg, pmesh.element_mesh(4),
+                                        scheme=scheme)()
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(single.coeffs), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out.fem_values),
+                               np.asarray(single.fem_values), atol=1e-12)
+    np.testing.assert_allclose(float(out.colloc_residual),
+                               float(single.colloc_residual),
+                               rtol=1e-6, atol=1e-12)
+    assert bool(jnp.all(out.solve_ok))
+
+
+def test_sharded_families_reject_indivisible_meshes():
+    """Loud errors, not silent padding, on the exact-slab paths."""
+    p = problems.get("poisson_1d")
+    cfg = SolverConfig(num_nodes=34, M=8, dtype="float64")  # E=33
+    with pytest.raises(ValueError, match="divide"):
+        make_sharded_eigensolve(p, cfg, pmesh.element_mesh(4))
+    with pytest.raises(ValueError, match="divide"):
+        make_sharded_solve_semilinear(cubic_1d(), cfg,
+                                      pmesh.element_mesh(4))
