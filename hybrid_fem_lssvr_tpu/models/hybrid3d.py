@@ -891,7 +891,7 @@ def fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs):
 def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
                      fem_values, t_int, spts, layer_offset=0,
                      row_offset=0, trace_lift: int = 0,
-                     skip_f: bool = False):
+                     skip_f: bool = False, trace_rows=None):
     """Per-element collocation rhs [E, C^3] and boundary-trace values
     [E, S]: the FEM trilinear trace at the surface points, overridden by g
     on domain-boundary faces (the 3D lift of ``_element_data_2d``).
@@ -904,8 +904,11 @@ def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
 
     ``trace_lift >= 2`` replaces the trilinear trace with the tensor-
     Lagrange plane lift (``_lifted_trace_3d``; full-grid callers only —
-    the lift windows need whole grid planes, so sharded slabs keep the
-    trilinear trace).  Domain-boundary points still take g exactly."""
+    the lift windows need whole grid planes).  Sharded slab callers pass
+    ``trace_rows`` instead: precomputed [nz_loc, ny, nx, S] trace values
+    (computed on the gathered full grid so the lift windows are global,
+    then sliced per slab — ``parallel.sharded3d``).  Domain-boundary
+    points still take g exactly in all cases."""
     dtype = xs.dtype
     C = cfg.n_colloc
     nx, ny = xs.shape[0] - 1, ys.shape[0] - 1
@@ -946,7 +949,9 @@ def _element_data_3d(problem: Problem3D, cfg: Solver3DConfig, xs, ys, zs,
     w1 = ((1 - txp), (1 + txp))
     w2 = ((1 - typ), (1 + typ))
     w3 = ((1 - tzp), (1 + tzp))
-    if trace_lift >= 2:
+    if trace_rows is not None:
+        trace = trace_rows  # [nz, ny, nx, S] precomputed (global windows)
+    elif trace_lift >= 2:
         trace = _lifted_trace_3d(
             fem_values, cfg.M, nx, ny, nz, stencil=trace_lift
         ).reshape(nz, ny, nx, -1)  # [nz, ny, nx, S] (spts order)

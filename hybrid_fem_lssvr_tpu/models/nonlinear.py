@@ -296,30 +296,13 @@ class SemilinearSolution2D(NamedTuple):
     solve_ok: jnp.ndarray
 
 
-def hybrid_solve_semilinear_2d(problem: SemilinearProblem2D, cfg,
-                               n_newton: int = 8, n_newton_elem: int = 5,
-                               scheme: str = "p1", trace_lift: int = 0):
-    """2D two-level Newton (lift of ``hybrid_solve_semilinear``).
-
-    FEM level, ``scheme="p1"``: matrix-free Q1 with the nonlinearity
-    mass-LUMPED at the nodes (R = A0 u + m·(s(u) - f) with m the lumped
-    Q1 mass — the standard O(h^2) scheme; lumping keeps the Jacobian
-    apply matrix-free: J v = A0 v + m s'(u) v, solved by Jacobi-CG inside
-    a lax.scan Newton loop).  ``scheme="numerov"``: tensor-Numerov
-    compact rows A u + M s(u) = M f (``assembly2d.q1_numerov_locals``) —
-    O(h^4) nodal, Jacobian J v = A v + M (s'(u) v), still matrix-free.
-    Element level: Newton on the nonlinear collocation system with the
-    nonlinearity evaluated exactly at interior collocation points; each
-    step one batched null-space LSE solve with per-element
-    D = -a0·Lap_rows + diag(s'(u_j))·Mass_rows.
-
-    ``trace_lift >= 2`` replaces the bilinear element trace with the
-    tangential-Lagrange lift (``hybrid2d._lifted_trace_2d``) — paired
-    with ``scheme="numerov"`` the O(h^4) nodal values carry to an O(h^4)
-    hybrid solution (the semilinear analog of
-    ``Solver2DConfig(coarse="compact", trace_lift=6)``)."""
+def fem_newton_2d(problem: SemilinearProblem2D, cfg,
+                  n_newton: int = 8, scheme: str = "p1"):
+    """Coarse Newton stage of the 2D semilinear solve (the FEM level of
+    ``hybrid_solve_semilinear_2d``, factored out so the distributed path
+    — ``parallel/sharded_families.py`` — can replicate it).  Returns
+    ``(xs, ys, fem, fem_res)``."""
     from ..ops import assembly2d, cg
-    from .hybrid2d import _boundary_coords, _element_data_2d
 
     dtype = cfg.jnp_dtype()
     x0, x1, y0, y1 = problem.domain
@@ -380,11 +363,22 @@ def hybrid_solve_semilinear_2d(problem: SemilinearProblem2D, cfg,
                     maxiter=cfg.cg_maxiter)
         return u - jnp.where(interior, res.x, 0.0), jnp.max(jnp.abs(R))
 
-    u0 = u_bc
-    fem, fem_res = jax.lax.scan(newton_step, u0, None, length=n_newton)
+    fem, fem_res = jax.lax.scan(newton_step, u_bc, None, length=n_newton)
+    return xs, ys, fem, fem_res
 
-    # element-level Newton: shared host reference parts
+
+def _semilinear2d_element_parts_host(problem: SemilinearProblem2D, cfg,
+                                     dtype):
+    """Host-precomputed shared element operators for the 2D element-level
+    Newton: (Lap rows scaled by -a0, Mass rows, trace matrix B, its
+    null-space pair (Z, Pbc)) — shared by the single-device and
+    distributed (``parallel/sharded_families.py``) enhancement."""
+    from .hybrid2d import _boundary_coords
+
     M_, C = cfg.M, cfg.n_colloc
+    x0, x1, y0, y1 = problem.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
     t_int = np.linspace(-1.0, 1.0, C + 2)[1:-1]
     V0h, _, V2h = legendre.vandermonde_host(t_int, M_)
     sx, sy = 2.0 / hx, 2.0 / hy
@@ -397,12 +391,47 @@ def hybrid_solve_semilinear_2d(problem: SemilinearProblem2D, cfg,
     V0x_b = legendre.vandermonde_host(bpts[:, 1], M_)[0]
     B = np.einsum("pk,pl->pkl", V0y_b, V0x_b).reshape(-1, M_ * M_)
     Z, Pbc = kkt.nullspace_host(B)
-    proj = kkt.precompute_shared_lse_host(Mass, B, dtype)
-    Lap_j = jnp.asarray(-problem.a0 * Lap, dtype)
-    Mass_j = jnp.asarray(Mass, dtype)
-    Bj = jnp.asarray(B, dtype)
-    Zj = jnp.asarray(Z, dtype)
-    Pj = jnp.asarray(Pbc, dtype)
+    return (jnp.asarray(-problem.a0 * Lap, dtype),
+            jnp.asarray(Mass, dtype), jnp.asarray(B, dtype),
+            jnp.asarray(Z, dtype), jnp.asarray(Pbc, dtype),
+            t_int, bpts)
+
+
+def hybrid_solve_semilinear_2d(problem: SemilinearProblem2D, cfg,
+                               n_newton: int = 8, n_newton_elem: int = 5,
+                               scheme: str = "p1", trace_lift: int = 0):
+    """2D two-level Newton (lift of ``hybrid_solve_semilinear``).
+
+    FEM level, ``scheme="p1"``: matrix-free Q1 with the nonlinearity
+    mass-LUMPED at the nodes (R = A0 u + m·(s(u) - f) with m the lumped
+    Q1 mass — the standard O(h^2) scheme; lumping keeps the Jacobian
+    apply matrix-free: J v = A0 v + m s'(u) v, solved by Jacobi-CG inside
+    a lax.scan Newton loop).  ``scheme="numerov"``: tensor-Numerov
+    compact rows A u + M s(u) = M f (``assembly2d.q1_numerov_locals``) —
+    O(h^4) nodal, Jacobian J v = A v + M (s'(u) v), still matrix-free.
+    Element level: Newton on the nonlinear collocation system with the
+    nonlinearity evaluated exactly at interior collocation points; each
+    step one batched null-space LSE solve with per-element
+    D = -a0·Lap_rows + diag(s'(u_j))·Mass_rows.
+
+    ``trace_lift >= 2`` replaces the bilinear element trace with the
+    tangential-Lagrange lift (``hybrid2d._lifted_trace_2d``) — paired
+    with ``scheme="numerov"`` the O(h^4) nodal values carry to an O(h^4)
+    hybrid solution (the semilinear analog of
+    ``Solver2DConfig(coarse="compact", trace_lift=6)``)."""
+    from .hybrid2d import _element_data_2d
+
+    dtype = cfg.jnp_dtype()
+    nx, ny = cfg.nx, cfg.ny
+    x0, x1, y0, y1 = problem.domain
+    hx = float((x1 - x0) / nx)
+    hy = float((y1 - y0) / ny)
+    xs, ys, fem, fem_res = fem_newton_2d(problem, cfg, n_newton, scheme)
+
+    # element-level Newton: shared host reference parts
+    M_, C = cfg.M, cfg.n_colloc
+    Lap_j, Mass_j, Bj, Zj, Pj, t_int, bpts = \
+        _semilinear2d_element_parts_host(problem, cfg, dtype)
     E = nx * ny
     t_int_j = jnp.asarray(t_int)
     bpts_j = jnp.asarray(bpts)

@@ -139,11 +139,22 @@ def _dist_fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, d, n_dev,
                 (nz_loc + 1, ny1, nx1), K_const, dtype
             )
     else:
-        K_loc = jnp.asarray(
-            assembly3d.q1_local_operator_3d(hx, hy, hz, problem.a0,
-                                            problem.c, bx, by, bz),
-            dtype,
-        )
+        if cfg.coarse == "compact":
+            # Tensor-Numerov compact rows: same 27-point local-8x8
+            # sparsity as Q1 hexes, so the identical plane-halo machinery
+            # carries the O(h^4) scheme (constraints validated at build
+            # time in make_sharded_solve_3d).
+            K_loc = jnp.asarray(
+                assembly3d.q1_numerov_locals_3d(hx, hy, hz, problem.a0,
+                                                problem.c)[0],
+                dtype,
+            )
+        else:
+            K_loc = jnp.asarray(
+                assembly3d.q1_local_operator_3d(hx, hy, hz, problem.a0,
+                                                problem.c, bx, by, bz),
+                dtype,
+            )
 
         def apply_local(v):
             return assembly3d.apply_stiffness_3d(v, K_loc)
@@ -164,7 +175,22 @@ def _dist_fem_solve_3d(problem: Problem3D, cfg: Solver3DConfig, d, n_dev,
     def halo(v):
         return _halo_add_3d(v, d, n_dev, axis)
 
-    b = halo(assembly3d.assemble_load_3d(xs, ys, zs_loc, problem.f))
+    if not var and cfg.coarse == "compact":
+        # Numerov-weighted load M f_nodal on the slab's nodes; interface
+        # planes receive neighbour-element contributions through the same
+        # halo exchange as the Q1 quadrature load (nodal f samples agree
+        # across the shared plane, so the split element sums add exactly).
+        K_M = jnp.asarray(
+            assembly3d.q1_numerov_locals_3d(hx, hy, hz, problem.a0,
+                                            problem.c)[1],
+            dtype,
+        )
+        F_nodes = problem.f(xs[None, None, :], ys[None, :, None],
+                            zs_loc[:, None, None])
+        F_nodes = F_nodes * jnp.ones((nz_loc + 1, ny1, nx1), dtype)
+        b = halo(assembly3d.apply_stiffness_3d(F_nodes, K_M))
+    else:
+        b = halo(assembly3d.assemble_load_3d(xs, ys, zs_loc, problem.f))
     X = xs[None, None, :]
     Y = ys[None, :, None]
     Z = zs_loc[:, None, None]
@@ -455,6 +481,13 @@ def make_sharded_solve_3d_grid(problem: Problem3D, cfg: Solver3DConfig,
             "this path eliminates all boundary faces structurally "
             "(Dirichlet only); mixed-BC problems run on the "
             "single-device uniform path (HybridSolver3D)"
+        )
+    if cfg.coarse != "q1" or cfg.trace_lift >= 2:
+        raise NotImplementedError(
+            "the 2-axis grid path runs the Q1/trilinear route only; "
+            "coarse='compact' / trace_lift live on the z-slab path "
+            "(make_sharded_solve_3d) — failing loudly instead of "
+            "silently degrading to O(h^2)"
         )
     from .mesh import GRID_AXES_3D
 
@@ -784,6 +817,12 @@ def make_sharded_solve_3d_graded(problem: Problem3D, cfg: Solver3DConfig,
             "(Dirichlet only); mixed-BC problems run on the "
             "single-device uniform path (HybridSolver3D)"
         )
+    if cfg.coarse != "q1" or cfg.trace_lift >= 2:
+        raise NotImplementedError(
+            "graded meshes run the Q1/trilinear route (the compact "
+            "scheme and the plane lift assume uniform spacing) — "
+            "failing loudly instead of silently degrading to O(h^2)"
+        )
     import dataclasses
 
     from ..models.hybrid3d_graded import (
@@ -927,13 +966,30 @@ def make_sharded_solve_3d(problem: Problem3D, cfg: Solver3DConfig, mesh,
                           distributed_fem: bool = True):
     """Jitted multi-chip 3D solve; ``cfg.nz`` must divide by the device
     count (z-slab layout).  ``distributed_fem=False`` replicates the
-    coarse stage on every device (no communication)."""
+    coarse stage on every device (no communication).
+
+    The O(h^4) route rides this path too (round 4, mirroring the 2D
+    y-slab): ``cfg.coarse='compact'`` swaps the local 8x8 for the
+    tensor-Numerov operator (same 27-point sparsity, so the identical
+    plane-halo machinery applies) + the Numerov-weighted nodal load, and
+    ``cfg.trace_lift >= 2`` computes the tensor-Lagrange plane lift on
+    the GATHERED nodal grid (one all_gather of the tiny
+    [nz+1, ny+1, nx+1] array — global windows, sliced per slab)."""
     if any(t != "dirichlet" for t in problem.bc_faces):
         raise NotImplementedError(
             "this path eliminates all boundary faces structurally "
             "(Dirichlet only); mixed-BC problems run on the "
             "single-device uniform path (HybridSolver3D)"
         )
+    if cfg.coarse == "compact":
+        # Same constraints as the single-device compact scheme
+        # (hybrid3d.fem_solve_3d) — validated here so a sharded run
+        # fails loudly at build time instead of degrading to Q1.
+        if problem.a_var is not None:
+            raise ValueError("coarse='compact' needs constant diffusion "
+                             "(a_var is set); use coarse='q1'")
+        if problem.b != (0.0, 0.0, 0.0):
+            raise ValueError("coarse='compact' requires b == (0, 0, 0)")
     n_dev = mesh.shape[axis]
     if cfg.nz % n_dev != 0:
         raise ValueError(
@@ -971,9 +1027,29 @@ def make_sharded_solve_3d(problem: Problem3D, cfg: Solver3DConfig, mesh,
                 fem_values, (lay0, z00, z00),
                 (nz_loc + 1, cfg.ny + 1, cfg.nx + 1),
             )
+        trace_rows = None
+        if cfg.trace_lift >= 2:
+            # High-order tensor-Lagrange plane lift: the windows need
+            # GLOBAL grid planes, so gather the (tiny) nodal grid — one
+            # all_gather of [nz+1, ny+1, nx+1] — lift on it with global
+            # windows, and slice this slab's element layers.  The lift is
+            # cheaper to recompute everywhere than to orchestrate
+            # stencil-wide plane halos (same call as the 2D y-slab path).
+            from ..models.hybrid3d import _lifted_trace_3d
+
+            fem_full = _gather_grid_3d(fem_loc, n_dev, axis)
+            tr = _lifted_trace_3d(
+                fem_full, cfg.M, cfg.nx, cfg.ny, cfg.nz,
+                stencil=cfg.trace_lift,
+            ).reshape(cfg.nz, cfg.ny, cfg.nx, -1)
+            z00 = jnp.zeros_like(lay0)
+            trace_rows = jax.lax.dynamic_slice(
+                tr, (lay0, z00, z00, z00),
+                (nz_loc, cfg.ny, cfg.nx, tr.shape[-1]),
+            )
         f_rows, bc_rows, cs = _element_data_3d(
             problem, cfg, xs, ys, zs_loc, fem_loc, t_int, spts,
-            layer_offset=lay0,
+            layer_offset=lay0, trace_rows=trace_rows,
         )
         if problem.a_var is not None:
             from ..models.hybrid3d import _varcoeff_element_operators_3d

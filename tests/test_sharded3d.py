@@ -302,3 +302,36 @@ def test_graded_3d_distributed_evaluate_matches_local():
     u_dist = np.asarray(ev(out.coeffs, *q))
     u_loc = np.asarray(single.evaluate_solution(*q))
     np.testing.assert_allclose(u_dist, u_loc, atol=5e-7)
+
+
+@pytest.mark.parametrize("precond", ["jacobi", "mg"])
+def test_sharded_3d_compact_lift_matches_single_device(precond):
+    """coarse='compact' + trace_lift rides the distributed z-slab path
+    (compact local-8x8 halo apply + Numerov load; plane lift on the
+    gathered nodal grid with GLOBAL Lagrange windows) == single-device
+    O(h^4) — the 3D mirror of the 2D compact+lift slab route."""
+    problem = poisson_3d()
+    cfg = Solver3DConfig(nx=8, ny=8, nz=8, M=4, n_colloc=4,
+                         dtype="float64", precond=precond,
+                         coarse="compact", trace_lift=6, backend="xla")
+    sol = HybridSolver3D(problem, cfg).solve()
+    out = make_sharded_solve_3d(problem, cfg, pmesh.element_mesh(4))()
+    np.testing.assert_allclose(
+        np.asarray(out.coeffs), np.asarray(sol.coeffs), atol=1e-11
+    )
+    assert bool(jnp.all(out.solve_ok))
+
+
+def test_sharded_3d_grid_and_graded_reject_compact_loudly():
+    """The 2-axis grid and graded paths REFUSE compact/lift instead of
+    silently degrading to the Q1/trilinear O(h^2) route."""
+    problem = poisson_3d()
+    cfg = Solver3DConfig(nx=4, ny=4, nz=8, M=4, n_colloc=4,
+                         coarse="compact", trace_lift=6, backend="xla")
+    with pytest.raises(NotImplementedError, match="compact"):
+        make_sharded_solve_3d_grid(problem, cfg, pmesh.grid_mesh_3d(2, 2))
+    xs = np.linspace(-1, 1, 5)
+    zs = np.linspace(-1, 1, 9)
+    with pytest.raises(NotImplementedError, match="Q1"):
+        make_sharded_solve_3d_graded(problem, cfg, pmesh.element_mesh(2),
+                                     xs, xs, zs)
