@@ -77,11 +77,14 @@ class TransientConfig:
     # so the full operator keeps O(h^4).
     mass: str = "consistent"
     checkpoint: Optional[str] = None  # mid-march resume dir: the scan is
-    # chunked and (step, carry) written atomically per chunk
-    # (utils.checkpoint.scan_checkpointed); a matching on-disk state
-    # resumes from the last completed chunk, bitwise-identical to the
-    # uninterrupted run.  The adaptive-dt marches are NOT checkpointed
-    # (their carry includes the running t; restart re-runs attempts).
+    # chunked and (step, carry, new ys slice) written atomically per
+    # chunk (utils.checkpoint.scan_checkpointed; ys IO append-only,
+    # O(S)); a matching on-disk state resumes from the last completed
+    # chunk, bitwise-identical to the uninterrupted run.  The adaptive-dt
+    # marches checkpoint through their own ``checkpoint=`` kwarg (the
+    # carry includes the running t/dt, so the attempt sequence resumes
+    # exactly); the distributed marches through this field (the sharded
+    # carry round-trips the jit boundary — parallel/transient2d.py).
     checkpoint_chunk: int = 0  # steps per chunk (0 -> ~8 chunks)
 
 
@@ -1962,10 +1965,40 @@ class AdaptiveMarchResult(NamedTuple):
     max_err: jnp.ndarray  # max accepted local-error estimate
 
 
+@dataclasses.dataclass(frozen=True)
+class _AdaptiveParams:
+    """Fingerprint payload for the adaptive-dt marches: everything that
+    determines the attempt trajectory (the carry includes the running t
+    and dt, so restoring it resumes the attempt sequence exactly)."""
+
+    t_final: float
+    tol: float
+    dt0: Optional[float]
+    max_attempts: int
+
+
+def _adaptive_scan(attempt, carry0, max_attempts, problem, cfg, params,
+                   tag, checkpoint, checkpoint_chunk):
+    """Attempt scan, chunk-checkpointed when ``checkpoint`` is set (the
+    attempt index is the scan axis; the body ignores it, so the
+    trajectory matches the plain ``length=``-scan bitwise)."""
+    if not checkpoint:
+        return jax.lax.scan(attempt, carry0, None, length=max_attempts)
+    from ..utils import checkpoint as _ckpt
+
+    fp = _ckpt.march_fingerprint(problem.name, cfg, params, tag)
+    ts = jnp.arange(max_attempts)
+    return _ckpt.scan_checkpointed(
+        lambda c, _t: attempt(c, None), carry0, ts, path=checkpoint,
+        chunk=checkpoint_chunk, fingerprint=fp)
+
+
 def fem_march_adaptive(problem: TransientProblem1D, cfg: SolverConfig,
                        t_final: float, tol: float = 1e-6,
                        dt0: Optional[float] = None,
-                       max_attempts: int = 512) -> AdaptiveMarchResult:
+                       max_attempts: int = 512,
+                       checkpoint: Optional[str] = None,
+                       checkpoint_chunk: int = 0) -> AdaptiveMarchResult:
     """Adaptive-dt P1 march of u_t + L u = f (CN/BE embedded pair)."""
     p = problem.elliptic
     dtype = cfg.jnp_dtype()
@@ -2019,9 +2052,11 @@ def fem_march_adaptive(problem: TransientProblem1D, cfg: SolverConfig,
                           dtype)
     zero_i = jnp.zeros((), jnp.int32)
     zero = jnp.zeros((), dtype)
-    (uN, tN, _, acc, rej, emax), _ = jax.lax.scan(
+    (uN, tN, _, acc, rej, emax), _ = _adaptive_scan(
         attempt, (u0, zero, dt_init, zero_i, zero_i, zero),
-        None, length=max_attempts)
+        max_attempts, problem, cfg,
+        _AdaptiveParams(t_final, tol, dt0, max_attempts),
+        "fem_march_adaptive", checkpoint, checkpoint_chunk)
     return AdaptiveMarchResult(
         solution=TransientSolution(nodes, uN, None, float(t_final)),
         t_reached=tN, accepted=acc, rejected=rej, max_err=emax)
@@ -2030,7 +2065,10 @@ def fem_march_adaptive(problem: TransientProblem1D, cfg: SolverConfig,
 def fem_march_adaptive_2d(problem: TransientProblem2D, cfg,
                           t_final: float, tol: float = 1e-5,
                           dt0: Optional[float] = None,
-                          max_attempts: int = 512) -> AdaptiveMarchResult:
+                          max_attempts: int = 512,
+                          checkpoint: Optional[str] = None,
+                          checkpoint_chunk: int = 0
+                          ) -> AdaptiveMarchResult:
     """2D adaptive-dt Q1 march (CN/BE embedded pair, the 2D lift of
     ``fem_march_adaptive``): the implicit operators M + th dt A carry
     the TRACED dt through the matrix-free apply (K_M + th dt K_A per
@@ -2109,9 +2147,11 @@ def fem_march_adaptive_2d(problem: TransientProblem2D, cfg,
                           dtype)
     zero_i = jnp.zeros((), jnp.int32)
     zero = jnp.zeros((), dtype)
-    (uN, tN, _, acc, rej, emax), _ = jax.lax.scan(
+    (uN, tN, _, acc, rej, emax), _ = _adaptive_scan(
         attempt, (u0, zero, dt_init, zero_i, zero_i, zero),
-        None, length=max_attempts)
+        max_attempts, problem, cfg,
+        _AdaptiveParams(t_final, tol, dt0, max_attempts),
+        "fem_march_adaptive_2d", checkpoint, checkpoint_chunk)
     sol = TransientSolution2D(xs, ys, uN, None, float(t_final),
                               jnp.zeros((), jnp.int32))
     return AdaptiveMarchResult(solution=sol, t_reached=tN, accepted=acc,
@@ -2407,7 +2447,10 @@ def hybrid_wave_march_3d(problem: WaveProblem3D, cfg,
 def fem_march_adaptive_3d(problem: TransientProblem3D, cfg,
                           t_final: float, tol: float = 1e-5,
                           dt0: Optional[float] = None,
-                          max_attempts: int = 512) -> AdaptiveMarchResult:
+                          max_attempts: int = 512,
+                          checkpoint: Optional[str] = None,
+                          checkpoint_chunk: int = 0
+                          ) -> AdaptiveMarchResult:
     """3D adaptive-dt Q1-hex march (tensor lift of
     ``fem_march_adaptive_2d``: traced-dt matrix-free implicit operators,
     two Jacobi-CG solves per attempt, one lax.scan)."""
@@ -2489,9 +2532,11 @@ def fem_march_adaptive_3d(problem: TransientProblem3D, cfg,
                           dtype)
     zero_i = jnp.zeros((), jnp.int32)
     zero = jnp.zeros((), dtype)
-    (uN, tN, _, acc, rej, emax), _ = jax.lax.scan(
+    (uN, tN, _, acc, rej, emax), _ = _adaptive_scan(
         attempt, (u0, zero, dt_init, zero_i, zero_i, zero),
-        None, length=max_attempts)
+        max_attempts, problem, cfg,
+        _AdaptiveParams(t_final, tol, dt0, max_attempts),
+        "fem_march_adaptive_3d", checkpoint, checkpoint_chunk)
     sol = TransientSolution3D(xs, ys, zs, uN, None, float(t_final),
                               jnp.zeros((), jnp.int32))
     return AdaptiveMarchResult(solution=sol, t_reached=tN, accepted=acc,

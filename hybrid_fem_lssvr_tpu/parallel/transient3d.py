@@ -1,9 +1,11 @@
 """Distributed 3D transient marches: z-slab sharding of the Q1 hex
 theta-scheme and the LSSVR-enhanced CN march — the 3D lift of
-``parallel/transient2d.py`` (time scan INSIDE shard_map; per step one
-distributed plane-halo Jacobi-CG solve + the batched shared-LSE CN solve
-on this slab's element layers).  == single-device asserted in
-tests/test_transient.py."""
+``parallel/transient2d.py`` (per step one distributed plane-halo
+Jacobi-CG solve + the batched shared-LSE CN solve on this slab's element
+layers), in the same chunked-carry architecture: the march state
+round-trips through the jit boundary so ``utils.checkpoint.chunked_scan``
+can checkpoint/resume a multi-chip march (see the 2D module docstring).
+== single-device asserted in tests/test_transient.py."""
 
 from __future__ import annotations
 
@@ -15,6 +17,7 @@ from ..models.transient import (TransientConfig, TransientProblem3D,
                                 TransientSolution3D, _check_3d_dirichlet,
                                 _locals_3d, _shared_cn_ops_3d)
 from ..ops import assembly3d, cg, kkt
+from ..utils.checkpoint import chunked_scan, march_fingerprint
 from .sharded import ELEMENT_AXIS
 from .sharded3d import _halo_add_3d
 
@@ -23,10 +26,11 @@ def make_sharded_transient_3d(problem: TransientProblem3D, cfg,
                               tcfg: TransientConfig, mesh,
                               axis: str = ELEMENT_AXIS,
                               enhanced: bool = True):
-    """Zero-argument jitted callable -> TransientSolution3D with
-    fem_values [n_dev, nz_loc+1, ny+1, nx+1] slabs and, when
-    ``enhanced``, coeffs [nz, ny, nx, M, M, M] sharded over element
-    layers.  Requires nz % n_devices == 0 and all-Dirichlet faces."""
+    """Zero-argument callable -> TransientSolution3D with fem_values
+    [n_dev, nz_loc+1, ny+1, nx+1] slabs and, when ``enhanced``, coeffs
+    [nz, ny, nx, M, M, M] sharded over element layers.  Requires
+    nz % n_devices == 0 and all-Dirichlet faces.  ``tcfg.checkpoint``
+    makes the march resumable."""
     p = problem.elliptic
     _check_3d_dirichlet(p)
     if enhanced and tcfg.theta != 0.5:
@@ -80,7 +84,7 @@ def make_sharded_transient_3d(problem: TransientProblem3D, cfg,
     if tol is None:
         tol = 100.0 * float(jnp.finfo(dtype).eps)
 
-    def local_step(shared, proj, R_op, t_int, spts, Mass_op):
+    def _ctx(shared, proj, R_op, t_int, spts, Mass_op):
         d = jax.lax.axis_index(axis)
         xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
         ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
@@ -185,49 +189,88 @@ def make_sharded_transient_3d(problem: TransientProblem3D, cfg,
                 w1, sc_n = w, sc_prev
             return (u1, s_n, w1, sc_n), iters
 
-        u0g = jnp.where(interior,
-                        problem.u0(X, Y, Z) * ones, u_bc).astype(dtype)
-        if enhanced:
-            F0 = problem.u0(
-                xq[None, None, :, None, None, :]
-                * jnp.ones((nz_loc, cfg.ny, 1, 1, 1, 1)),
-                yq[None, :, None, None, :, None]
-                * jnp.ones((nz_loc, 1, cfg.nx, 1, 1, 1)),
-                zq[:, None, None, :, None, None]
-                * jnp.ones((1, cfg.ny, cfg.nx, 1, 1, 1)))
-            f0 = (F0 * ones6).reshape(E_loc, C * C * C)
-            _, bc0, _ = _element_data_3d(p, cfg, xs, ys, zs_loc, u0g,
-                                         t_int, spts, layer_offset=lay0)
-            w0, _ = kkt.solve_primal_shared(proj, f0, bc0)
-        else:
-            w0 = jnp.zeros((cfg.nx * cfg.ny * nz_loc, M ** 3), dtype)
-        ts = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(
-            dt, dtype)
-        s0 = s_fn(u0g) if s_fn is not None else jnp.zeros((1,), dtype)
-        sc0 = (s_fn(jnp.dot(w0, Mass_op.T, precision=hi))
-               if (enhanced and s_fn is not None)
-               else jnp.zeros((1,), dtype))
-        (uN, _, wN, _), iters = jax.lax.scan(scan_step,
-                                             (u0g, s0, w0, sc0), ts)
-        return (wN.reshape(nz_loc, cfg.ny, cfg.nx, M, M, M), uN[None],
-                jnp.max(iters).reshape(1))
+        def init_carry():
+            u0g = jnp.where(interior,
+                            problem.u0(X, Y, Z) * ones, u_bc
+                            ).astype(dtype)
+            if enhanced:
+                F0 = problem.u0(
+                    xq[None, None, :, None, None, :]
+                    * jnp.ones((nz_loc, cfg.ny, 1, 1, 1, 1)),
+                    yq[None, :, None, None, :, None]
+                    * jnp.ones((nz_loc, 1, cfg.nx, 1, 1, 1)),
+                    zq[:, None, None, :, None, None]
+                    * jnp.ones((1, cfg.ny, cfg.nx, 1, 1, 1)))
+                f0 = (F0 * ones6).reshape(E_loc, C * C * C)
+                _, bc0, _ = _element_data_3d(p, cfg, xs, ys, zs_loc,
+                                             u0g, t_int, spts,
+                                             layer_offset=lay0)
+                w0, _ = kkt.solve_primal_shared(proj, f0, bc0)
+            else:
+                w0 = jnp.zeros((1,), dtype)
+            s0 = s_fn(u0g) if s_fn is not None else jnp.zeros((1,), dtype)
+            sc0 = (s_fn(jnp.dot(w0, Mass_op.T, precision=hi))
+                   if (enhanced and s_fn is not None)
+                   else jnp.zeros((1,), dtype))
+            return u0g, s0, w0, sc0
 
-    sharded = jax.shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P()),
-        out_specs=(P(axis),) * 3,
+        return scan_step, init_carry
+
+    def local_init(shared, proj, R_op, t_int, spts, Mass_op):
+        _, init_carry = _ctx(shared, proj, R_op, t_int, spts, Mass_op)
+        return init_carry()
+
+    def local_chunk(shared, proj, R_op, t_int, spts, Mass_op,
+                    u, s, w, sc, ts):
+        scan_step, _ = _ctx(shared, proj, R_op, t_int, spts, Mass_op)
+        (u, s, w, sc), iters = jax.lax.scan(scan_step, (u, s, w, sc), ts)
+        return u, s, w, sc, iters[:, None]
+
+    op_specs = (P(),) * 6
+    carry_specs = (P(axis),) * 4
+    sharded_init = jax.shard_map(
+        local_init, mesh=mesh, in_specs=op_specs,
+        out_specs=carry_specs, check_vma=False,
+    )
+    sharded_chunk = jax.shard_map(
+        local_chunk, mesh=mesh,
+        in_specs=op_specs + carry_specs + (P(),),
+        out_specs=carry_specs + (P(None, axis),),
         check_vma=False,
     )
 
     @jax.jit
+    def init_fn():
+        return sharded_init(shared, proj, R_op, t_int_j, spts_j, Mass_op)
+
+    @jax.jit
+    def chunk_fn(carry, ts):
+        u, s, w, sc = carry
+        u, s, w, sc, iters = sharded_chunk(
+            shared, proj, R_op, t_int_j, spts_j, Mass_op, u, s, w, sc, ts)
+        return (u, s, w, sc), iters
+
+    ts_all = jnp.arange(tcfg.n_steps, dtype=dtype) * jnp.asarray(dt, dtype)
+    tag = ("sharded_transient_3d_enh" if enhanced
+           else "sharded_transient_3d_fem")
+
     def run():
-        coeffs, fem_local, iters = sharded(shared, proj, R_op, t_int_j,
-                                           spts_j, Mass_op)
+        carry0 = init_fn()
+        if tcfg.checkpoint:
+            fp = march_fingerprint(problem.name, cfg, tcfg, tag)
+            carry, iters = chunked_scan(
+                chunk_fn, carry0, ts_all, path=tcfg.checkpoint,
+                chunk=tcfg.checkpoint_chunk, fingerprint=fp)
+        else:
+            carry, iters = chunk_fn(carry0, ts_all)
+        uN, _, wN, _ = carry
         xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
         ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
         zs = jnp.linspace(z0, z1, cfg.nz + 1, dtype=dtype)
+        fem_local = uN.reshape(n_dev, nz_loc + 1, cfg.ny + 1, cfg.nx + 1)
+        coeffs = (wN.reshape(cfg.nz, cfg.ny, cfg.nx, M, M, M)
+                  if enhanced else None)
         return TransientSolution3D(
-            xs, ys, zs, fem_local, coeffs if enhanced else None,
-            tcfg.t_final, jnp.max(iters))
+            xs, ys, zs, fem_local, coeffs, tcfg.t_final, jnp.max(iters))
 
     return run
