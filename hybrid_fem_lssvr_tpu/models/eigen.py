@@ -873,3 +873,241 @@ def exact_eigenvalues_3d(problem, k: int):
     oracle."""
     modes, _ = _mode_table_3d(problem, k)
     return np.array([m[0] for m in modes]) + problem.c
+
+
+# ------------------------------------------------- mixed-precision route
+#
+# Round-5 (round-4 VERDICT Weak #6 / task 9): the 2D/3D f32 gate exists
+# because the f32 inverse-iteration PENCIL floors at ~1e-2 residual —
+# but the pencil is the cheap stage.  The mixed route runs the pencil in
+# f64 (TPU: emulated f64, the already-supported mode) and the EXPENSIVE
+# per-pair enhancement in f32 — the TPU's fast dtype, host-f64 QR
+# factors applied as f32 MXU dots — then re-reads eigenvalues from the
+# f64-upcast Rayleigh quotient.  The quotient is STATIONARY at the true
+# eigenfunction, so the f32 coefficient noise e enters only as O(|e|_H1^2):
+# measured floors in tests/test_eigen.py / RESULTS.md (the linear-in-e
+# f32 error is suppressed quadratically; the remaining floor is physical
+# f32 enhancement noise, not implementation).
+
+
+def hybrid_eigensolve_2d_mixed(problem, cfg,
+                               ecfg: EigenConfig = EigenConfig()
+                               ) -> HybridEigenSolution2D:
+    """f64 pencil + f32 enhancement + f64-quotient re-read (module
+    section comment).  ``cfg`` may be float32; requires jax_enable_x64
+    for the f64 stages."""
+    import dataclasses as _dc
+
+    from .hybrid2d import enhance_2d, prepare_shared_2d
+
+    if not jax.config.jax_enable_x64:
+        raise ValueError("the mixed eigen route needs jax_enable_x64 "
+                         "(the pencil and quotient stages run f64)")
+    cfg64 = _dc.replace(cfg, dtype="float64")
+    cfg32 = _dc.replace(cfg, dtype="float32")
+    fem = fem_eigensolve_2d(problem, cfg64, ecfg)
+    xs32 = fem.xs.astype(jnp.float32)
+    ys32 = fem.ys.astype(jnp.float32)
+    coeffs_all, lams, oks = [], [], []
+    for j in range(ecfg.k):
+        lam = float(fem.lams[j])
+        u64 = fem.vectors[j]
+        u32 = u64.astype(jnp.float32)
+        bc_rows = None
+        if ecfg.trace_lift >= 2:
+            # Lift in f64 (tiny), cast: the lift windows amplify nodal
+            # noise by the Lagrange constants, so lifting BEFORE the
+            # downcast keeps the trace data at f32 rounding of the f64
+            # values.
+            bc_rows = _lifted_trace_2d(u64, cfg.M, cfg.nx, cfg.ny,
+                                       stencil=ecfg.trace_lift
+                                       ).astype(jnp.float32)
+        coeffs64 = None
+        ok = None
+        for _ in range(max(1, ecfg.rq_iters)):
+            shifted = _shifted_problem_2d(problem, lam)
+            bundle = prepare_shared_2d(shifted, cfg32)
+            coeffs32, diags, _ = enhance_2d(shifted, cfg32, xs32, ys32,
+                                            u32, bundle,
+                                            bc_rows_override=bc_rows)
+            coeffs64 = coeffs32.astype(jnp.float64)
+            # DG-corrected quotient: the plain broken quotient is only
+            # LINEARLY accurate in the f32 jump/boundary noise (measured
+            # 1.9e-7 vs 1.6e-11 corrected at 32^2, NUMERICS.md round 5).
+            lam = float(rayleigh_quotient_2d_corrected(
+                problem, fem.xs, fem.ys, coeffs64, cfg64))
+            ok = diags.solve_ok.reshape(cfg.ny, cfg.nx)
+        _, den = _quadrature_forms_2d(problem, fem.xs, fem.ys, coeffs64,
+                                      cfg64)
+        coeffs_all.append(coeffs64 / jnp.sqrt(den))
+        lams.append(lam)
+        oks.append(ok)
+    return HybridEigenSolution2D(
+        fem, jnp.stack(coeffs_all),
+        jnp.asarray(lams, fem.lams.dtype), jnp.stack(oks),
+    )
+
+
+def hybrid_eigensolve_3d_mixed(problem, cfg,
+                               ecfg: EigenConfig = EigenConfig()
+                               ) -> HybridEigenSolution3D:
+    """3D mirror of ``hybrid_eigensolve_2d_mixed``."""
+    import dataclasses as _dc
+
+    from .hybrid3d import _lifted_trace_3d, enhance_3d, prepare_shared_3d
+
+    if not jax.config.jax_enable_x64:
+        raise ValueError("the mixed eigen route needs jax_enable_x64 "
+                         "(the pencil and quotient stages run f64)")
+    cfg64 = _dc.replace(cfg, dtype="float64")
+    cfg32 = _dc.replace(cfg, dtype="float32")
+    fem = fem_eigensolve_3d(problem, cfg64, ecfg)
+    xs32 = fem.xs.astype(jnp.float32)
+    ys32 = fem.ys.astype(jnp.float32)
+    zs32 = fem.zs.astype(jnp.float32)
+    coeffs_all, lams, oks = [], [], []
+    for j in range(ecfg.k):
+        lam = float(fem.lams[j])
+        u64 = fem.vectors[j]
+        u32 = u64.astype(jnp.float32)
+        bc_rows = None
+        if ecfg.trace_lift >= 2:
+            bc_rows = _lifted_trace_3d(u64, cfg.M, cfg.nx, cfg.ny,
+                                       cfg.nz, stencil=ecfg.trace_lift
+                                       ).astype(jnp.float32)
+        coeffs64 = None
+        ok = None
+        for _ in range(max(1, ecfg.rq_iters)):
+            shifted = _shifted_problem_3d(problem, lam)
+            bundle = prepare_shared_3d(shifted, cfg32)
+            coeffs32, diags, _ = enhance_3d(shifted, cfg32, xs32, ys32,
+                                            zs32, u32, bundle,
+                                            bc_rows_override=bc_rows)
+            coeffs64 = coeffs32.astype(jnp.float64)
+            lam = float(rayleigh_quotient_3d_corrected(
+                problem, fem.xs, fem.ys, fem.zs, coeffs64, cfg64))
+            ok = diags.solve_ok.reshape(cfg.nz, cfg.ny, cfg.nx)
+        _, den = _quadrature_forms_3d(problem, fem.xs, fem.ys, fem.zs,
+                                      coeffs64, cfg64)
+        coeffs_all.append(coeffs64 / jnp.sqrt(den))
+        lams.append(lam)
+        oks.append(ok)
+    return HybridEigenSolution3D(
+        fem, jnp.stack(coeffs_all),
+        jnp.asarray(lams, fem.lams.dtype), jnp.stack(oks),
+    )
+
+
+def _face_correction_2d(coeffs, hx: float, hy: float, q: int):
+    """DG-consistency face term J(p) = 2 sum_F int_F {d_nu p} [[p]] ds for
+    the elementwise tensor-Legendre field p (coeffs [ny, nx, M(ky),
+    M(kx)]), interior faces with [[p]] = p^- - p^+ (nu from - to +) and
+    domain-boundary faces with the one-sided outward flux and [[p]] = p.
+
+    Why it exists: the broken-H^1 Rayleigh quotient loses its
+    stationarity at the true eigenfunction through terms LINEAR in the
+    inter-element jumps and boundary traces of the error — invisible at
+    f64 jump sizes (~1e-13) but the dominant floor of the mixed f32
+    route (measured: quotient error 1.9e-7 ~ the f32 trace noise, while
+    the quadratic energy term is 4.5e-11).  Subtracting J restores
+    RQ - lambda = O(e^2) for elementwise-smooth p (derivation in the
+    NUMERICS.md round-5 entry)."""
+    dtype = coeffs.dtype
+    M = coeffs.shape[-1]
+    tq, wq = np.polynomial.legendre.leggauss(q)
+    t = jnp.asarray(tq, dtype)
+    w = jnp.asarray(wq, dtype)
+    V0q, V1q = legendre.legendre_vandermonde(t, M, num_derivs=1)
+    Ve0, Ve1 = legendre.legendre_vandermonde(
+        jnp.asarray([-1.0, 1.0], dtype), M, num_derivs=1)
+    HI_ = jax.lax.Precision.HIGHEST
+
+    def pair_terms(c, h_norm, h_face):
+        """c: [*, n, M(kt), M(kn)] with kn the normal direction and kt
+        tangential; returns the face-term sum over the n-axis faces."""
+        # edge values/derivs: [..., n, q, side]
+        vals = jnp.einsum("...kl,qk,sl->...qs", c, V0q, Ve0,
+                          precision=HI_)
+        ders = jnp.einsum("...kl,qk,sl->...qs", c, V0q, Ve1,
+                          precision=HI_) * (2.0 / h_norm)
+        pL = vals[..., :-1, :, 1]   # element i at +1 (left of face i+1)
+        pR = vals[..., 1:, :, 0]    # element i+1 at -1
+        dL = ders[..., :-1, :, 1]
+        dR = ders[..., 1:, :, 0]
+        interior = jnp.sum(
+            w * 0.5 * (dL + dR) * (pL - pR)) * (h_face / 2.0)
+        # domain boundary: outward normal is -n at face 0, +n at face n
+        lo = jnp.sum(w * (-ders[..., 0, :, 0]) * vals[..., 0, :, 0]) \
+            * (h_face / 2.0)
+        hi = jnp.sum(w * ders[..., -1, :, 1] * vals[..., -1, :, 1]) \
+            * (h_face / 2.0)
+        return interior + lo + hi
+
+    # vertical faces (normal x): n-axis is nx, tangential ky along hy
+    Jx = pair_terms(coeffs, hx, hy)
+    # horizontal faces (normal y): swap the roles
+    cT = jnp.swapaxes(jnp.swapaxes(coeffs, 0, 1), 2, 3)  # [nx, ny, kx, ky]
+    Jy = pair_terms(cT, hy, hx)
+    return 2.0 * (Jx + Jy)
+
+
+def rayleigh_quotient_2d_corrected(problem, xs, ys, coeffs, cfg):
+    """Broken Rayleigh quotient with the DG-consistency face correction
+    (``_face_correction_2d``): quadratic in the eigenfunction error even
+    when p carries inter-element jumps / boundary-trace noise (the mixed
+    f32 route's floor)."""
+    num, den = _quadrature_forms_2d(problem, xs, ys, coeffs, cfg)
+    J = _face_correction_2d(coeffs, float(xs[1] - xs[0]),
+                            float(ys[1] - ys[0]), cfg.M + 2)
+    return (num - problem.a0 * J) / den
+
+
+def _face_correction_3d(coeffs, hx: float, hy: float, hz: float, q: int):
+    """3D mirror of ``_face_correction_2d``: J(p) = 2 sum_F int_F
+    {d_nu p} [[p]] dA over the three face orientations of the hex grid
+    (coeffs [nz, ny, nx, M(kz), M(ky), M(kx)])."""
+    dtype = coeffs.dtype
+    M = coeffs.shape[-1]
+    tq, wq = np.polynomial.legendre.leggauss(q)
+    t = jnp.asarray(tq, dtype)
+    w = jnp.asarray(wq, dtype)
+    V0q, _ = legendre.legendre_vandermonde(t, M, num_derivs=1)
+    Ve0, Ve1 = legendre.legendre_vandermonde(
+        jnp.asarray([-1.0, 1.0], dtype), M, num_derivs=1)
+    HI_ = jax.lax.Precision.HIGHEST
+    W2 = w[:, None] * w[None, :]
+
+    def pair_terms(c, h_norm, area):
+        """c: [*, n, M(kt1), M(kt2), M(kn)]; faces along the n axis."""
+        vals = jnp.einsum("...kml,qk,rm,sl->...qrs", c, V0q, V0q, Ve0,
+                          precision=HI_)
+        ders = jnp.einsum("...kml,qk,rm,sl->...qrs", c, V0q, V0q, Ve1,
+                          precision=HI_) * (2.0 / h_norm)
+        interior = jnp.sum(
+            W2 * 0.5 * (ders[..., :-1, :, :, 1] + ders[..., 1:, :, :, 0])
+            * (vals[..., :-1, :, :, 1] - vals[..., 1:, :, :, 0])) * area
+        lo = jnp.sum(W2 * (-ders[..., 0, :, :, 0])
+                     * vals[..., 0, :, :, 0]) * area
+        hi = jnp.sum(W2 * ders[..., -1, :, :, 1]
+                     * vals[..., -1, :, :, 1]) * area
+        return interior + lo + hi
+
+    # x-normal faces: c already [nz, ny, nx, kz, ky, kx]
+    Jx = pair_terms(coeffs, hx, (hy / 2.0) * (hz / 2.0))
+    # y-normal: [nz, nx, ny, kz, kx, ky]
+    cy = jnp.transpose(coeffs, (0, 2, 1, 3, 5, 4))
+    Jy = pair_terms(cy, hy, (hx / 2.0) * (hz / 2.0))
+    # z-normal: [ny, nx, nz, ky, kx, kz]
+    cz = jnp.transpose(coeffs, (1, 2, 0, 4, 5, 3))
+    Jz = pair_terms(cz, hz, (hx / 2.0) * (hy / 2.0))
+    return 2.0 * (Jx + Jy + Jz)
+
+
+def rayleigh_quotient_3d_corrected(problem, xs, ys, zs, coeffs, cfg):
+    """Broken Rayleigh quotient with the DG-consistency face correction
+    (3D mirror of ``rayleigh_quotient_2d_corrected``)."""
+    num, den = _quadrature_forms_3d(problem, xs, ys, zs, coeffs, cfg)
+    J = _face_correction_3d(coeffs, float(xs[1] - xs[0]),
+                            float(ys[1] - ys[0]), float(zs[1] - zs[0]),
+                            cfg.M + 2)
+    return (num - problem.a0 * J) / den

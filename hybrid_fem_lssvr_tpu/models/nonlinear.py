@@ -539,22 +539,13 @@ class SemilinearSolution3D(NamedTuple):
     solve_ok: jnp.ndarray  # [nz, ny, nx]
 
 
-def hybrid_solve_semilinear_3d(problem: SemilinearProblem3D, cfg,
-                               n_newton: int = 8, n_newton_elem: int = 5,
-                               scheme: str = "p1", trace_lift: int = 0):
-    """3D two-level Newton (tensor lift of ``hybrid_solve_semilinear_2d``:
-    matrix-free Q1 hex Newton with lumped-mass nonlinearity and Jacobi-CG
-    inner solves, then element-level Newton on the nonlinear collocation
-    system — each step one batched null-space LSE solve).
-
-    ``scheme="numerov"``: tensor-Numerov compact rows A u + M s(u) = M f
-    (``assembly3d.q1_numerov_locals_3d``) — O(h^4) nodal.
-    ``trace_lift >= 2``: plane-lifted element traces
-    (``hybrid3d._lifted_trace_3d`` via ``_element_data_3d``); the pair
-    gives an O(h^4) hybrid semilinear solution."""
+def fem_newton_3d(problem: SemilinearProblem3D, cfg,
+                  n_newton: int = 8, scheme: str = "p1"):
+    """Coarse Newton stage of the 3D semilinear solve (the FEM level of
+    ``hybrid_solve_semilinear_3d``, factored out so the distributed path
+    — ``parallel/sharded_families.py`` — can replicate it).  Returns
+    ``(xs, ys, zs, fem, fem_res)``."""
     from ..ops import assembly3d, cg
-    from .hybrid3d import (Solver3DConfig, _element_data_3d,  # noqa: F401
-                           _surface_coords, _trilinear_fallback_coeffs)
 
     dtype = cfg.jnp_dtype()
     x0, x1, y0, y1, z0, z1 = problem.domain
@@ -625,9 +616,21 @@ def hybrid_solve_semilinear_3d(problem: SemilinearProblem3D, cfg,
         return u - jnp.where(interior, res.x, 0.0), jnp.max(jnp.abs(R))
 
     fem, fem_res = jax.lax.scan(newton_step, u_bc, None, length=n_newton)
+    return xs, ys, zs, fem, fem_res
 
-    # element-level Newton: shared host reference parts (tensor triples)
+
+def _semilinear3d_element_parts_host(problem: SemilinearProblem3D, cfg,
+                                     dtype):
+    """Host-precomputed shared element operators for the 3D element-level
+    Newton (the tensor lift of ``_semilinear2d_element_parts_host``;
+    shared by the single-device and distributed enhancement)."""
+    from .hybrid3d import _surface_coords
+
     M_, C = cfg.M, cfg.n_colloc
+    x0, x1, y0, y1, z0, z1 = problem.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    hz = float((z1 - z0) / cfg.nz)
     t_int = np.linspace(-1.0, 1.0, C + 2)[1:-1]
     V0h, _, V2h = legendre.vandermonde_host(t_int, M_)
     sx, sy, sz = 2.0 / hx, 2.0 / hy, 2.0 / hz
@@ -646,11 +649,41 @@ def hybrid_solve_semilinear_3d(problem: SemilinearProblem3D, cfg,
     B = np.einsum("pk,pl,pm->pklm", Vz_b, Vy_b, Vx_b).reshape(
         -1, M_ * M_ * M_)
     Z, Pbc = kkt.nullspace_host(B)
-    Lap_j = jnp.asarray(-problem.a0 * Lap, dtype)
-    Mass_j = jnp.asarray(Mass, dtype)
-    Bj = jnp.asarray(B, dtype)
-    Zj = jnp.asarray(Z, dtype)
-    Pj = jnp.asarray(Pbc, dtype)
+    return (jnp.asarray(-problem.a0 * Lap, dtype),
+            jnp.asarray(Mass, dtype), jnp.asarray(B, dtype),
+            jnp.asarray(Z, dtype), jnp.asarray(Pbc, dtype),
+            t_int, spts)
+
+
+def hybrid_solve_semilinear_3d(problem: SemilinearProblem3D, cfg,
+                               n_newton: int = 8, n_newton_elem: int = 5,
+                               scheme: str = "p1", trace_lift: int = 0):
+    """3D two-level Newton (tensor lift of ``hybrid_solve_semilinear_2d``:
+    matrix-free Q1 hex Newton with lumped-mass nonlinearity and Jacobi-CG
+    inner solves, then element-level Newton on the nonlinear collocation
+    system — each step one batched null-space LSE solve).
+
+    ``scheme="numerov"``: tensor-Numerov compact rows A u + M s(u) = M f
+    (``assembly3d.q1_numerov_locals_3d``) — O(h^4) nodal.
+    ``trace_lift >= 2``: plane-lifted element traces
+    (``hybrid3d._lifted_trace_3d`` via ``_element_data_3d``); the pair
+    gives an O(h^4) hybrid semilinear solution."""
+    from .hybrid3d import (_element_data_3d,  # noqa: F401
+                           _trilinear_fallback_coeffs)
+
+    dtype = cfg.jnp_dtype()
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    x0, x1, y0, y1, z0, z1 = problem.domain
+    hx = float((x1 - x0) / nx)
+    hy = float((y1 - y0) / ny)
+    hz = float((z1 - z0) / nz)
+    xs, ys, zs, fem, fem_res = fem_newton_3d(problem, cfg, n_newton,
+                                             scheme)
+
+    # element-level Newton: shared host reference parts (tensor triples)
+    M_, C = cfg.M, cfg.n_colloc
+    Lap_j, Mass_j, Bj, Zj, Pj, t_int, spts = \
+        _semilinear3d_element_parts_host(problem, cfg, dtype)
     E = nx * ny * nz
     # f at interior collocation + traces from the converged FEM grid
     # (trace_lift >= 2: plane-lifted traces, g-exact on boundary faces)

@@ -519,7 +519,8 @@ def precompute_shared_dual_host(D0, B, gamma, dtype=jnp.float32,
 
 
 def precompute_shared_lse_host(D0, B, dtype=jnp.float32,
-                               rhs_colloc_factors=None) -> SharedOperators:
+                               rhs_colloc_factors=None,
+                               rcond=None) -> SharedOperators:
     """Host float64 precompute of the shared affine map via the null-space
     LSE formulation (the gamma -> infinity limit; deviation from the
     gamma-regularised optimum is O(1/(gamma ||D||_F^2)), ~1e-16 at reference
@@ -528,16 +529,34 @@ def precompute_shared_lse_host(D0, B, dtype=jnp.float32,
     Required when D has a large null space — e.g. the 2D Laplacian on
     tensor-product Legendre bases, where the 11+ discrete-harmonic
     directions make cond(I + gamma D^T D) overflow even float64 (measured
-    3e16 at a 32x32 mesh; the Cholesky/Schur path then fails on-mesh)."""
+    3e16 at a 32x32 mesh; the Cholesky/Schur path then fails on-mesh).
+
+    ``rcond``: rank-tolerant SVD route for RANK-DEFICIENT constraint
+    matrices.  The clamped-plate trace rows (biharmonic.py) carry exact
+    dependencies — the corner normal-derivative rows equal tangential
+    derivatives of the value trace, rank(B) = 8M - 16 < 8M - 4 rows —
+    where the QR/inv route silently produces a truncated null space and a
+    garbage particular map (inv of the singular B B^T).  With ``rcond``
+    set, Z spans the FULL null space (right singular vectors past the
+    numerical rank) and the particular map is the pseudoinverse; the row
+    data must be consistent with the dependencies (any smooth function's
+    trace is — measured clamped-plate fit goes from Linf ~1 to 1.6e-2 at
+    M=12 single-element)."""
     import numpy as np
 
     D0 = np.asarray(D0, np.float64)
     B = np.asarray(B, np.float64)
     M = D0.shape[1]
     K = B.shape[0]
-    Q, _ = np.linalg.qr(B.T, mode="complete")  # [M, M]
-    Z = Q[:, K:]  # orthonormal null(B)
-    Pbc = B.T @ np.linalg.inv(B @ B.T)  # min-norm particular map
+    if rcond is None:
+        Q, _ = np.linalg.qr(B.T, mode="complete")  # [M, M]
+        Z = Q[:, K:]  # orthonormal null(B)
+        Pbc = B.T @ np.linalg.inv(B @ B.T)  # min-norm particular map
+    else:
+        U, s, Vt = np.linalg.svd(B)
+        r = int(np.sum(s > rcond * s[0]))
+        Z = Vt[r:].T  # orthonormal FULL null(B)
+        Pbc = Vt[:r].T @ ((1.0 / s[:r])[:, None] * U[:, :r].T)  # pinv(B)
     G = D0 @ Z
     qg, rg = np.linalg.qr(G)
     T = Z @ np.linalg.solve(rg, qg.T)  # [M, C]: lsq correction map

@@ -848,13 +848,15 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
             "(Dirichlet only); mixed-BC problems run on the "
             "single-device uniform path (HybridSolver2D)"
         )
-    if cfg.coarse != "q1" or cfg.trace_lift >= 2:
-        raise NotImplementedError(
-            "the 2-axis grid path runs the Q1/bilinear route only; "
-            "coarse='compact' / trace_lift live on the y-slab path "
-            "(make_sharded_solve_2d) — failing loudly instead of "
-            "silently degrading to O(h^2)"
-        )
+    if cfg.coarse == "compact":
+        # O(h^4) route on 2-axis blocks (round 5): the tensor-Numerov
+        # locals keep the 9-point sparsity, so the identical block-halo
+        # machinery applies; constraints match the slab path.
+        if problem.a_var is not None:
+            raise ValueError("coarse='compact' needs constant diffusion "
+                             "(a_var is set); use coarse='q1'")
+        if problem.b != (0.0, 0.0):
+            raise ValueError("coarse='compact' requires b == (0, 0)")
     from .mesh import GRID_AXES
 
     if axes is None:
@@ -914,11 +916,20 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
                 diag_local = diag_local + assembly2d.stiffness_diag(
                     (ny_loc + 1, nx_loc + 1), K_const, dtype)
         else:
-            K_loc = jnp.asarray(
-                assembly2d.q1_local_operator(hx, hy, problem.a0,
-                                             problem.c, *problem.b),
-                dtype,
-            )
+            if cfg.coarse == "compact":
+                # Tensor-Numerov compact rows: same 9-point local-4x4
+                # sparsity as Q1, so the block-halo apply is unchanged.
+                K_loc = jnp.asarray(
+                    assembly2d.q1_numerov_locals(hx, hy, problem.a0,
+                                                 problem.c)[0],
+                    dtype,
+                )
+            else:
+                K_loc = jnp.asarray(
+                    assembly2d.q1_local_operator(hx, hy, problem.a0,
+                                                 problem.c, *problem.b),
+                    dtype,
+                )
 
             def apply_local(v):
                 return assembly2d.apply_stiffness(v, K_loc)
@@ -938,7 +949,21 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
         def halo(v):
             return _halo_add_2d(v, dy, dx, n_dy, n_dx, ay, ax)
 
-        b = halo(assembly2d.assemble_load(xs_loc, ys_loc, problem.f))
+        if problem.a_var is None and cfg.coarse == "compact":
+            # Numerov-weighted load M f_nodal; interface contributions
+            # arrive through the same block halo as the Q1 load (nodal f
+            # samples agree on shared rows/columns, so the split element
+            # sums add exactly).
+            K_M = jnp.asarray(
+                assembly2d.q1_numerov_locals(hx, hy, problem.a0,
+                                             problem.c)[1],
+                dtype,
+            )
+            Xl, Yl = jnp.meshgrid(xs_loc, ys_loc)
+            F_nodes = problem.f(Xl, Yl) * jnp.ones_like(Xl)
+            b = halo(assembly2d.apply_stiffness(F_nodes, K_M))
+        else:
+            b = halo(assembly2d.assemble_load(xs_loc, ys_loc, problem.f))
         X, Y = jnp.meshgrid(xs_loc, ys_loc)
         u_bc = jnp.where(interior, 0.0, problem.g(X, Y) * jnp.ones_like(X))
 
@@ -1013,9 +1038,25 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
                      maxiter=cfg.cg_maxiter, dot_fn=dist_dot)
         fem_loc = u_bc + jnp.where(interior, res.x, 0.0)
 
+        trace_rows = None
+        if cfg.trace_lift >= 2:
+            # High-order tangential lift on the GATHERED nodal grid (the
+            # lift windows need whole grid lines — one all_gather of the
+            # tiny [ny+1, nx+1] array over both axes), sliced back to
+            # this block's element rows/columns.
+            from ..models.hybrid2d import _lifted_trace_2d
+
+            fem_full = _gather_grid_2d(fem_loc, n_dy, n_dx, ay, ax)
+            tr = _lifted_trace_2d(
+                fem_full, cfg.M, cfg.nx, cfg.ny, stencil=cfg.trace_lift
+            ).reshape(cfg.ny, cfg.nx, -1)
+            trace_rows = jax.lax.dynamic_slice(
+                tr, (row0, col0, jnp.zeros_like(row0)),
+                (ny_loc, nx_loc, tr.shape[-1]),
+            )
         f_rows, bc_rows, corners = _element_data_2d(
             problem, cfg, xs_loc, ys_loc, fem_loc, t_int, bpts,
-            row_offset=row0, col_offset=col0,
+            row_offset=row0, col_offset=col0, trace_rows=trace_rows,
         )
         if problem.a_var is not None:
             D = _varcoeff_element_operators(problem, cfg, xs_loc, ys_loc,

@@ -482,13 +482,15 @@ def make_sharded_solve_3d_grid(problem: Problem3D, cfg: Solver3DConfig,
             "(Dirichlet only); mixed-BC problems run on the "
             "single-device uniform path (HybridSolver3D)"
         )
-    if cfg.coarse != "q1" or cfg.trace_lift >= 2:
-        raise NotImplementedError(
-            "the 2-axis grid path runs the Q1/trilinear route only; "
-            "coarse='compact' / trace_lift live on the z-slab path "
-            "(make_sharded_solve_3d) — failing loudly instead of "
-            "silently degrading to O(h^2)"
-        )
+    if cfg.coarse == "compact":
+        # O(h^4) route on (z, y) blocks (round 5): the tensor-Numerov
+        # locals keep the 27-point sparsity, so the identical block-halo
+        # machinery applies; constraints match the z-slab path.
+        if problem.a_var is not None:
+            raise ValueError("coarse='compact' needs constant diffusion "
+                             "(a_var is set); use coarse='q1'")
+        if problem.b != (0.0, 0.0, 0.0):
+            raise ValueError("coarse='compact' requires b == (0, 0, 0)")
     from .mesh import GRID_AXES_3D
 
     if axes is None:
@@ -554,11 +556,24 @@ def make_sharded_solve_3d_grid(problem: Problem3D, cfg: Solver3DConfig,
                 diag_local = diag_local + assembly3d.stiffness_diag_3d(
                     shape1, K_const, dtype)
         else:
-            K_loc = jnp.asarray(
-                assembly3d.q1_local_operator_3d(hx, hy, hz, problem.a0,
-                                                problem.c, bx, by, bz),
-                dtype,
-            )
+            if cfg.coarse == "compact":
+                # Tensor-Numerov compact rows: same 27-point local-8x8
+                # sparsity as Q1 hexes — the block-halo apply is
+                # unchanged.
+                K_loc = jnp.asarray(
+                    assembly3d.q1_numerov_locals_3d(hx, hy, hz,
+                                                    problem.a0,
+                                                    problem.c)[0],
+                    dtype,
+                )
+            else:
+                K_loc = jnp.asarray(
+                    assembly3d.q1_local_operator_3d(hx, hy, hz,
+                                                    problem.a0,
+                                                    problem.c, bx, by,
+                                                    bz),
+                    dtype,
+                )
 
             def apply_local(v):
                 return assembly3d.apply_stiffness_3d(v, K_loc)
@@ -579,8 +594,21 @@ def make_sharded_solve_3d_grid(problem: Problem3D, cfg: Solver3DConfig,
         def halo(v):
             return _halo_add_3d_grid(v, dz, dy, n_dz, n_dy, az, ay)
 
-        b = halo(assembly3d.assemble_load_3d(xs, ys_loc, zs_loc,
-                                             problem.f))
+        if not var and cfg.coarse == "compact":
+            # Numerov-weighted load M f_nodal; interface contributions
+            # arrive through the same block halo as the Q1 load.
+            K_M = jnp.asarray(
+                assembly3d.q1_numerov_locals_3d(hx, hy, hz, problem.a0,
+                                                problem.c)[1],
+                dtype,
+            )
+            F_nodes = problem.f(xs[None, None, :], ys_loc[None, :, None],
+                                zs_loc[:, None, None])
+            F_nodes = F_nodes * jnp.ones(shape1, dtype)
+            b = halo(assembly3d.apply_stiffness_3d(F_nodes, K_M))
+        else:
+            b = halo(assembly3d.assemble_load_3d(xs, ys_loc, zs_loc,
+                                                 problem.f))
         X = xs[None, None, :]
         Y = ys_loc[None, :, None]
         Z = zs_loc[:, None, None]
@@ -690,9 +718,28 @@ def make_sharded_solve_3d_grid(problem: Problem3D, cfg: Solver3DConfig,
                      maxiter=cfg.cg_maxiter, dot_fn=dist_dot)
         fem_loc = u_bc + jnp.where(interior, res.x, 0.0)
 
+        trace_rows = None
+        if cfg.trace_lift >= 2:
+            # Tensor-Lagrange plane lift on the GATHERED nodal grid (the
+            # lift windows need whole grid planes — one all_gather over
+            # both block axes), sliced back to this block's element
+            # layers and rows.
+            from ..models.hybrid3d import _lifted_trace_3d
+
+            fem_full = _gather_grid_3d_blocks(fem_loc, n_dz, n_dy,
+                                              az, ay)
+            tr = _lifted_trace_3d(
+                fem_full, cfg.M, cfg.nx, cfg.ny, cfg.nz,
+                stencil=cfg.trace_lift,
+            ).reshape(cfg.nz, cfg.ny, cfg.nx, -1)
+            z00 = jnp.zeros_like(lay0)
+            trace_rows = jax.lax.dynamic_slice(
+                tr, (lay0, row0, z00, z00),
+                (nz_loc, ny_loc, cfg.nx, tr.shape[-1]),
+            )
         f_rows, bc_rows, cs = _element_data_3d(
             problem, cfg, xs, ys_loc, zs_loc, fem_loc, t_int, spts,
-            layer_offset=lay0, row_offset=row0,
+            layer_offset=lay0, row_offset=row0, trace_rows=trace_rows,
         )
         if var:
             from ..models.hybrid3d import _varcoeff_element_operators_3d

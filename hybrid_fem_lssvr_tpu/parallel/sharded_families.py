@@ -51,12 +51,16 @@ import numpy as np
 from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from ..models.biharmonic import (BiharmonicProblem1D, BiharmonicProblem2D)
+from ..models.biharmonic import (BiharmonicProblem1D, BiharmonicProblem2D,
+                                 BiharmonicProblem3D)
 from ..models.eigen import (EigenConfig, _quadrature_forms,
                             fem_eigensolve)
 from ..models.hybrid import SolverConfig, lssvr_enhance
 from ..models.hybrid2d import Problem2D, Solution2D, Solver2DConfig
-from ..models.nonlinear import (SemilinearProblem1D, SemilinearSolution,
+from ..models.hybrid3d import Problem3D, Solver3DConfig
+from ..models.nonlinear import (SemilinearProblem1D, SemilinearProblem2D,
+                                SemilinearProblem3D, SemilinearSolution,
+                                SemilinearSolution2D, SemilinearSolution3D,
                                 fem_newton)
 from ..models.problem import Problem1D
 from ..ops import eval as ev
@@ -64,6 +68,7 @@ from ..ops import kkt, legendre
 from .mesh import ELEMENT_AXIS
 from .sharded import ShardedSolution, make_sharded_solve
 from .sharded2d import ShardedSolution2D, make_sharded_solve_2d
+from .sharded3d import ShardedSolution3D, make_sharded_solve_3d
 
 HI = jax.lax.Precision.HIGHEST
 
@@ -116,6 +121,73 @@ def make_sharded_solve_biharmonic_1d(problem: BiharmonicProblem1D,
 class ShardedBiharmonicSolution2D(NamedTuple):
     u: ShardedSolution2D
     v: ShardedSolution2D
+
+
+class ShardedBiharmonicSolution3D(NamedTuple):
+    u: ShardedSolution3D
+    v: ShardedSolution3D
+
+
+def make_sharded_solve_biharmonic_3d(problem: BiharmonicProblem3D,
+                                     cfg: Solver3DConfig, mesh,
+                                     axis: str = ELEMENT_AXIS):
+    """Distributed simply-supported 3D biharmonic box: chained z-slab
+    solves; the u-stage rhs reads the re-replicated v-stage tensor-
+    Legendre polynomials through ``evaluate_3d`` inside the second
+    ``shard_map`` (single-device chain:
+    models/biharmonic.py::solve_biharmonic_3d)."""
+    from ..models.hybrid3d import evaluate_3d
+
+    f = problem.f
+    zero = lambda x, y, z: jnp.zeros_like(x + y + z)  # noqa: E731
+    pv = Problem3D(
+        name=f"{problem.name}:moment",
+        f=lambda x, y, z: -f(x, y, z),
+        g=zero,
+        domain=problem.domain,
+        exact=problem.exact_lap,
+    )
+    run_v = make_sharded_solve_3d(pv, cfg, mesh, axis)
+    dtype = cfg.jnp_dtype()
+    x0, x1, y0, y1, z0, z1 = problem.domain
+    xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+    ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+    zs = jnp.linspace(z0, z1, cfg.nz + 1, dtype=dtype)
+    repl = NamedSharding(mesh, P())
+    # The u-stage rhs is a traced evaluation — cannot enter the fused
+    # Pallas kernels (same forcing as the single-device chain).
+    cfg_u = dataclasses.replace(cfg, backend="xla")
+
+    def run() -> ShardedBiharmonicSolution3D:
+        from ..models.hybrid3d import Solution3D
+
+        sol_v = run_v()
+        wv = jax.device_put(sol_v.coeffs, repl)
+        zeros_grid = jnp.zeros((cfg.nz + 1, cfg.ny + 1, cfg.nx + 1),
+                               dtype)
+        sv = Solution3D(xs, ys, zs, zeros_grid, wv, jnp.int32(0),
+                        jnp.zeros((), dtype), None, None, None, None)
+
+        def rhs_u(x, y, z):
+            shp = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y),
+                                       jnp.shape(z))
+            ones = jnp.ones(shp, dtype)
+            xf = jnp.ravel(x * ones)
+            yf = jnp.ravel(y * ones)
+            zf = jnp.ravel(z * ones)
+            return -evaluate_3d(sv, xf, yf, zf).reshape(shp)
+
+        pu = Problem3D(
+            name=f"{problem.name}:displacement",
+            f=rhs_u,
+            g=zero,
+            domain=problem.domain,
+            exact=problem.exact,
+        )
+        run_u = make_sharded_solve_3d(pu, cfg_u, mesh, axis)
+        return ShardedBiharmonicSolution3D(u=run_u(), v=sol_v)
+
+    return run
 
 
 def make_sharded_solve_biharmonic_2d(problem: BiharmonicProblem2D,
@@ -364,4 +436,482 @@ def make_sharded_solve_semilinear(problem: SemilinearProblem1D,
         return SemilinearSolution(nodes, fem_values, w, fem_res,
                                   jnp.max(res), ok)
 
+    return run
+
+
+def make_sharded_solve_semilinear_2d(problem: SemilinearProblem2D,
+                                     cfg: Solver2DConfig, mesh,
+                                     n_newton: int = 8,
+                                     n_newton_elem: int = 5,
+                                     scheme: str = "p1",
+                                     trace_lift: int = 0,
+                                     axis: str = ELEMENT_AXIS):
+    """Distributed 2D steady semilinear solve: replicated coarse Newton
+    (matrix-free Q1/Numerov, cheaper to recompute everywhere than to
+    communicate the tiny grid) + y-slab-sharded element-Newton
+    enhancement.  Element Newton is per-element independent (traces
+    frozen from the coarse stage), so slab-batched == full-batched
+    exactly (single-device: nonlinear.py::hybrid_solve_semilinear_2d).
+
+    ``trace_lift >= 2``: the tangential-Lagrange lift needs whole grid
+    lines, so it is computed on the REPLICATED converged grid before the
+    ``shard_map`` and each slab slices its element rows (same recipe as
+    ``sharded2d.make_sharded_solve_2d``)."""
+    from ..models.hybrid2d import (_bilinear_fallback_coeffs,
+                                   _element_data_2d, _lifted_trace_2d)
+    from ..models.nonlinear import (_P2DStub,
+                                    _semilinear2d_element_parts_host,
+                                    fem_newton_2d)
+
+    n_dev = mesh.shape[axis]
+    if cfg.ny % n_dev:
+        raise ValueError(
+            f"ny={cfg.ny} must divide by the {n_dev}-device mesh "
+            "(the element-Newton stage slices exact y-slabs)"
+        )
+    ny_loc = cfg.ny // n_dev
+    dtype = cfg.jnp_dtype()
+    M_, C = cfg.M, cfg.n_colloc
+    Lap_j, Mass_j, Bj, Zj, Pj, t_int, bpts = \
+        _semilinear2d_element_parts_host(problem, cfg, dtype)
+    t_int_j = jnp.asarray(t_int)
+    bpts_j = jnp.asarray(bpts)
+    x0, x1, y0, y1 = problem.domain
+    hy = float((y1 - y0) / cfg.ny)
+    stub = _P2DStub(problem)
+    repl = NamedSharding(mesh, P())
+
+    def local(fem_grid, trace_full):
+        d = jax.lax.axis_index(axis)
+        row0 = d * ny_loc
+        z0 = jnp.zeros_like(row0)
+        xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+        ys = y0 + hy * jnp.arange(cfg.ny + 1, dtype=dtype)
+        ys_loc = jax.lax.dynamic_slice(ys, (row0,), (ny_loc + 1,))
+        fem_loc = jax.lax.dynamic_slice(fem_grid, (row0, z0),
+                                        (ny_loc + 1, cfg.nx + 1))
+        trace_rows = None
+        if trace_lift >= 2:
+            trace_rows = jax.lax.dynamic_slice(
+                trace_full, (row0, z0, z0),
+                (ny_loc, cfg.nx, trace_full.shape[-1]),
+            )
+        f_rows, bc_rows, corners = _element_data_2d(
+            stub, cfg, xs, ys_loc, fem_loc, t_int_j, bpts_j,
+            row_offset=row0, trace_rows=trace_rows,
+        )
+        w0 = _bilinear_fallback_coeffs(*corners, M_).reshape(
+            ny_loc * cfg.nx, M_ * M_)
+
+        def elem_newton(w, _):
+            u_c = jnp.dot(w, Mass_j.T, precision=HI)
+            c_field = problem.ds(u_c)
+            D = Lap_j[None] + c_field[..., None] * Mass_j[None]
+            rhs = f_rows - problem.s(u_c) + c_field * u_c
+            w1, diags = kkt.solve_batched(D, Bj, rhs, bc_rows, cfg.gamma,
+                                          ZP=(Zj, Pj))
+            return w1, diags
+
+        w, hist = jax.lax.scan(elem_newton, w0, None,
+                               length=n_newton_elem)
+        u_c = jnp.dot(w, Mass_j.T, precision=HI)
+        lap_u = jnp.dot(w, Lap_j.T, precision=HI)
+        res_loc = jnp.max(jnp.abs(lap_u + problem.s(u_c) - f_rows))
+        ok = jax.tree_util.tree_map(lambda a: a[-1], hist).solve_ok
+        return (w.reshape(ny_loc, cfg.nx, M_, M_),
+                ok.reshape(ny_loc, cfg.nx), res_loc.reshape(1))
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)), check_vma=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def run() -> SemilinearSolution2D:
+        xs, ys, fem, fem_res = fem_newton_2d(problem, cfg, n_newton,
+                                             scheme)
+        fem_r = jax.device_put(fem, repl)
+        if trace_lift >= 2:
+            trace_full = _lifted_trace_2d(
+                fem, M_, cfg.nx, cfg.ny, stencil=trace_lift
+            ).reshape(cfg.ny, cfg.nx, -1)
+        else:
+            trace_full = jnp.zeros((cfg.ny, cfg.nx, 1), dtype)
+        trace_full = jax.device_put(trace_full, repl)
+        w, ok, res = jitted(fem_r, trace_full)
+        return SemilinearSolution2D(xs, ys, fem, w, fem_res,
+                                    jnp.max(res), ok)
+
+    run.jitted = jitted
+    return run
+
+
+def make_sharded_solve_semilinear_3d(problem: SemilinearProblem3D,
+                                     cfg: Solver3DConfig, mesh,
+                                     n_newton: int = 8,
+                                     n_newton_elem: int = 5,
+                                     scheme: str = "p1",
+                                     trace_lift: int = 0,
+                                     axis: str = ELEMENT_AXIS):
+    """Distributed 3D steady semilinear solve: replicated coarse hex
+    Newton + z-slab-sharded element-Newton enhancement (the tensor lift
+    of ``make_sharded_solve_semilinear_2d``; single-device:
+    nonlinear.py::hybrid_solve_semilinear_3d)."""
+    from ..models.hybrid3d import (_element_data_3d, _lifted_trace_3d,
+                                   _trilinear_fallback_coeffs)
+    from ..models.nonlinear import (_P3DStub,
+                                    _semilinear3d_element_parts_host,
+                                    fem_newton_3d)
+
+    n_dev = mesh.shape[axis]
+    if cfg.nz % n_dev:
+        raise ValueError(
+            f"nz={cfg.nz} must divide by the {n_dev}-device mesh "
+            "(the element-Newton stage slices exact z-slabs)"
+        )
+    nz_loc = cfg.nz // n_dev
+    dtype = cfg.jnp_dtype()
+    M_ = cfg.M
+    Lap_j, Mass_j, Bj, Zj, Pj, t_int, spts = \
+        _semilinear3d_element_parts_host(problem, cfg, dtype)
+    t_int_j = jnp.asarray(t_int)
+    spts_j = jnp.asarray(spts)
+    x0, x1, y0, y1, z0f, z1f = problem.domain
+    hz = float((z1f - z0f) / cfg.nz)
+    stub = _P3DStub(problem)
+    repl = NamedSharding(mesh, P())
+
+    def local(fem_grid, trace_full):
+        d = jax.lax.axis_index(axis)
+        lay0 = d * nz_loc
+        z0 = jnp.zeros_like(lay0)
+        xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+        ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+        zs = z0f + hz * jnp.arange(cfg.nz + 1, dtype=dtype)
+        zs_loc = jax.lax.dynamic_slice(zs, (lay0,), (nz_loc + 1,))
+        fem_loc = jax.lax.dynamic_slice(
+            fem_grid, (lay0, z0, z0),
+            (nz_loc + 1, cfg.ny + 1, cfg.nx + 1),
+        )
+        trace_rows = None
+        if trace_lift >= 2:
+            trace_rows = jax.lax.dynamic_slice(
+                trace_full, (lay0, z0, z0, z0),
+                (nz_loc, cfg.ny, cfg.nx, trace_full.shape[-1]),
+            )
+        f_rows, bc_rows, cs = _element_data_3d(
+            stub, cfg, xs, ys, zs_loc, fem_loc, t_int_j, spts_j,
+            layer_offset=lay0, trace_rows=trace_rows,
+        )
+        w0 = _trilinear_fallback_coeffs(cs, M_).reshape(
+            nz_loc * cfg.ny * cfg.nx, M_ ** 3)
+
+        def elem_newton(w, _):
+            u_c = jnp.dot(w, Mass_j.T, precision=HI)
+            c_field = problem.ds(u_c)
+            D = Lap_j[None] + c_field[..., None] * Mass_j[None]
+            rhs = f_rows - problem.s(u_c) + c_field * u_c
+            w1, diags = kkt.solve_batched(D, Bj, rhs, bc_rows, cfg.gamma,
+                                          ZP=(Zj, Pj))
+            return w1, diags
+
+        w, hist = jax.lax.scan(elem_newton, w0, None,
+                               length=n_newton_elem)
+        u_c = jnp.dot(w, Mass_j.T, precision=HI)
+        lap_u = jnp.dot(w, Lap_j.T, precision=HI)
+        res_loc = jnp.max(jnp.abs(lap_u + problem.s(u_c) - f_rows))
+        ok = jax.tree_util.tree_map(lambda a: a[-1], hist).solve_ok
+        return (w.reshape(nz_loc, cfg.ny, cfg.nx, M_, M_, M_),
+                ok.reshape(nz_loc, cfg.ny, cfg.nx), res_loc.reshape(1))
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)), check_vma=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def run() -> SemilinearSolution3D:
+        xs, ys, zs, fem, fem_res = fem_newton_3d(problem, cfg, n_newton,
+                                                 scheme)
+        fem_r = jax.device_put(fem, repl)
+        if trace_lift >= 2:
+            trace_full = _lifted_trace_3d(
+                fem, M_, cfg.nx, cfg.ny, cfg.nz, stencil=trace_lift
+            ).reshape(cfg.nz, cfg.ny, cfg.nx, -1)
+        else:
+            trace_full = jnp.zeros((cfg.nz, cfg.ny, cfg.nx, 1), dtype)
+        trace_full = jax.device_put(trace_full, repl)
+        w, ok, res = jitted(fem_r, trace_full)
+        return SemilinearSolution3D(xs, ys, zs, fem, w, fem_res,
+                                    jnp.max(res), ok)
+
+    run.jitted = jitted
+    return run
+
+
+# ------------------------------------------------------- eigen 2D / 3D
+
+
+def make_sharded_eigensolve_2d(problem, cfg: Solver2DConfig, mesh,
+                               ecfg: EigenConfig = EigenConfig(),
+                               axis: str = ELEMENT_AXIS):
+    """Distributed 2D hybrid eigensolve: replicated coarse pencil +
+    y-slab-sharded per-pair enhancement with psum Rayleigh-quotient
+    reduction (single-device: eigen.py::hybrid_eigensolve_2d).
+
+    ONE compiled XLA program across all (pair, Rayleigh-round)
+    iterations: the shift enters only through the NUMERIC VALUES of the
+    host-precomputed shifted shared bundle (``prepare_shared_2d`` of the
+    c -> c - lambda problem), which is a TRACED argument of fixed shape —
+    so the k * rq_iters calls all hit one jit cache entry.  The host
+    pays one tiny f64 QR per round (same cost structure as the
+    single-device loop); the element-data stub is lam-independent
+    (f = g = 0)."""
+    from ..models.eigen import (_check_2d_eligible, _shifted_problem_2d,
+                                fem_eigensolve_2d)
+    from ..models.eigen import HybridEigenSolution2D
+    from ..models.hybrid2d import (_bilinear_fallback_coeffs,
+                                   _boundary_coords, _element_data_2d,
+                                   _lifted_trace_2d, prepare_shared_2d)
+
+    _check_2d_eligible(problem)
+    n_dev = mesh.shape[axis]
+    if cfg.ny % n_dev:
+        raise ValueError(
+            f"ny={cfg.ny} must divide by the {n_dev}-device mesh "
+            "(the per-pair enhancement slices exact y-slabs)"
+        )
+    ny_loc = cfg.ny // n_dev
+    dtype = cfg.jnp_dtype()
+    M_ = cfg.M
+    x0, x1, y0, y1 = problem.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    repl = NamedSharding(mesh, P())
+    use_lift = ecfg.trace_lift >= 2
+    n_bpts = _boundary_coords(M_).shape[0]
+    # lam-independent element-data stub: the shift lives entirely in the
+    # shared bundle's numeric values (zero forcing, zero Dirichlet data).
+    pz = _shifted_problem_2d(problem, 0.0)
+
+    # Quadrature parts with STATIC spacings (the slab ys is traced, so
+    # _quadrature_forms_2d's float(ys[1]-ys[0]) cannot run here).
+    q = cfg.M + 2
+    tq, wq = np.polynomial.legendre.leggauss(q)
+    V0q, V1q = legendre.legendre_vandermonde(jnp.asarray(tq, dtype), M_,
+                                             num_derivs=1)
+    wq_j = jnp.asarray(wq, dtype)
+    dA = (hx / 2.0) * (hy / 2.0) * (wq_j[:, None] * wq_j[None, :])
+
+    def quad_partial(coeffs):
+        Pv = jnp.einsum("abkl,qk,rl->abqr", coeffs, V0q, V0q)
+        Px = jnp.einsum("abkl,qk,rl->abqr", coeffs, V0q, V1q) * (2.0 / hx)
+        Py = jnp.einsum("abkl,qk,rl->abqr", coeffs, V1q, V0q) * (2.0 / hy)
+        num = jnp.sum(dA[None, None] * (problem.a0 * (Px**2 + Py**2)
+                                        + problem.c * Pv**2))
+        den = jnp.sum(dA[None, None] * Pv**2)
+        return num, den
+
+    def local(shared, t_int, bpts, u_grid, bc_over):
+        d = jax.lax.axis_index(axis)
+        row0 = d * ny_loc
+        z0 = jnp.zeros_like(row0)
+        xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+        ys = y0 + hy * jnp.arange(cfg.ny + 1, dtype=dtype)
+        ys_loc = jax.lax.dynamic_slice(ys, (row0,), (ny_loc + 1,))
+        fem_loc = jax.lax.dynamic_slice(u_grid, (row0, z0),
+                                        (ny_loc + 1, cfg.nx + 1))
+        f_rows, bc_rows, corners = _element_data_2d(
+            pz, cfg, xs, ys_loc, fem_loc, t_int, bpts, row_offset=row0,
+        )
+        if use_lift:
+            # Override semantics identical to the single-device
+            # bc_rows_override: the lifted rows REPLACE the masked trace
+            # wholesale (no g-override re-application).
+            bc_rows = jax.lax.dynamic_slice(
+                bc_over, (row0 * cfg.nx, z0),
+                (ny_loc * cfg.nx, bc_over.shape[1]),
+            )
+        w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+        coeffs = w.reshape(ny_loc, cfg.nx, M_, M_)
+        fb = _bilinear_fallback_coeffs(*corners, M_)
+        ok = diags.solve_ok.reshape(ny_loc, cfg.nx)
+        coeffs = jnp.where(
+            ok[..., None, None],
+            jnp.where(jnp.isfinite(coeffs), coeffs, 0.0), fb,
+        )
+        num_p, den_p = quad_partial(coeffs)
+        num = jax.lax.psum(num_p, axis)
+        den = jax.lax.psum(den_p, axis)
+        return coeffs, ok, num, den
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(), P()), check_vma=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def run() -> HybridEigenSolution2D:
+        fem = fem_eigensolve_2d(problem, cfg, ecfg)
+        coeffs_all, lams, oks = [], [], []
+        for j in range(ecfg.k):
+            lam = float(fem.lams[j])
+            u = jax.device_put(fem.vectors[j], repl)
+            if use_lift:
+                bc_over = _lifted_trace_2d(
+                    fem.vectors[j], M_, cfg.nx, cfg.ny,
+                    stencil=ecfg.trace_lift,
+                )
+            else:
+                bc_over = jnp.zeros((cfg.ny * cfg.nx, n_bpts), dtype)
+            bc_over = jax.device_put(bc_over, repl)
+            coeffs = den = None
+            for _ in range(max(1, ecfg.rq_iters)):
+                shared, (t_int, bpts) = prepare_shared_2d(
+                    _shifted_problem_2d(problem, lam), cfg)
+                coeffs, ok, num, den = jitted(shared, t_int, bpts, u,
+                                              bc_over)
+                lam = float(num) / float(den)
+            coeffs_all.append(coeffs / jnp.sqrt(den))
+            lams.append(lam)
+            oks.append(ok)
+        return HybridEigenSolution2D(
+            fem, jnp.stack(coeffs_all),
+            jnp.asarray(lams, fem.lams.dtype), jnp.stack(oks),
+        )
+
+    run.jitted = jitted
+    return run
+
+
+def make_sharded_eigensolve_3d(problem, cfg: Solver3DConfig, mesh,
+                               ecfg: EigenConfig = EigenConfig(),
+                               axis: str = ELEMENT_AXIS):
+    """Distributed 3D hybrid eigensolve: replicated coarse pencil +
+    z-slab-sharded per-pair enhancement with psum Rayleigh-quotient
+    reduction (the tensor lift of ``make_sharded_eigensolve_2d``;
+    single-device: eigen.py::hybrid_eigensolve_3d).  Same compile-once
+    design: the shift enters only through the traced shared bundle."""
+    from ..models.eigen import (_check_3d_eligible, _shifted_problem_3d,
+                                fem_eigensolve_3d)
+    from ..models.eigen import HybridEigenSolution3D
+    from ..models.hybrid3d import (_element_data_3d, _lifted_trace_3d,
+                                   _surface_coords,
+                                   _trilinear_fallback_coeffs,
+                                   prepare_shared_3d)
+
+    _check_3d_eligible(problem)
+    n_dev = mesh.shape[axis]
+    if cfg.nz % n_dev:
+        raise ValueError(
+            f"nz={cfg.nz} must divide by the {n_dev}-device mesh "
+            "(the per-pair enhancement slices exact z-slabs)"
+        )
+    nz_loc = cfg.nz // n_dev
+    dtype = cfg.jnp_dtype()
+    M_ = cfg.M
+    x0, x1, y0, y1, z0f, z1f = problem.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    hz = float((z1f - z0f) / cfg.nz)
+    repl = NamedSharding(mesh, P())
+    use_lift = ecfg.trace_lift >= 2
+    n_spts = _surface_coords(M_).shape[0]
+    pz = _shifted_problem_3d(problem, 0.0)
+
+    q = cfg.M + 2
+    tq, wq = np.polynomial.legendre.leggauss(q)
+    V0q, V1q = legendre.legendre_vandermonde(jnp.asarray(tq, dtype), M_,
+                                             num_derivs=1)
+    wq_j = jnp.asarray(wq, dtype)
+    dV = ((hx / 2.0) * (hy / 2.0) * (hz / 2.0)
+          * (wq_j[:, None, None] * wq_j[None, :, None]
+             * wq_j[None, None, :]))
+
+    def quad_partial(coeffs):
+        Pv = jnp.einsum("eabklm,qk,rl,sm->eabqrs", coeffs, V0q, V0q, V0q,
+                        precision=HI)
+        Px = jnp.einsum("eabklm,qk,rl,sm->eabqrs", coeffs, V0q, V0q, V1q,
+                        precision=HI) * (2.0 / hx)
+        Py = jnp.einsum("eabklm,qk,rl,sm->eabqrs", coeffs, V0q, V1q, V0q,
+                        precision=HI) * (2.0 / hy)
+        Pz = jnp.einsum("eabklm,qk,rl,sm->eabqrs", coeffs, V1q, V0q, V0q,
+                        precision=HI) * (2.0 / hz)
+        num = jnp.sum(dV[None, None, None]
+                      * (problem.a0 * (Px**2 + Py**2 + Pz**2)
+                         + problem.c * Pv**2))
+        den = jnp.sum(dV[None, None, None] * Pv**2)
+        return num, den
+
+    def local(shared, t_int, spts, u_grid, bc_over):
+        d = jax.lax.axis_index(axis)
+        lay0 = d * nz_loc
+        z0 = jnp.zeros_like(lay0)
+        xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+        ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)
+        zs = z0f + hz * jnp.arange(cfg.nz + 1, dtype=dtype)
+        zs_loc = jax.lax.dynamic_slice(zs, (lay0,), (nz_loc + 1,))
+        fem_loc = jax.lax.dynamic_slice(
+            u_grid, (lay0, z0, z0),
+            (nz_loc + 1, cfg.ny + 1, cfg.nx + 1),
+        )
+        f_rows, bc_rows, cs = _element_data_3d(
+            pz, cfg, xs, ys, zs_loc, fem_loc, t_int, spts,
+            layer_offset=lay0,
+        )
+        if use_lift:
+            bc_rows = jax.lax.dynamic_slice(
+                bc_over, (lay0 * cfg.ny * cfg.nx, z0),
+                (nz_loc * cfg.ny * cfg.nx, bc_over.shape[1]),
+            )
+        w, diags = kkt.solve_primal_shared(shared, f_rows, bc_rows)
+        coeffs = w.reshape(nz_loc, cfg.ny, cfg.nx, M_, M_, M_)
+        fb = _trilinear_fallback_coeffs(cs, M_)
+        ok = diags.solve_ok.reshape(nz_loc, cfg.ny, cfg.nx)
+        coeffs = jnp.where(
+            ok[..., None, None, None],
+            jnp.where(jnp.isfinite(coeffs), coeffs, 0.0), fb,
+        )
+        num_p, den_p = quad_partial(coeffs)
+        num = jax.lax.psum(num_p, axis)
+        den = jax.lax.psum(den_p, axis)
+        return coeffs, ok, num, den
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(), P()), check_vma=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def run() -> HybridEigenSolution3D:
+        fem = fem_eigensolve_3d(problem, cfg, ecfg)
+        coeffs_all, lams, oks = [], [], []
+        for j in range(ecfg.k):
+            lam = float(fem.lams[j])
+            u = jax.device_put(fem.vectors[j], repl)
+            if use_lift:
+                bc_over = _lifted_trace_3d(
+                    fem.vectors[j], M_, cfg.nx, cfg.ny, cfg.nz,
+                    stencil=ecfg.trace_lift,
+                )
+            else:
+                bc_over = jnp.zeros(
+                    (cfg.nz * cfg.ny * cfg.nx, n_spts), dtype)
+            bc_over = jax.device_put(bc_over, repl)
+            coeffs = den = None
+            for _ in range(max(1, ecfg.rq_iters)):
+                shared, (t_int, spts) = prepare_shared_3d(
+                    _shifted_problem_3d(problem, lam), cfg)
+                coeffs, ok, num, den = jitted(shared, t_int, spts, u,
+                                              bc_over)
+                lam = float(num) / float(den)
+            coeffs_all.append(coeffs / jnp.sqrt(den))
+            lams.append(lam)
+            oks.append(ok)
+        return HybridEigenSolution3D(
+            fem, jnp.stack(coeffs_all),
+            jnp.asarray(lams, fem.lams.dtype), jnp.stack(oks),
+        )
+
+    run.jitted = jitted
     return run

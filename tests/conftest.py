@@ -73,6 +73,15 @@ _FAST_TESTS = {
     "test_sharded_families.py::test_sharded_biharmonic_1d_hits_hybrid_floor",
     "test_sharded_families.py::test_sharded_semilinear_matches_single_device",
     "test_sharded2d.py::test_sharded_2d_compact_lift_matches_single_device",
+    # Round-5 gates: one distributed wave march, one up-dimensioned
+    # composed family (compile-once eigen), grid compact, clamped plate.
+    "test_sharded_wave.py::test_sharded_wave_2d_matches_single_device",
+    "test_sharded_families.py::"
+    "test_sharded_eigensolve_2d_matches_single_device_compile_once",
+    "test_sharded2d.py::"
+    "test_grid_sharded_2d_compact_lift_matches_single_device",
+    "test_biharmonic.py::test_clamped_plate_fourth_order",
+    "test_biharmonic.py::test_shared_lse_rank_deficient_svd_route",
 }
 # Individually excluded from fast modules (3D mesh-sweep / long-march
 # cost).

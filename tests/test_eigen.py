@@ -358,3 +358,77 @@ def test_eigensolve_rejects_float32():
     with pytest.raises(ValueError, match="float64"):
         eigen.fem_eigensolve_2d(p2, Solver2DConfig(nx=8, ny=8,
                                                  dtype="float32"))
+
+
+# -------------------------------------------- mixed-precision route (r5)
+
+
+def test_mixed_eigensolve_2d_corrected_quotient_floor():
+    """Round-4 VERDICT task 9: f64 pencil + f32 enhancement + DG-corrected
+    f64 quotient.  The plain broken quotient is LINEAR in the f32
+    jump/boundary trace noise (~5e-7); the face-flux correction restores
+    quadratic suppression (measured 1.5e-11 / 1.0e-10 at 32^2 vs the f64
+    route's 2e-14 / 8.9e-11 — mode 1 within 1.2x of f64)."""
+    from hybrid_fem_lssvr_tpu.models.eigen import (
+        EigenConfig, exact_eigenvalues_2d, hybrid_eigensolve_2d_mixed,
+        rayleigh_quotient_2d)
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import (Solver2DConfig,
+                                                      poisson_2d)
+
+    p = poisson_2d()
+    ec = EigenConfig(k=2, rq_iters=2, trace_lift=6)
+    sm = hybrid_eigensolve_2d_mixed(
+        p, Solver2DConfig(nx=32, ny=32, M=6, n_colloc=6,
+                          dtype="float32"), ec)
+    ex = exact_eigenvalues_2d(p, 2)
+    errs = np.abs(np.asarray(sm.lams) - ex)
+    assert errs[0] < 5e-10, errs  # measured 1.5e-11
+    assert errs[1] < 2e-9, errs  # measured 1.0e-10
+    assert bool(jnp.all(sm.solve_ok))
+    # the PLAIN broken quotient on the same coefficients is orders worse
+    # (linear in the f32 trace noise) — the correction is load-bearing
+    cfg64 = Solver2DConfig(nx=32, ny=32, M=6, n_colloc=6,
+                           dtype="float64")
+    lam_plain = float(rayleigh_quotient_2d(p, sm.fem.xs, sm.fem.ys,
+                                           sm.coeffs[0], cfg64))
+    assert abs(lam_plain - ex[0]) > 20.0 * errs[0]
+
+
+def test_mixed_eigensolve_3d_matches_f64_at_disc_floor():
+    """At a discretisation-limited config the mixed route reproduces the
+    f64 eigenvalue to ~1e-9 relative (measured |diff| 5e-10 at 8^3)."""
+    from hybrid_fem_lssvr_tpu.models.eigen import (
+        EigenConfig, hybrid_eigensolve_3d, hybrid_eigensolve_3d_mixed)
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import (Solver3DConfig,
+                                                      poisson_3d)
+
+    p = poisson_3d()
+    ec = EigenConfig(k=1, rq_iters=1, trace_lift=4)
+    s64 = hybrid_eigensolve_3d(
+        p, Solver3DConfig(nx=8, ny=8, nz=8, M=4, n_colloc=4,
+                          dtype="float64"), ec)
+    sm = hybrid_eigensolve_3d_mixed(
+        p, Solver3DConfig(nx=8, ny=8, nz=8, M=4, n_colloc=4,
+                          dtype="float32"), ec)
+    np.testing.assert_allclose(np.asarray(sm.lams), np.asarray(s64.lams),
+                               rtol=1e-7)
+
+
+def test_corrected_quotient_consistent_on_f64_coeffs():
+    """On f64-route coefficients (jumps ~1e-13) the corrected and plain
+    quotients agree — the correction is a pure consistency term."""
+    from hybrid_fem_lssvr_tpu.models.eigen import (
+        EigenConfig, hybrid_eigensolve_2d, rayleigh_quotient_2d,
+        rayleigh_quotient_2d_corrected)
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import (Solver2DConfig,
+                                                      poisson_2d)
+
+    p = poisson_2d()
+    cfg = Solver2DConfig(nx=16, ny=16, M=6, n_colloc=6, dtype="float64")
+    s = hybrid_eigensolve_2d(p, cfg, EigenConfig(k=1, rq_iters=1,
+                                                 trace_lift=6))
+    a = float(rayleigh_quotient_2d(p, s.fem.xs, s.fem.ys, s.coeffs[0],
+                                   cfg))
+    b = float(rayleigh_quotient_2d_corrected(p, s.fem.xs, s.fem.ys,
+                                             s.coeffs[0], cfg))
+    np.testing.assert_allclose(a, b, rtol=1e-9)

@@ -322,16 +322,31 @@ def test_sharded_3d_compact_lift_matches_single_device(precond):
     assert bool(jnp.all(out.solve_ok))
 
 
-def test_sharded_3d_grid_and_graded_reject_compact_loudly():
-    """The 2-axis grid and graded paths REFUSE compact/lift instead of
-    silently degrading to the Q1/trilinear O(h^2) route."""
+def test_sharded_3d_graded_rejects_compact_loudly():
+    """The graded path REFUSES compact/lift instead of silently degrading
+    to the Q1/trilinear O(h^2) route (the 2-axis grid path CARRIES the
+    compact route since round 5 — test below)."""
     problem = poisson_3d()
     cfg = Solver3DConfig(nx=4, ny=4, nz=8, M=4, n_colloc=4,
                          coarse="compact", trace_lift=6, backend="xla")
-    with pytest.raises(NotImplementedError, match="compact"):
-        make_sharded_solve_3d_grid(problem, cfg, pmesh.grid_mesh_3d(2, 2))
     xs = np.linspace(-1, 1, 5)
     zs = np.linspace(-1, 1, 9)
     with pytest.raises(NotImplementedError, match="Q1"):
         make_sharded_solve_3d_graded(problem, cfg, pmesh.element_mesh(2),
                                      xs, xs, zs)
+
+
+def test_grid_sharded_3d_compact_lift_matches_single_device():
+    """The O(h^4) compact+lift route on the (z, y) block shards (round-5
+    VERDICT task 5): Numerov 27-point block-halo apply + weighted load,
+    plane lift on the double-all_gathered nodal grid, == single-device."""
+    problem = poisson_3d()
+    cfg = Solver3DConfig(nx=8, ny=8, nz=8, M=4, n_colloc=4,
+                         dtype="float64", precond="jacobi",
+                         coarse="compact", trace_lift=4, backend="xla")
+    sol = HybridSolver3D(problem, cfg).solve()
+    out = make_sharded_solve_3d_grid(problem, cfg,
+                                     pmesh.grid_mesh_3d(2, 2))()
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(sol.coeffs), atol=1e-11)
+    assert bool(jnp.all(out.solve_ok))

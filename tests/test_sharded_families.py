@@ -90,19 +90,17 @@ def test_sharded_biharmonic_2d_compact_lift_fourth_order():
     assert bool(jnp.all(out.u.solve_ok))
 
 
-def test_sharded_2d_grid_and_graded_reject_compact_loudly():
-    """The 2-axis grid and graded paths must fail loudly on
-    coarse='compact'/trace_lift instead of silently running Q1."""
+def test_sharded_2d_graded_rejects_compact_loudly():
+    """The graded path must fail loudly on coarse='compact'/trace_lift
+    instead of silently running Q1 (the 2-axis grid path CARRIES the
+    compact route since round 5 — test_sharded2d.py)."""
     from hybrid_fem_lssvr_tpu.models.hybrid2d import poisson_2d
     from hybrid_fem_lssvr_tpu.parallel.sharded2d import (
-        make_sharded_solve_2d_graded, make_sharded_solve_2d_grid,
+        make_sharded_solve_2d_graded,
     )
 
     cfg = Solver2DConfig(nx=8, ny=8, M=4, n_colloc=4, dtype="float64",
                          coarse="compact", trace_lift=6)
-    with pytest.raises(NotImplementedError, match="loudly"):
-        make_sharded_solve_2d_grid(poisson_2d(), cfg,
-                                   pmesh.grid_mesh(2, 2))
     xs = np.linspace(-1, 1, 9)
     with pytest.raises(NotImplementedError, match="loudly"):
         make_sharded_solve_2d_graded(poisson_2d(), cfg,
@@ -177,3 +175,169 @@ def test_sharded_families_reject_indivisible_meshes():
     with pytest.raises(ValueError, match="divide"):
         make_sharded_solve_semilinear(cubic_1d(), cfg,
                                       pmesh.element_mesh(4))
+
+
+# ------------------------------------------------ round-5 up-dimensioning
+#
+# The round-4 VERDICT (Missing #3): eigen, steady semilinear, and
+# biharmonic were distributed only in their lowest dimensions.  Every
+# factory below must equal its single-device family solver on the
+# virtual mesh — and the eigen factories must do it with ONE compiled
+# program across all (pair, Rayleigh-round) iterations.
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(),
+    dict(scheme="numerov", trace_lift=4),
+])
+def test_sharded_semilinear_2d_matches_single_device(kwargs):
+    from hybrid_fem_lssvr_tpu.models.nonlinear import (
+        cubic_2d, hybrid_solve_semilinear_2d)
+    from hybrid_fem_lssvr_tpu.parallel.sharded_families import (
+        make_sharded_solve_semilinear_2d)
+
+    p = cubic_2d()
+    cfg = Solver2DConfig(nx=8, ny=8, M=4, n_colloc=4, dtype="float64")
+    single = hybrid_solve_semilinear_2d(p, cfg, n_newton=6,
+                                        n_newton_elem=4, **kwargs)
+    out = make_sharded_solve_semilinear_2d(
+        p, cfg, pmesh.element_mesh(4), n_newton=6, n_newton_elem=4,
+        **kwargs)()
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(single.coeffs), atol=5e-8)
+    np.testing.assert_allclose(np.asarray(out.fem_values),
+                               np.asarray(single.fem_values), atol=1e-12)
+    assert bool(jnp.all(out.solve_ok))
+
+
+def test_sharded_semilinear_3d_matches_single_device():
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import Solver3DConfig
+    from hybrid_fem_lssvr_tpu.models.nonlinear import (
+        cubic_3d, hybrid_solve_semilinear_3d)
+    from hybrid_fem_lssvr_tpu.parallel.sharded_families import (
+        make_sharded_solve_semilinear_3d)
+
+    p = cubic_3d()
+    cfg = Solver3DConfig(nx=4, ny=4, nz=4, M=3, n_colloc=3,
+                         dtype="float64")
+    single = hybrid_solve_semilinear_3d(p, cfg, n_newton=4,
+                                        n_newton_elem=3)
+    out = make_sharded_solve_semilinear_3d(
+        p, cfg, pmesh.element_mesh(2), n_newton=4, n_newton_elem=3)()
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(single.coeffs), atol=5e-8)
+    assert bool(jnp.all(out.solve_ok))
+
+
+def test_sharded_eigensolve_2d_matches_single_device_compile_once():
+    from hybrid_fem_lssvr_tpu.models.eigen import hybrid_eigensolve_2d
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import poisson_2d
+    from hybrid_fem_lssvr_tpu.parallel.sharded_families import (
+        make_sharded_eigensolve_2d)
+
+    p = poisson_2d()
+    cfg = Solver2DConfig(nx=8, ny=8, M=4, n_colloc=4, dtype="float64")
+    ecfg = EigenConfig(k=2, rq_iters=2, trace_lift=4)
+    single = hybrid_eigensolve_2d(p, cfg, ecfg)
+    run = make_sharded_eigensolve_2d(p, cfg, pmesh.element_mesh(4), ecfg)
+    out = run()
+    np.testing.assert_allclose(np.asarray(out.lams),
+                               np.asarray(single.lams), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(single.coeffs), atol=1e-10)
+    assert bool(jnp.all(out.solve_ok))
+    # k * rq_iters = 4 invocations, ONE XLA program (the shift enters
+    # through the traced shared-bundle values, never the program text).
+    assert run.jitted._cache_size() == 1
+
+
+def test_sharded_eigensolve_3d_matches_single_device_compile_once():
+    from hybrid_fem_lssvr_tpu.models.eigen import hybrid_eigensolve_3d
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import (Solver3DConfig,
+                                                      poisson_3d)
+    from hybrid_fem_lssvr_tpu.parallel.sharded_families import (
+        make_sharded_eigensolve_3d)
+
+    p = poisson_3d()
+    cfg = Solver3DConfig(nx=4, ny=4, nz=4, M=3, n_colloc=3,
+                         dtype="float64")
+    ecfg = EigenConfig(k=2, rq_iters=1)
+    single = hybrid_eigensolve_3d(p, cfg, ecfg)
+    run = make_sharded_eigensolve_3d(p, cfg, pmesh.element_mesh(2), ecfg)
+    out = run()
+    np.testing.assert_allclose(np.asarray(out.lams),
+                               np.asarray(single.lams), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(single.coeffs), atol=1e-10)
+    assert bool(jnp.all(out.solve_ok))
+    assert run.jitted._cache_size() == 1
+
+
+def test_sharded_biharmonic_3d_matches_single_device():
+    from hybrid_fem_lssvr_tpu.models.biharmonic import (
+        sin_biharmonic_3d, solve_biharmonic_3d)
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import Solver3DConfig
+    from hybrid_fem_lssvr_tpu.parallel.sharded_families import (
+        make_sharded_solve_biharmonic_3d)
+
+    p = sin_biharmonic_3d()
+    cfg = Solver3DConfig(nx=4, ny=4, nz=4, M=3, n_colloc=3,
+                         dtype="float64", precond="jacobi")
+    single = solve_biharmonic_3d(p, cfg)
+    out = make_sharded_solve_biharmonic_3d(p, cfg,
+                                           pmesh.element_mesh(2))()
+    np.testing.assert_allclose(np.asarray(out.v.coeffs),
+                               np.asarray(single.v.coeffs), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.u.coeffs),
+                               np.asarray(single.u.coeffs), atol=1e-9)
+    assert bool(jnp.all(out.u.solve_ok)) and bool(jnp.all(out.v.solve_ok))
+
+
+def test_updimensioned_families_reject_indivisible_meshes():
+    from hybrid_fem_lssvr_tpu.models.hybrid3d import Solver3DConfig
+    from hybrid_fem_lssvr_tpu.models.hybrid2d import poisson_2d
+    from hybrid_fem_lssvr_tpu.models.nonlinear import cubic_2d, cubic_3d
+    from hybrid_fem_lssvr_tpu.parallel.sharded_families import (
+        make_sharded_eigensolve_2d, make_sharded_solve_semilinear_2d,
+        make_sharded_solve_semilinear_3d)
+
+    cfg = Solver2DConfig(nx=8, ny=6, M=4, n_colloc=4, dtype="float64")
+    with pytest.raises(ValueError, match="divide"):
+        make_sharded_eigensolve_2d(poisson_2d(), cfg,
+                                   pmesh.element_mesh(4))
+    with pytest.raises(ValueError, match="divide"):
+        make_sharded_solve_semilinear_2d(cubic_2d(), cfg,
+                                         pmesh.element_mesh(4))
+    cfg3 = Solver3DConfig(nx=4, ny=4, nz=3, M=3, n_colloc=3,
+                          dtype="float64")
+    with pytest.raises(ValueError, match="divide"):
+        make_sharded_solve_semilinear_3d(cubic_3d(), cfg3,
+                                         pmesh.element_mesh(2))
+
+
+def test_cli_eig_2d_slab(capsys):
+    import json
+
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["eig", "--dim", "2", "--nx", "8", "--ny", "8",
+              "--M2", "4", "--k", "2", "--mesh", "slab", "--x64"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "eigensolve"
+    assert rec["devices"] >= 2
+    assert rec["enhanced_lam_err"][0] < 1e-4
+
+
+def test_cli_nonlinear_2d_slab(capsys):
+    import json
+
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["nonlinear", "--problem", "cubic_2d", "--nx", "8",
+              "--ny", "8", "--M2", "6", "--mesh", "slab", "--x64",
+              "--eval-points", "200"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "semilinear_solve"
+    assert rec["devices"] >= 2
+    assert rec["n_fallback"] == 0
+    assert rec["linf_error"] < 0.2  # p1 coarse trace floor at 8^2

@@ -208,3 +208,41 @@ def test_sharded_wave_checkpoint_resume_bitwise(tmp_path):
     np.testing.assert_array_equal(np.asarray(res.coeffs),
                                   np.asarray(ref.coeffs))
     np.testing.assert_array_equal(np.asarray(v_res), np.asarray(v_ref))
+
+
+def test_cli_wave_2d_slab(capsys):
+    import json
+
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["transient", "--dim", "2", "--problem", "wave_2d",
+              "--nx", "8", "--ny", "8", "--M", "4", "--n-steps", "16",
+              "--t-final", "0.25", "--enhanced", "--mesh", "slab",
+              "--x64", "--eval-points", "200"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "wave_march_2d"
+    assert rec["devices"] >= 2
+    assert rec["nodal_linf"] < 5e-2
+
+
+def test_cli_elastic_wave_slab(capsys):
+    import json
+
+    from hybrid_fem_lssvr_tpu import cli
+
+    cli.main(["elastic", "--wave", "--nx", "8", "--ny", "8",
+              "--M2", "4", "--n-steps", "8", "--t-final", "0.25",
+              "--mesh", "slab", "--x64", "--eval-points", "100"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "elastic_wave_march"
+    assert rec["devices"] >= 2
+    assert rec["linf_error"] < 0.3  # coarse 8^2 M=4, 8 steps
+
+
+def test_cli_transient_slab_gates_1d():
+    import pytest as _pytest
+
+    from hybrid_fem_lssvr_tpu import cli
+
+    with _pytest.raises(SystemExit, match="single-device"):
+        cli.main(["transient", "--problem", "heat_1d", "--mesh", "slab"])
