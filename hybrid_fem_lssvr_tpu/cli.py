@@ -1065,10 +1065,12 @@ def cmd_biharmonic(args):
                 "3D C^1 tensor trace space is out of scope "
                 "(docs/NUMERICS.md)"
             )
-        if getattr(args, "mesh", None) == "slab":
+        if (getattr(args, "mesh", None) == "slab"
+                and getattr(args, "dim", 1) != 2):
             raise SystemExit(
-                "--clamped runs single-device (the C^1 coarse stages "
-                "are not distributed) — drop --mesh")
+                "--clamped --mesh slab is 2D only (the plate's y-slab "
+                "enhancement; the 1D beam runs single-device) — drop "
+                "--mesh or use --dim 2")
         if getattr(args, "dim", 1) == 2:
             return _biharmonic_clamped_2d(args, em)
         return _biharmonic_clamped(args, em)
@@ -1164,13 +1166,28 @@ def _biharmonic_clamped_2d(args, em):
     cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=M2, n_colloc=M2,
                          gamma=args.gamma, dtype="float64")
     rec = {}
-    with profiling.timed(rec, "solve_sec"):
-        sol = solve_clamped_biharmonic_2d(problem, cfg)
-        jax.block_until_ready(sol.coeffs)
+    if getattr(args, "mesh", None) == "slab":
+        from .parallel import mesh as pmesh
+        from .parallel.sharded_families import (
+            make_sharded_solve_clamped_2d,
+        )
+
+        m = pmesh.element_mesh()
+        rec["devices"] = m.devices.size
+        with profiling.timed(rec, "solve_sec"):
+            sol = make_sharded_solve_clamped_2d(problem, cfg, m)()
+            jax.block_until_ready(sol.coeffs)
+        sol = sol._replace(coeffs=jnp.asarray(np.asarray(sol.coeffs)))
+    else:
+        with profiling.timed(rec, "solve_sec"):
+            sol = solve_clamped_biharmonic_2d(problem, cfg)
+            jax.block_until_ready(sol.coeffs)
     fields = dict(problem=problem.name, elements=args.nx * args.ny,
                   M=M2, solve_sec=rec["solve_sec"],
                   cg_iters=int(sol.cg_iters),
                   n_fallback=int((~sol.solve_ok).sum()))
+    if "devices" in rec:
+        fields["devices"] = rec.pop("devices")
     rng = np.random.default_rng(0)
     d = problem.domain
     xq = jnp.asarray(rng.uniform(d[0], d[1], args.eval_points),

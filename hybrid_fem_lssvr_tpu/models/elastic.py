@@ -145,6 +145,10 @@ class ElasticConfig2D:
     # typical) — useful ONLY with coarse='richardson', whose O(h^4)
     # nodal values the lift carries onto the traces; over plain q1
     # nodal values (O(h^2)) the lift cannot raise the order.
+    backend: str = "auto"  # 'auto' | 'xla' | 'pallas'.  'auto' = XLA:
+    # the fused vector kernel (fused_enhance_elastic_2d) was built and
+    # measured SLOWER on-chip (0.87x at 512^2 M=4 — NUMERICS.md 35);
+    # 'pallas' keeps the measured alternative selectable
 
     def __post_init__(self):
         if self.precond not in ("auto", "jacobi", "mg"):
@@ -153,6 +157,8 @@ class ElasticConfig2D:
             raise ValueError(f"unknown coarse: {self.coarse!r}")
         if self.trace_lift == 1 or self.trace_lift < 0:
             raise ValueError("trace_lift must be 0 or >= 2")
+        if self.backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown backend: {self.backend!r}")
 
     def jnp_dtype(self):
         if self.dtype is not None:
@@ -346,20 +352,64 @@ def enhance_elastic(problem: ElasticProblem2D, cfg: ElasticConfig2D,
     fallback/gate semantics per element."""
     shared, (t_int, bpts) = shared_bundle
     M = cfg.M
-    rows, traces, corners = [], [], []
-    for comp in range(2):
-        f_rows, bc_rows, corner = _element_data_2d(
-            _component_problem(problem, comp), cfg, xs, ys,
-            fem_values[comp], t_int, bpts, trace_lift=cfg.trace_lift,
+    E = cfg.nx * cfg.ny
+    dtype = cfg.jnp_dtype()
+    backend = cfg.backend if cfg.trace_lift == 0 else "xla"
+    if backend == "auto":
+        # 'auto' routes to XLA: the fused vector kernel was built and
+        # measured SLOWER on-chip (0.87x at 512^2 M=4 even with the
+        # one-stacked-dot layout; tile sweep 2048/8192 worse) — XLA's
+        # own fusion of the element-data build wins here, unlike the
+        # scalar families (NUMERICS.md 35).  backend='pallas' keeps the
+        # measured alternative selectable.
+        backend = "xla" 
+    if backend == "pallas":
+        from ..ops import pallas_kernels as pk
+
+        x0, x1, y0, y1 = problem.domain
+        hx = float((x1 - x0) / cfg.nx)
+        hy = float((y1 - y0) / cfg.ny)
+        w, slack, bcv = pk.fused_enhance_elastic_2d(
+            fem_values, shared, (problem.f1, problem.f2),
+            (problem.g1, problem.g2), (x0, hx, y0, hy), cfg.nx, cfg.ny,
+            t_int, bpts, tile=pk.pick_tile(E, 4096),
+            with_diagnostics=cfg.diagnostics,
         )
-        rows.append(f_rows)
-        traces.append(bc_rows)
-        corners.append(corner)
-    f_all = jnp.concatenate(rows, axis=1)  # [E, 2 C^2]
-    bc_all = jnp.concatenate(traces, axis=1)  # [E, 2 (4M-4)]
-    w, diags = kkt.solve_primal_shared(shared, f_all, bc_all)
-    coeffs = w.reshape(-1, 2, M, M)
-    ok = diags.solve_ok
+        corners = []
+        for comp in range(2):
+            fv = fem_values[comp]
+            corners.append((fv[:-1, :-1], fv[:-1, 1:], fv[1:, :-1],
+                            fv[1:, 1:]))
+        if cfg.diagnostics:
+            from .hybrid2d import _pallas_solve_ok
+
+            # tolerance scaled by BOTH components' corner magnitudes
+            # (the trilinear-trace bound, scalar rationale).
+            ok_flat = (_pallas_solve_ok(slack, bcv, corners[0])
+                       & _pallas_solve_ok(slack, bcv, corners[1]))
+            diags = kkt.KKTDiagnostics(slack, bcv, ok_flat)
+        else:
+            z = jnp.zeros((E,), w.dtype)
+            diags = kkt.KKTDiagnostics(
+                z, z, jnp.all(jnp.isfinite(w), axis=-1))
+        coeffs = w.reshape(-1, 2, M, M)
+        ok = diags.solve_ok
+    else:
+        rows, traces, corners = [], [], []
+        for comp in range(2):
+            f_rows, bc_rows, corner = _element_data_2d(
+                _component_problem(problem, comp), cfg, xs, ys,
+                fem_values[comp], t_int, bpts,
+                trace_lift=cfg.trace_lift,
+            )
+            rows.append(f_rows)
+            traces.append(bc_rows)
+            corners.append(corner)
+        f_all = jnp.concatenate(rows, axis=1)  # [E, 2 C^2]
+        bc_all = jnp.concatenate(traces, axis=1)  # [E, 2 (4M-4)]
+        w, diags = kkt.solve_primal_shared(shared, f_all, bc_all)
+        coeffs = w.reshape(-1, 2, M, M)
+        ok = diags.solve_ok
     out = []
     for comp in range(2):
         fb = _bilinear_fallback_coeffs(*corners[comp], M)

@@ -1665,3 +1665,168 @@ def pick_tile(E: int, max_tile: int = 8192) -> int:
     t = E & (-E)  # largest power-of-2 divisor
     t = min(t, max_tile)
     return t if t >= 128 else 0
+
+
+@_mosaic_x64_safe
+def fused_enhance_elastic_2d(
+    fem_values: jnp.ndarray,  # [2, ny+1, nx+1] nodal displacement grids
+    ops: kkt.SharedOperators,  # block LSE maps (prepare_shared_elastic)
+    f_fns,  # (f1, f2) body-force components
+    g_fns,  # (g1, g2) Dirichlet data per component
+    geom,  # (x0, hx, y0, hy) Python floats
+    nx: int,
+    ny: int,
+    t_int,  # [C] interior collocation offsets
+    bpts,  # [K, 2] (ty, tx) boundary-trace points
+    tile: int = 4096,
+    interpret: bool = False,
+    with_diagnostics: bool = True,
+):
+    """Fused VECTOR (elasticity) enhancement: the 2-component analog of
+    ``fused_enhance_shared_2d``.
+
+    Per element tile, entirely in VMEM: both components' collocation rhs
+    [2C^2, tile] and bilinear traces with Dirichlet override [2K, tile]
+    are built in-kernel from the two nodal grids, then ONE stacked MXU
+    dot w = [Wf | Wbc] [f; bc] -> [2M^2, tile] (NUMERICS.md 13: the
+    two-dot layout measured 0.31x of XLA; stacking brought it to 0.87x).
+
+    MEASURED OUTCOME (round 5, NUMERICS.md 35): this kernel LOSES to the
+    XLA route on-chip — same-run A/B at 512^2 M=4: XLA 0.623 ms vs
+    stacked kernel 0.720 ms (no-diag: 0.496 vs 0.763); tile 2048/8192
+    worse.  Both paths sit at ~10x the 47 us pure-bandwidth SOL — the
+    cost is the per-element data build + small-K HIGHEST dots, which XLA
+    schedules better here than the VMEM-resident kernel.  'auto' routing
+    therefore selects XLA; this kernel stays selectable
+    (backend='pallas') as the recorded alternative, correctness-gated by
+    tests/test_pallas.py::test_fused_elastic_matches_xla_path.
+    """
+    E = nx * ny
+    if E % tile:
+        raise ValueError(f"E={E} not a multiple of tile={tile}")
+    if tile % 128:
+        raise ValueError(f"tile={tile} must be a multiple of 128 lanes")
+    dtype = fem_values.dtype
+    x0, hx, y0, hy = geom
+    M2x2 = ops.Wf.shape[0]  # 2 M^2
+    K = bpts.shape[0]
+    f1_fn, f2_fn = f_fns
+    g1_fn, g2_fn = g_fns
+
+    # Corner-value views per component, [1, E] each (8 row streams).
+    corners = []
+    for c in range(2):
+        fv = fem_values[c]
+        corners += [fv[:-1, :-1].reshape(1, E), fv[:-1, 1:].reshape(1, E),
+                    fv[1:, :-1].reshape(1, E), fv[1:, 1:].reshape(1, E)]
+
+    t = jnp.asarray(t_int, dtype)
+    C = t.shape[0]
+    dX = (jnp.tile(t, C)[:, None] + 1.0) * jnp.asarray(0.5 * hx, dtype)
+    dY = (jnp.repeat(t, C)[:, None] + 1.0) * jnp.asarray(0.5 * hy, dtype)
+    ty = jnp.asarray(bpts[:, 0], dtype)[:, None]
+    tx = jnp.asarray(bpts[:, 1], dtype)[:, None]
+    N00 = 0.25 * (1 - tx) * (1 - ty)
+    N10 = 0.25 * (1 + tx) * (1 - ty)
+    N01 = 0.25 * (1 - tx) * (1 + ty)
+    N11 = 0.25 * (1 + tx) * (1 + ty)
+    bX = (tx + 1.0) * jnp.asarray(0.5 * hx, dtype)
+    bY = (ty + 1.0) * jnp.asarray(0.5 * hy, dtype)
+    on_l = tx == -1.0
+    on_r = tx == 1.0
+    on_b = ty == -1.0
+    on_t = ty == 1.0
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def kernel(dX_r, dY_r, n_r, bxy_r,
+               u00a, u10a, u01a, u11a, u00b, u10b, u01b, u11b,
+               wfb_r, db_r, w_ref, *diag_refs):
+        i = pl.program_id(0)
+        e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) \
+            + i * tile
+        nx32 = jnp.int32(nx)
+        ex = (e_idx % nx32).astype(dtype)
+        ey = (e_idx // nx32).astype(dtype)
+        xl = jnp.asarray(x0, dtype) + ex * jnp.asarray(hx, dtype)
+        yl = jnp.asarray(y0, dtype) + ey * jnp.asarray(hy, dtype)
+        xq = xl + dX_r[:]
+        yq = yl + dY_r[:]
+        f = jnp.concatenate(
+            [f1_fn(xq, yq), f2_fn(xq, yq)], axis=0)  # [2 C^2, tile]
+        n00, n10, n01, n11 = (n_r[0:K], n_r[K:2 * K], n_r[2 * K:3 * K],
+                              n_r[3 * K:4 * K])
+        xb = xl + bxy_r[0:K]
+        yb = yl + bxy_r[K:2 * K]
+        is_l = (e_idx % nx32) == 0
+        is_r = (e_idx % nx32) == nx32 - 1
+        is_b = (e_idx // nx32) == 0
+        is_t = (e_idx // nx32) == jnp.int32(ny) - 1
+        mask = (
+            ((bxy_r[2 * K:3 * K] > 0.5) & is_l)
+            | ((bxy_r[3 * K:4 * K] > 0.5) & is_r)
+            | ((bxy_r[4 * K:5 * K] > 0.5) & is_b)
+            | ((bxy_r[5 * K:6 * K] > 0.5) & is_t)
+        )
+        tr1 = (n00 * u00a[:] + n10 * u10a[:] + n01 * u01a[:]
+               + n11 * u11a[:])
+        tr2 = (n00 * u00b[:] + n10 * u10b[:] + n01 * u01b[:]
+               + n11 * u11b[:])
+        gv1 = g1_fn(xb, yb) * jnp.ones_like(tr1)
+        gv2 = g2_fn(xb, yb) * jnp.ones_like(tr2)
+        bc = jnp.concatenate(
+            [jnp.where(mask, gv1, tr1), jnp.where(mask, gv2, tr2)],
+            axis=0)  # [2K, tile]
+        # ONE stacked MXU dot (NUMERICS.md 13: separately K-padded
+        # HIGHEST dots dominate generic-kernel cost): [Wf | Wbc] against
+        # [f; bc] — K-dim 2C^2 + 2K pads to one 128 tile instead of two.
+        fb = jnp.concatenate([f, bc], axis=0)  # [2C^2 + 2K, tile]
+        w = jnp.dot(wfb_r[:], fb, precision=hi,
+                    preferred_element_type=dtype)
+        w_ref[:] = w
+        if with_diagnostics:
+            slack_ref, bcv_ref = diag_refs
+            # stacked residual projector [D; B] w in one dot too
+            db = jnp.dot(db_r[:], w, precision=hi,
+                         preferred_element_type=dtype)
+            nC2 = f.shape[0]
+            e_res = f - db[:nC2]
+            slack_ref[:] = jnp.max(jnp.abs(e_res), axis=0, keepdims=True)
+            b_res = bc - db[nC2:]
+            bcv_ref[:] = jnp.max(jnp.abs(b_res), axis=0, keepdims=True)
+
+    n_pack = jnp.concatenate([N00, N10, N01, N11], axis=0)  # [4K, 1]
+    bxy_pack = jnp.concatenate(
+        [bX, bY,
+         on_l.astype(dtype), on_r.astype(dtype),
+         on_b.astype(dtype), on_t.astype(dtype)],
+        axis=0,
+    )  # [6K, 1]
+
+    grid = (E // tile,)
+    col = lambda i: (0, i)
+    out_shape = [jax.ShapeDtypeStruct((M2x2, E), dtype)]
+    out_specs = [pl.BlockSpec((M2x2, tile), col,
+                              memory_space=pltpu.VMEM)]
+    if with_diagnostics:
+        out_shape += [jax.ShapeDtypeStruct((1, E), dtype)] * 2
+        out_specs += [
+            pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+        ] * 2
+    repl = pl.BlockSpec(memory_space=pltpu.VMEM)
+    row_block = pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM)
+    Wfb = jnp.concatenate([ops.Wf, ops.Wbc], axis=1)  # [2M^2, 2C^2+2K]
+    DB = jnp.concatenate([ops.D, ops.B], axis=0)  # [2C^2+2K, 2M^2]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[repl, repl, repl, repl]
+        + [row_block] * 8 + [repl, repl],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(dX, dY, n_pack, bxy_pack, *corners, Wfb, DB)
+    if with_diagnostics:
+        wT, slack, bcv = outs
+        return wT.T, slack[0], bcv[0]
+    return outs[0].T, None, None

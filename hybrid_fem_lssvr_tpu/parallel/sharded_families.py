@@ -100,20 +100,25 @@ def make_sharded_solve_biharmonic_1d(problem: BiharmonicProblem1D,
     x0, x1 = problem.domain
     nodes = jnp.linspace(x0, x1, cfg.num_nodes, dtype=dtype)
     repl = NamedSharding(mesh, P())
+    cache = {}  # ADVICE r4 #4: run_v() is deterministic for a fixed
+    # factory, so the stage-u program (which bakes wv as a constant) is
+    # reused across repeated run() invocations instead of re-jitted.
 
     def run() -> ShardedBiharmonicSolution:
         sol_v = run_v()
-        # ONE all-gather: re-replicate the stage-v polynomials so every
-        # device can read the stage-u rhs pointwise in its own slab.
-        wv = jax.device_put(sol_v.coeffs, repl)
-        pu = Problem1D(
-            name=f"{problem.name}:displacement",
-            f=lambda x: -ev.evaluate(nodes, wv, x),
-            domain=problem.domain,
-            exact=problem.exact,
-        )
-        run_u = make_sharded_solve(pu, cfg, mesh, axis)
-        return ShardedBiharmonicSolution(u=run_u(), v=sol_v)
+        if "run_u" not in cache:
+            # ONE all-gather: re-replicate the stage-v polynomials so
+            # every device can read the stage-u rhs pointwise in its
+            # own slab.
+            wv = jax.device_put(sol_v.coeffs, repl)
+            pu = Problem1D(
+                name=f"{problem.name}:displacement",
+                f=lambda x: -ev.evaluate(nodes, wv, x),
+                domain=problem.domain,
+                exact=problem.exact,
+            )
+            cache["run_u"] = make_sharded_solve(pu, cfg, mesh, axis)
+        return ShardedBiharmonicSolution(u=cache["run_u"](), v=sol_v)
 
     return run
 
@@ -158,34 +163,37 @@ def make_sharded_solve_biharmonic_3d(problem: BiharmonicProblem3D,
     # Pallas kernels (same forcing as the single-device chain).
     cfg_u = dataclasses.replace(cfg, backend="xla")
 
+    cache = {}  # ADVICE r4 #4: stage-u program reused across run() calls
+
     def run() -> ShardedBiharmonicSolution3D:
         from ..models.hybrid3d import Solution3D
 
         sol_v = run_v()
-        wv = jax.device_put(sol_v.coeffs, repl)
-        zeros_grid = jnp.zeros((cfg.nz + 1, cfg.ny + 1, cfg.nx + 1),
-                               dtype)
-        sv = Solution3D(xs, ys, zs, zeros_grid, wv, jnp.int32(0),
-                        jnp.zeros((), dtype), None, None, None, None)
+        if "run_u" not in cache:
+            wv = jax.device_put(sol_v.coeffs, repl)
+            zeros_grid = jnp.zeros((cfg.nz + 1, cfg.ny + 1, cfg.nx + 1),
+                                   dtype)
+            sv = Solution3D(xs, ys, zs, zeros_grid, wv, jnp.int32(0),
+                            jnp.zeros((), dtype), None, None, None, None)
 
-        def rhs_u(x, y, z):
-            shp = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y),
-                                       jnp.shape(z))
-            ones = jnp.ones(shp, dtype)
-            xf = jnp.ravel(x * ones)
-            yf = jnp.ravel(y * ones)
-            zf = jnp.ravel(z * ones)
-            return -evaluate_3d(sv, xf, yf, zf).reshape(shp)
+            def rhs_u(x, y, z):
+                shp = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y),
+                                           jnp.shape(z))
+                ones = jnp.ones(shp, dtype)
+                xf = jnp.ravel(x * ones)
+                yf = jnp.ravel(y * ones)
+                zf = jnp.ravel(z * ones)
+                return -evaluate_3d(sv, xf, yf, zf).reshape(shp)
 
-        pu = Problem3D(
-            name=f"{problem.name}:displacement",
-            f=rhs_u,
-            g=zero,
-            domain=problem.domain,
-            exact=problem.exact,
-        )
-        run_u = make_sharded_solve_3d(pu, cfg_u, mesh, axis)
-        return ShardedBiharmonicSolution3D(u=run_u(), v=sol_v)
+            pu = Problem3D(
+                name=f"{problem.name}:displacement",
+                f=rhs_u,
+                g=zero,
+                domain=problem.domain,
+                exact=problem.exact,
+            )
+            cache["run_u"] = make_sharded_solve_3d(pu, cfg_u, mesh, axis)
+        return ShardedBiharmonicSolution3D(u=cache["run_u"](), v=sol_v)
 
     return run
 
@@ -218,30 +226,33 @@ def make_sharded_solve_biharmonic_2d(problem: BiharmonicProblem2D,
     # Pallas kernels (same forcing as the single-device chain).
     cfg_u = dataclasses.replace(cfg, backend="xla")
 
+    cache = {}  # ADVICE r4 #4: stage-u program reused across run() calls
+
     def run() -> ShardedBiharmonicSolution2D:
         sol_v = run_v()
-        wv = jax.device_put(sol_v.coeffs, repl)
-        zeros_grid = jnp.zeros((cfg.ny + 1, cfg.nx + 1), dtype)
-        zs = jnp.zeros((cfg.ny, cfg.nx), dtype)
-        sv = Solution2D(xs, ys, zeros_grid, wv, jnp.int32(0),
-                        jnp.zeros((), dtype), zs, zs,
-                        jnp.ones((cfg.ny, cfg.nx), bool))
+        if "run_u" not in cache:
+            wv = jax.device_put(sol_v.coeffs, repl)
+            zeros_grid = jnp.zeros((cfg.ny + 1, cfg.nx + 1), dtype)
+            zs = jnp.zeros((cfg.ny, cfg.nx), dtype)
+            sv = Solution2D(xs, ys, zeros_grid, wv, jnp.int32(0),
+                            jnp.zeros((), dtype), zs, zs,
+                            jnp.ones((cfg.ny, cfg.nx), bool))
 
-        def rhs_u(x, y):
-            shp = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
-            xf = jnp.ravel(x * jnp.ones_like(x + y))
-            yf = jnp.ravel(y * jnp.ones_like(x + y))
-            return -evaluate_2d(sv, xf, yf).reshape(shp)
+            def rhs_u(x, y):
+                shp = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
+                xf = jnp.ravel(x * jnp.ones_like(x + y))
+                yf = jnp.ravel(y * jnp.ones_like(x + y))
+                return -evaluate_2d(sv, xf, yf).reshape(shp)
 
-        pu = Problem2D(
-            name=f"{problem.name}:displacement",
-            f=rhs_u,
-            g=zero,
-            domain=problem.domain,
-            exact=problem.exact,
-        )
-        run_u = make_sharded_solve_2d(pu, cfg_u, mesh, axis)
-        return ShardedBiharmonicSolution2D(u=run_u(), v=sol_v)
+            pu = Problem2D(
+                name=f"{problem.name}:displacement",
+                f=rhs_u,
+                g=zero,
+                domain=problem.domain,
+                exact=problem.exact,
+            )
+            cache["run_u"] = make_sharded_solve_2d(pu, cfg_u, mesh, axis)
+        return ShardedBiharmonicSolution2D(u=cache["run_u"](), v=sol_v)
 
     return run
 
@@ -911,6 +922,82 @@ def make_sharded_eigensolve_3d(problem, cfg: Solver3DConfig, mesh,
         return HybridEigenSolution3D(
             fem, jnp.stack(coeffs_all),
             jnp.asarray(lams, fem.lams.dtype), jnp.stack(oks),
+        )
+
+    run.jitted = jitted
+    return run
+
+
+# --------------------------------------------------------- clamped plate
+
+
+def make_sharded_solve_clamped_2d(problem, cfg: Solver2DConfig, mesh,
+                                  axis: str = ELEMENT_AXIS):
+    """Distributed clamped plate: replicated C^1 BFS coarse stage (the
+    4-dof-per-node grid is tiny — cheaper to recompute everywhere than
+    to communicate, same policy as the semilinear coarse Newton) +
+    y-slab-sharded fourth-order enhancement (one shared SVD-route LSE
+    per slab; single-device: biharmonic.py::solve_clamped_biharmonic_2d).
+    """
+    from ..models.biharmonic import (ClampedBiharmonicSolution2D,
+                                     _bfs_gather, bfs_fem_solve_2d,
+                                     prepare_shared_clamped_2d)
+
+    n_dev = mesh.shape[axis]
+    if cfg.ny % n_dev:
+        raise ValueError(
+            f"ny={cfg.ny} must divide by the {n_dev}-device mesh "
+            "(the enhancement slices exact y-slabs)"
+        )
+    ny_loc = cfg.ny // n_dev
+    dtype = cfg.jnp_dtype()
+    M_, C = cfg.M, cfg.n_colloc
+    shared, t_int, T_all = prepare_shared_clamped_2d(problem, cfg)
+    x0, x1, y0, y1 = problem.domain
+    hx = float((x1 - x0) / cfg.nx)
+    hy = float((y1 - y0) / cfg.ny)
+    repl = NamedSharding(mesh, P())
+    shared_r = jax.device_put(shared, repl)
+    T_r = jax.device_put(T_all, repl)
+    t_j = jnp.asarray(t_int, dtype)
+
+    def local(shared, T_all, loc_full):
+        d = jax.lax.axis_index(axis)
+        row0 = d * ny_loc
+        z0 = jnp.zeros_like(row0)
+        loc = jax.lax.dynamic_slice(
+            loc_full, (row0, z0, z0), (ny_loc, cfg.nx, 16))
+        xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
+        ys = y0 + hy * jnp.arange(cfg.ny + 1, dtype=dtype)
+        ys_loc = jax.lax.dynamic_slice(ys, (row0,), (ny_loc + 1,))
+        xm = 0.5 * (xs[1:] + xs[:-1])
+        ym = 0.5 * (ys_loc[1:] + ys_loc[:-1])
+        xq = xm[:, None] + 0.5 * hx * t_j[None, :]
+        yq = ym[:, None] + 0.5 * hy * t_j[None, :]
+        F = problem.f(xq[None, :, None, :], yq[:, None, :, None])
+        f_rows = (F * jnp.ones((ny_loc, cfg.nx, C, C), dtype)).reshape(
+            ny_loc * cfg.nx, C * C)
+        bc = jnp.einsum("yxl,pl->yxp", loc, T_all,
+                        precision=HI).reshape(ny_loc * cfg.nx, -1)
+        w, diags = kkt.solve_primal_shared(shared, f_rows, bc)
+        return (w.reshape(ny_loc, cfg.nx, M_, M_),
+                diags.solve_ok.reshape(ny_loc, cfg.nx),
+                diags.max_slack.reshape(ny_loc, cfg.nx))
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)), check_vma=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def run() -> ClampedBiharmonicSolution2D:
+        xs, ys, u, res = bfs_fem_solve_2d(problem, cfg)
+        loc_full = jax.device_put(_bfs_gather(u), repl)
+        w, ok, slack = jitted(shared_r, T_r, loc_full)
+        return ClampedBiharmonicSolution2D(
+            xs=xs, ys=ys, u_nodal=u, coeffs=w, solve_ok=ok,
+            max_slack=slack, cg_iters=res.iters,
+            cg_residual=res.residual,
         )
 
     run.jitted = jitted

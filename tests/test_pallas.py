@@ -418,3 +418,43 @@ def test_fused_graded_2d_matches_xla_path():
         r = float(jnp.max(slack)) / max(
             float(jnp.max(d_ref.max_slack)), 1e-30)
         assert 0.2 < r < 5.0, (pname, r)
+
+
+def test_fused_elastic_matches_xla_path():
+    """The fused VECTOR kernel (round-5: the XLA elastic enhancement
+    measured ~13% of bandwidth SOL at 512^2) == the XLA block-LSE route
+    in interpret mode: coefficients, slack, bc violation."""
+    from hybrid_fem_lssvr_tpu.models import elastic as EL
+
+    problem = EL.get_elastic_problem("sin_elastic_2d")
+    cfg = EL.ElasticConfig2D(nx=16, ny=16, M=4, n_colloc=4,
+                             dtype="float32", backend="xla")
+    shared, (t_int, bpts) = EL.prepare_shared_elastic(problem, cfg)
+    xs = jnp.linspace(-1, 1, 17, dtype=jnp.float32)
+    u1 = jnp.sin(jnp.pi * xs)[None, :] * jnp.sin(jnp.pi * xs)[:, None]
+    u2 = jnp.sin(jnp.pi * xs)[None, :] * jnp.sin(2 * jnp.pi * xs)[:, None]
+    fem = jnp.stack([u1, u2]).astype(jnp.float32)
+    # XLA reference
+    coeffs_x, diags_x, _ = EL.enhance_elastic(
+        problem, cfg, xs, xs, fem, (shared, (t_int, bpts)))
+    # kernel in interpret mode
+    w, slack, bcv = pk.fused_enhance_elastic_2d(
+        fem, shared, (problem.f1, problem.f2),
+        (problem.g1, problem.g2), (-1.0, 2.0 / 16, -1.0, 2.0 / 16),
+        16, 16, t_int, bpts, tile=256, interpret=True,
+    )
+    M = cfg.M
+    coeffs_k = jnp.stack([
+        w.reshape(-1, 2, M, M)[:, c].reshape(16, 16, M, M)
+        for c in range(2)
+    ])
+    np.testing.assert_allclose(np.asarray(coeffs_k),
+                               np.asarray(coeffs_x), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(slack).reshape(16, 16),
+                               np.asarray(diags_x.max_slack
+                                          ).reshape(16, 16), rtol=5e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(bcv).reshape(16, 16),
+                               np.asarray(diags_x.bc_violation
+                                          ).reshape(16, 16), rtol=5e-4,
+                               atol=2e-5)

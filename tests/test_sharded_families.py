@@ -341,3 +341,52 @@ def test_cli_nonlinear_2d_slab(capsys):
     assert rec["devices"] >= 2
     assert rec["n_fallback"] == 0
     assert rec["linf_error"] < 0.2  # p1 coarse trace floor at 8^2
+
+
+def test_sharded_biharmonic_rerun_reuses_stage_u(monkeypatch):
+    """ADVICE r4 #4: run_v() is deterministic for a fixed factory, so
+    repeated run() calls must NOT rebuild (re-jit) the stage-u program —
+    asserted by counting make_sharded_solve invocations."""
+    import hybrid_fem_lssvr_tpu.parallel.sharded_families as SF
+
+    calls = {"n": 0}
+    orig = SF.make_sharded_solve
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(SF, "make_sharded_solve", counting)
+    p = sin_biharmonic_1d()
+    cfg = SolverConfig(num_nodes=17, M=6, gamma=1e4, dtype="float64")
+    run = SF.make_sharded_solve_biharmonic_1d(p, cfg,
+                                              pmesh.element_mesh(2))
+    n_after_factory = calls["n"]  # stage v built at factory time
+    a = run()
+    b = run()
+    assert calls["n"] == n_after_factory + 1  # stage u built ONCE
+    np.testing.assert_allclose(np.asarray(a.u.coeffs),
+                               np.asarray(b.u.coeffs), rtol=0, atol=0)
+
+
+def test_sharded_clamped_plate_matches_single_device():
+    """Distributed clamped plate (round 5): replicated BFS coarse +
+    y-slab-sharded fourth-order enhancement == single-device (probe:
+    2.2e-19 at 16^2 M=10)."""
+    from hybrid_fem_lssvr_tpu.models.biharmonic import (
+        clamped_sin2_2d, solve_clamped_biharmonic_2d)
+    from hybrid_fem_lssvr_tpu.parallel.sharded_families import (
+        make_sharded_solve_clamped_2d)
+
+    p = clamped_sin2_2d()
+    cfg = Solver2DConfig(nx=16, ny=16, M=10, n_colloc=10,
+                         dtype="float64")
+    single = solve_clamped_biharmonic_2d(p, cfg)
+    out = make_sharded_solve_clamped_2d(p, cfg, pmesh.element_mesh(4))()
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(single.coeffs), atol=1e-14)
+    assert bool(jnp.all(out.solve_ok))
+    with pytest.raises(ValueError, match="divide"):
+        make_sharded_solve_clamped_2d(
+            p, Solver2DConfig(nx=16, ny=6, M=10, n_colloc=10,
+                              dtype="float64"), pmesh.element_mesh(4))
