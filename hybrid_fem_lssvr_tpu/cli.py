@@ -2323,8 +2323,10 @@ def build_parser():
                     "high-order hybrid route (239x at 32^2)")
     sp.add_argument("--trace-lift", type=int, default=0)
     sp.add_argument("--mesh", default=None, choices=[None, "slab"],
-                    help="2D steady: distributed y-slab solve over all "
-                    "available devices (parallel/sharded_elastic.py)")
+                    help="distributed slab solve over all available "
+                    "devices: 2D y-slabs / --dim 3 z-slabs; composes "
+                    "with --coarse richardson --trace-lift and with "
+                    "--wave (parallel/sharded_elastic.py, wave.py)")
     sp.add_argument("--checkpoint", default=None,
                     help="march-state dir for --wave (chunked resumable "
                     "scan, bitwise-identical resume); ignored for the "

@@ -226,17 +226,6 @@ def make_sharded_solve_elastic_2d(problem: ElasticProblem2D,
     """Jitted multi-chip 2D elasticity solve (module docstring); element
     rows padded to a slab multiple, padded tail rows masked out by the
     global-row boundary masks and stripped from the outputs."""
-    if cfg.trace_lift:
-        raise NotImplementedError(
-            "the sharded path keeps the bilinear trace (lift windows need "
-            "whole grid lines); run trace_lift on the single-device path"
-        )
-    if cfg.coarse != "q1":
-        raise NotImplementedError(
-            "the sharded path runs the q1 block coarse stage; "
-            "coarse='richardson' (two-grid extrapolation) is "
-            "single-device — it needs the lifted traces anyway"
-        )
     n_dev = mesh.shape[axis]
     ny_loc = -(-cfg.ny // n_dev)
     ny_pad = n_dev * ny_loc
@@ -257,14 +246,59 @@ def make_sharded_solve_elastic_2d(problem: ElasticProblem2D,
         ys = y0 + hy * jnp.arange(ny_pad + 1, dtype=dtype)
         row0 = d * ny_loc
         ys_loc = jax.lax.dynamic_slice(ys, (row0,), (ny_loc + 1,))
-        fem_loc, cg_res = _dist_fem_solve_elastic_2d(
-            problem, cfg, d, n_dev, axis, xs, ys_loc, row0
-        )
+        if cfg.coarse == "richardson":
+            # Two distributed block solves (h and h/2): fine slabs align
+            # exactly with coarse slabs (2x rows per device), and the
+            # h^2-term cancellation (4 u_{h/2} - u_h)/3 happens on the
+            # shared coarse nodes of each slab — the O(h^4) vector
+            # nodal route, distributed (single-device:
+            # elastic.hybrid_solve_elastic's richardson branch).
+            import dataclasses as _dc
+
+            cfg_f = _dc.replace(cfg, nx=2 * cfg.nx, ny=2 * cfg.ny)
+            xs_f = jnp.linspace(x0, x1, 2 * cfg.nx + 1, dtype=dtype)
+            hy_f = (y1 - y0) / (2 * cfg.ny)
+            ys_f = y0 + hy_f * jnp.arange(2 * ny_pad + 1, dtype=dtype)
+            row0_f = 2 * row0
+            ys_loc_f = jax.lax.dynamic_slice(ys_f, (row0_f,),
+                                             (2 * ny_loc + 1,))
+            fem_f, cg_res = _dist_fem_solve_elastic_2d(
+                problem, cfg_f, d, n_dev, axis, xs_f, ys_loc_f, row0_f
+            )
+            fem_h, _ = _dist_fem_solve_elastic_2d(
+                problem, cfg, d, n_dev, axis, xs, ys_loc, row0
+            )
+            fem_loc = (4.0 * fem_f[:, ::2, ::2] - fem_h) / 3.0
+        else:
+            fem_loc, cg_res = _dist_fem_solve_elastic_2d(
+                problem, cfg, d, n_dev, axis, xs, ys_loc, row0
+            )
+        tr_comp = [None, None]
+        if cfg.trace_lift >= 2:
+            # Tangential Lagrange lift per component on the GATHERED
+            # nodal grid (global windows), sliced per slab — the same
+            # recipe as the scalar sharded2d path.
+            from ..models.hybrid2d import _lifted_trace_2d
+
+            z0 = jnp.zeros_like(row0)
+            for comp in range(2):
+                fem_full = _gather_grid(fem_loc[comp], n_dev,
+                                        axis)[: cfg.ny + 1]
+                tr = _lifted_trace_2d(
+                    fem_full, M, cfg.nx, cfg.ny,
+                    stencil=cfg.trace_lift,
+                ).reshape(cfg.ny, cfg.nx, -1)
+                tr = jnp.pad(tr, ((0, ny_pad - cfg.ny), (0, 0), (0, 0)))
+                tr_comp[comp] = jax.lax.dynamic_slice(
+                    tr, (row0, z0, z0),
+                    (ny_loc, cfg.nx, tr.shape[-1]),
+                )
         rows, traces, corners = [], [], []
         for comp in range(2):
             f_rows, bc_rows, cs = _element_data_2d(
                 _component_problem(problem, comp), cfg, xs, ys_loc,
                 fem_loc[comp], t_int, bpts, row_offset=row0,
+                trace_rows=tr_comp[comp],
             )
             rows.append(f_rows)
             traces.append(bc_rows)
@@ -545,17 +579,6 @@ def make_sharded_solve_elastic_3d(problem, cfg, mesh,
         _element_data_3d, _trilinear_fallback_coeffs,
     )
 
-    if cfg.trace_lift:
-        raise NotImplementedError(
-            "the sharded path keeps the trilinear trace (lift windows "
-            "need whole grid planes); run trace_lift on the "
-            "single-device path"
-        )
-    if cfg.coarse != "q1":
-        raise NotImplementedError(
-            "the sharded path runs the q1 block coarse stage; "
-            "coarse='richardson' is single-device (see the 2D note)"
-        )
     n_dev = mesh.shape[axis]
     if cfg.nz % n_dev != 0:
         raise ValueError(
@@ -580,14 +603,57 @@ def make_sharded_solve_elastic_3d(problem, cfg, mesh,
         zs = z0 + hz * jnp.arange(cfg.nz + 1, dtype=dtype)
         lay0 = d * nz_loc
         zs_loc = jax.lax.dynamic_slice(zs, (lay0,), (nz_loc + 1,))
-        fem_loc, cg_res = _dist_fem_solve_elastic_3d(
-            problem, cfg, d, n_dev, axis, xs, ys, zs_loc, lay0
-        )
+        if cfg.coarse == "richardson":
+            # Distributed two-grid nodal extrapolation (the 2D note,
+            # lifted): fine z-slabs align exactly (2x layers/device).
+            import dataclasses as _dc
+
+            cfg_f = _dc.replace(cfg, nx=2 * cfg.nx, ny=2 * cfg.ny,
+                                nz=2 * cfg.nz)
+            xs_f = jnp.linspace(x0, x1, 2 * cfg.nx + 1, dtype=dtype)
+            ys_f = jnp.linspace(y0, y1, 2 * cfg.ny + 1, dtype=dtype)
+            hz_f = (z1 - z0) / (2 * cfg.nz)
+            zs_f = z0 + hz_f * jnp.arange(2 * cfg.nz + 1, dtype=dtype)
+            lay0_f = 2 * lay0
+            zs_loc_f = jax.lax.dynamic_slice(zs_f, (lay0_f,),
+                                             (2 * nz_loc + 1,))
+            fem_f, cg_res = _dist_fem_solve_elastic_3d(
+                problem, cfg_f, d, n_dev, axis, xs_f, ys_f, zs_loc_f,
+                lay0_f
+            )
+            fem_h, _ = _dist_fem_solve_elastic_3d(
+                problem, cfg, d, n_dev, axis, xs, ys, zs_loc, lay0
+            )
+            fem_loc = (4.0 * fem_f[:, ::2, ::2, ::2] - fem_h) / 3.0
+        else:
+            fem_loc, cg_res = _dist_fem_solve_elastic_3d(
+                problem, cfg, d, n_dev, axis, xs, ys, zs_loc, lay0
+            )
+        tr_comp = [None, None, None]
+        if cfg.trace_lift >= 2:
+            # Plane lift per component on the gathered nodal grid
+            # (global windows), sliced per slab — the scalar sharded3d
+            # recipe per displacement component.
+            from ..models.hybrid3d import _lifted_trace_3d
+            from .sharded3d import _gather_grid_3d
+
+            z00 = jnp.zeros_like(lay0)
+            for comp in range(3):
+                fem_full = _gather_grid_3d(fem_loc[comp], n_dev, axis)
+                tr = _lifted_trace_3d(
+                    fem_full, M, cfg.nx, cfg.ny, cfg.nz,
+                    stencil=cfg.trace_lift,
+                ).reshape(cfg.nz, cfg.ny, cfg.nx, -1)
+                tr_comp[comp] = jax.lax.dynamic_slice(
+                    tr, (lay0, z00, z00, z00),
+                    (nz_loc, cfg.ny, cfg.nx, tr.shape[-1]),
+                )
         rows, traces, corners = [], [], []
         for comp in range(3):
             f_rows, bc_rows, cs = _element_data_3d(
                 _component_problem_3d(problem, comp), cfg, xs, ys,
                 zs_loc, fem_loc[comp], t_int, spts, layer_offset=lay0,
+                trace_rows=tr_comp[comp],
             )
             rows.append(f_rows)
             traces.append(bc_rows)

@@ -99,12 +99,22 @@ def test_sharded_elastic_2d_evaluate_matches_local():
     assert e1 < 0.3
 
 
-def test_sharded_elastic_2d_rejects_trace_lift():
+def test_sharded_elastic_2d_lift_only_matches_single_device():
+    """Since round 5 the sharded path CARRIES trace_lift (gathered-grid
+    per-component lift) instead of refusing it — lift without richardson
+    must equal the single-device lift-only run."""
+    from hybrid_fem_lssvr_tpu.models.elastic import (
+        hybrid_solve_elastic, prepare_shared_elastic,
+    )
+
     p = get_elastic_problem("sin_elastic_2d")
-    cfg = ElasticConfig2D(nx=8, ny=8, M=4, n_colloc=4, trace_lift=2)
-    mesh = pmesh.element_mesh(n_devices=2)
-    with pytest.raises(NotImplementedError):
-        make_sharded_solve_elastic_2d(p, cfg, mesh)
+    cfg = ElasticConfig2D(nx=8, ny=8, M=4, n_colloc=4, dtype="float64",
+                          precond="jacobi", trace_lift=4)
+    single = hybrid_solve_elastic(p, cfg, prepare_shared_elastic(p, cfg))
+    out = make_sharded_solve_elastic_2d(p, cfg,
+                                        pmesh.element_mesh(2))()
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(single.coeffs), atol=1e-12)
 
 
 @pytest.mark.parametrize("n_dev,precond", [(2, "auto"), (4, "jacobi")])
@@ -203,3 +213,42 @@ def test_cli_elastic_richardson(capsys):
     rec = [r for r in lines if r.get("stage") == "elastic_solve"]
     assert rec, lines
     assert rec[0]["linf_error"] < 6e-3  # measured 4.3e-3 at 16^2
+
+
+def test_sharded_elastic_2d_richardson_lift_matches_single_device():
+    """The O(h^4) vector route (coarse='richardson' + lifted traces)
+    rides the distributed y-slab path (round 5): two distributed block
+    solves at h and h/2 with aligned slabs + gathered-grid per-component
+    lift == single-device to 1e-14 (probe: 1.2e-15 at 16^2)."""
+    from hybrid_fem_lssvr_tpu.models import elastic as EL
+    from hybrid_fem_lssvr_tpu.parallel.sharded_elastic import (
+        make_sharded_solve_elastic_2d,
+    )
+
+    p = EL.get_elastic_problem("sin_elastic_2d")
+    cfg = EL.ElasticConfig2D(nx=16, ny=16, M=6, n_colloc=6,
+                             dtype="float64", precond="jacobi",
+                             coarse="richardson", trace_lift=6)
+    single = EL.hybrid_solve_elastic(
+        p, cfg, EL.prepare_shared_elastic(p, cfg))
+    out = make_sharded_solve_elastic_2d(p, cfg, pmesh.element_mesh(4))()
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(single.coeffs), atol=1e-13)
+    assert bool(jnp.all(out.solve_ok))
+
+
+def test_sharded_elastic_3d_richardson_lift_matches_single_device():
+    from hybrid_fem_lssvr_tpu.models import elastic3d as EL3
+    from hybrid_fem_lssvr_tpu.parallel.sharded_elastic import (
+        make_sharded_solve_elastic_3d,
+    )
+
+    p = EL3.get_elastic_problem_3d("sin_elastic_3d")
+    cfg = EL3.ElasticConfig3D(nx=8, ny=8, nz=8, M=4, n_colloc=4,
+                              dtype="float64", precond="jacobi",
+                              coarse="richardson", trace_lift=4)
+    single = EL3.ElasticSolver3D(p, cfg).solve()
+    out = make_sharded_solve_elastic_3d(p, cfg, pmesh.element_mesh(2))()
+    np.testing.assert_allclose(np.asarray(out.coeffs),
+                               np.asarray(single.coeffs), atol=1e-12)
+    assert bool(jnp.all(out.solve_ok))
