@@ -934,6 +934,15 @@ def cmd_eig(args):
     if getattr(args, "x64", False):
         jax.config.update("jax_enable_x64", True)
     em = M.MetricsEmitter()
+    if getattr(args, "mixed", False):
+        if getattr(args, "mesh", None) == "slab":
+            raise SystemExit(
+                "--mixed is single-device (the sharded eigensolves run "
+                "the f64 route) — drop --mesh or --mixed")
+        if args.dim == 1:
+            raise SystemExit(
+                "--mixed is for --dim 2|3 (the 1D path is not f32-gated "
+                "— run it directly with --dtype float32)")
     ecfg = EIG.EigenConfig(k=args.k, iters=args.iters, mass=args.mass,
                            rq_iters=args.rq_iters)
     rec = {}
@@ -1162,7 +1171,16 @@ def _biharmonic_clamped_2d(args, em):
     # f64-only family (same gate as the beam); x64 enabled
     # unconditionally here.
     jax.config.update("jax_enable_x64", True)
-    M2 = max(args.M2, 10)  # trace-limited floor needs M >= ~10
+    # The biharmonic parser's --M2 default (6) is the simply-supported
+    # plate's; the clamped enhancement fits over the (M-4)^2 bubbles and
+    # needs M >= ~10 (NUMERICS.md 32).  Default up-resolves; an EXPLICIT
+    # sub-10 request fails loudly instead of being silently overridden.
+    M2 = 10 if args.M2 == 6 else args.M2
+    if M2 < 10:
+        raise SystemExit(
+            "--clamped --dim 2 needs --M2 >= 10: the value+normal-slope "
+            "trace rows leave only (M-4)^2 free fit dofs (NUMERICS.md "
+            "32; measured floors need M >= 10)")
     cfg = Solver2DConfig(nx=args.nx, ny=args.ny, M=M2, n_colloc=M2,
                          gamma=args.gamma, dtype="float64")
     rec = {}
@@ -1555,7 +1573,8 @@ def _elastic_wave_3d_from_sharded(EW, out):
         fl = np.asarray(src)
         n_dev, nc, nloc1 = fl.shape[0], fl.shape[1], fl.shape[2]
         nz_loc = nloc1 - 1
-        grid = np.zeros((nc, n_dev * nz_loc + 1) + fl.shape[3:])
+        grid = np.zeros((nc, n_dev * nz_loc + 1) + fl.shape[3:],
+                        fl.dtype)
         for dd in range(n_dev):
             grid[:, dd * nz_loc:(dd + 1) * nz_loc + 1] = fl[dd]
         return jnp.asarray(grid)
@@ -2044,12 +2063,13 @@ def cmd_run3d(args):
 def build_parser():
     p = argparse.ArgumentParser(prog="hybrid_fem_lssvr_tpu")
     p.add_argument(
-        "--compile-cache", default=None, metavar="DIR", nargs="?",
-        const="~/.cache/hybrid_fem_lssvr_tpu/xla",
+        "--compile-cache", default=None, metavar="DIR",
         help="persistent XLA compilation cache directory (round-4 "
         "VERDICT Weak #3: first TPU compiles run 20-100+ s per program; "
-        "the cache amortises them across CLI invocations).  Bare "
-        "--compile-cache uses ~/.cache/hybrid_fem_lssvr_tpu/xla")
+        "the cache amortises them across CLI invocations), e.g. "
+        "--compile-cache ~/.cache/hybrid_fem_lssvr_tpu/xla.  DIR is "
+        "required: a bare flag would make argparse swallow the "
+        "subcommand name as the directory")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):

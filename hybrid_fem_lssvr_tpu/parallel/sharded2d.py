@@ -916,14 +916,14 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
                 diag_local = diag_local + assembly2d.stiffness_diag(
                     (ny_loc + 1, nx_loc + 1), K_const, dtype)
         else:
+            K_M = None
             if cfg.coarse == "compact":
                 # Tensor-Numerov compact rows: same 9-point local-4x4
                 # sparsity as Q1, so the block-halo apply is unchanged.
-                K_loc = jnp.asarray(
-                    assembly2d.q1_numerov_locals(hx, hy, problem.a0,
-                                                 problem.c)[0],
-                    dtype,
-                )
+                K_A_np, K_M_np = assembly2d.q1_numerov_locals(
+                    hx, hy, problem.a0, problem.c)
+                K_loc = jnp.asarray(K_A_np, dtype)
+                K_M = jnp.asarray(K_M_np, dtype)
             else:
                 K_loc = jnp.asarray(
                     assembly2d.q1_local_operator(hx, hy, problem.a0,
@@ -950,15 +950,11 @@ def make_sharded_solve_2d_grid(problem: Problem2D, cfg: Solver2DConfig,
             return _halo_add_2d(v, dy, dx, n_dy, n_dx, ay, ax)
 
         if problem.a_var is None and cfg.coarse == "compact":
-            # Numerov-weighted load M f_nodal; interface contributions
-            # arrive through the same block halo as the Q1 load (nodal f
-            # samples agree on shared rows/columns, so the split element
-            # sums add exactly).
-            K_M = jnp.asarray(
-                assembly2d.q1_numerov_locals(hx, hy, problem.a0,
-                                             problem.c)[1],
-                dtype,
-            )
+            # Numerov-weighted load M f_nodal (K_M from the single
+            # locals call above); interface contributions arrive through
+            # the same block halo as the Q1 load (nodal f samples agree
+            # on shared rows/columns, so the split element sums add
+            # exactly).
             Xl, Yl = jnp.meshgrid(xs_loc, ys_loc)
             F_nodes = problem.f(Xl, Yl) * jnp.ones_like(Xl)
             b = halo(assembly2d.apply_stiffness(F_nodes, K_M))

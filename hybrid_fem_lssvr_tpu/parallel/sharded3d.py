@@ -556,16 +556,15 @@ def make_sharded_solve_3d_grid(problem: Problem3D, cfg: Solver3DConfig,
                 diag_local = diag_local + assembly3d.stiffness_diag_3d(
                     shape1, K_const, dtype)
         else:
+            K_M = None
             if cfg.coarse == "compact":
                 # Tensor-Numerov compact rows: same 27-point local-8x8
                 # sparsity as Q1 hexes — the block-halo apply is
                 # unchanged.
-                K_loc = jnp.asarray(
-                    assembly3d.q1_numerov_locals_3d(hx, hy, hz,
-                                                    problem.a0,
-                                                    problem.c)[0],
-                    dtype,
-                )
+                K_A_np, K_M_np = assembly3d.q1_numerov_locals_3d(
+                    hx, hy, hz, problem.a0, problem.c)
+                K_loc = jnp.asarray(K_A_np, dtype)
+                K_M = jnp.asarray(K_M_np, dtype)
             else:
                 K_loc = jnp.asarray(
                     assembly3d.q1_local_operator_3d(hx, hy, hz,
@@ -595,13 +594,9 @@ def make_sharded_solve_3d_grid(problem: Problem3D, cfg: Solver3DConfig,
             return _halo_add_3d_grid(v, dz, dy, n_dz, n_dy, az, ay)
 
         if not var and cfg.coarse == "compact":
-            # Numerov-weighted load M f_nodal; interface contributions
-            # arrive through the same block halo as the Q1 load.
-            K_M = jnp.asarray(
-                assembly3d.q1_numerov_locals_3d(hx, hy, hz, problem.a0,
-                                                problem.c)[1],
-                dtype,
-            )
+            # Numerov-weighted load M f_nodal (K_M from the single
+            # locals call above); interface contributions arrive through
+            # the same block halo as the Q1 load.
             F_nodes = problem.f(xs[None, None, :], ys_loc[None, :, None],
                                 zs_loc[:, None, None])
             F_nodes = F_nodes * jnp.ones(shape1, dtype)

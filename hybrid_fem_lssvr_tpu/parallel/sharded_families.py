@@ -284,9 +284,12 @@ def make_sharded_eigensolve(problem: Problem1D, cfg: SolverConfig, mesh,
     solved through the batched null-space QR (``lssvr_enhance`` with
     ``shared_ops=None``) rather than the host-f64 shared-operator
     precompute, whose factors depend on the (now traced) shift; the
-    fused Pallas kernels cannot engage on this route, which is moot —
-    the eigen family is f64-gated (``eigen._require_f64_eigen``), where
-    the kernels never run.  The compile-once property is asserted by
+    fused Pallas kernels cannot engage on this route.  That is moot in
+    2D/3D (f64-gated, ``eigen._require_f64_eigen``), and the UNGATED 1D
+    f32 route — now per-element f32 QR instead of host-f64 factors —
+    measures at the documented f32 quotient floor
+    (``test_sharded_eigensolve_f32_stays_at_f32_floor``).  The
+    compile-once property is asserted by
     ``tests/test_sharded_families.py`` via ``run.jitted._cache_size()``.
     """
     n_dev = mesh.shape[axis]
@@ -715,9 +718,12 @@ def make_sharded_eigensolve_2d(problem, cfg: Solver2DConfig, mesh,
     dA = (hx / 2.0) * (hy / 2.0) * (wq_j[:, None] * wq_j[None, :])
 
     def quad_partial(coeffs):
-        Pv = jnp.einsum("abkl,qk,rl->abqr", coeffs, V0q, V0q)
-        Px = jnp.einsum("abkl,qk,rl->abqr", coeffs, V0q, V1q) * (2.0 / hx)
-        Py = jnp.einsum("abkl,qk,rl->abqr", coeffs, V1q, V0q) * (2.0 / hy)
+        Pv = jnp.einsum("abkl,qk,rl->abqr", coeffs, V0q, V0q,
+                        precision=HI)
+        Px = jnp.einsum("abkl,qk,rl->abqr", coeffs, V0q, V1q,
+                        precision=HI) * (2.0 / hx)
+        Py = jnp.einsum("abkl,qk,rl->abqr", coeffs, V1q, V0q,
+                        precision=HI) * (2.0 / hy)
         num = jnp.sum(dA[None, None] * (problem.a0 * (Px**2 + Py**2)
                                         + problem.c * Pv**2))
         den = jnp.sum(dA[None, None] * Pv**2)

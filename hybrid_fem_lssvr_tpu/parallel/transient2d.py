@@ -276,14 +276,15 @@ def make_sharded_transient_2d(problem: TransientProblem2D, cfg,
            else "sharded_transient_2d_fem")
 
     def run():
-        carry0 = init_fn()
         if tcfg.checkpoint:
+            # init_fn passed LAZILY: a resumed march never recomputes
+            # the distributed step-0 solves (structure via eval_shape).
             fp = march_fingerprint(problem.name, cfg, tcfg, tag)
             carry, iters = chunked_scan(
-                chunk_fn, carry0, ts_all, path=tcfg.checkpoint,
+                chunk_fn, init_fn, ts_all, path=tcfg.checkpoint,
                 chunk=tcfg.checkpoint_chunk, fingerprint=fp)
         else:
-            carry, iters = chunk_fn(carry0, ts_all)
+            carry, iters = chunk_fn(init_fn(), ts_all)
         uN, _, wN, _ = carry
         xs = jnp.linspace(x0, x1, cfg.nx + 1, dtype=dtype)
         ys = jnp.linspace(y0, y1, cfg.ny + 1, dtype=dtype)

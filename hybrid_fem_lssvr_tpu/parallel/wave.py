@@ -58,14 +58,16 @@ HI = jax.lax.Precision.HIGHEST
 
 def _march(init_fn, chunk_fn, ts_all, tcfg, problem_name, cfg, tag):
     """Shared chunked-run plumbing: one dispatch when uncheckpointed,
-    else ``chunked_scan`` over the compiled shard_map chunk."""
-    carry0 = init_fn()
+    else ``chunked_scan`` over the compiled shard_map chunk.  ``init_fn``
+    is passed LAZILY so a resumed march never recomputes the distributed
+    step-0 solves (``chunked_scan`` recovers the carry structure via
+    ``jax.eval_shape`` and loads the state from disk)."""
     if tcfg.checkpoint:
         fp = march_fingerprint(problem_name, cfg, tcfg, tag)
-        return chunked_scan(chunk_fn, carry0, ts_all,
+        return chunked_scan(chunk_fn, init_fn, ts_all,
                             path=tcfg.checkpoint,
                             chunk=tcfg.checkpoint_chunk, fingerprint=fp)
-    return chunk_fn(carry0, ts_all)
+    return chunk_fn(init_fn(), ts_all)
 
 
 # ---------------------------------------------------------------- scalar 2D
@@ -570,8 +572,8 @@ class ShardedElasticWaveSolution2D(NamedTuple):
         src = self.fem_local if which == "u" else self.velocity_local
         n_dev, _, nloc1, nx1 = src.shape
         ny_loc = nloc1 - 1
-        grid = np.zeros((2, n_dev * ny_loc + 1, nx1))
         fl = np.asarray(src)
+        grid = np.zeros((2, n_dev * ny_loc + 1, nx1), fl.dtype)
         for dd in range(n_dev):
             grid[:, dd * ny_loc:(dd + 1) * ny_loc + 1] = fl[dd]
         return grid

@@ -240,6 +240,12 @@ def march_fingerprint(problem_name: str, cfg, tcfg, march: str) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def _ys_filename(idx: int) -> str:
+    """Single source of the per-chunk ys filename (shared by the sync
+    writer, the async scheduler in ``chunked_scan``, and the loader)."""
+    return f"ys_{idx:06d}.npz"
+
+
 def _write_march(path: str, fingerprint: str, step: int, leaves,
                  ys_chunk_leaves, ys_files) -> None:
     """One chunk's durable state: the NEW ys slice (its own immutable
@@ -247,7 +253,7 @@ def _write_march(path: str, fingerprint: str, step: int, leaves,
     atomic, so a crash at any point leaves a resumable prefix."""
     os.makedirs(path, exist_ok=True)
     if ys_chunk_leaves is not None:
-        fname = f"ys_{len(ys_files):06d}.npz"
+        fname = _ys_filename(len(ys_files))
         ys_tmp = os.path.join(path, f".{fname}.tmp")
         with open(ys_tmp, "wb") as fh:
             np.savez(fh, **{f"ys_{i}": np.asarray(v)
@@ -288,6 +294,18 @@ def load_march_state(path: str, fingerprint: str):
     with np.load(os.path.join(path, "march.npz")) as z:
         carry = [z[f"carry_{i}"] for i in range(manifest["n_carry"])]
     ys_files = list(manifest.get("ys_files", []))
+    # A listed-but-missing ys file means a crashed async write raced the
+    # manifest (the AsyncCheckpointer schedules the name before the
+    # write is durable): treat the whole state as invalid — a clean
+    # restart — instead of crashing the resume with FileNotFoundError.
+    if any(not os.path.exists(os.path.join(path, f)) for f in ys_files):
+        import warnings
+
+        warnings.warn(
+            f"march checkpoint at {path!r} lists ys files that were "
+            "never durably written (crashed async writer?); ignoring "
+            "the state and restarting from step 0", stacklevel=2)
+        return None
     per_chunk = []
     for fname in ys_files:
         with np.load(os.path.join(path, fname)) as z:
@@ -319,10 +337,17 @@ def chunked_scan(scan_chunk_fn, carry0, ts, *, path=None, chunk=0,
 
     n = int(ts.shape[0])
     if not path:
-        return scan_chunk_fn(carry0, ts)
+        c0 = carry0() if callable(carry0) else carry0
+        return scan_chunk_fn(c0, ts)
     chunk = int(chunk) if chunk else max(1, -(-n // 8))
-    treedef = jax.tree_util.tree_structure(carry0)
-    start, carry = 0, carry0
+    # carry0 may be a ZERO-ARGUMENT CALLABLE producing the initial carry:
+    # on resume the (possibly expensive, distributed) init then never
+    # executes — its pytree STRUCTURE is recovered abstractly.
+    if callable(carry0):
+        treedef = jax.tree_util.tree_structure(jax.eval_shape(carry0))
+    else:
+        treedef = jax.tree_util.tree_structure(carry0)
+    start, carry = 0, None
     ys_chunks = []  # list of ys pytrees (leaves stacked [k, ...])
     ys_treedef = None
     ys_files = []
@@ -334,6 +359,8 @@ def chunked_scan(scan_chunk_fn, carry0, ts, *, path=None, chunk=0,
             treedef, [jnp.asarray(x) for x in state[1]])
         restored_ys = state[2]
         ys_files = state[3]
+    if carry is None:
+        carry = carry0() if callable(carry0) else carry0
 
     i = start
     while i < n:
@@ -350,20 +377,22 @@ def chunked_scan(scan_chunk_fn, carry0, ts, *, path=None, chunk=0,
                                     ys_leaves_c, ys_files)
             ys_files = list(ys_files)
             if ys_leaves_c is not None:
-                ys_files.append(f"ys_{len(ys_files):06d}.npz")
+                ys_files.append(_ys_filename(len(ys_files)))
         else:
             _write_march(path, fingerprint, j, leaves, ys_leaves_c,
                          ys_files)
         i = j
+    if ys_treedef is None and restored_ys:
+        # Fully resumed (start == n): no live chunk revealed the ys
+        # structure — recover it ABSTRACTLY (no execution) from the
+        # chunk function, so dict/NamedTuple ys round-trip intact.
+        _, ys_abs = jax.eval_shape(scan_chunk_fn, carry, ts[:1])
+        if ys_abs is not None:
+            ys_treedef = jax.tree_util.tree_structure(ys_abs)
     ys_all = _concat_ys(restored_ys, ys_chunks, ys_treedef)
     if ys_treedef is not None:
         ys = jax.tree_util.tree_unflatten(
             ys_treedef, [jnp.asarray(v) for v in ys_all])
-    elif restored_ys:
-        # Fully resumed (start == n): the ys structure is whatever was
-        # saved — the marches here emit a single per-step array.
-        ys = tuple(jnp.asarray(v) for v in restored_ys)
-        ys = ys[0] if len(ys) == 1 else ys
     else:
         ys = None
     return carry, ys

@@ -388,3 +388,89 @@ def test_cli_checkpoint_resume(tmp_path, capsys):
     rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec2["resumed"]
     assert rec2["linf_error"] == pytest.approx(rec1["linf_error"], abs=1e-12)
+
+
+def test_chunked_scan_structured_ys_full_resume(tmp_path):
+    """Round-5 review fix: a fully-resumed chunked_scan (start == n) must
+    return ys with its ORIGINAL pytree structure (recovered abstractly
+    via eval_shape), not a bare tuple/array."""
+    import jax
+    import jax.numpy as jnp
+
+    from hybrid_fem_lssvr_tpu.utils import checkpoint as CK
+
+    def step(c, t):
+        c = c + t
+        return c, {"u": c, "v": 2.0 * c}  # dict-structured ys
+
+    scan = jax.jit(lambda c, ts: jax.lax.scan(step, c, ts))
+    ts = jnp.arange(8, dtype=jnp.float32)
+    c0 = jnp.zeros((3,), jnp.float32)
+    path = str(tmp_path / "m")
+    c1, ys1 = CK.chunked_scan(scan, c0, ts, path=path, chunk=3,
+                              fingerprint="fp")
+    assert isinstance(ys1, dict) and set(ys1) == {"u", "v"}
+    # full resume: same structure, bitwise values
+    c2, ys2 = CK.chunked_scan(scan, c0, ts, path=path, chunk=3,
+                              fingerprint="fp")
+    assert isinstance(ys2, dict) and set(ys2) == {"u", "v"}
+    np.testing.assert_array_equal(np.asarray(ys1["u"]),
+                                  np.asarray(ys2["u"]))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_chunked_scan_lazy_carry0_callable(tmp_path):
+    """carry0 may be a zero-argument callable; resume recovers the carry
+    structure abstractly and loads the state (bitwise vs eager)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hybrid_fem_lssvr_tpu.utils import checkpoint as CK
+
+    def step(c, t):
+        return c * 1.5 + t, c
+
+    scan = jax.jit(lambda c, ts: jax.lax.scan(step, c, ts))
+    ts = jnp.arange(6, dtype=jnp.float32)
+    path = str(tmp_path / "m")
+    c_eager, ys_eager = CK.chunked_scan(
+        scan, jnp.ones((2,), jnp.float32), ts, path=path, chunk=2,
+        fingerprint="fp")
+    c_lazy, ys_lazy = CK.chunked_scan(
+        scan, lambda: jnp.ones((2,), jnp.float32), ts, path=path,
+        chunk=2, fingerprint="fp")  # full resume through the thunk path
+    np.testing.assert_array_equal(np.asarray(c_eager),
+                                  np.asarray(c_lazy))
+    np.testing.assert_array_equal(np.asarray(ys_eager),
+                                  np.asarray(ys_lazy))
+
+
+def test_march_state_missing_ys_file_restarts_cleanly(tmp_path):
+    """A manifest listing a never-written ys file (crashed async writer)
+    must invalidate the state (clean restart), not crash the resume."""
+    import os
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from hybrid_fem_lssvr_tpu.utils import checkpoint as CK
+
+    def step(c, t):
+        return c + t, c
+
+    scan = jax.jit(lambda c, ts: jax.lax.scan(step, c, ts))
+    ts = jnp.arange(8, dtype=jnp.float32)
+    c0 = jnp.zeros((2,), jnp.float32)
+    path = str(tmp_path / "m")
+    c1, ys1 = CK.chunked_scan(scan, c0, ts, path=path, chunk=2,
+                              fingerprint="fp")
+    # simulate the crashed async write: delete a listed ys file
+    os.remove(os.path.join(path, CK._ys_filename(1)))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert CK.load_march_state(path, "fp") is None
+        c2, ys2 = CK.chunked_scan(scan, c0, ts, path=path, chunk=2,
+                                  fingerprint="fp")  # restarted from 0
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(ys1), np.asarray(ys2))

@@ -390,3 +390,21 @@ def test_sharded_clamped_plate_matches_single_device():
         make_sharded_solve_clamped_2d(
             p, Solver2DConfig(nx=16, ny=6, M=10, n_colloc=10,
                               dtype="float64"), pmesh.element_mesh(4))
+
+
+def test_sharded_eigensolve_f32_stays_at_f32_floor():
+    """The 1D eigen family is NOT f32-gated; the compile-once rewrite
+    moved its f32 enhancement from host-f64 shared factors to on-device
+    f32 null-space QR — this gate pins the f32 route at the documented
+    quotient floor (single-device gate: 5e-5,
+    test_eigen.py::test_f32_pipeline_reaches_f32_floor)."""
+    from hybrid_fem_lssvr_tpu.models.eigen import exact_eigenvalues
+
+    p = problems.get("poisson_1d")
+    cfg = SolverConfig(num_nodes=33, M=8, dtype="float32")
+    out = make_sharded_eigensolve(p, cfg, pmesh.element_mesh(4),
+                                  EigenConfig(k=2))()
+    ex = exact_eigenvalues(p, 2)
+    errs = np.abs(np.asarray(out.lams) - ex)
+    assert np.all(errs < 5e-5), errs
+    assert bool(jnp.all(out.solve_ok))
